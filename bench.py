@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully materialized (count + a cheap checksum collect via
+``collect()`` on the aggregated frame would skew results, so we use
+``df.write.format("noop")`` — executes the complete plan, discards rows).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from data_platform_spark.queries import all_queries  # noqa: E402
+from data_platform_spark.session import get_spark  # noqa: E402
+
+# Headline set: one per capability family — relational joins/aggs, windows,
+# sessionization, dedup/LSH, text, similarity.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_region_revenue",
+    "topk_orders_per_customer",
+    "scd2_order_versions",
+    "events_sessionize",
+    "events_hourly_by_type",
+    "dedup_exact_groups",
+    "neardup_pairs_lsh",
+    "doc_text_stats",
+    "doc_lang_id",
+    "cosine_topk_vec0",
+    "srp_bucket_histogram",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark(app_name="dps-bench")
+    queries = all_queries()
+
+    # warm the JVM + parquet footers with one tiny action
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,122 @@
+"""Similarity search over embedding columns (array<float>).
+
+- Brute-force cosine top-k: exact baseline — one pass over all vectors,
+  dot products computed JVM-side with zip_with/aggregate (no Python).
+- Sign-random-projection LSH: scale path — deterministic pseudo-random
+  hyperplanes (integer-hash derived, engine-portable) bucket vectors so
+  candidate generation is an equi-join on bucket signature instead of a
+  cross join. At 100 TB: signatures are tiny (one int per plane-set),
+  the bucket join shuffles ids+signatures only, and exact re-ranking runs
+  on candidates alone.
+- Label centroids: the IVF building block (coarse quantizer = per-cell
+  mean vector); assignment = argmin distance to centroid, with centroids
+  broadcast.
+
+All double math with explicit casts so results are reproducible across
+engines (float32 accumulation is not), aggregates rounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_platform_spark.queries._util import pround
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_vec: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_ids: list[int] | None = None,
+) -> DataFrame:
+    """Exact top-k by cosine against a single broadcast query vector.
+
+    query_vec: 1-row DataFrame with column ``q`` (array). The crossJoin is
+    a broadcast of one row — effectively a map over emb, no shuffle until
+    the final top-k (which AQE executes as a TakeOrdered, not a full sort).
+    """
+    joined = emb.crossJoin(F.broadcast(query_vec))
+    if exclude_ids:
+        joined = joined.filter(~F.col(id_col).isin(exclude_ids))
+    sim = joined.select(
+        F.col(id_col),
+        pround(cosine(as_double(F.col(vec_col)), as_double(F.col("q"))), 4).alias(
+            "cosine"
+        ),
+    )
+    return sim.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+def label_centroids(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label mean vector, one row per (label, dimension position).
+
+    posexplode → groupBy(label, pos) → avg: partial aggregation map-side,
+    shuffle carries (label, pos) keyed partials only. The long (label,pos)
+    layout is deliberately join-friendly for assignment re-ranking.
+    """
+    return (
+        emb.select(
+            F.col(label_col), F.posexplode(as_double(F.col(vec_col))).alias("pos", "x")
+        )
+        .groupBy(label_col, "pos")
+        .agg(pround(F.avg("x"), 4).alias("centroid_val"))
+    )
+
+
+def srp_signature(vec: Column, n_planes: int = 16, dim: int = 64) -> Column:
+    """Sign-random-projection LSH signature as an int bitmask.
+
+    Plane p, dimension i weight = (((i+1)*2654435761 + (p+1)*40503) mod 1997)
+    / 1997 - 0.5 — a deterministic integer-hash pseudo-random in [-0.5, 0.5),
+    identical in any engine (no RNG state). Signature bit p = sign of the
+    projection of the vector on plane p.
+    """
+    dvec = as_double(vec)
+    bits = []
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                dvec,
+                F.sequence(F.lit(1), F.lit(dim)),
+                lambda x, i: x
+                * (
+                    ((i * 2654435761 + (p + 1) * 40503) % 1997).cast("double")
+                    / 1997.0
+                    - 0.5
+                ),
+            ),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out

@@ -1,0 +1,26 @@
+"""Engine-portable helpers shared by the declared queries and their
+DuckDB oracles.
+
+``pround``/``sql_round``: deterministic half-up rounding via
+``floor(x * 10^d + 0.5) / 10^d``. Spark's built-in ``round`` goes through
+BigDecimal on the double's decimal string while DuckDB rounds the binary
+double — they disagree whenever a value lands exactly on a .5 boundary
+(e.g. 179/40 = 4.475 → Spark 4.48, DuckDB 4.47). The floor form performs
+the same IEEE-754 multiply/add/floor in both engines, so results are
+bit-identical — required for the driver's value-hash gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def pround(col: Column, d: int = 2) -> Column:
+    m = 10 ** d
+    return F.floor(col * m + F.lit(0.5)) / F.lit(m)
+
+
+def sql_round(expr: str, d: int = 2) -> str:
+    m = 10 ** d
+    return f"floor(({expr}) * {m} + 0.5) / {m}"

@@ -1,0 +1,164 @@
+"""Deduplication queries over the documents table: exact hash groups,
+MinHash signatures, LSH-banded near-dup pairs with verified Jaccard,
+SimHash signatures (rows-only check — bit packing is a Pandas UDF).
+
+The oracle mirrors the exact same salted-md5 minhash + banding scheme, so
+candidate generation is bit-identical across engines (architecture notes
+in data_platform_spark/functions/dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_platform_spark.functions import dedup as D
+from data_platform_spark.queries._util import sql_round
+from data_platform_spark.sources.tables import load_table
+
+JACCARD_THRESHOLD = 0.2
+
+
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 content hash → keep lowest doc_id, count copies."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", D.content_hash(F.col("text")).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_signatures(D.shingle_df(docs))
+
+
+def neardup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = D.shingle_df(docs)
+    sig = D.minhash_signatures(sh)
+    cand = D.lsh_candidate_pairs(sig)
+    return D.verified_jaccard(sh, cand, threshold=JACCARD_THRESHOLD)
+
+
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 64-bit signatures (deterministic; rows-only driver check)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", D.simhash64(F.col("text")).alias("simhash"))
+
+
+QUERIES = {
+    "dedup_exact_groups": dedup_exact_groups,
+    "minhash_signatures": minhash_signatures,
+    "neardup_pairs_lsh": neardup_pairs_lsh,
+    "simhash_signatures": simhash_signatures,
+}
+
+
+def _shingle_cte() -> str:
+    # distinct 3-word shingles; docs shorter than 3 words -> whole text
+    return """
+        words AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        idx AS (
+            SELECT doc_id, w,
+                   unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i
+            FROM words
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+            FROM idx
+        )
+    """
+
+
+def _sig_sql(n: int = D.N_MINHASH) -> str:
+    mh = ",\n                   ".join(
+        f"min(md5('{i}|' || shingle)) AS mh{i}" for i in range(n)
+    )
+    return f"""
+        sig AS (
+            SELECT doc_id,
+                   {mh}
+            FROM sh
+            GROUP BY doc_id
+        )
+    """
+
+
+def _bands_sql(n: int = D.N_MINHASH, band_size: int = D.BAND_SIZE) -> str:
+    n_bands = n // band_size
+    cols = ", ".join(
+        "concat_ws('#', "
+        + ", ".join(f"mh{b * band_size + j}" for j in range(band_size))
+        + f") AS band{b}"
+        for b in range(n_bands)
+    )
+    pair_selects = "\n            UNION\n".join(
+        f"""            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b ON a.band{b} = b.band{b}
+            WHERE a.doc_id < b.doc_id"""
+        for b in range(n_bands)
+    )
+    return f"""
+        bands AS (
+            SELECT doc_id, {cols} FROM sig
+        ),
+        cand AS (
+{pair_selects}
+        )
+    """
+
+
+def _build_oracle() -> dict[str, str]:
+    n = D.N_MINHASH
+    mh_list = ", ".join(f"mh{i}" for i in range(n))
+    return {
+        "dedup_exact_groups": """
+            SELECT
+                md5(text) AS text_hash,
+                min(doc_id) AS keep_doc_id,
+                count(*) AS n_copies
+            FROM documents
+            GROUP BY 1
+        """,
+        "minhash_signatures": f"""
+            WITH {_shingle_cte()},
+            {_sig_sql()}
+            SELECT doc_id, {mh_list} FROM sig
+        """,
+        "neardup_pairs_lsh": f"""
+            WITH {_shingle_cte()},
+            {_sig_sql()},
+            {_bands_sql()},
+            sizes AS (
+                SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+            ),
+            common AS (
+                SELECT c.doc_a, c.doc_b, count(*) AS n_common
+                FROM cand c
+                JOIN sh a ON a.doc_id = c.doc_a
+                JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+                GROUP BY c.doc_a, c.doc_b
+            )
+            SELECT
+                doc_a,
+                doc_b,
+                {sql_round("n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common)", 4)} AS jaccard
+            FROM common
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE {sql_round("n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common)", 4)}
+                  >= {JACCARD_THRESHOLD}
+        """,
+        # simhash_signatures: intentionally no oracle (Pandas-UDF bit
+        # packing; driver records rows-only check)
+    }
+
+
+ORACLE = _build_oracle()

@@ -1,0 +1,167 @@
+"""Event-stream queries: JSON payload extraction, time-bucketed aggregation,
+running windows, sessionization.
+
+Reference parity: the bronze layer stores raw JSONB payloads extracted at
+staging time (`/root/reference/dags/stg_character.py:52-63` `payload ->>
+'name'`). Here the same schema-on-read pattern runs over `events.props`
+with `from_json` + a declared schema (never inferSchema).
+
+These are the batch duals of the Structured Streaming pipelines in
+``data_platform_spark/streaming`` — same logical transformations, so the
+oracle validates the streaming semantics too (a tumbling-window agg over a
+static frame equals the final state of the streaming agg).
+
+Scale notes: time-bucketed aggs group on (bucket, type) → map-side partial
+agg; sessionization windows partition by user_id (high cardinality, even
+distribution) — at 100 TB the input would be date-partitioned parquet and
+the window shuffle is one stage keyed by user.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_platform_spark.queries._util import pround
+from data_platform_spark.sources.tables import load_table
+
+PROPS_SCHEMA = "k INT"
+
+SESSION_GAP_MS = 30 * 60 * 1000  # 30 min
+
+
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read JSON extraction (P1/P3): props ->> 'k' :: int."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.from_json(F.col("props"), PROPS_SCHEMA).getField("k").alias("k"),
+    )
+
+
+def events_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation (batch dual of streaming agg)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            pround(F.sum("value")).alias("total_value"),
+        )
+    )
+
+
+def events_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running sum over an explicit ROWS frame.
+
+    Ordering (ts, event_id) is a total order per user → both engines
+    accumulate in the same sequence; rounding makes the result stable.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        pround(F.sum("value").over(w)).alias("running_value"),
+    )
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) via lag + running count.
+
+    Batch dual of the streaming session-window pipeline. Millisecond epoch
+    comparison keeps the gap test exact in both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ms = F.unix_millis(F.col("ts"))
+    new_session = (
+        F.when(ms - F.lag(ms).over(w) > F.lit(SESSION_GAP_MS), 1)
+        .otherwise(0)
+    )
+    # first event of a user: lag is NULL -> when() falls to otherwise(0);
+    # session numbering starts at 1 via the +1 below either way.
+    return (
+        ev.withColumn("is_new", new_session)
+        .withColumn("session_id", F.sum("is_new").over(wcum) + 1)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            pround(F.sum("value")).alias("session_value"),
+        )
+    )
+
+
+QUERIES = {
+    "events_json_extract": events_json_extract,
+    "events_hourly_by_type": events_hourly_by_type,
+    "events_running_total": events_running_total,
+    "events_sessionize": events_sessionize,
+}
+
+ORACLE = {
+    "events_json_extract": """
+        SELECT event_id, json_extract(props, '$.k')::INT AS k
+        FROM events
+    """,
+    "events_hourly_by_type": """
+        SELECT
+            date_trunc('hour', ts) AS hour_start,
+            event_type,
+            count(*) AS n_events,
+            floor((sum(value)) * 100 + 0.5) / 100 AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    "events_running_total": """
+        SELECT
+            user_id,
+            event_id,
+            floor((sum(value) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                )) * 100 + 0.5) / 100 AS running_value
+        FROM events
+    """,
+    "events_sessionize": """
+        WITH flagged AS (
+            SELECT
+                user_id, event_id, ts, value,
+                CASE
+                    WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+                    THEN 1 ELSE 0
+                END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        numbered AS (
+            SELECT
+                user_id, event_id, ts, value,
+                sum(is_new) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ) + 1 AS session_id
+            FROM flagged
+        )
+        SELECT
+            user_id,
+            session_id,
+            min(ts) AS session_start,
+            max(ts) AS session_end,
+            count(*) AS n_events,
+            floor((sum(value)) * 100 + 0.5) / 100 AS session_value
+        FROM numbered
+        GROUP BY user_id, session_id
+    """,
+}

@@ -1,0 +1,410 @@
+"""Core relational surface: scan/filter/project/join/agg/window/sort/limit/
+set-ops — the generic query capabilities backing the reference's warehouse
+layers (SURVEY.md §2) expressed over the driver testdata star schema.
+
+Reference parity notes (citations into /root/reference/):
+- anti-join incrementality  → `customers_without_orders`
+  (dags/dwh_fact_character_episode.py:103-107)
+- semi-join existence probe → `customers_with_orders`
+  (dags/configure.py:296-300)
+- union-dedup               → `nationkeys_union_distinct`
+  (dags/dwh_fact_character_episode.py:55-81; PG UNION dedups, Spark union
+  does not — always paired with .distinct())
+- JSON-array explosion      → `part_type_words`
+  (dags/stg_character.py:161-173 jsonb_array_elements_text)
+- SCD2 versioning           → `scd2_order_versions`
+  (dags/dwh_dim_character.py:49-118 valid_from/valid_to/is_current)
+- Unknown-member sentinel join → `unknown_member_events`
+  (dags/dwh_fact_charer_location.py:107-112) — the disjunctive OR-join is
+  rewritten as left-join + coalesce so Catalyst plans an equi-join instead
+  of a broadcast-nested-loop.
+- null-safe change detection → `value_change_detection`
+  (dags/stg_character.py:75-81 IS DISTINCT FROM ↔ eqNullSafe)
+
+Scale notes: every query is declarative DataFrame API — Catalyst pushes
+filters/projection into the parquet scans; region/nation joins are
+explicitly broadcast (bounded domains); large fact-fact joins shuffle on
+their keys and AQE handles coalesce/skew at runtime. All double aggregates
+are rounded (2–4 dp) so results are stable under any summation order —
+required both for the DuckDB oracle hash and for deterministic re-runs on
+a real cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_platform_spark.queries._util import pround, sql_round
+from data_platform_spark.sources.tables import load_table
+
+# Sentinel for open-ended validity — the engine's replacement for Postgres
+# 'infinity'::timestamptz (dags/dwh_dim_character.py:102).
+VALID_TO_INFINITY = "9999-12-31 00:00:00"
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: filter → groupBy → multi-agg.
+
+    Filter reaches the parquet scan (PushedFilters); partial aggregation is
+    map-side so the shuffle carries only (flag,status) groups.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            pround(F.sum("l_quantity")).alias("sum_qty"),
+            pround(F.sum("l_extendedprice")).alias("sum_base_price"),
+            pround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("sum_disc_price"),
+            pround(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                )
+            ).alias("sum_charge"),
+            pround(F.avg("l_quantity")).alias("avg_qty"),
+            pround(F.avg("l_extendedprice")).alias("avg_price"),
+            pround(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: 3-way join + agg + total-order sort + limit."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        cust.select("c_custkey")
+        .join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            pround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style multi-join star query with broadcast dims.
+
+    region/nation are bounded-domain dims → explicit broadcast() keeps the
+    plan shuffle-free on the dim side at any scale factor.
+    """
+    region = F.broadcast(
+        load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    )
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        region.join(nation, region.r_regionkey == nation.n_regionkey)
+        .join(cust, nation.n_nationkey == cust.c_nationkey)
+        .join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey)
+            & (supp.s_nationkey == cust.c_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(
+            pround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue")
+        )
+    )
+
+
+def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer — windowed rank, deterministic tie-break."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            pround(F.col("o_totalprice")).alias("totalprice"),
+            "rk",
+        )
+    )
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti-join — the reference's fact-incrementality primitive."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi-join — EXISTS probe."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+def nationkeys_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION with dedup — PG UNION semantics need union().distinct() in Spark."""
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        cust.select(F.col("c_nationkey").alias("nationkey"))
+        .union(supp.select(F.col("s_nationkey").alias("nationkey")))
+        .distinct()
+    )
+
+
+def part_type_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array explosion — jsonb_array_elements_text analog (A1)."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey", F.explode(F.split(F.col("p_type"), " ")).alias("word")
+    )
+
+
+def rollup_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets for the datamart layer."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        pround(F.sum("o_totalprice")).alias("total_price"),
+    )
+
+
+def scd2_order_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 validity intervals derived with window functions.
+
+    Treats each customer's order sequence as successive versions:
+    valid_from = event date, valid_to = next version's date (sentinel
+    9999-12-31 when open), is_current flags the latest — the exact shape
+    of the reference's dims (dags/configure.py:195-265) computed by a
+    single windowed scan instead of row-wise UPDATE+INSERT.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    sentinel = F.lit(VALID_TO_INFINITY).cast("timestamp")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").alias("valid_from"),
+        F.coalesce(F.lead("o_orderdate").over(w), sentinel).alias("valid_to"),
+        F.lead("o_orderdate").over(w).isNull().alias("is_current"),
+    )
+
+
+def unknown_member_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unknown-member dimension join (J5), rewritten scale-safe.
+
+    The reference joins facts to dim_location with a disjunctive predicate
+    (url match OR (url IS NULL AND id = -1)) — a nested-loop plan. The
+    engine's rewrite: plain left equi-join, then coalesce misses to the
+    sentinel member (-1/'Unknown'). Equivalent semantics, hash-joinable.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        ev.join(cust, ev.user_id == cust.c_custkey, "left")
+        .select(
+            F.coalesce(F.col("c_custkey"), F.lit(-1).cast("long")).alias("cust_id"),
+            F.coalesce(F.col("c_name"), F.lit("Unknown")).alias("cust_name"),
+        )
+        .groupBy("cust_id", "cust_name")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def value_change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe change detection (P10): IS DISTINCT FROM ↔ ~eqNullSafe.
+
+    Counts, per user, the events whose value differs from the previous
+    event's value under null-safe comparison — the engine's `changed()`
+    primitive used by staging upserts and SCD2 close-out.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_value", F.lag("value").over(w))
+        .withColumn(
+            "is_changed",
+            ~F.col("value").eqNullSafe(F.col("prev_value")),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("is_changed"), 1).otherwise(0)).alias("n_changes"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_top_revenue_orders": q3_top_revenue_orders,
+    "q5_region_revenue": q5_region_revenue,
+    "topk_orders_per_customer": topk_orders_per_customer,
+    "customers_without_orders": customers_without_orders,
+    "customers_with_orders": customers_with_orders,
+    "nationkeys_union_distinct": nationkeys_union_distinct,
+    "part_type_words": part_type_words,
+    "rollup_order_totals": rollup_order_totals,
+    "scd2_order_versions": scd2_order_versions,
+    "unknown_member_events": unknown_member_events,
+    "value_change_detection": value_change_detection,
+}
+
+ORACLE = {
+    "q1_pricing_summary": """
+        SELECT
+            l_returnflag,
+            l_linestatus,
+            floor((sum(l_quantity)) * 100 + 0.5) / 100 AS sum_qty,
+            floor((sum(l_extendedprice)) * 100 + 0.5) / 100 AS sum_base_price,
+            floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS sum_disc_price,
+            floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 100 + 0.5) / 100 AS sum_charge,
+            floor((avg(l_quantity)) * 100 + 0.5) / 100 AS avg_qty,
+            floor((avg(l_extendedprice)) * 100 + 0.5) / 100 AS avg_price,
+            floor((avg(l_discount)) * 10000 + 0.5) / 10000 AS avg_disc,
+            count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q3_top_revenue_orders": """
+        SELECT
+            o.o_orderkey,
+            o.o_orderdate,
+            o.o_orderpriority,
+            floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 100 + 0.5) / 100 AS revenue
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue DESC, o.o_orderkey ASC
+        LIMIT 10
+    """,
+    "q5_region_revenue": """
+        SELECT
+            n.n_name,
+            floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 100 + 0.5) / 100 AS revenue
+        FROM region r
+        JOIN nation n ON r.r_regionkey = n.n_regionkey
+        JOIN customer c ON n.n_nationkey = c.c_nationkey
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                       AND s.s_nationkey = c.c_nationkey
+        WHERE r.r_name = 'ASIA'
+        GROUP BY n.n_name
+    """,
+    "topk_orders_per_customer": """
+        SELECT o_custkey, o_orderkey, totalprice, rk
+        FROM (
+            SELECT
+                o_custkey,
+                o_orderkey,
+                floor((o_totalprice) * 100 + 0.5) / 100 AS totalprice,
+                row_number() OVER (
+                    PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey ASC
+                ) AS rk
+            FROM orders
+        )
+        WHERE rk <= 3
+    """,
+    "customers_without_orders": """
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        )
+    """,
+    "customers_with_orders": """
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (
+            SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        )
+    """,
+    "nationkeys_union_distinct": """
+        SELECT c_nationkey AS nationkey FROM customer
+        UNION
+        SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    "part_type_words": """
+        SELECT p_partkey, unnest(string_split(p_type, ' ')) AS word
+        FROM part
+    """,
+    "rollup_order_totals": """
+        SELECT
+            o_orderstatus,
+            o_orderpriority,
+            count(*) AS n_orders,
+            floor((sum(o_totalprice)) * 100 + 0.5) / 100 AS total_price
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    "scd2_order_versions": """
+        SELECT
+            o_custkey,
+            o_orderkey,
+            o_orderdate AS valid_from,
+            coalesce(
+                lead(o_orderdate) OVER w,
+                TIMESTAMP '9999-12-31 00:00:00'
+            ) AS valid_to,
+            lead(o_orderdate) OVER w IS NULL AS is_current
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    "unknown_member_events": """
+        SELECT
+            coalesce(c.c_custkey, -1) AS cust_id,
+            coalesce(c.c_name, 'Unknown') AS cust_name,
+            count(*) AS n_events
+        FROM events e
+        LEFT JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY 1, 2
+    """,
+    "value_change_detection": """
+        SELECT
+            user_id,
+            sum(CASE WHEN value IS DISTINCT FROM prev_value THEN 1 ELSE 0 END) AS n_changes,
+            count(*) AS n_events
+        FROM (
+            SELECT
+                user_id,
+                value,
+                lag(value) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                ) AS prev_value
+            FROM events
+        )
+        GROUP BY user_id
+    """,
+}

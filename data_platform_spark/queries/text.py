@@ -1,0 +1,141 @@
+"""Text-analysis queries over the documents table (charter extension
+surface): token statistics, language-ID heuristic, quality scoring,
+fingerprinting.
+
+Oracle SQL is generated from the SAME marker lists / constants as the
+Spark expressions (single source of truth — a drifted stopword list can't
+silently pass).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_platform_spark.functions import text as X
+from data_platform_spark.queries._util import pround, sql_round
+from data_platform_spark.sources.tables import load_table
+
+
+def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        X.word_count(t).alias("n_words"),
+        X.token_count(t).alias("n_tokens"),
+        X.avg_word_len(t).alias("avg_word_len"),
+    )
+
+
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        *[
+            X.marker_score(t, X.LANG_MARKERS[lang]).alias(f"s_{lang}")
+            for lang in X.LANG_PRIORITY
+        ],
+        X.predicted_lang(t).alias("predicted_lang"),
+    )
+
+
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", X.quality_score(F.col("text")).alias("quality")
+    )
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", X.fingerprint(F.col("text")).alias("fp")
+    )
+
+
+def token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(X.token_count(t).cast("long")).alias("total_tokens"),
+            pround(F.avg(X.word_count(t))).alias("avg_words"),
+        )
+    )
+
+
+QUERIES = {
+    "doc_text_stats": doc_text_stats,
+    "doc_lang_id": doc_lang_id,
+    "doc_quality": doc_quality,
+    "doc_fingerprint": doc_fingerprint,
+    "token_stats_by_lang": token_stats_by_lang,
+}
+
+
+def _sql_marker_score(markers: list[str]) -> str:
+    lst = ", ".join(f"'{m}'" for m in markers)
+    return f"len(list_filter(string_split(text, ' '), x -> x IN ({lst})))"
+
+
+def _build_oracle() -> dict[str, str]:
+    score_cols = ",\n            ".join(
+        f"{_sql_marker_score(X.LANG_MARKERS[lang])} AS s_{lang}"
+        for lang in X.LANG_PRIORITY
+    )
+    max_expr = "greatest(" + ", ".join(f"s_{lang}" for lang in X.LANG_PRIORITY) + ")"
+    case_branches = "\n                ".join(
+        f"WHEN s_{lang} = {max_expr} THEN '{lang}'"
+        for lang in X.LANG_PRIORITY[:-1]
+    )
+    all_markers = sorted({m for ms in X.LANG_MARKERS.values() for m in ms})
+    return {
+        "doc_text_stats": f"""
+            SELECT
+                doc_id,
+                len(string_split(text, ' ')) AS n_words,
+                len(regexp_extract_all(text, '{X.TOKEN_REGEX}')) AS n_tokens,
+                {sql_round("length(replace(text, ' ', '')) * 1.0 / len(string_split(text, ' '))")} AS avg_word_len
+            FROM documents
+        """,
+        "doc_lang_id": f"""
+            SELECT doc_id, {", ".join(f"s_{l}" for l in X.LANG_PRIORITY)},
+                CASE
+                {case_branches}
+                ELSE '{X.LANG_PRIORITY[-1]}'
+                END AS predicted_lang
+            FROM (
+                SELECT doc_id,
+                    {score_cols}
+                FROM documents
+            )
+        """,
+        "doc_quality": f"""
+            SELECT
+                doc_id,
+                {sql_round(f"0.5 * least(len(string_split(text, ' ')) / 50.0, 1.0) + 0.5 * least({_sql_marker_score(all_markers)} / 5.0, 1.0)", 4)} AS quality
+            FROM documents
+        """,
+        "doc_fingerprint": """
+            SELECT
+                doc_id,
+                md5(substr(regexp_replace(lower(text), '\\s+', ' ', 'g'), 1, 64)) AS fp
+            FROM documents
+        """,
+        "token_stats_by_lang": f"""
+            SELECT
+                lang,
+                count(*) AS n_docs,
+                sum(len(regexp_extract_all(text, '{X.TOKEN_REGEX}'))::BIGINT) AS total_tokens,
+                {sql_round("avg(len(string_split(text, ' ')))")} AS avg_words
+            FROM documents
+            GROUP BY lang
+        """,
+    }
+
+
+ORACLE = _build_oracle()

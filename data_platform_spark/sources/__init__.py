@@ -1,0 +1,3 @@
+from data_platform_spark.sources.tables import TESTDATA_TABLES, load_table, load_tables
+
+__all__ = ["TESTDATA_TABLES", "load_table", "load_tables"]

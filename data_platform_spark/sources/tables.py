@@ -1,0 +1,55 @@
+"""Parquet table loaders for the benchmark/testdata star schema.
+
+Tables (see /root/repo/TESTDATA.md): region nation customer supplier part
+orders lineitem events documents embeddings — one parquet per table under
+a scale-factor directory.
+
+Scale notes: loaders are plain ``spark.read.parquet`` so Catalyst keeps
+predicate pushdown / column pruning; callers select columns and filter
+BEFORE joins so the scan only reads what the query needs. At 100 TB these
+would be partitioned datasets (e.g. lineitem by ship month) — the loader
+interface (name → DataFrame) stays identical.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TESTDATA_TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Tables with a bounded domain (≤ few thousand rows at any scale factor in
+# TPC-H-like schemas): always broadcast-joinable.
+BOUNDED_DIMS = {"region", "nation"}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TESTDATA_TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TESTDATA_TABLES}")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+        # reader rejects; read the raw int64 nanos and truncate to the
+        # engine's microsecond timestamps (same truncation DuckDB applies).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TESTDATA_TABLES}
