@@ -1,0 +1,169 @@
+"""Pipeline runner + parquet warehouse with atomic swap.
+
+Replaces the reference's 11 manually-ordered Airflow DAGs
+(/root/reference/dags/, SURVEY.md §2.5 O2/O3) with one explicit data-flow
+function: configure → raw → stg → dwh, real dependencies instead of an
+implicit trigger order.
+
+Atomicity (O2): Spark can't UPDATE in place and must never read and write
+the same path in one job (SURVEY.md §7.4.1). ``Warehouse.write`` stages
+to a temp dir, then swaps directories with two renames — a failed job
+leaves the previous state untouched. (Adopting a table format with real
+transactions — Delta/Iceberg — is a drop-in replacement for this class.)
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_platform_spark.layers import dwh as L_dwh
+from data_platform_spark.layers import raw as L_raw
+from data_platform_spark.layers import stg as L_stg
+
+
+class Warehouse:
+    """Directory-per-table parquet warehouse: <root>/<schema>/<table>/."""
+
+    SCHEMAS = ("raw", "stg", "dwh", "datamart")
+
+    def __init__(self, root: str):
+        self.root = root
+        for s in self.SCHEMAS:
+            os.makedirs(os.path.join(root, s), exist_ok=True)
+
+    def path(self, schema: str, table: str) -> str:
+        return os.path.join(self.root, schema, table)
+
+    def exists(self, schema: str, table: str) -> bool:
+        return os.path.isdir(self.path(schema, table))
+
+    def read(self, spark: SparkSession, schema: str, table: str) -> DataFrame | None:
+        return (
+            spark.read.parquet(self.path(schema, table))
+            if self.exists(schema, table)
+            else None
+        )
+
+    def write(self, df: DataFrame, schema: str, table: str) -> None:
+        """Materialize to temp, then atomic-ish double-rename swap."""
+        final = self.path(schema, table)
+        tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
+        df.write.mode("overwrite").parquet(tmp)
+        old = f"{final}.old-{uuid.uuid4().hex[:8]}"
+        had_old = os.path.isdir(final)
+        if had_old:
+            os.rename(final, old)
+        os.rename(tmp, final)
+        if had_old:
+            shutil.rmtree(old, ignore_errors=True)
+
+
+def _batch_ts_lit(run_ts: datetime):
+    """One clock per run (P7): PG's transaction-constant now() analog."""
+    return F.lit(run_ts.replace(tzinfo=None))
+
+
+def run_pipeline(
+    spark: SparkSession,
+    wh: Warehouse,
+    bronze: dict[str, DataFrame],
+    run_ts: datetime | None = None,
+) -> None:
+    """Full refresh: bronze upsert → staging → dims → facts.
+
+    ``bronze`` maps entity → incoming bronze DataFrame (source_id,
+    payload, loaded_at) from the ingestion client.
+    """
+    run_ts = run_ts or datetime.now(timezone.utc)
+    ts = _batch_ts_lit(run_ts)
+
+    # ---- raw (S4 last-writer-wins upsert)
+    for entity, incoming in bronze.items():
+        merged = L_raw.upsert_bronze(wh.read(spark, "raw", entity), incoming)
+        wh.write(merged, "raw", entity)
+
+    raw_ch = wh.read(spark, "raw", "character")
+    raw_loc = wh.read(spark, "raw", "location")
+    raw_ep = wh.read(spark, "raw", "episode")
+
+    # ---- stg (S5 conditional upserts + link tables)
+    if raw_ch is not None:
+        wh.write(
+            L_stg.build_stg_character(raw_ch, wh.read(spark, "stg", "character"), ts),
+            "stg", "character",
+        )
+        wh.write(L_stg.build_episode_ch(raw_ch, ts), "stg", "episode_ch")
+        wh.write(L_stg.build_location_ch(raw_ch, ts), "stg", "location_ch")
+    if raw_loc is not None:
+        wh.write(
+            L_stg.build_stg_location(raw_loc, wh.read(spark, "stg", "location"), ts),
+            "stg", "location",
+        )
+        wh.write(L_stg.build_character_loc(raw_loc, ts), "stg", "character_loc")
+    if raw_ep is not None:
+        wh.write(
+            L_stg.build_stg_episode(raw_ep, wh.read(spark, "stg", "episode"), ts),
+            "stg", "episode",
+        )
+        wh.write(L_stg.build_character_ep(raw_ep, ts), "stg", "character_ep")
+
+    stg_ch = wh.read(spark, "stg", "character")
+    stg_loc = wh.read(spark, "stg", "location")
+    stg_ep = wh.read(spark, "stg", "episode")
+
+    # ---- dwh dims (SCD2)
+    if stg_ch is not None:
+        wh.write(
+            L_dwh.build_dim_character(
+                wh.read(spark, "dwh", "dim_character"), stg_ch, ts
+            ),
+            "dwh", "dim_character",
+        )
+    if stg_loc is not None:
+        wh.write(
+            L_dwh.build_dim_location(
+                wh.read(spark, "dwh", "dim_location"), stg_loc, spark, ts
+            ),
+            "dwh", "dim_location",
+        )
+    if stg_ep is not None:
+        wh.write(
+            L_dwh.build_dim_episode(
+                wh.read(spark, "dwh", "dim_episode"), stg_ep, ts
+            ),
+            "dwh", "dim_episode",
+        )
+    wh.write(L_dwh.dim_location_role(spark), "dwh", "dim_location_role")
+
+    # ---- dwh facts (incremental anti-join)
+    dim_ch = wh.read(spark, "dwh", "dim_character")
+    dim_loc = wh.read(spark, "dwh", "dim_location")
+    dim_ep = wh.read(spark, "dwh", "dim_episode")
+
+    if all(x is not None for x in (stg_ch, stg_ep, dim_ch, dim_ep)):
+        wh.write(
+            L_dwh.build_fact_char_ep(
+                wh.read(spark, "dwh", "fact_char_ep"),
+                wh.read(spark, "stg", "episode_ch"),
+                wh.read(spark, "stg", "character_ep"),
+                stg_ch, stg_ep, dim_ch, dim_ep, ts,
+            ),
+            "dwh", "fact_char_ep",
+        )
+    if all(x is not None for x in (stg_ch, dim_ch, dim_loc)):
+        wh.write(
+            L_dwh.build_fact_char_loc(
+                wh.read(spark, "dwh", "fact_char_loc"),
+                wh.read(spark, "stg", "location_ch"),
+                wh.read(spark, "stg", "character_loc"),
+                stg_ch, dim_ch, dim_loc,
+                L_dwh.dim_location_role(spark), ts,
+            ),
+            "dwh", "fact_char_loc",
+        )

@@ -1,0 +1,101 @@
+"""Unit tests for the operator library (SURVEY.md §5.2.1)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from data_platform_spark.ops import (
+    anti_append,
+    assign_sk,
+    changed,
+    guarded_to_date,
+    normalize_empty_to_null,
+    union_distinct,
+    upsert_preserving,
+)
+
+TS1 = datetime(2026, 1, 1, 12, 0, 0)
+TS2 = datetime(2026, 1, 2, 12, 0, 0)
+
+
+def test_changed_null_safe(spark):
+    old = spark.createDataFrame(
+        [(1, "a", None), (2, "b", "x"), (3, None, "y")], "id int, c1 string, c2 string"
+    ).alias("old")
+    new = spark.createDataFrame(
+        [(1, "a", None), (2, "b", "CHANGED"), (3, "now-set", "y")],
+        "id int, c1 string, c2 string",
+    ).alias("new")
+    j = old.join(new, F.col("old.id") == F.col("new.id"))
+    out = sorted(
+        r["id"] for r in j.filter(changed("old", "new", ["c1", "c2"])).select(
+            F.col("old.id").alias("id")
+        ).collect()
+    )
+    # id 1: identical incl. NULL==NULL -> unchanged; 2: value change; 3: NULL->value
+    assert out == [2, 3]
+
+
+def test_normalize_empty_to_null(spark):
+    df = spark.createDataFrame(
+        [("  ",), ("",), (" x ",), (None,)], "u string"
+    ).select(normalize_empty_to_null(F.col("u")).alias("u"))
+    assert [r["u"] for r in df.collect()] == [None, None, "x", None]
+
+
+def test_guarded_to_date(spark):
+    df = spark.createDataFrame(
+        [("December 2, 2013",), ("January 10, 2014",), ("unknown",), ("12/02/2013",)],
+        "d string",
+    ).select(guarded_to_date(F.col("d")).alias("d"))
+    vals = [str(r["d"]) if r["d"] else None for r in df.collect()]
+    assert vals == ["2013-12-02", "2014-01-10", None, None]
+
+
+def test_union_distinct_dedups(spark):
+    a = spark.createDataFrame([(1,), (2,)], "x int")
+    b = spark.createDataFrame([(2,), (3,)], "x int")
+    assert union_distinct(a, b).count() == 3
+
+
+def test_anti_append(spark):
+    new = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    existing = spark.createDataFrame([(1, "old")], "k int, v string")
+    out = anti_append(new, existing, ["k"]).collect()
+    assert len(out) == 1 and out[0]["k"] == 2
+
+
+def test_assign_sk_deterministic(spark):
+    df = spark.createDataFrame([(30,), (10,), (20,)], "bk int")
+    out = {r["bk"]: r["sk"] for r in assign_sk(df, "sk", ["bk"], start_at=5).collect()}
+    assert out == {10: 5, 20: 6, 30: 7}
+    # repartitioned input must give identical SKs
+    out2 = {
+        r["bk"]: r["sk"]
+        for r in assign_sk(df.repartition(7), "sk", ["bk"], start_at=5).collect()
+    }
+    assert out2 == out
+
+
+def test_upsert_preserving(spark):
+    existing = spark.createDataFrame(
+        [(1, "a", TS1, TS1), (2, "b", TS1, TS1)],
+        "id int, v string, loaded_at timestamp, last_upd_at timestamp",
+    )
+    incoming = spark.createDataFrame(
+        [(1, "a"), (2, "B2"), (3, "c")], "id int, v string"
+    )
+    out = {
+        r["id"]: r
+        for r in upsert_preserving(
+            existing, incoming, "id", ["v"], F.lit(TS2)
+        ).collect()
+    }
+    # unchanged: keeps both timestamps
+    assert out[1]["v"] == "a" and out[1]["loaded_at"] == TS1 and out[1]["last_upd_at"] == TS1
+    # changed: keeps loaded_at, bumps last_upd_at
+    assert out[2]["v"] == "B2" and out[2]["loaded_at"] == TS1 and out[2]["last_upd_at"] == TS2
+    # insert: both = batch ts
+    assert out[3]["v"] == "c" and out[3]["loaded_at"] == TS2 and out[3]["last_upd_at"] == TS2

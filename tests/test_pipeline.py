@@ -1,0 +1,135 @@
+"""End-to-end pipeline: fixtures → raw → stg → dwh; rerun idempotency;
+mutate-rerun SCD2 + fact incrementality (SURVEY.md §5.2.2)."""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime
+
+import pytest
+
+from data_platform_spark.pipeline import Warehouse, run_pipeline
+from data_platform_spark.schemas import RAW_SCHEMA
+from tests.fixtures import base_universe, mutated_universe
+
+TS1 = datetime(2026, 1, 1, 12, 0, 0)
+TS2 = datetime(2026, 2, 1, 12, 0, 0)
+TS3 = datetime(2026, 3, 1, 12, 0, 0)
+
+
+def _bronze(spark, entities, ts):
+    rows = [(e["id"], json.dumps(e, sort_keys=True), ts) for e in entities]
+    return spark.createDataFrame(rows, RAW_SCHEMA)
+
+
+def _bronze_all(spark, universe, ts):
+    chars, locs, eps = universe
+    return {
+        "character": _bronze(spark, chars, ts),
+        "location": _bronze(spark, locs, ts),
+        "episode": _bronze(spark, eps, ts),
+    }
+
+
+@pytest.fixture()
+def wh(tmp_path):
+    return Warehouse(str(tmp_path / "warehouse"))
+
+
+def _state(spark, wh):
+    out = {}
+    for schema, table in [
+        ("stg", "character"), ("stg", "location"), ("stg", "episode"),
+        ("dwh", "dim_character"), ("dwh", "dim_location"),
+        ("dwh", "dim_episode"), ("dwh", "fact_char_ep"),
+        ("dwh", "fact_char_loc"),
+    ]:
+        df = wh.read(spark, schema, table)
+        out[f"{schema}.{table}"] = sorted(
+            tuple(r) for r in df.collect()
+        ) if df is not None else None
+    return out
+
+
+def test_full_pipeline_and_idempotency(spark, wh):
+    run_pipeline(spark, wh, _bronze_all(spark, base_universe(), TS1), TS1)
+
+    # staging normalized
+    stg_ch = wh.read(spark, "stg", "character")
+    assert stg_ch.count() == 5
+    # guarded date parse: ep 3 'unknown' -> NULL
+    ep = {r["id"]: r for r in wh.read(spark, "stg", "episode").collect()}
+    assert ep[3]["air_date"] is None
+    assert str(ep[1]["air_date"]) == "2013-12-02"
+
+    # dims: all current on first load; Unknown member present
+    dim_loc = wh.read(spark, "dwh", "dim_location")
+    unk = dim_loc.filter("location_id = -1").collect()
+    assert len(unk) == 1 and unk[0]["name"] == "Unknown"
+    dim_ch = wh.read(spark, "dwh", "dim_character")
+    assert dim_ch.filter("is_current").count() == 5
+
+    # fact_char_ep: union-dedup of both sides
+    # char1-(ep1,ep2), char2-ep1, char3-ep2, char4-ep3, char5-(ep2,ep3) = 7 edges
+    fce = wh.read(spark, "dwh", "fact_char_ep")
+    assert fce.count() == 7
+
+    # fact_char_loc: char3 has NULL urls -> resolves to Unknown (-1)
+    fcl = wh.read(spark, "dwh", "fact_char_loc")
+    dim_loc_cur = {r["location_sk"]: r["location_id"]
+                   for r in dim_loc.filter("is_current").collect()}
+    dim_ch_cur = {r["character_sk"]: r["character_id"]
+                  for r in dim_ch.filter("is_current").collect()}
+    char3_rows = [
+        r for r in fcl.collect() if dim_ch_cur[r["character_sk"]] == 3
+    ]
+    assert char3_rows and all(
+        dim_loc_cur[r["location_sk"]] == -1 for r in char3_rows
+    )
+
+    # rerun with identical input at a later ts: state unchanged
+    before = _state(spark, wh)
+    run_pipeline(spark, wh, _bronze_all(spark, base_universe(), TS2), TS2)
+    after = _state(spark, wh)
+    assert before == after
+
+
+def test_mutate_rerun_scd2_and_fact_increment(spark, wh):
+    run_pipeline(spark, wh, _bronze_all(spark, base_universe(), TS1), TS1)
+    fce_before = wh.read(spark, "dwh", "fact_char_ep").count()
+
+    run_pipeline(spark, wh, _bronze_all(spark, mutated_universe(), TS2), TS2)
+
+    dim_ch = wh.read(spark, "dwh", "dim_character")
+    # char 1: exactly one closed + one opened version
+    v1 = sorted(
+        dim_ch.filter("character_id = 1").collect(),
+        key=lambda r: r["valid_from"],
+    )
+    assert len(v1) == 2
+    assert not v1[0]["is_current"] and v1[0]["status"] == "Alive"
+    assert v1[1]["is_current"] and v1[1]["status"] == "Dead"
+    assert v1[0]["valid_to"] == v1[1]["valid_from"] == TS2
+
+    # char 3: type ''->'Clone' also versioned
+    assert dim_ch.filter("character_id = 3").count() == 2
+
+    # unchanged chars: single version
+    assert dim_ch.filter("character_id = 2").count() == 1
+
+    # facts: edges unchanged in the mutation, but char1/char3 got NEW SKs
+    # -> fact gains rows for the new SKs (reference semantics: fact keyed
+    # by SK, old rows remain, dags/dwh_fact_character_episode.py:103-107)
+    fce_after = wh.read(spark, "dwh", "fact_char_ep").count()
+    assert fce_after > fce_before
+
+    # invariants after mutation
+    dup_cur = dim_ch.filter("is_current").groupBy("character_id").count().filter(
+        "count > 1"
+    )
+    assert dup_cur.count() == 0
+
+    # third run, no change: fully stable
+    before = _state(spark, wh)
+    run_pipeline(spark, wh, _bronze_all(spark, mutated_universe(), TS3), TS3)
+    assert before == _state(spark, wh)

@@ -1,0 +1,66 @@
+"""Paginated REST ingestion with an injected (hermetic) fetcher."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from data_platform_spark.layers.raw import upsert_bronze
+from data_platform_spark.sources.rest_api import ingest_entity, walk_pages
+from tests.fixtures import base_universe
+
+TS1 = datetime(2026, 1, 1, 12, 0, 0)
+TS2 = datetime(2026, 1, 2, 12, 0, 0)
+
+
+def _paged_fetcher(entities, page_size=2):
+    pages = [
+        entities[i : i + page_size] for i in range(0, len(entities), page_size)
+    ]
+
+    def fetch(url: str) -> dict:
+        n = int(url.rsplit("page=", 1)[-1]) if "page=" in url else 1
+        nxt = f"https://api.example.com/x?page={n + 1}" if n < len(pages) else None
+        return {"info": {"next": nxt}, "results": pages[n - 1]}
+
+    return fetch
+
+
+def test_walk_pages_follows_cursor():
+    chars, _, _ = base_universe()
+    fetch = _paged_fetcher(chars, page_size=2)
+    got = list(walk_pages("https://api.example.com/x?page=1", fetch))
+    assert [e["id"] for e in got] == [c["id"] for c in chars]
+
+
+def test_walk_pages_retries_then_raises():
+    calls = {"n": 0}
+
+    def flaky(url):
+        calls["n"] += 1
+        raise ConnectionError("boom")
+
+    try:
+        list(walk_pages("u", flaky, retries=2, retry_delay_s=0.0))
+        raise AssertionError("expected ConnectionError")
+    except ConnectionError:
+        pass
+    assert calls["n"] == 3  # initial + 2 retries
+
+
+def test_ingest_and_bronze_upsert(spark):
+    chars, _, _ = base_universe()
+    fetch = _paged_fetcher(chars, page_size=3)
+    b1 = ingest_entity(spark, "https://api.example.com/x?page=1", fetch, TS1)
+    assert b1.count() == len(chars)
+
+    # re-ingest with one mutated payload: last-writer-wins per source_id
+    chars2 = [dict(c) for c in chars]
+    chars2[0]["status"] = "Dead"
+    b2 = ingest_entity(
+        spark, "https://api.example.com/x?page=1", _paged_fetcher(chars2), TS2
+    )
+    merged = upsert_bronze(b1, b2)
+    assert merged.count() == len(chars)
+    row = merged.filter("source_id = 1").collect()[0]
+    assert '"status": "Dead"' in row["payload"]
+    assert row["loaded_at"] == TS2
