@@ -41,14 +41,26 @@ HEADLINE = [
 ]
 
 
+WARMUP_SF_DIR = "/root/testdata/sf0.001"
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_spark(app_name="dps-bench")
     queries = all_queries()
 
-    # warm the JVM + parquet footers with one tiny action
-    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    # JIT/codegen warmup: run each query shape once on the tiny SF so the
+    # timed runs measure execution, not whole-stage-codegen compilation
+    # (same generated code is reused across scale factors).
+    warm_dir = WARMUP_SF_DIR if os.path.isdir(WARMUP_SF_DIR) else sf_dir
+    for name in HEADLINE:
+        try:
+            queries[name](spark, warm_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception:
+            pass  # warmup is best-effort; the timed run surfaces real errors
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

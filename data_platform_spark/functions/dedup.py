@@ -40,32 +40,59 @@ def content_hash(col: Column) -> Column:
     return F.md5(col)
 
 
-def shingle_df(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
-    """(doc_id, shingle) exploded distinct k-word shingle relation.
+def shingle_array(text_col: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles of a single-space-separated text column,
+    as an array — narrow expression, no explode/shuffle.
 
     Pure SQL lambda expressions — codegen'd, no Python. Documents shorter
     than k words yield their whole text as one shingle.
     """
-    w = F.split(F.col(text_col), " ")
-    sh = F.array_distinct(
+    w = F.split(text_col, " ")
+    return F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.size(w) - (k - 1), F.lit(1))),
             lambda i: F.concat_ws(" ", F.slice(w, i, k)),
         )
     )
-    return docs.select(F.col(id_col), F.explode(sh).alias("shingle"))
 
 
-def minhash_signatures(sh: DataFrame, id_col: str = "doc_id", n_hashes: int = N_MINHASH) -> DataFrame:
+def shingle_array_df(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """(doc_id, sh_arr) — one row per doc, shingle set as array."""
+    return docs.select(
+        F.col(id_col), shingle_array(F.col(text_col), k).alias("sh_arr")
+    )
+
+
+def shingle_df(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
+    """(doc_id, shingle) exploded distinct shingle relation (for callers
+    that need the long layout, e.g. per-shingle document frequencies)."""
+    return shingle_array_df(docs, id_col, text_col, k).select(
+        F.col(id_col), F.explode("sh_arr").alias("shingle")
+    )
+
+
+def minhash_signatures(
+    doc_sh: DataFrame, id_col: str = "doc_id", n_hashes: int = N_MINHASH
+) -> DataFrame:
     """One row per doc: mh0..mh{n-1} = min over shingles of salted md5.
 
-    Single groupBy pass — n_hashes min-aggregates, no shingle re-explosion.
+    Input is the ARRAY layout (doc_id, sh_arr): each signature is
+    array_min(transform(...)) — a narrow map, zero shuffles. At 100 TB
+    this stage is embarrassingly parallel; only the tiny (doc_id, mh*)
+    signature relation ever shuffles (in the band join).
     """
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh{i}")
+    cols = [
+        F.array_min(
+            F.transform(
+                F.col("sh_arr"),
+                lambda s: F.md5(F.concat(F.lit(f"{i}|"), s)),
+            )
+        ).alias(f"mh{i}")
         for i in range(n_hashes)
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return doc_sh.select(F.col(id_col), *cols)
 
 
 def lsh_candidate_pairs(
@@ -76,65 +103,61 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Distinct (doc_a, doc_b) pairs sharing at least one LSH band.
 
-    Bands are concatenated minhash runs; the self-join is an equi-join on
-    band value — shuffle-partitioned by band, never a cross join.
+    Bands are concatenated minhash runs, melted to ONE long relation
+    (doc_id, band_key) with the band index embedded in the key, then a
+    single self equi-join on band_key. Both join sides shuffle the same
+    relation by the same key → Catalyst reuses the exchange, so the
+    minhash signatures are computed exactly once. Never a cross join;
+    shuffle carries only (doc_id, band_key).
     """
     n_bands = n_hashes // band_size
-    bands = sig.select(
-        F.col(id_col),
+    band_keys = F.array(
         *[
             F.concat_ws(
-                "#", *[F.col(f"mh{b * band_size + j}") for j in range(band_size)]
-            ).alias(f"band{b}")
+                "#",
+                F.lit(str(b)),
+                *[F.col(f"mh{b * band_size + j}") for j in range(band_size)],
+            )
             for b in range(n_bands)
-        ],
+        ]
     )
-    pair_frames = []
-    for b in range(n_bands):
-        left = bands.select(F.col(id_col).alias("doc_a"), F.col(f"band{b}").alias("bk"))
-        right = bands.select(F.col(id_col).alias("doc_b"), F.col(f"band{b}").alias("bk"))
-        pair_frames.append(
-            left.join(right, "bk").filter(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b")
-        )
-    out = pair_frames[0]
-    for p in pair_frames[1:]:
-        out = out.union(p)
-    return out.distinct()
+    long = sig.select(F.col(id_col).alias("_id"), F.explode(band_keys).alias("bk"))
+    a = long.select(F.col("_id").alias("doc_a"), "bk")
+    b = long.select(F.col("_id").alias("doc_b"), "bk")
+    return (
+        a.join(b, "bk")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
 
 
 def verified_jaccard(
-    sh: DataFrame,
+    doc_sh: DataFrame,
     candidates: DataFrame,
     id_col: str = "doc_id",
     threshold: float = 0.5,
 ) -> DataFrame:
     """Exact Jaccard over shingle sets, computed only for candidate pairs.
 
-    common(a,b) via shingle equi-join pre-filtered to candidate docs;
-    |a|,|b| from a tiny per-doc count aggregate (broadcastable).
+    Input is the ARRAY layout (doc_id, sh_arr): two equi-joins attach each
+    side's shingle array to the pair, then common = size(array_intersect)
+    — one codegen'd row-op per pair instead of an exploded shingle join
+    (~|shingles| rows per pair). Shuffles only the candidate pairs and the
+    per-doc arrays, keyed by doc id.
     """
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    sh_a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
-    sh_b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
-    common = (
-        candidates.join(sh_a, "doc_a")
-        .join(sh_b, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    a = doc_sh.select(F.col(id_col).alias("doc_a"), F.col("sh_arr").alias("sh_a"))
+    b = doc_sh.select(F.col(id_col).alias("doc_b"), F.col("sh_arr").alias("sh_b"))
+    paired = candidates.join(a, "doc_a").join(b, "doc_b")
+    n_common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    n_a = F.size(F.col("sh_a"))
+    n_b = F.size(F.col("sh_b"))
+    ja = paired.select(
+        "doc_a",
+        "doc_b",
+        pround(n_common / (n_a + n_b - n_common), 4).alias("jaccard"),
     )
-    ja = (
-        common.join(sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a")), "doc_a")
-        .join(sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b")), "doc_b")
-        .withColumn(
-            "jaccard",
-            pround(
-                F.col("n_common")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
-                4,
-            ),
-        )
-    )
-    return ja.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
+    return ja.filter(F.col("jaccard") >= threshold)
 
 
 @pandas_udf(T.LongType())

@@ -93,25 +93,25 @@ def label_centroids(
 def srp_signature(vec: Column, n_planes: int = 16, dim: int = 64) -> Column:
     """Sign-random-projection LSH signature as an int bitmask.
 
-    Plane p, dimension i weight = (((i+1)*2654435761 + (p+1)*40503) mod 1997)
-    / 1997 - 0.5 — a deterministic integer-hash pseudo-random in [-0.5, 0.5),
-    identical in any engine (no RNG state). Signature bit p = sign of the
-    projection of the vector on plane p.
+    Plane p, dimension i (1-based) weight = ((i*2654435761 + (p+1)*40503)
+    mod 1997) / 1997 - 0.5 — a deterministic integer-hash pseudo-random in
+    [-0.5, 0.5), identical in any engine (no RNG state). Signature bit p =
+    sign of the projection of the vector on plane p.
+
+    Weights are precomputed driver-side into literal arrays (Python int/
+    float arithmetic is bit-identical to the engine formula), so per row
+    the plan does only multiply-adds — no hashing in the hot loop.
     """
     dvec = as_double(vec)
     bits = []
     for p in range(n_planes):
+        weights = [
+            ((i * 2654435761 + (p + 1) * 40503) % 1997) / 1997.0 - 0.5
+            for i in range(1, dim + 1)
+        ]
+        warr = F.array(*[F.lit(w) for w in weights])
         proj = F.aggregate(
-            F.zip_with(
-                dvec,
-                F.sequence(F.lit(1), F.lit(dim)),
-                lambda x, i: x
-                * (
-                    ((i * 2654435761 + (p + 1) * 40503) % 1997).cast("double")
-                    / 1997.0
-                    - 0.5
-                ),
-            ),
+            F.zip_with(dvec, warr, lambda x, y: x * y),
             F.lit(0.0).cast("double"),
             lambda acc, x: acc + x,
         )

@@ -24,3 +24,18 @@ def pround(col: Column, d: int = 2) -> Column:
 def sql_round(expr: str, d: int = 2) -> str:
     m = 10 ** d
     return f"floor(({expr}) * {m} + 0.5) / {m}"
+
+
+def fan_out(df, spark):
+    """Repartition up to the cluster's parallelism — only when the scan
+    produced fewer partitions (small/single-file local inputs).
+
+    Heavy per-row compute (minhash, SRP projections, token regex) over a
+    single small parquet file otherwise runs on ONE core. At real scale
+    the scan already has ≥ parallelism partitions and this is a no-op —
+    no extra shuffle is introduced.
+    """
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

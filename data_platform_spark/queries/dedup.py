@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_platform_spark.functions import dedup as D
-from data_platform_spark.queries._util import sql_round
+from data_platform_spark.queries._util import fan_out, sql_round
 from data_platform_spark.sources.tables import load_table
 
 JACCARD_THRESHOLD = 0.2
@@ -33,21 +33,28 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return D.minhash_signatures(D.shingle_df(docs))
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    return D.minhash_signatures(D.shingle_array_df(docs))
 
 
 def neardup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    sh = D.shingle_df(docs)
-    sig = D.minhash_signatures(sh)
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    # The pipeline is diamond-shaped: doc_sh feeds both the signature path
+    # and both sides of the verification joins; sig feeds both sides of the
+    # band self-join. Higher-order-function expressions (transform/md5/
+    # slice) are interpreted, not codegen'd — recomputing them per branch
+    # dominates runtime. persist() materializes each exactly once; both
+    # relations are per-doc rows (no text beyond shingles), far smaller
+    # than the corpus at any scale.
+    doc_sh = D.shingle_array_df(docs).persist()
+    sig = D.minhash_signatures(doc_sh).persist()
     cand = D.lsh_candidate_pairs(sig)
-    return D.verified_jaccard(sh, cand, threshold=JACCARD_THRESHOLD)
+    return D.verified_jaccard(doc_sh, cand, threshold=JACCARD_THRESHOLD)
 
 
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash 64-bit signatures (deterministic; rows-only driver check)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
     return docs.select("doc_id", D.simhash64(F.col("text")).alias("simhash"))
 
 

@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from data_platform_spark.queries._util import pround, sql_round
+from data_platform_spark.queries._util import fan_out, pround, sql_round
 from data_platform_spark.sources.tables import load_table
 
 # Sentinel for open-ended validity — the engine's replacement for Postgres
@@ -50,6 +50,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     Filter reaches the parquet scan (PushedFilters); partial aggregation is
     map-side so the shuffle carries only (flag,status) groups.
     """
+    # NOTE: no fan_out here — repartitioning changes double-summation order,
+    # making the rounded aggregates nondeterministic vs the oracle. The scan
+    # parallelism (row groups at real scale) is the right source of
+    # parallelism for pure aggregation queries.
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_platform_spark.functions import similarity as S
-from data_platform_spark.queries._util import sql_round
+from data_platform_spark.queries._util import fan_out, sql_round
 from data_platform_spark.sources.tables import load_table
 
 QUERY_VEC_ID = 0
@@ -22,7 +22,7 @@ DIM = 64
 
 
 def cosine_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"), spark)
     qv = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").alias("q")
     )
@@ -41,7 +41,7 @@ def srp_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     sharing a signature land in one shuffle partition; top-k then runs
     per-bucket instead of globally.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"), spark)
     return (
         emb.select(
             S.srp_signature(F.col("embedding"), N_PLANES, DIM).alias("bucket")

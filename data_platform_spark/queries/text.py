@@ -13,12 +13,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_platform_spark.functions import text as X
-from data_platform_spark.queries._util import pround, sql_round
+from data_platform_spark.queries._util import fan_out, pround, sql_round
 from data_platform_spark.sources.tables import load_table
 
 
 def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
     t = F.col("text")
     return docs.select(
         "doc_id",
@@ -29,7 +29,7 @@ def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
     t = F.col("text")
     return docs.select(
         "doc_id",
@@ -42,14 +42,14 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
     return docs.select(
         "doc_id", X.quality_score(F.col("text")).alias("quality")
     )
 
 
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
     return docs.select(
         "doc_id", X.fingerprint(F.col("text")).alias("fp")
     )
