@@ -16,11 +16,22 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
-def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from data_platform_spark.queries import dedup, events, relational, similarity, text
+def _modules():
+    from data_platform_spark.queries import (
+        dedup,
+        events,
+        multimodal,
+        relational,
+        similarity,
+        text,
+    )
 
+    return (relational, events, text, dedup, similarity, multimodal)
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for mod in (relational, events, text, dedup, similarity):
+    for mod in _modules():
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
@@ -29,9 +40,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def all_oracles() -> dict[str, str]:
-    from data_platform_spark.queries import dedup, events, relational, similarity, text
-
     merged: dict[str, str] = {}
-    for mod in (relational, events, text, dedup, similarity):
+    for mod in _modules():
         merged.update(mod.ORACLE)
     return merged
