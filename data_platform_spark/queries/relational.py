@@ -412,3 +412,210 @@ ORACLE = {
         GROUP BY user_id
     """,
 }
+
+
+# ---------------------------------------------------------------------------
+# second wave: as-of join, subquery patterns, set ops, cube, pivot
+# ---------------------------------------------------------------------------
+
+
+def asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event matched to the user's latest prior
+    (or simultaneous) click. Union-merge implementation — one shuffle of
+    |L|+|R| keyed rows (ops/asof.py); oracle uses DuckDB's native ASOF
+    JOIN, so two independent as-of engines must agree row-for-row.
+    """
+    from data_platform_spark.ops.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"))
+        .distinct()
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="click_ts",
+        value_cols=["click_ts"],
+        suffix="_last",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("click_ts_last").alias("last_click_ts"),
+    )
+
+
+def q4_priority_with_late_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style: orders having ≥1 lineitem shipped after the order
+    date (correlated EXISTS → left-semi join), counted per priority."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = li.alias("l").join(
+        orders.alias("o"), F.col("l.l_orderkey") == F.col("o.o_orderkey")
+    ).filter(F.col("l.l_shipdate") > F.col("o.o_orderdate")).select(
+        F.col("l.l_orderkey").alias("late_orderkey")
+    )
+    qualified = orders.join(
+        late, orders.o_orderkey == late.late_orderkey, "left_semi"
+    )
+    return qualified.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style: revenue from lineitems whose quantity is below
+    half the part's average quantity (scalar correlated subquery →
+    per-partition window average; l_quantity is integral so the average
+    is exact and the comparison deterministic)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey")
+    below = li.withColumn("avg_qty", F.avg("l_quantity").over(w)).filter(
+        F.col("l_quantity") < 0.5 * F.col("avg_qty")
+    )
+    return below.agg(
+        pround(F.sum("l_extendedprice") / 7.0).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def nations_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct): nations having both customers and suppliers."""
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        cust.select(F.col("c_nationkey").alias("nationkey"))
+        .intersect(supp.select(F.col("s_nationkey").alias("nationkey")))
+    )
+
+
+def nations_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct): nations with customers but no suppliers."""
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        cust.select(F.col("c_nationkey").alias("nationkey"))
+        .subtract(supp.select(F.col("s_nationkey").alias("nationkey")))
+    )
+
+
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over (status, priority)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        pround(F.avg("o_totalprice")).alias("avg_price"),
+    )
+
+
+EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def pivot_user_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per-user event counts, one column per event type (explicit
+    value list → stable schema; absent combinations coalesced to 0 to
+    match SQL FILTER-count semantics)."""
+    ev = load_table(spark, sf_dir, "events")
+    pivoted = ev.groupBy("user_id").pivot("event_type", EVENT_TYPES).count()
+    return pivoted.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t)
+            for t in EVENT_TYPES
+        ],
+    )
+
+
+QUERIES.update(
+    {
+        "asof_purchase_last_click": asof_purchase_last_click,
+        "q4_priority_with_late_items": q4_priority_with_late_items,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "nations_intersect": nations_intersect,
+        "nations_except": nations_except,
+        "cube_order_stats": cube_order_stats,
+        "pivot_user_event_matrix": pivot_user_event_matrix,
+    }
+)
+
+ORACLE.update(
+    {
+        "asof_purchase_last_click": """
+            SELECT
+                p.event_id,
+                p.user_id,
+                p.ts,
+                c.click_ts AS last_click_ts
+            FROM (
+                SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'purchase'
+            ) p
+            ASOF LEFT JOIN (
+                SELECT DISTINCT user_id, ts AS click_ts FROM events
+                WHERE event_type = 'click'
+            ) c
+            ON p.user_id = c.user_id AND p.ts >= c.click_ts
+        """,
+        "q4_priority_with_late_items": """
+            SELECT o_orderpriority, count(*) AS n_orders
+            FROM orders o
+            WHERE EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey
+                  AND l.l_shipdate > o.o_orderdate
+            )
+            GROUP BY o_orderpriority
+        """,
+        "q17_small_quantity_revenue": f"""
+            SELECT
+                {sql_round("sum(l_extendedprice) / 7.0")} AS avg_yearly,
+                count(*) AS n_items
+            FROM (
+                SELECT
+                    l_extendedprice,
+                    l_quantity,
+                    avg(l_quantity) OVER (PARTITION BY l_partkey) AS avg_qty
+                FROM lineitem
+            )
+            WHERE l_quantity < 0.5 * avg_qty
+        """,
+        "nations_intersect": """
+            SELECT c_nationkey AS nationkey FROM customer
+            INTERSECT
+            SELECT s_nationkey AS nationkey FROM supplier
+        """,
+        "nations_except": """
+            SELECT c_nationkey AS nationkey FROM customer
+            EXCEPT
+            SELECT s_nationkey AS nationkey FROM supplier
+        """,
+        "cube_order_stats": f"""
+            SELECT
+                o_orderstatus,
+                o_orderpriority,
+                count(*) AS n_orders,
+                {sql_round("avg(o_totalprice)")} AS avg_price
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "pivot_user_event_matrix": """
+            SELECT
+                user_id,
+                count(*) FILTER (WHERE event_type = 'click') AS click,
+                count(*) FILTER (WHERE event_type = 'view') AS view,
+                count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+                count(*) FILTER (WHERE event_type = 'signup') AS signup,
+                count(*) FILTER (WHERE event_type = 'error') AS error
+            FROM events
+            GROUP BY user_id
+        """,
+    }
+)

@@ -116,3 +116,148 @@ def _build_oracle() -> dict[str, str]:
 
 
 ORACLE = _build_oracle()
+
+
+# ---------------------------------------------------------------------------
+# second wave: IVF assignment + SRP-bucketed ANN
+# ---------------------------------------------------------------------------
+
+
+def ivf_assign_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its nearest label
+    centroid (L2). Centroids are a tiny long-layout relation (label, pos,
+    value) — broadcast into the posexploded vector join; argmin per vector
+    via window with deterministic tie-break. The building block for
+    IVF-style ANN: probe only the assigned cell's vectors at query time.
+    """
+    from pyspark.sql.window import Window
+    from data_platform_spark.queries._util import pround
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"), spark)
+    cents = S.label_centroids(emb)  # label, pos, centroid_val (rounded 4dp)
+    vec_long = emb.select(
+        "vec_id", F.posexplode(S.as_double(F.col("embedding"))).alias("pos", "x")
+    )
+    dist = (
+        vec_long.join(F.broadcast(cents), "pos")
+        .groupBy("vec_id", "label")
+        .agg(
+            pround(
+                F.sum(
+                    (F.col("x") - F.col("centroid_val"))
+                    * (F.col("x") - F.col("centroid_val"))
+                ),
+                6,
+            ).alias("dist2")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("dist2"), F.asc("label"))
+    return (
+        dist.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", F.col("label").alias("assigned_label"), "dist2")
+    )
+
+
+def srp_ann_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN search: restrict cosine top-k to the query vector's SRP bucket.
+
+    The scale path for similarity search — candidate set is one LSH bucket
+    (equi-filter on signature), exact cosine re-ranking only within it.
+    """
+    from data_platform_spark.queries._util import pround
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"), spark)
+    with_bucket = emb.select(
+        "vec_id",
+        "embedding",
+        S.srp_signature(F.col("embedding"), N_PLANES, DIM).alias("bucket"),
+    )
+    q = with_bucket.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("q"), F.col("bucket").alias("qbucket")
+    )
+    cand = with_bucket.crossJoin(F.broadcast(q)).filter(
+        (F.col("bucket") == F.col("qbucket"))
+        & (F.col("vec_id") != QUERY_VEC_ID)
+    )
+    sim = cand.select(
+        "vec_id",
+        pround(
+            S.cosine(S.as_double(F.col("embedding")), S.as_double(F.col("q"))), 4
+        ).alias("cosine"),
+    )
+    return sim.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(TOP_K)
+
+
+QUERIES.update(
+    {
+        "ivf_assign_nearest_centroid": ivf_assign_nearest_centroid,
+        "srp_ann_topk_vec0": srp_ann_topk_vec0,
+    }
+)
+
+
+def _extend_oracle() -> None:
+    srp_bits = " + ".join(
+        f"(CASE WHEN {_srp_proj_sql(p)} > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(N_PLANES)
+    )
+    ORACLE.update(
+        {
+            "ivf_assign_nearest_centroid": f"""
+                WITH cents AS (
+                    SELECT
+                        label,
+                        i - 1 AS pos,
+                        {sql_round("avg(embedding[i]::DOUBLE)", 4)} AS centroid_val
+                    FROM embeddings, generate_series(1, {DIM}) AS t(i)
+                    GROUP BY label, i - 1
+                ),
+                vec_long AS (
+                    SELECT vec_id, i - 1 AS pos, embedding[i]::DOUBLE AS x
+                    FROM embeddings, generate_series(1, {DIM}) AS t(i)
+                ),
+                dist AS (
+                    SELECT
+                        v.vec_id,
+                        c.label,
+                        {sql_round("sum((v.x - c.centroid_val) * (v.x - c.centroid_val))", 6)} AS dist2
+                    FROM vec_long v JOIN cents c ON v.pos = c.pos
+                    GROUP BY v.vec_id, c.label
+                ),
+                ranked AS (
+                    SELECT
+                        vec_id, label, dist2,
+                        row_number() OVER (
+                            PARTITION BY vec_id ORDER BY dist2 ASC, label ASC
+                        ) AS rk
+                    FROM dist
+                )
+                SELECT vec_id, label AS assigned_label, dist2
+                FROM ranked WHERE rk = 1
+            """,
+            "srp_ann_topk_vec0": f"""
+                WITH bucketed AS (
+                    SELECT vec_id, embedding, {srp_bits} AS bucket
+                    FROM embeddings
+                ),
+                q AS (
+                    SELECT embedding AS qv, bucket AS qbucket FROM bucketed
+                    WHERE vec_id = {QUERY_VEC_ID}
+                ),
+                scored AS (
+                    SELECT
+                        e.vec_id,
+                        {sql_round(_COSINE_SQL, 4)} AS cosine
+                    FROM bucketed e, q
+                    WHERE e.bucket = q.qbucket AND e.vec_id <> {QUERY_VEC_ID}
+                )
+                SELECT vec_id, cosine FROM scored
+                ORDER BY cosine DESC, vec_id ASC
+                LIMIT {TOP_K}
+            """,
+        }
+    )
+
+
+_extend_oracle()

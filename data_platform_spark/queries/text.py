@@ -139,3 +139,99 @@ def _build_oracle() -> dict[str, str]:
 
 
 ORACLE = _build_oracle()
+
+
+# ---------------------------------------------------------------------------
+# second wave: n-gram frequencies + language-ID confusion matrix
+# ---------------------------------------------------------------------------
+
+
+def bigram_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 word bigrams (n-gram frequency analysis):
+    narrow array expression per doc → explode → count → total-order top-k.
+    """
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    w = F.split(F.col("text"), " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(w) - 1, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(w, i, 2)),
+    )
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the marker-based language-ID heuristic against
+    the labeled lang column."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    return (
+        docs.select("lang", X.predicted_lang(F.col("text")).alias("predicted_lang"))
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+QUERIES.update(
+    {
+        "bigram_top20": bigram_top20,
+        "lang_id_confusion": lang_id_confusion,
+    }
+)
+
+
+def _extend_oracle() -> None:
+    score_cols = ",\n                        ".join(
+        f"{_sql_marker_score(X.LANG_MARKERS[lang])} AS s_{lang}"
+        for lang in X.LANG_PRIORITY
+    )
+    max_expr = "greatest(" + ", ".join(f"s_{l}" for l in X.LANG_PRIORITY) + ")"
+    case_branches = "\n                        ".join(
+        f"WHEN s_{lang} = {max_expr} THEN '{lang}'"
+        for lang in X.LANG_PRIORITY[:-1]
+    )
+    ORACLE.update(
+        {
+            "bigram_top20": """
+                WITH words AS (
+                    SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                ),
+                idx AS (
+                    SELECT doc_id, w,
+                           unnest(generate_series(1, greatest(len(w) - 1, 1))) AS i
+                    FROM words
+                ),
+                bg AS (
+                    SELECT array_to_string(w[i:i+1], ' ') AS bigram FROM idx
+                )
+                SELECT bigram, count(*) AS n
+                FROM bg
+                GROUP BY bigram
+                ORDER BY n DESC, bigram ASC
+                LIMIT 20
+            """,
+            "lang_id_confusion": f"""
+                SELECT lang, predicted_lang, count(*) AS n_docs
+                FROM (
+                    SELECT lang,
+                        CASE
+                        {case_branches}
+                        ELSE '{X.LANG_PRIORITY[-1]}'
+                        END AS predicted_lang
+                    FROM (
+                        SELECT lang,
+                        {score_cols}
+                        FROM documents
+                    )
+                )
+                GROUP BY lang, predicted_lang
+            """,
+        }
+    )
+
+
+_extend_oracle()
