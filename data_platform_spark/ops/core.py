@@ -164,6 +164,17 @@ def explode_links(
     )
 
 
+def dim_as_of(dim: DataFrame, ts) -> DataFrame:
+    """Point-in-time view of an SCD2 dimension: the version of each
+    business key valid at ``ts`` (valid_from <= ts < valid_to).
+
+    The payoff of SCD2 bookkeeping: any historical join reproduces the
+    world as of that moment (facts join this instead of is_current).
+    """
+    t = F.lit(ts).cast("timestamp")
+    return dim.filter((F.col("valid_from") <= t) & (t < F.col("valid_to")))
+
+
 def with_sentinel_key(
     df: DataFrame, key_col: str, sentinel: str = "__UNKNOWN__"
 ) -> DataFrame:

@@ -22,6 +22,7 @@ from datetime import datetime, timezone
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_platform_spark.layers import datamart as L_dm
 from data_platform_spark.layers import dwh as L_dwh
 from data_platform_spark.layers import raw as L_raw
 from data_platform_spark.layers import stg as L_stg
@@ -166,4 +167,22 @@ def run_pipeline(
                 L_dwh.dim_location_role(spark), ts,
             ),
             "dwh", "fact_char_loc",
+        )
+
+    # ---- datamart (the layer the reference declares but never populates)
+    fact_ce = wh.read(spark, "dwh", "fact_char_ep")
+    fact_cl = wh.read(spark, "dwh", "fact_char_loc")
+    if dim_ch is not None:
+        wh.write(L_dm.status_summary(dim_ch), "datamart", "status_summary")
+        if fact_ce is not None:
+            wh.write(
+                L_dm.character_episode_counts(dim_ch, fact_ce),
+                "datamart", "character_episode_counts",
+            )
+    if dim_loc is not None and fact_cl is not None:
+        wh.write(
+            L_dm.location_population(
+                dim_loc, fact_cl, L_dwh.dim_location_role(spark)
+            ),
+            "datamart", "location_population",
         )

@@ -169,3 +169,59 @@ def _build_oracle() -> dict[str, str]:
 
 
 ORACLE = _build_oracle()
+
+
+# ---------------------------------------------------------------------------
+# second wave: full dedup pipeline (exact + near) -> surviving documents
+# ---------------------------------------------------------------------------
+
+
+def documents_after_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup pass: drop exact duplicates (keep lowest doc_id
+    per content hash), then drop the higher-id member of every verified
+    near-dup pair — the standard LLM-corpus cleaning step, fully
+    distributed (hash groupBy + LSH band join + anti-join)."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    hashed = docs.select(
+        "doc_id", D.content_hash(F.col("text")).alias("text_hash")
+    )
+    exact_keep = hashed.groupBy("text_hash").agg(
+        F.min("doc_id").alias("doc_id")
+    ).select("doc_id")
+
+    doc_sh = D.shingle_array_df(docs).persist()
+    sig = D.minhash_signatures(doc_sh).persist()
+    cand = D.lsh_candidate_pairs(sig)
+    near = D.verified_jaccard(doc_sh, cand, threshold=JACCARD_THRESHOLD)
+    near_losers = near.select(F.col("doc_b").alias("doc_id")).distinct()
+
+    return exact_keep.join(near_losers, "doc_id", "left_anti")
+
+
+QUERIES["documents_after_dedup"] = documents_after_dedup
+
+ORACLE["documents_after_dedup"] = f"""
+    WITH {_shingle_cte()},
+    {_sig_sql()},
+    {_bands_sql()},
+    exact_keep AS (
+        SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ),
+    near AS (
+        SELECT c.doc_b
+        FROM cand c
+        JOIN (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id) sa
+             ON sa.doc_id = c.doc_a
+        JOIN (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id) sb
+             ON sb.doc_id = c.doc_b
+        JOIN (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ) cm ON cm.doc_a = c.doc_a AND cm.doc_b = c.doc_b
+        WHERE {sql_round("cm.n_common * 1.0 / (sa.n_sh + sb.n_sh - cm.n_common)", 4)}
+              >= {JACCARD_THRESHOLD}
+    )
+    SELECT doc_id FROM exact_keep
+    WHERE doc_id NOT IN (SELECT doc_b FROM near)
+"""

@@ -165,3 +165,50 @@ ORACLE = {
         GROUP BY user_id, session_id
     """,
 }
+
+
+# ---------------------------------------------------------------------------
+# second wave: conversion funnel
+# ---------------------------------------------------------------------------
+
+FUNNEL_WINDOW_MS = 60 * 60 * 1000  # click -> purchase within 1 hour
+
+
+def funnel_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user conversion funnel: purchases preceded by a click within
+    1 hour. Equi-join on user_id with a time-range residual predicate —
+    the shuffle is keyed by user, never a cross join."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.unix_millis("ts").alias("click_ms")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", F.unix_millis("ts").alias("purchase_ms")
+    )
+    converted = purchases.join(clicks, "user_id").filter(
+        (F.col("click_ms") <= F.col("purchase_ms"))
+        & (F.col("purchase_ms") - F.col("click_ms") <= FUNNEL_WINDOW_MS)
+    )
+    return converted.groupBy("user_id").agg(
+        F.count_distinct("event_id").alias("n_conversions")
+    )
+
+
+QUERIES["funnel_click_to_purchase"] = funnel_click_to_purchase
+
+ORACLE["funnel_click_to_purchase"] = f"""
+    SELECT
+        p.user_id,
+        count(DISTINCT p.event_id) AS n_conversions
+    FROM (
+        SELECT user_id, event_id, epoch_ms(ts) AS purchase_ms
+        FROM events WHERE event_type = 'purchase'
+    ) p
+    JOIN (
+        SELECT user_id, epoch_ms(ts) AS click_ms
+        FROM events WHERE event_type = 'click'
+    ) c ON p.user_id = c.user_id
+    WHERE c.click_ms <= p.purchase_ms
+      AND p.purchase_ms - c.click_ms <= {FUNNEL_WINDOW_MS}
+    GROUP BY p.user_id
+"""

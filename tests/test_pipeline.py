@@ -133,3 +133,35 @@ def test_mutate_rerun_scd2_and_fact_increment(spark, wh):
     before = _state(spark, wh)
     run_pipeline(spark, wh, _bronze_all(spark, mutated_universe(), TS3), TS3)
     assert before == _state(spark, wh)
+
+
+def test_datamart_and_as_of(spark, wh):
+    from data_platform_spark.ops import dim_as_of
+
+    run_pipeline(spark, wh, _bronze_all(spark, base_universe(), TS1), TS1)
+    run_pipeline(spark, wh, _bronze_all(spark, mutated_universe(), TS2), TS2)
+
+    # datamart: episode counts match the fixture edge sets
+    cec = {r["character_id"]: r["n_episodes"]
+           for r in wh.read(spark, "datamart", "character_episode_counts").collect()}
+    assert cec[1] == 2 and cec[2] == 1 and cec[5] == 2
+
+    # location population: 'last'-role residents; Unknown holds char 3
+    pop = {r["location_id"]: r["n_residents"]
+           for r in wh.read(spark, "datamart", "location_population").collect()}
+    assert pop[-1] >= 1  # char 3 lives at the Unknown member
+
+    # status summary over current versions: char1 flipped to Dead in run 2
+    ss = {r["status"]: r["n_characters"]
+          for r in wh.read(spark, "datamart", "status_summary").collect()}
+    assert ss["Dead"] == 2 and ss["Alive"] == 3
+
+    # point-in-time: as of TS1 char 1 was Alive; as of TS2 it is Dead
+    dim_ch = wh.read(spark, "dwh", "dim_character")
+    as_of_1 = {r["character_id"]: r["status"]
+               for r in dim_as_of(dim_ch, TS1).collect()}
+    as_of_2 = {r["character_id"]: r["status"]
+               for r in dim_as_of(dim_ch, TS2).collect()}
+    assert as_of_1[1] == "Alive" and as_of_2[1] == "Dead"
+    # exactly one version per business key at any point in time
+    assert len(as_of_1) == 5 and len(as_of_2) == 5
