@@ -619,3 +619,119 @@ ORACLE.update(
         """,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# third wave: skew-safe aggregation, full outer join, Spark SQL API
+# ---------------------------------------------------------------------------
+
+
+def skew_safe_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over a genuinely skewed key
+    (5 event_type values across all rows). Results are exactly equal to a
+    plain GROUP BY — the salting only changes the shuffle layout
+    (ops/skew.py); the oracle is the plain GROUP BY.
+    """
+    from data_platform_spark.ops.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        group_cols=["event_type"],
+        aggs={
+            "n_events": ("event_id", "count"),
+            "max_value": ("value", "max"),
+        },
+        salt_cols=["event_id"],
+        n_salts=16,
+    )
+    return out.select(
+        "event_type", "n_events", pround(F.col("max_value")).alias("max_value")
+    )
+
+
+def nation_customer_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two aggregates: nations with customers and/or
+    suppliers, zero-filled — the one outer-join shape the reference never
+    uses (SURVEY.md §2.3 'absent')."""
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    c = cust.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    s = supp.groupBy(F.col("s_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_suppliers")
+    )
+    return (
+        c.join(s, "nationkey", "full_outer")
+        .select(
+            "nationkey",
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+    )
+
+
+def sql_api_revenue_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's Spark SQL surface: tables registered as temp views,
+    query expressed as SQL and planned by the same Catalyst pipeline as
+    the DataFrame API."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        """
+        SELECT
+            o.o_orderstatus,
+            count(DISTINCT o.o_orderkey) AS n_orders,
+            floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 100 + 0.5) / 100
+                AS revenue
+        FROM v_orders o
+        JOIN v_lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderstatus
+        """
+    )
+
+
+QUERIES.update(
+    {
+        "skew_safe_event_type_counts": skew_safe_event_type_counts,
+        "nation_customer_supplier_counts": nation_customer_supplier_counts,
+        "sql_api_revenue_by_status": sql_api_revenue_by_status,
+    }
+)
+
+ORACLE.update(
+    {
+        "skew_safe_event_type_counts": f"""
+            SELECT
+                event_type,
+                count(*) AS n_events,
+                {sql_round("max(value)")} AS max_value
+            FROM events
+            GROUP BY event_type
+        """,
+        "nation_customer_supplier_counts": """
+            SELECT
+                coalesce(c.nationkey, s.nationkey) AS nationkey,
+                coalesce(c.n_customers, 0) AS n_customers,
+                coalesce(s.n_suppliers, 0) AS n_suppliers
+            FROM (
+                SELECT c_nationkey AS nationkey, count(*) AS n_customers
+                FROM customer GROUP BY 1
+            ) c
+            FULL OUTER JOIN (
+                SELECT s_nationkey AS nationkey, count(*) AS n_suppliers
+                FROM supplier GROUP BY 1
+            ) s ON c.nationkey = s.nationkey
+        """,
+        "sql_api_revenue_by_status": f"""
+            SELECT
+                o.o_orderstatus,
+                count(DISTINCT o.o_orderkey) AS n_orders,
+                {sql_round("sum(l.l_extendedprice * (1 - l.l_discount))")} AS revenue
+            FROM orders o
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderstatus
+        """,
+    }
+)

@@ -99,3 +99,16 @@ def test_upsert_preserving(spark):
     assert out[2]["v"] == "B2" and out[2]["loaded_at"] == TS1 and out[2]["last_upd_at"] == TS2
     # insert: both = batch ts
     assert out[3]["v"] == "c" and out[3]["loaded_at"] == TS2 and out[3]["last_upd_at"] == TS2
+
+
+def test_salted_join_equals_plain_join(spark):
+    from data_platform_spark.ops.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(1, f"r{i}") for i in range(50)] + [(2, "x"), (3, "y")],
+        "k int, v string",
+    )
+    small = spark.createDataFrame([(1, "A"), (2, "B")], "k int, name string")
+    plain = sorted(tuple(r) for r in big.join(small, "k").collect())
+    salted = sorted(tuple(r) for r in salted_join(big, small, "k", ["v"], 4).collect())
+    assert salted == plain
