@@ -99,3 +99,4 @@ def fingerprint(col: Column, prefix_len: int = 64) -> Column:
     """
     normalized = F.regexp_replace(F.lower(col), "\\s+", " ")
     return F.md5(F.substring(normalized, 1, prefix_len))
+

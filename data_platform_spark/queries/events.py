@@ -212,3 +212,29 @@ ORACLE["funnel_click_to_purchase"] = f"""
       AND p.purchase_ms - c.click_ms <= {FUNNEL_WINDOW_MS}
     GROUP BY p.user_id
 """
+
+
+def events_user_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponential moving average of event values — a custom
+    sequential stateful operator via applyInPandas (rows-only driver
+    check; the Python reference implementation is unit-tested). Grouped
+    by user_id: each group is one Arrow batch, state never crosses the
+    executor boundary."""
+    from data_platform_spark.functions.stateful import ema_per_group_builder
+
+    ev = load_table(spark, sf_dir, "events")
+    fn = ema_per_group_builder(0.3, "value", ["ts", "event_id"])
+    out_schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string, ema double"
+    )
+    out = ev.groupBy("user_id").applyInPandas(fn, out_schema)
+    from data_platform_spark.queries._util import pround
+    return out.select(
+        "user_id", "event_id", pround(F.col("ema"), 4).alias("ema")
+    )
+
+
+QUERIES["events_user_ema"] = events_user_ema
+# no oracle: sequential recurrence is not SQL-expressible; unit test
+# checks against a pure-Python reference.

@@ -735,3 +735,193 @@ ORACLE.update(
         """,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# fourth wave: TPC-H-flavored breadth — date/string/CASE/min-window/
+# disjunctive-predicate coverage
+# ---------------------------------------------------------------------------
+
+
+def q12_priority_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: CASE buckets aggregated per time bucket — date
+    extraction (year/month) + conditional sums."""
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+        )
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+def q14_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-revenue ratio (LIKE filter inside a
+    conditional aggregate over a join)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.col("p_type").startswith("PROMO")
+    return j.agg(
+        pround(
+            F.lit(100.0)
+            * F.sum(F.when(promo, rev).otherwise(F.lit(0.0)))
+            / F.sum(rev),
+            4,
+        ).alias("promo_revenue_pct")
+    )
+
+
+def q2_min_price_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated MIN subquery → per-group window; the
+    cheapest part(s) of each brand (ties kept, like the original)."""
+    part = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand")
+    return (
+        part.withColumn("min_price", F.min("p_retailprice").over(w))
+        .filter(F.col("p_retailprice") == F.col("min_price"))
+        .select(
+            "p_brand",
+            "p_partkey",
+            "p_name",
+            pround(F.col("p_retailprice")).alias("retailprice"),
+        )
+    )
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR of conjunctive predicate groups across a join
+    — Catalyst pushes the common join key and evaluates the disjunction
+    as a residual filter (no nested loop)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    cond = (
+        ((F.col("p_type") == "PROMO") & (F.col("p_size") <= 10) & (F.col("l_quantity") >= 10))
+        | ((F.col("p_type") == "ECONOMY") & (F.col("p_size") <= 25) & (F.col("l_quantity") >= 5))
+        | ((F.col("p_type") == "STANDARD") & (F.col("p_size") <= 50))
+    )
+    return j.filter(cond).agg(
+        pround(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def customer_ids_parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function surface: regexp extraction + casts + concat —
+    parse the numeric id embedded in c_name and re-render it."""
+    cust = load_table(spark, sf_dir, "customer")
+    parsed = F.regexp_extract(F.col("c_name"), "Customer#([0-9]+)", 1).cast("long")
+    return cust.select(
+        "c_custkey",
+        parsed.alias("parsed_id"),
+        (parsed == F.col("c_custkey")).alias("id_matches"),
+        F.concat(F.upper(F.col("c_mktsegment")), F.lit(":"), F.col("c_custkey")).alias("segment_tag"),
+    )
+
+
+def orders_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-dimension rollforward: yearly order counts + revenue + the
+    year-over-year delta (lag window over the aggregate)."""
+    orders = load_table(spark, sf_dir, "orders")
+    yearly = orders.groupBy(F.year("o_orderdate").alias("order_year")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        pround(F.sum("o_totalprice")).alias("revenue"),
+    )
+    w = Window.orderBy("order_year")
+    return yearly.select(
+        "order_year",
+        "n_orders",
+        "revenue",
+        (F.col("n_orders") - F.lag("n_orders").over(w)).alias("order_delta"),
+    )
+
+
+QUERIES.update(
+    {
+        "q12_priority_by_month": q12_priority_by_month,
+        "q14_promo_revenue_ratio": q14_promo_revenue_ratio,
+        "q2_min_price_per_brand": q2_min_price_per_brand,
+        "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "customer_ids_parsed": customer_ids_parsed,
+        "orders_by_year": orders_by_year,
+    }
+)
+
+ORACLE.update(
+    {
+        "q12_priority_by_month": """
+            SELECT
+                year(o_orderdate) AS order_year,
+                month(o_orderdate) AS order_month,
+                sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS high_line_count,
+                sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS low_line_count
+            FROM orders
+            GROUP BY 1, 2
+        """,
+        "q14_promo_revenue_ratio": f"""
+            SELECT
+                {sql_round("100.0 * sum(CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) / sum(l_extendedprice * (1 - l_discount))", 4)}
+                    AS promo_revenue_pct
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+        """,
+        "q2_min_price_per_brand": f"""
+            SELECT
+                p_brand,
+                p_partkey,
+                p_name,
+                {sql_round("p_retailprice")} AS retailprice
+            FROM (
+                SELECT *,
+                    min(p_retailprice) OVER (PARTITION BY p_brand) AS min_price
+                FROM part
+            )
+            WHERE p_retailprice = min_price
+        """,
+        "q19_disjunctive_revenue": f"""
+            SELECT
+                {sql_round("sum(l_extendedprice * (1 - l_discount))")} AS revenue,
+                count(*) AS n_items
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE (p_type = 'PROMO' AND p_size <= 10 AND l_quantity >= 10)
+               OR (p_type = 'ECONOMY' AND p_size <= 25 AND l_quantity >= 5)
+               OR (p_type = 'STANDARD' AND p_size <= 50)
+        """,
+        "customer_ids_parsed": """
+            SELECT
+                c_custkey,
+                regexp_extract(c_name, 'Customer#([0-9]+)', 1)::BIGINT AS parsed_id,
+                regexp_extract(c_name, 'Customer#([0-9]+)', 1)::BIGINT = c_custkey
+                    AS id_matches,
+                upper(c_mktsegment) || ':' || c_custkey AS segment_tag
+            FROM customer
+        """,
+        "orders_by_year": f"""
+            SELECT
+                order_year,
+                n_orders,
+                revenue,
+                n_orders - lag(n_orders) OVER (ORDER BY order_year) AS order_delta
+            FROM (
+                SELECT
+                    year(o_orderdate) AS order_year,
+                    count(*) AS n_orders,
+                    {sql_round("sum(o_totalprice)")} AS revenue
+                FROM orders
+                GROUP BY 1
+            )
+        """,
+    }
+)

@@ -261,3 +261,34 @@ def _extend_oracle() -> None:
 
 
 _extend_oracle()
+
+
+def embedding_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface over vectors: L2 norm, min/max element,
+    argmax position — all JVM array built-ins, no Python."""
+    from data_platform_spark.queries._util import pround
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"), spark)
+    dvec = S.as_double(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        pround(S.l2_norm(dvec), 4).alias("l2_norm"),
+        pround(F.array_min(dvec), 4).alias("min_val"),
+        pround(F.array_max(dvec), 4).alias("max_val"),
+        (F.array_position(F.col("embedding"), F.array_max(F.col("embedding"))) - 1)
+        .cast("long")
+        .alias("argmax_pos"),
+    )
+
+
+QUERIES["embedding_vector_stats"] = embedding_vector_stats
+
+ORACLE["embedding_vector_stats"] = f"""
+    SELECT
+        vec_id,
+        {sql_round("sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))", 4)} AS l2_norm,
+        {sql_round("list_aggregate(embedding::DOUBLE[], 'min')", 4)} AS min_val,
+        {sql_round("list_aggregate(embedding::DOUBLE[], 'max')", 4)} AS max_val,
+        list_position(embedding, list_aggregate(embedding, 'max')) - 1 AS argmax_pos
+    FROM embeddings
+"""

@@ -112,3 +112,28 @@ def test_salted_join_equals_plain_join(spark):
     plain = sorted(tuple(r) for r in big.join(small, "k").collect())
     salted = sorted(tuple(r) for r in salted_join(big, small, "k", ["v"], 4).collect())
     assert salted == plain
+
+
+def test_events_user_ema_matches_python_reference(spark):
+    from data_platform_spark.queries.events import events_user_ema
+    import duckdb
+
+    got = {
+        (r["user_id"], r["event_id"]): r["ema"]
+        for r in events_user_ema(spark, "/root/testdata/sf0.001").collect()
+    }
+    con = duckdb.connect()
+    rows = con.sql(
+        "SELECT user_id, event_id, value FROM "
+        "'/root/testdata/sf0.001/events.parquet' ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    con.close()
+    state = {}
+    want = {}
+    for uid, eid, v in rows:
+        s = state.get(uid)
+        s = v if s is None else 0.3 * v + 0.7 * s
+        state[uid] = s
+        import math
+        want[(uid, eid)] = math.floor(s * 10000 + 0.5) / 10000
+    assert got == want
