@@ -925,3 +925,108 @@ ORACLE.update(
         """,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# fifth wave: direct SURVEY §2 line-item coverage (S4, P5, P6)
+# ---------------------------------------------------------------------------
+
+
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 last-writer-wins upsert semantics as a query: the current state
+    table an ON CONFLICT DO UPDATE upsert would produce — newest row per
+    key via a descending row_number window (exactly layers/raw.upsert_bronze).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "event_id", "event_type", pround(F.col("value")).alias("value"))
+    )
+
+
+def p5_guarded_date_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 guarded 'Month D, YYYY' parse over real data: render order dates
+    to the reference's air_date format, then re-parse through the same
+    regex-guarded path used by staging (ops.guarded_to_date); a corrupted
+    variant must yield NULL."""
+    from data_platform_spark.ops import guarded_to_date
+
+    orders = load_table(spark, sf_dir, "orders")
+    rendered = F.date_format("o_orderdate", "MMMM d, yyyy")
+    corrupted = F.concat(F.lit("not-a-date "), rendered)
+    return orders.select(
+        "o_orderkey",
+        rendered.alias("rendered"),
+        guarded_to_date(rendered).alias("parsed"),
+        guarded_to_date(corrupted).alias("parsed_garbage"),
+    )
+
+
+def p6_empty_url_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 NULLIF(TRIM(x), '') over real data: blank out one segment value
+    then normalize — empty strings must become NULL (the load-bearing
+    guard feeding the Unknown-member join)."""
+    from data_platform_spark.ops import normalize_empty_to_null
+
+    cust = load_table(spark, sf_dir, "customer")
+    blanked = F.when(
+        F.col("c_mktsegment") == "BUILDING", F.lit("   ")
+    ).otherwise(F.col("c_mktsegment"))
+    return cust.select(
+        "c_custkey",
+        normalize_empty_to_null(blanked).alias("segment_or_null"),
+    )
+
+
+QUERIES.update(
+    {
+        "latest_event_per_user": latest_event_per_user,
+        "p5_guarded_date_roundtrip": p5_guarded_date_roundtrip,
+        "p6_empty_url_normalization": p6_empty_url_normalization,
+    }
+)
+
+ORACLE.update(
+    {
+        "latest_event_per_user": f"""
+            SELECT user_id, event_id, event_type,
+                   {sql_round("value")} AS value
+            FROM (
+                SELECT *,
+                    row_number() OVER (
+                        PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                    ) AS _rn
+                FROM events
+            )
+            WHERE _rn = 1
+        """,
+        "p5_guarded_date_roundtrip": """
+            SELECT
+                o_orderkey,
+                strftime(o_orderdate, '%B %-d, %Y') AS rendered,
+                CASE WHEN regexp_matches(strftime(o_orderdate, '%B %-d, %Y'),
+                                         '^[A-Za-z]+ [0-9]{1,2}, [0-9]{4}$')
+                     THEN strptime(strftime(o_orderdate, '%B %-d, %Y'),
+                                   '%B %d, %Y')::DATE
+                     ELSE NULL END AS parsed,
+                CASE WHEN regexp_matches('not-a-date ' || strftime(o_orderdate, '%B %-d, %Y'),
+                                         '^[A-Za-z]+ [0-9]{1,2}, [0-9]{4}$')
+                     THEN strptime('not-a-date ' || strftime(o_orderdate, '%B %-d, %Y'),
+                                   '%B %d, %Y')::DATE
+                     ELSE NULL END AS parsed_garbage
+            FROM orders
+        """,
+        "p6_empty_url_normalization": """
+            SELECT
+                c_custkey,
+                nullif(trim(CASE WHEN c_mktsegment = 'BUILDING'
+                                 THEN '   ' ELSE c_mktsegment END), '')
+                    AS segment_or_null
+            FROM customer
+        """,
+    }
+)
