@@ -238,3 +238,45 @@ def events_user_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["events_user_ema"] = events_user_ema
 # no oracle: sequential recurrence is not SQL-expressible; unit test
 # checks against a pure-Python reference.
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by first-seen week, counted
+    by distinct activity week offset — the standard cohort triangle.
+    Two aggregations keyed by user then (cohort, offset); both map-side
+    partial."""
+    ev = load_table(spark, sf_dir, "events")
+    # to_date: DuckDB's date_trunc('week') yields DATE; match the type
+    week = F.to_date(F.date_trunc("week", F.col("ts")))
+    with_week = ev.select("user_id", week.alias("week"))
+    first_week = with_week.groupBy("user_id").agg(
+        F.min("week").alias("cohort_week")
+    )
+    return (
+        with_week.join(first_week, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.datediff(F.col("week"), F.col("cohort_week")).alias("day_offset"),
+        )
+        .groupBy("cohort_week", F.expr("day_offset div 7").alias("week_offset"))
+        .agg(F.count_distinct("user_id").alias("n_active_users"))
+    )
+
+
+QUERIES["retention_cohorts"] = retention_cohorts
+
+ORACLE["retention_cohorts"] = """
+    WITH ww AS (
+        SELECT user_id, date_trunc('week', ts) AS week FROM events
+    ),
+    fw AS (
+        SELECT user_id, min(week) AS cohort_week FROM ww GROUP BY user_id
+    )
+    SELECT
+        fw.cohort_week,
+        date_diff('day', fw.cohort_week, ww.week) // 7 AS week_offset,
+        count(DISTINCT ww.user_id) AS n_active_users
+    FROM ww JOIN fw ON ww.user_id = fw.user_id
+    GROUP BY 1, 2
+"""

@@ -292,3 +292,82 @@ ORACLE["embedding_vector_stats"] = f"""
         list_position(embedding, list_aggregate(embedding, 'max')) - 1 AS argmax_pos
     FROM embeddings
 """
+
+
+def knn_within_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch k-NN join via LSH buckets: top-3 neighbors per vector, where
+    candidates are restricted to the vector's SRP bucket — the all-pairs
+    version of ANN search. Cost ∝ Σ bucket_size², never n²; the bucket
+    self-join shuffles (bucket, vec_id, embedding) keyed by bucket.
+    """
+    from pyspark.sql.window import Window
+    from data_platform_spark.queries._util import pround
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"), spark)
+    bucketed = emb.select(
+        "vec_id",
+        "embedding",
+        S.srp_signature(F.col("embedding"), N_PLANES, DIM).alias("bucket"),
+    ).persist()
+    a = bucketed.select(
+        F.col("bucket"),
+        F.col("vec_id").alias("src"),
+        F.col("embedding").alias("e_src"),
+    )
+    b = bucketed.select(
+        F.col("bucket"),
+        F.col("vec_id").alias("dst"),
+        F.col("embedding").alias("e_dst"),
+    )
+    pairs = a.join(b, "bucket").filter(F.col("src") != F.col("dst"))
+    scored = pairs.select(
+        "src",
+        "dst",
+        pround(
+            S.cosine(S.as_double(F.col("e_src")), S.as_double(F.col("e_dst"))), 4
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("src", "dst", "cosine", "rk")
+    )
+
+
+QUERIES["knn_within_buckets"] = knn_within_buckets
+
+
+def _knn_oracle() -> str:
+    srp_bits = " + ".join(
+        f"(CASE WHEN {_srp_proj_sql(p)} > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(N_PLANES)
+    )
+    cos = (
+        "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
+        "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
+        "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
+    )
+    return f"""
+        WITH bucketed AS (
+            SELECT vec_id, embedding, {srp_bits} AS bucket FROM embeddings
+        ),
+        scored AS (
+            SELECT
+                a.vec_id AS src,
+                b.vec_id AS dst,
+                {sql_round(cos, 4)} AS cosine
+            FROM bucketed a
+            JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+        )
+        SELECT src, dst, cosine, rk FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY src ORDER BY cosine DESC, dst ASC
+            ) AS rk
+            FROM scored
+        )
+        WHERE rk <= 3
+    """
+
+
+ORACLE["knn_within_buckets"] = _knn_oracle()

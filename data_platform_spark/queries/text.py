@@ -235,3 +235,26 @@ def _extend_oracle() -> None:
 
 
 _extend_oracle()
+
+
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length distribution: 50-word-wide buckets (floor binning —
+    the quality-filter diagnostic every corpus pipeline starts with)."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    bucket = (X.word_count(F.col("text")).cast("long") / 50).cast("long") * 50
+    return (
+        docs.select(bucket.alias("word_bucket"))
+        .groupBy("word_bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+QUERIES["doc_length_histogram"] = doc_length_histogram
+
+ORACLE["doc_length_histogram"] = """
+    SELECT
+        (len(string_split(text, ' ')) // 50) * 50 AS word_bucket,
+        count(*) AS n_docs
+    FROM documents
+    GROUP BY 1
+"""
