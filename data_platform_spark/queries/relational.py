@@ -1030,3 +1030,79 @@ ORACLE.update(
         """,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# sixth wave: statistical aggregates + ordered array aggregation
+# ---------------------------------------------------------------------------
+
+
+def order_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate surface: exact median / p90 (linear
+    interpolation), sample stddev, min/max per order status."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        pround(F.expr("percentile(o_totalprice, 0.5)")).alias("median_price"),
+        pround(F.expr("percentile(o_totalprice, 0.9)")).alias("p90_price"),
+        pround(F.stddev_samp("o_totalprice")).alias("stddev_price"),
+        pround(F.min("o_totalprice")).alias("min_price"),
+        pround(F.max("o_totalprice")).alias("max_price"),
+    )
+
+
+def customer_order_ids_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered array aggregation: each customer's order keys as a sorted
+    array (collect_list + sort_array — deterministic layout)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sort_array(F.collect_list("o_orderkey")).alias("order_ids"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+def value_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corr/covar surface: relationship between price and quantity."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        pround(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+        pround(F.covar_samp("l_discount", "l_tax"), 6).alias("disc_tax_covar"),
+    )
+
+
+QUERIES.update(
+    {
+        "order_price_stats": order_price_stats,
+        "customer_order_ids_array": customer_order_ids_array,
+        "value_correlation": value_correlation,
+    }
+)
+
+ORACLE.update(
+    {
+        "order_price_stats": f"""
+            SELECT
+                o_orderstatus,
+                {sql_round("quantile_cont(o_totalprice, 0.5)")} AS median_price,
+                {sql_round("quantile_cont(o_totalprice, 0.9)")} AS p90_price,
+                {sql_round("stddev_samp(o_totalprice)")} AS stddev_price,
+                {sql_round("min(o_totalprice)")} AS min_price,
+                {sql_round("max(o_totalprice)")} AS max_price
+            FROM orders
+            GROUP BY o_orderstatus
+        """,
+        "customer_order_ids_array": """
+            SELECT
+                o_custkey AS custkey,
+                list_sort(list(o_orderkey)) AS order_ids,
+                count(*) AS n_orders
+            FROM orders
+            GROUP BY o_custkey
+        """,
+        "value_correlation": f"""
+            SELECT
+                {sql_round("corr(l_quantity, l_extendedprice)", 4)} AS qty_price_corr,
+                {sql_round("covar_samp(l_discount, l_tax)", 6)} AS disc_tax_covar
+            FROM lineitem
+        """,
+    }
+)
