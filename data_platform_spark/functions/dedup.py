@@ -193,3 +193,56 @@ def simhash64(texts: pd.Series) -> pd.Series:
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit signatures via bit_count(xor)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation — the
+    clustering step that turns near-dup PAIRS into dedup GROUPS.
+
+    edges: (doc_a, doc_b) undirected. Returns (doc_id, component) for
+    every node appearing in an edge, component = min doc_id reachable.
+
+    Driver-side loop with a convergence check per iteration (the standard
+    Spark iterative-algorithm shape, cf. GraphX/Pregel): each step is one
+    join + aggregation keyed by node; ``localCheckpoint`` truncates the
+    lineage so plan depth stays constant. Near-dup components have tiny
+    diameters, so this converges in a handful of rounds.
+    """
+    bidir = (
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        bidir.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            bidir.join(labels, bidir.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("nbr_label"), F.col("label")),
+                ).alias("label"),
+                F.col("label").alias("_old"),
+            )
+        )
+        changed = updated.filter(F.col("label") != F.col("_old")).count()
+        labels = updated.select("doc_id", "label").localCheckpoint()
+        if changed == 0:
+            break
+    bidir.unpersist()
+    return labels.select("doc_id", F.col("label").alias("component"))

@@ -225,3 +225,57 @@ ORACLE["documents_after_dedup"] = f"""
     SELECT doc_id FROM exact_keep
     WHERE doc_id NOT IN (SELECT doc_b FROM near)
 """
+
+
+def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clusters: connected components over the verified
+    LSH pair graph (iterative min-label propagation; the oracle computes
+    the same fixpoint with a recursive CTE)."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    doc_sh = D.shingle_array_df(docs).persist()
+    sig = D.minhash_signatures(doc_sh).persist()
+    cand = D.lsh_candidate_pairs(sig)
+    pairs = D.verified_jaccard(doc_sh, cand, threshold=JACCARD_THRESHOLD)
+    return D.connected_components(pairs.select("doc_a", "doc_b"))
+
+
+QUERIES["neardup_components"] = neardup_components
+
+ORACLE["neardup_components"] = f"""
+    WITH RECURSIVE {_shingle_cte().strip().rstrip()},
+    {_sig_sql()},
+    {_bands_sql()},
+    sizes AS (
+        SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ),
+    common AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS n_common
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        GROUP BY c.doc_a, c.doc_b
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE {sql_round("n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common)", 4)}
+              >= {JACCARD_THRESHOLD}
+    ),
+    bidir AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM bidir
+        UNION
+        SELECT r.src, b.dst FROM reach r JOIN bidir b ON b.src = r.dst
+    )
+    SELECT
+        src AS doc_id,
+        least(src, min(dst)) AS component
+    FROM reach
+    GROUP BY src
+"""
