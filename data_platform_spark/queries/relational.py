@@ -1106,3 +1106,173 @@ ORACLE.update(
         """,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# seventh wave: deeper TPC-H coverage (q6, q10, q18, q22 shapes)
+# ---------------------------------------------------------------------------
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure filter + scalar aggregate — the pushdown showcase
+    (all three predicates reach the parquet scan)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            pround(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q10_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue from returned items
+    (join + filter + agg + deterministic top-k)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            pround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING over a grouped sum + semi-join back to the
+    order/customer detail."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").alias("orderdate"),
+            pround(F.col("o_totalprice")).alias("totalprice"),
+            pround(F.col("total_qty")).alias("total_qty"),
+        )
+    )
+
+
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar average subquery + anti-join — customers
+    with above-average balance and no orders, grouped by a derived code
+    (substring)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(F.avg("c_acctbal").alias("avg_bal"))
+    )
+    rich = cust.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    idle = rich.join(
+        orders, rich.c_custkey == orders.o_custkey, "left_anti"
+    )
+    code = F.substring(F.col("c_name"), 10, 2)
+    return idle.groupBy(code.alias("code")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        pround(F.sum("c_acctbal")).alias("total_bal"),
+    )
+
+
+QUERIES.update(
+    {
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q10_returned_item_customers": q10_returned_item_customers,
+        "q18_large_volume_orders": q18_large_volume_orders,
+        "q22_idle_customers": q22_idle_customers,
+    }
+)
+
+ORACLE.update(
+    {
+        "q6_forecast_revenue": f"""
+            SELECT
+                {sql_round("sum(l_extendedprice * l_discount)")} AS revenue,
+                count(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+              AND l_discount BETWEEN 0.03 AND 0.07
+              AND l_quantity < 24
+        """,
+        "q10_returned_item_customers": f"""
+            SELECT
+                c.c_custkey,
+                c.c_name,
+                n.n_name,
+                {sql_round("sum(l.l_extendedprice * (1 - l.l_discount))")} AS revenue
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE l.l_returnflag = 'R'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue DESC, c.c_custkey ASC
+            LIMIT 20
+        """,
+        "q18_large_volume_orders": f"""
+            SELECT
+                c.c_custkey,
+                c.c_name,
+                o.o_orderkey,
+                o.o_orderdate AS orderdate,
+                {sql_round("o.o_totalprice")} AS totalprice,
+                {sql_round("big.total_qty")} AS total_qty
+            FROM orders o
+            JOIN (
+                SELECT l_orderkey, sum(l_quantity) AS total_qty
+                FROM lineitem
+                GROUP BY l_orderkey
+                HAVING sum(l_quantity) > 150
+            ) big ON o.o_orderkey = big.l_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "q22_idle_customers": f"""
+            WITH avg_bal AS (
+                SELECT avg(c_acctbal) AS avg_bal FROM customer
+                WHERE c_acctbal > 0.0
+            )
+            SELECT
+                substr(c_name, 10, 2) AS code,
+                count(*) AS n_customers,
+                {sql_round("sum(c_acctbal)")} AS total_bal
+            FROM customer, avg_bal
+            WHERE c_acctbal > avg_bal
+              AND NOT EXISTS (
+                  SELECT 1 FROM orders WHERE o_custkey = c_custkey
+              )
+            GROUP BY 1
+        """,
+    }
+)

@@ -39,6 +39,10 @@ BOUNDED_DIMS = {"region", "nation"}
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TESTDATA_TABLES}")
+    # The driver may hand us a session it configured itself; all declared
+    # queries assume UTC wall-clock semantics (oracle parity for
+    # date_trunc/unix_millis over LTZ timestamps), so pin it here.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
         # reader rejects; read the raw int64 nanos and truncate to the
