@@ -1276,3 +1276,93 @@ ORACLE.update(
         """,
     }
 )
+
+
+def monthly_order_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification: a generated month spine left-joined to
+    order aggregates — months with no orders appear with zero counts
+    (sequence/explode as a dimension generator)."""
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("lo"),
+        F.date_trunc("month", F.max("o_orderdate")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(
+                F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 MONTH")
+            )
+        ).alias("month_start")
+    )
+    monthly = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        pround(F.sum("o_totalprice")).alias("revenue"),
+    )
+    return spine.join(monthly, "month_start", "left").select(
+        "month_start",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+    )
+
+
+def customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-window surface: ntile quartiles + percent_rank over
+    account balance (deterministic tie-break on key)."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return cust.select(
+        "c_custkey",
+        pround(F.col("c_acctbal")).alias("acctbal"),
+        F.ntile(4).over(w).alias("quartile"),
+        pround(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+QUERIES.update(
+    {
+        "monthly_order_calendar": monthly_order_calendar,
+        "customer_balance_quartiles": customer_balance_quartiles,
+    }
+)
+
+ORACLE.update(
+    {
+        "monthly_order_calendar": f"""
+            WITH bounds AS (
+                SELECT
+                    date_trunc('month', min(o_orderdate)) AS lo,
+                    date_trunc('month', max(o_orderdate)) AS hi
+                FROM orders
+            ),
+            spine AS (
+                SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH))
+                    AS month_start
+                FROM bounds
+            ),
+            monthly AS (
+                SELECT
+                    date_trunc('month', o_orderdate) AS month_start,
+                    count(*) AS n_orders,
+                    {sql_round("sum(o_totalprice)")} AS revenue
+                FROM orders
+                GROUP BY 1
+            )
+            SELECT
+                s.month_start::TIMESTAMP AS month_start,
+                coalesce(m.n_orders, 0) AS n_orders,
+                coalesce(m.revenue, 0.0) AS revenue
+            FROM spine s LEFT JOIN monthly m ON s.month_start = m.month_start
+        """,
+        "customer_balance_quartiles": f"""
+            SELECT
+                c_custkey,
+                {sql_round("c_acctbal")} AS acctbal,
+                ntile(4) OVER w AS quartile,
+                {sql_round("percent_rank() OVER w", 6)} AS pct_rank
+            FROM customer
+            WINDOW w AS (ORDER BY c_acctbal DESC, c_custkey ASC)
+        """,
+    }
+)

@@ -100,3 +100,52 @@ def test_running_totals_stream(spark, events_dir):
     )
     assert got.count() == batch.count()
     assert got.agg(F.sum("n_events")).collect()[0][0] == 1000
+
+
+def test_stateful_ema_stream_single_batch_equals_batch(spark, events_dir, tmp_path):
+    """applyInPandasWithState custom operator: a single-batch streaming run
+    must produce each user's final EMA exactly (the batch dual)."""
+    import glob
+    import shutil
+
+    from data_platform_spark.queries.events import events_user_ema
+    from data_platform_spark.streaming import read_events_stream
+    from data_platform_spark.streaming.stateful import user_ema_stream
+
+    # one combined file -> one micro-batch -> per-user fold sees all
+    # events in (ts, event_id) order, same as the batch dual
+    one_dir = tmp_path / "one_batch"
+    one_dir.mkdir()
+    with open(one_dir / "all.json", "w") as out:
+        for f in sorted(glob.glob(f"{events_dir}/*.json")):
+            with open(f) as src:
+                shutil.copyfileobj(src, out)
+
+    stream = read_events_stream(spark, str(one_dir))
+    q = (
+        user_ema_stream(stream)
+        .writeStream.format("memory")
+        .queryName("ema_sink")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    import math
+    got = {
+        r["user_id"]: (r["n_events"], math.floor(r["ema"] * 10000 + 0.5) / 10000)
+        for r in spark.table("ema_sink").collect()
+    }
+    batch = events_user_ema(spark, SF)
+    # batch dual emits per-event EMA; the stream emits the final state ->
+    # compare against each user's last event's EMA
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    ev = spark.read.json(str(one_dir))
+    last_eid = ev.groupBy("user_id").agg(F.max("event_id").alias("event_id"))
+    want_rows = batch.join(last_eid, ["user_id", "event_id"]).collect()
+    counts = {r["user_id"]: r["n"] for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    want = {r["user_id"]: (counts[r["user_id"]], r["ema"]) for r in want_rows}
+    assert got == want
