@@ -44,7 +44,7 @@ def srp_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = fan_out(load_table(spark, sf_dir, "embeddings"), spark)
     return (
         emb.select(
-            S.srp_signature(F.col("embedding"), N_PLANES, DIM).alias("bucket")
+            S.srp_signature_np(F.col("embedding"), N_PLANES, DIM).alias("bucket")
         )
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_vectors"))
@@ -59,12 +59,15 @@ QUERIES = {
 
 
 def _srp_proj_sql(p: int) -> str:
-    # mirror of S.srp_signature: weight(i,p) in [-0.5, 0.5), i is 1-based
-    return (
+    # mirror of S.srp_signature: weight(i,p) in [-0.5, 0.5), i is 1-based;
+    # projection quantized to SRP_QUANTUM_DP before the sign test (same
+    # quantum as both Spark implementations)
+    raw = (
         "(SELECT sum(embedding[i]::DOUBLE * "
         f"((((i * 2654435761 + {(p + 1) * 40503}) % 1997)::DOUBLE / 1997.0) - 0.5)) "
         f"FROM generate_series(1, {DIM}) AS t(i))"
     )
+    return sql_round(raw, S.SRP_QUANTUM_DP)
 
 
 _COSINE_SQL = (
@@ -171,7 +174,7 @@ def srp_ann_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_bucket = emb.select(
         "vec_id",
         "embedding",
-        S.srp_signature(F.col("embedding"), N_PLANES, DIM).alias("bucket"),
+        S.srp_signature_np(F.col("embedding"), N_PLANES, DIM).alias("bucket"),
     )
     q = with_bucket.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").alias("q"), F.col("bucket").alias("qbucket")
@@ -307,7 +310,7 @@ def knn_within_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed = emb.select(
         "vec_id",
         "embedding",
-        S.srp_signature(F.col("embedding"), N_PLANES, DIM).alias("bucket"),
+        S.srp_signature_np(F.col("embedding"), N_PLANES, DIM).alias("bucket"),
     ).persist()
     a = bucketed.select(
         F.col("bucket"),

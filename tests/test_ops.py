@@ -137,3 +137,17 @@ def test_events_user_ema_matches_python_reference(spark):
         import math
         want[(uid, eid)] = math.floor(s * 10000 + 0.5) / 10000
     assert got == want
+
+
+def test_srp_expression_and_numpy_agree(spark):
+    from pyspark.sql import functions as F
+    from data_platform_spark.functions import similarity as S
+    from data_platform_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    both = emb.select(
+        "vec_id",
+        S.srp_signature(F.col("embedding")).alias("expr_sig"),
+        S.srp_signature_np(F.col("embedding")).alias("np_sig"),
+    )
+    assert both.filter(F.col("expr_sig") != F.col("np_sig")).count() == 0
