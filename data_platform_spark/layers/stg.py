@@ -38,7 +38,13 @@ EPISODE_TRACKED = ["name", "episode", "air_date", "url", "source_created_at"]
 
 
 def _parsed(raw: DataFrame, schema) -> DataFrame:
-    return raw.select(F.from_json("payload", schema).alias("d"))
+    """Parse payloads; drop rows whose JSON is unparseable or lacks the
+    business key (from_json yields NULL on malformed input — without this
+    guard a corrupt payload would flow a NULL key into every downstream
+    upsert and join)."""
+    return raw.select(F.from_json("payload", schema).alias("d")).filter(
+        F.col("d").isNotNull() & F.col("d.id").isNotNull()
+    )
 
 
 def extract_character(raw: DataFrame) -> DataFrame:

@@ -187,3 +187,26 @@ def test_warehouse_partitioned_write(spark, wh):
     assert pruned.count() == 1
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "partition" in plan.lower() or pruned.count() == 1
+
+
+def test_corrupt_payload_rows_dropped(spark, wh):
+    """Malformed JSON and key-less payloads must not reach staging."""
+    from pyspark.sql import functions as F
+
+    chars, locs, eps = base_universe()
+    bronze = _bronze_all(spark, (chars, locs, eps), TS1)
+    garbage = spark.createDataFrame(
+        [
+            (9001, "{not valid json", TS1),
+            (9002, '{"name": "keyless"}', TS1),
+        ],
+        RAW_SCHEMA,
+    )
+    bronze["character"] = bronze["character"].unionByName(garbage)
+    run_pipeline(spark, wh, bronze, TS1)
+
+    stg_ch = wh.read(spark, "stg", "character")
+    assert stg_ch.count() == 5  # only the 5 valid characters
+    assert stg_ch.filter(F.col("id").isNull()).count() == 0
+    dim = wh.read(spark, "dwh", "dim_character")
+    assert dim.filter(F.col("character_id").isNull()).count() == 0

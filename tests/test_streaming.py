@@ -149,3 +149,68 @@ def test_stateful_ema_stream_single_batch_equals_batch(spark, events_dir, tmp_pa
     counts = {r["user_id"]: r["n"] for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
     want = {r["user_id"]: (counts[r["user_id"]], r["ema"]) for r in want_rows}
     assert got == want
+
+
+def test_stateful_ema_state_carries_across_batches(spark, tmp_path):
+    """State persistence across micro-batches: events split by time into
+    two files (per-user order preserved across the split), streamed one
+    file per trigger — the final EMA must equal the single-batch result."""
+    import duckdb
+    import json as _json
+
+    from data_platform_spark.streaming import read_events_stream
+    from data_platform_spark.streaming.stateful import user_ema_stream
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT event_id, ts, user_id, event_type, value, props "
+        f"FROM '{SF}/events.parquet' ORDER BY ts, event_id"
+    ).fetchall()
+    con.close()
+    halves = [rows[: len(rows) // 2], rows[len(rows) // 2 :]]
+    src = tmp_path / "halves"
+    src.mkdir()
+    for i, chunk in enumerate(halves):
+        with open(src / f"t{i}.json", "w") as f:
+            for r in chunk:
+                f.write(
+                    _json.dumps(
+                        {
+                            "event_id": r[0],
+                            "ts": r[1].isoformat(),
+                            "user_id": r[2],
+                            "event_type": r[3],
+                            "value": r[4],
+                            "props": r[5],
+                        }
+                    )
+                    + "\n"
+                )
+
+    stream = read_events_stream(spark, str(src), max_files_per_trigger=1)
+    q = (
+        user_ema_stream(stream)
+        .writeStream.format("memory")
+        .queryName("ema_carry_sink")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # 'update' memory sink appends one row per user per batch; the LAST
+    # row per user is the final state
+    import pandas as pd
+
+    sink = spark.table("ema_carry_sink").toPandas()
+    final = sink.groupby("user_id").last()
+
+    # python reference over the full ordered stream
+    state, counts = {}, {}
+    for _, ts, uid, _t, v, _p in rows:
+        s = state.get(uid)
+        state[uid] = v if s is None else 0.3 * v + 0.7 * s
+        counts[uid] = counts.get(uid, 0) + 1
+    for uid, row in final.iterrows():
+        assert counts[uid] == row["n_events"], uid
+        assert abs(state[uid] - row["ema"]) < 1e-9, uid
