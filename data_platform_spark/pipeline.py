@@ -79,6 +79,44 @@ class Warehouse:
             shutil.rmtree(old, ignore_errors=True)
 
 
+class BucketedWarehouse:
+    """Catalog-backed warehouse for BUCKETED tables.
+
+    Bucketing is the co-location lever for repeated large-table joins: two
+    tables bucketed by the same key into the same bucket count join
+    WITHOUT a shuffle on either side (SortMergeJoin reads buckets
+    pairwise). At 100 TB this converts every fact-to-fact join on the
+    bucket key from a full co-shuffle into a local merge per bucket.
+
+    Spark exposes bucketing only through the catalog (``bucketBy`` +
+    ``saveAsTable``), hence a separate class from the path-based
+    ``Warehouse``; both coexist (facts bucketed, dims path-based).
+    """
+
+    def __init__(self, spark: SparkSession, database: str = "dps"):
+        self.spark = spark
+        self.database = database
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
+
+    def write_bucketed(
+        self,
+        df: DataFrame,
+        table: str,
+        bucket_cols: list[str],
+        n_buckets: int = 16,
+        sort_cols: list[str] | None = None,
+    ) -> None:
+        fq = f"{self.database}.{table}"
+        self.spark.sql(f"DROP TABLE IF EXISTS {fq}")
+        writer = df.write.bucketBy(n_buckets, *bucket_cols)
+        if sort_cols:
+            writer = writer.sortBy(*sort_cols)
+        writer.mode("overwrite").format("parquet").saveAsTable(fq)
+
+    def read(self, table: str) -> DataFrame:
+        return self.spark.table(f"{self.database}.{table}")
+
+
 def _batch_ts_lit(run_ts: datetime):
     """One clock per run (P7): PG's transaction-constant now() analog."""
     return F.lit(run_ts.replace(tzinfo=None))

@@ -1,0 +1,61 @@
+"""Streaming → warehouse integration: foreachBatch ELT sinks.
+
+Connects the streaming surface to the batch warehouse: each micro-batch
+runs the same idempotent upsert primitives the batch pipeline uses
+(layers/raw last-writer-wins), so replayed batches (streaming's
+at-least-once delivery into foreachBatch) cannot duplicate rows — the
+dedup key makes the sink effectively exactly-once.
+
+At 100 TB the parquet rewrite inside upsert becomes a partition-scoped
+MERGE (ingest-date partitioning / a table format); the foreachBatch
+contract is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from data_platform_spark.layers.raw import upsert_bronze
+from data_platform_spark.pipeline import Warehouse
+
+
+def stream_upsert_sink(
+    stream_df: DataFrame,
+    wh: Warehouse,
+    schema: str,
+    table: str,
+    key_cols: list[str],
+    order_col: str,
+    checkpoint_dir: str,
+):
+    """writeStream.foreachBatch sink: last-writer-wins upsert per batch.
+
+    key_cols/order_col define the upsert identity (newest order_col value
+    per key survives) — the streaming continuation of the bronze layer's
+    S4 semantics.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        existing = wh.read(spark, schema, table)
+        merged = (
+            batch_df
+            if existing is None
+            else existing.unionByName(batch_df)
+        )
+        w = Window.partitionBy(*key_cols).orderBy(F.desc(order_col))
+        deduped = (
+            merged.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        wh.write(deduped, schema, table)
+
+    return (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

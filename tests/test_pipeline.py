@@ -210,3 +210,46 @@ def test_corrupt_payload_rows_dropped(spark, wh):
     assert stg_ch.filter(F.col("id").isNull()).count() == 0
     dim = wh.read(spark, "dwh", "dim_character")
     assert dim.filter(F.col("character_id").isNull()).count() == 0
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key must join with NO exchange on
+    either side (the co-location contract bucketing exists for)."""
+    from pyspark.sql import functions as F
+
+    from data_platform_spark.pipeline import BucketedWarehouse
+    from data_platform_spark.sources.tables import load_table
+
+    bw = BucketedWarehouse(spark, database="dps_test")
+    sf = "/root/testdata/sf0.001"
+    orders = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    bw.write_bucketed(orders, "orders_b", ["o_orderkey"], 8)
+    bw.write_bucketed(li, "lineitem_b", ["l_orderkey"], 8)
+
+    o = bw.read("orders_b")
+    l = bw.read("lineitem_b")
+    # disable broadcast so the join strategy is the bucketed sort-merge
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = o.join(l, o.o_orderkey == l.l_orderkey).groupBy(
+            "o_orderstatus"
+        ).agg(F.count(F.lit(1)).alias("n"))
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # the join inputs are bucket-local: no Exchange below the join
+        join_part = plan.split("SortMergeJoin")[-1]
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning(o_orderkey" not in plan
+        assert "Exchange hashpartitioning(l_orderkey" not in plan
+        # result still correct
+        got = {r["o_orderstatus"]: r["n"] for r in joined.collect()}
+        want = {
+            r["o_orderstatus"]: r["n"]
+            for r in orders.join(li, orders.o_orderkey == li.l_orderkey)
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")

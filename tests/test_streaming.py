@@ -214,3 +214,32 @@ def test_stateful_ema_state_carries_across_batches(spark, tmp_path):
     for uid, row in final.iterrows():
         assert counts[uid] == row["n_events"], uid
         assert abs(state[uid] - row["ema"]) < 1e-9, uid
+
+
+def test_stream_to_warehouse_upsert_sink(spark, events_dir, tmp_path):
+    """foreachBatch ELT sink: streamed events land in the warehouse with
+    upsert identity; restarting the stream over the same source does not
+    duplicate rows."""
+    from data_platform_spark.pipeline import Warehouse
+    from data_platform_spark.streaming import read_events_stream
+    from data_platform_spark.streaming.sink import stream_upsert_sink
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    q = stream_upsert_sink(
+        read_events_stream(spark, events_dir, max_files_per_trigger=1),
+        wh, "raw", "events_stream",
+        key_cols=["event_id"], order_col="ts",
+        checkpoint_dir=str(tmp_path / "ckpt1"),
+    )
+    q.awaitTermination(120)
+    assert wh.read(spark, "raw", "events_stream").count() == 1000
+
+    # replay from scratch (fresh checkpoint): upsert identity absorbs it
+    q2 = stream_upsert_sink(
+        read_events_stream(spark, events_dir),
+        wh, "raw", "events_stream",
+        key_cols=["event_id"], order_col="ts",
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    q2.awaitTermination(120)
+    assert wh.read(spark, "raw", "events_stream").count() == 1000
