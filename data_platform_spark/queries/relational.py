@@ -1366,3 +1366,143 @@ ORACLE.update(
         """,
     }
 )
+
+
+def q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between two nations per year —
+    dual-role nation dim (supplier nation × customer nation), symmetric
+    pair filter, year bucketing."""
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    supp = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    ) | (
+        (F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3")
+    )
+    return (
+        supp.join(li, supp.s_suppkey == li.l_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            pround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("volume")
+        )
+    )
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of regional revenue per year —
+    conditional-sum ratio over a 6-way join."""
+    region = F.broadcast(
+        load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    )
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    n_cust = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    n_supp = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        region.join(n_cust, region.r_regionkey == F.col("cn_region"))
+        .join(cust, F.col("cn_key") == cust.c_nationkey)
+        .join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n_supp), supp.s_nationkey == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            pround(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("nation3_share")
+        )
+    )
+
+
+def events_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type surface: props parsed to map<string,int>, keys/values/
+    element_at — schema-on-read for open-ended JSON objects."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), "map<string,int>")
+    return ev.select(
+        "event_id",
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.element_at(m, "k").alias("k_value"),
+        F.array_join(F.sort_array(F.map_keys(m)), ",").alias("key_list"),
+    )
+
+
+QUERIES.update(
+    {
+        "q7_nation_trade_volume": q7_nation_trade_volume,
+        "q8_market_share": q8_market_share,
+        "events_props_map": events_props_map,
+    }
+)
+
+ORACLE.update(
+    {
+        "q7_nation_trade_volume": f"""
+            SELECT
+                n1.n_name AS supp_nation,
+                n2.n_name AS cust_nation,
+                year(l.l_shipdate) AS l_year,
+                {sql_round("sum(l.l_extendedprice * (1 - l.l_discount))")} AS volume
+            FROM supplier s
+            JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+            WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+               OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+            GROUP BY 1, 2, 3
+        """,
+        "q8_market_share": f"""
+            SELECT
+                year(o.o_orderdate) AS o_year,
+                {sql_round("sum(CASE WHEN ns.n_name = 'NATION_3' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END) / sum(l.l_extendedprice * (1 - l.l_discount))", 6)}
+                    AS nation3_share
+            FROM region r
+            JOIN nation nc ON r.r_regionkey = nc.n_regionkey
+            JOIN customer c ON nc.n_nationkey = c.c_nationkey
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+            WHERE r.r_name = 'EUROPE'
+            GROUP BY 1
+        """,
+        "events_props_map": """
+            SELECT
+                event_id,
+                len(json_keys(props)) AS n_keys,
+                json_extract(props, '$.k')::INT AS k_value,
+                array_to_string(list_sort(json_keys(props)), ',') AS key_list
+            FROM events
+        """,
+    }
+)
