@@ -93,10 +93,16 @@ class BucketedWarehouse:
     ``Warehouse``; both coexist (facts bucketed, dims path-based).
     """
 
-    def __init__(self, spark: SparkSession, database: str = "dps"):
+    def __init__(
+        self,
+        spark: SparkSession,
+        database: str = "dps",
+        location: str | None = None,
+    ):
         self.spark = spark
         self.database = database
-        spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
+        loc = f" LOCATION '{location}'" if location else ""
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}{loc}")
 
     def write_bucketed(
         self,
@@ -108,6 +114,17 @@ class BucketedWarehouse:
     ) -> None:
         fq = f"{self.database}.{table}"
         self.spark.sql(f"DROP TABLE IF EXISTS {fq}")
+        # a dropped-in-a-previous-session managed table leaves its
+        # directory behind (in-memory catalog) — clear it or saveAsTable
+        # fails with LOCATION_ALREADY_EXISTS
+        db_loc = (
+            self.spark.sql(f"DESCRIBE DATABASE {self.database}")
+            .filter("info_name = 'Location'")
+            .collect()[0]["info_value"]
+        )
+        table_dir = db_loc.removeprefix("file:") + f"/{table}"
+        if os.path.isdir(table_dir):
+            shutil.rmtree(table_dir, ignore_errors=True)
         writer = df.write.bucketBy(n_buckets, *bucket_cols)
         if sort_cols:
             writer = writer.sortBy(*sort_cols)

@@ -220,7 +220,7 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
     from data_platform_spark.pipeline import BucketedWarehouse
     from data_platform_spark.sources.tables import load_table
 
-    bw = BucketedWarehouse(spark, database="dps_test")
+    bw = BucketedWarehouse(spark, database="dps_test", location=str(tmp_path / "bucketed_db"))
     sf = "/root/testdata/sf0.001"
     orders = load_table(spark, sf, "orders")
     li = load_table(spark, sf, "lineitem")
