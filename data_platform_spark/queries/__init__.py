@@ -22,11 +22,12 @@ def _modules():
         events,
         multimodal,
         relational,
+        rm_pipeline,
         similarity,
         text,
     )
 
-    return (relational, events, text, dedup, similarity, multimodal)
+    return (relational, events, text, dedup, similarity, multimodal, rm_pipeline)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,191 @@
+"""Reference-pipeline parity queries: the Rick&Morty-shaped ELT run over
+the deterministic fixture universe, oracle-checked end to end.
+
+These put the engine's FLAGSHIP surface — raw JSON → staging extraction →
+SCD2 first load → fact build with Unknown-member resolution — into the
+driver's correctness gate, not just pytest. Both sides consume the exact
+same payload JSON (embedded as literals in the oracle SQL), a fixed batch
+clock, and the engine's deterministic SK ordering, so every value is
+reproducible.
+
+sf_dir is ignored: the reference pipeline's inputs are API payloads, not
+the benchmark star schema (multi-run SCD2 evolution is covered by
+tests/test_pipeline.py and the hypothesis property suite).
+"""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_platform_spark.layers import dwh as L_dwh
+from data_platform_spark.layers import stg as L_stg
+from data_platform_spark.ops.core import VALID_TO_INFINITY
+from data_platform_spark.schemas import RAW_SCHEMA
+from data_platform_spark.sources.fixtures import base_universe
+
+BATCH_TS = datetime(2026, 1, 1, 12, 0, 0)
+_TS_SQL = "TIMESTAMP '2026-01-01 12:00:00'"
+_INF_SQL = f"TIMESTAMP '{VALID_TO_INFINITY}'"
+
+
+def _payloads(entities) -> list[str]:
+    return [json.dumps(e, sort_keys=True) for e in entities]
+
+
+def _bronze(spark: SparkSession, entities) -> DataFrame:
+    rows = [(e["id"], json.dumps(e, sort_keys=True), BATCH_TS) for e in entities]
+    return spark.createDataFrame(rows, RAW_SCHEMA)
+
+
+def _sql_values(entities) -> str:
+    vals = ",\n                ".join(
+        "('" + p.replace("'", "''") + "'::JSON)" for p in _payloads(entities)
+    )
+    return f"(VALUES\n                {vals}) AS t(j)"
+
+
+def rm_dim_character_first_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """raw → stg → SCD2 first load of dim_character (engine path), against
+    an oracle that re-derives the same dimension from the same JSON."""
+    raw = _bronze(spark, base_universe()[0])
+    stg = L_stg.build_stg_character(raw, None, F.lit(BATCH_TS))
+    dim = L_dwh.build_dim_character(None, stg, F.lit(BATCH_TS))
+    return dim.select(
+        "character_sk",
+        "character_id",
+        "name",
+        "status",
+        "species",
+        "type",
+        "gender",
+        "character_url",
+        "valid_from",
+        "valid_to",
+        "is_current",
+    )
+
+
+def rm_fact_char_loc_first_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full first-load fact build: link extraction (P6 normalization +
+    Unknown sentinel), both dims, role resolution, SK joins — the
+    reference's hardest path (J5) oracle-checked end to end."""
+    chars, locs, _eps = base_universe()
+    raw_ch = _bronze(spark, chars)
+    raw_loc = _bronze(spark, locs)
+    ts = F.lit(BATCH_TS)
+    stg_ch = L_stg.build_stg_character(raw_ch, None, ts)
+    stg_loc = L_stg.build_stg_location(raw_loc, None, ts)
+    location_ch = L_stg.build_location_ch(raw_ch, ts)
+    character_loc = L_stg.build_character_loc(raw_loc, ts)
+    dim_ch = L_dwh.build_dim_character(None, stg_ch, ts)
+    dim_loc = L_dwh.build_dim_location(None, stg_loc, spark, ts)
+    fact = L_dwh.build_fact_char_loc(
+        None, location_ch, character_loc, stg_ch, dim_ch, dim_loc,
+        L_dwh.dim_location_role(spark), ts,
+    )
+    return fact.select(
+        "character_sk", "location_sk", F.col("role_id").cast("int").alias("role_id")
+    )
+
+
+QUERIES = {
+    "rm_dim_character_first_load": rm_dim_character_first_load,
+    "rm_fact_char_loc_first_load": rm_fact_char_loc_first_load,
+}
+
+
+def _build_oracle() -> dict[str, str]:
+    chars, locs, _eps = base_universe()
+    chars_values = _sql_values(chars)
+    locs_values = _sql_values(locs)
+    return {
+        "rm_dim_character_first_load": f"""
+            SELECT
+                row_number() OVER (ORDER BY json_extract_string(j,'$.id')::INT)
+                    AS character_sk,
+                json_extract_string(j,'$.id')::INT AS character_id,
+                json_extract_string(j,'$.name') AS name,
+                json_extract_string(j,'$.status') AS status,
+                json_extract_string(j,'$.species') AS species,
+                json_extract_string(j,'$.type') AS type,
+                json_extract_string(j,'$.gender') AS gender,
+                json_extract_string(j,'$.url') AS character_url,
+                {_TS_SQL} AS valid_from,
+                {_INF_SQL} AS valid_to,
+                TRUE AS is_current
+            FROM {chars_values}
+        """,
+        "rm_fact_char_loc_first_load": f"""
+            WITH chars AS (
+                SELECT
+                    json_extract_string(j,'$.id')::INT AS character_id,
+                    json_extract_string(j,'$.url') AS char_url,
+                    nullif(trim(json_extract_string(j,'$.location.url')), '')
+                        AS last_url_raw,
+                    json_extract_string(j,'$.location.url') AS last_url_present,
+                    nullif(trim(json_extract_string(j,'$.origin.url')), '')
+                        AS origin_url_raw,
+                    json_extract_string(j,'$.origin.url') AS origin_url_present
+                FROM {chars_values}
+            ),
+            locs AS (
+                SELECT
+                    json_extract_string(j,'$.id')::INT AS location_id,
+                    json_extract_string(j,'$.url') AS location_url,
+                    (j->'$.residents')::VARCHAR[] AS residents
+                FROM {locs_values}
+            ),
+            dim_character AS (
+                SELECT character_id,
+                       char_url,
+                       row_number() OVER (ORDER BY character_id) AS character_sk
+                FROM chars
+            ),
+            dim_location AS (
+                SELECT location_id, location_url,
+                       row_number() OVER (ORDER BY location_id) AS location_sk
+                FROM (
+                    SELECT -1 AS location_id, '__UNKNOWN__' AS location_url
+                    UNION ALL
+                    SELECT location_id, location_url FROM locs
+                )
+            ),
+            c_edges AS (
+                -- role 'last' from character.location (present but maybe
+                -- empty -> sentinel), role 'origin' from character.origin
+                SELECT character_id,
+                       coalesce(last_url_raw, '__UNKNOWN__') AS location_url,
+                       'last' AS role_name
+                FROM chars WHERE last_url_present IS NOT NULL
+                UNION
+                SELECT character_id,
+                       coalesce(origin_url_raw, '__UNKNOWN__') AS location_url,
+                       'origin' AS role_name
+                FROM chars WHERE origin_url_present IS NOT NULL
+            ),
+            l_edges AS (
+                SELECT c.character_id,
+                       l.location_url,
+                       'last' AS role_name
+                FROM locs l, unnest(l.residents) AS r(resident_url)
+                JOIN chars c ON c.char_url = r.resident_url
+            ),
+            edges AS (
+                SELECT * FROM c_edges UNION SELECT * FROM l_edges
+            )
+            SELECT
+                dc.character_sk,
+                dl.location_sk,
+                CASE e.role_name WHEN 'origin' THEN 1 ELSE 2 END AS role_id
+            FROM edges e
+            JOIN dim_character dc ON dc.character_id = e.character_id
+            JOIN dim_location dl ON dl.location_url = e.location_url
+        """,
+    }
+
+
+ORACLE = _build_oracle()
