@@ -189,3 +189,107 @@ def _build_oracle() -> dict[str, str]:
 
 
 ORACLE = _build_oracle()
+
+
+BATCH_TS2 = datetime(2026, 2, 1, 12, 0, 0)
+_TS2_SQL = "TIMESTAMP '2026-02-01 12:00:00'"
+
+
+def rm_dim_character_after_mutation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 close+open semantics in the correctness gate: run 1 loads the
+    base universe, run 2 applies the mutated universe (char 1 status
+    change, char 3 type change) — the oracle re-derives the exact final
+    dimension (closed/opened versions, aligned timestamps, incremental
+    SKs) from both embedded snapshots."""
+    from data_platform_spark.sources.fixtures import mutated_universe
+
+    ts1, ts2 = F.lit(BATCH_TS), F.lit(BATCH_TS2)
+    stg1 = L_stg.build_stg_character(_bronze(spark, base_universe()[0]), None, ts1)
+    dim1 = L_dwh.build_dim_character(None, stg1, ts1)
+    # materialize run 1 (the warehouse write/read cycle) so run 2's plan
+    # doesn't recompute it twice with fresh SK windows
+    dim1 = spark.createDataFrame(dim1.collect(), dim1.schema)
+    stg2 = L_stg.build_stg_character(
+        _bronze(spark, mutated_universe()[0]), None, ts2
+    )
+    dim2 = L_dwh.build_dim_character(dim1, stg2, ts2)
+    return dim2.select(
+        "character_sk",
+        "character_id",
+        "status",
+        "type",
+        "valid_from",
+        "valid_to",
+        "is_current",
+    )
+
+
+QUERIES["rm_dim_character_after_mutation"] = rm_dim_character_after_mutation
+
+
+def _mutation_oracle() -> str:
+    from data_platform_spark.sources.fixtures import mutated_universe
+
+    base_values = _sql_values(base_universe()[0])
+    mut_values = _sql_values(mutated_universe()[0])
+    # tracked attribute set of build_dim_character
+    cols = ["name", "status", "species", "type", "gender", "image"]
+    parse = ",\n                    ".join(
+        f"json_extract_string(j,'$.{c}') AS {c}" for c in cols
+    )
+    changed = " OR ".join(
+        f"b.{c} IS DISTINCT FROM m.{c}" for c in cols
+    )
+    return f"""
+        WITH base AS (
+            SELECT json_extract_string(j,'$.id')::INT AS character_id,
+                    {parse}
+            FROM {base_values}
+        ),
+        mut AS (
+            SELECT json_extract_string(j,'$.id')::INT AS character_id,
+                    {parse}
+            FROM {mut_values}
+        ),
+        sk1 AS (
+            SELECT character_id,
+                   row_number() OVER (ORDER BY character_id) AS character_sk
+            FROM base
+        ),
+        flags AS (
+            SELECT b.character_id, ({changed}) AS is_changed
+            FROM base b JOIN mut m ON b.character_id = m.character_id
+        ),
+        sk2 AS (
+            -- run-2 SKs: max run-1 SK + row_number over changed keys
+            SELECT f.character_id,
+                   (SELECT max(character_sk) FROM sk1)
+                   + row_number() OVER (ORDER BY f.character_id) AS character_sk
+            FROM flags f WHERE f.is_changed
+        )
+        -- unchanged current versions (run 1 values, still open)
+        SELECT s.character_sk, b.character_id, b.status, b.type,
+               {_TS_SQL} AS valid_from, {_INF_SQL} AS valid_to,
+               TRUE AS is_current
+        FROM base b
+        JOIN sk1 s ON s.character_id = b.character_id
+        JOIN flags f ON f.character_id = b.character_id AND NOT f.is_changed
+        UNION ALL
+        -- closed-out old versions of changed keys
+        SELECT s.character_sk, b.character_id, b.status, b.type,
+               {_TS_SQL} AS valid_from, {_TS2_SQL} AS valid_to,
+               FALSE AS is_current
+        FROM base b
+        JOIN sk1 s ON s.character_id = b.character_id
+        JOIN flags f ON f.character_id = b.character_id AND f.is_changed
+        UNION ALL
+        -- newly opened versions with run-2 values and fresh SKs
+        SELECT s2.character_sk, m.character_id, m.status, m.type,
+               {_TS2_SQL} AS valid_from, {_INF_SQL} AS valid_to,
+               TRUE AS is_current
+        FROM mut m
+        JOIN sk2 s2 ON s2.character_id = m.character_id
+    """
+
+
+ORACLE["rm_dim_character_after_mutation"] = _mutation_oracle()
