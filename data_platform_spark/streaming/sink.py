@@ -15,7 +15,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-from data_platform_spark.layers.raw import upsert_bronze
 from data_platform_spark.pipeline import Warehouse
 
 

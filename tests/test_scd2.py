@@ -8,7 +8,6 @@ from datetime import datetime
 from pyspark.sql import functions as F
 
 from data_platform_spark.ops import scd2_apply
-from data_platform_spark.ops.core import VALID_TO_INFINITY
 
 TS1 = datetime(2026, 1, 1, 12, 0, 0)
 TS2 = datetime(2026, 2, 1, 12, 0, 0)

@@ -141,7 +141,6 @@ def test_stateful_ema_stream_single_batch_equals_batch(spark, events_dir, tmp_pa
     # batch dual emits per-event EMA; the stream emits the final state ->
     # compare against each user's last event's EMA
     from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
 
     ev = spark.read.json(str(one_dir))
     last_eid = ev.groupBy("user_id").agg(F.max("event_id").alias("event_id"))
