@@ -258,3 +258,112 @@ ORACLE["doc_length_histogram"] = """
     FROM documents
     GROUP BY 1
 """
+
+
+def term_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus IDF table: document frequency + ln(N/df) per term.
+
+    Two shuffles total: distinct (doc, term) then term counts — the
+    reduce-side shape of every distributed TF-IDF build. N is a scalar
+    broadcast (count over a tiny aggregate), not a driver-side literal,
+    so the plan is one job."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    doc_terms = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).distinct()
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    df_tab = doc_terms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return df_tab.crossJoin(F.broadcast(n_docs)).select(
+        "term",
+        "df",
+        pround(F.log(F.col("n_docs").cast("double") / F.col("df")), 6).alias("idf"),
+    )
+
+
+def doc_top_terms_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (tf × ln(N/df), window top-k with
+    deterministic tie-break)."""
+    from pyspark.sql.window import Window
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    terms = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    df_tab = (
+        terms.select("doc_id", "term").distinct()
+        .groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    )
+    scored = (
+        tf.join(df_tab, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            pround(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tfidf", "rk")
+    )
+
+
+QUERIES.update(
+    {
+        "term_idf": term_idf,
+        "doc_top_terms_tfidf": doc_top_terms_tfidf,
+    }
+)
+
+ORACLE.update(
+    {
+        "term_idf": f"""
+            WITH doc_terms AS (
+                SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+                FROM documents
+            ),
+            n AS (SELECT count(*) AS n_docs FROM documents)
+            SELECT
+                term,
+                count(*) AS df,
+                {sql_round("ln(n.n_docs::DOUBLE / count(*))", 6)} AS idf
+            FROM doc_terms, n
+            GROUP BY term, n.n_docs
+        """,
+        "doc_top_terms_tfidf": f"""
+            WITH terms AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                FROM documents
+            ),
+            tf AS (
+                SELECT doc_id, term, count(*) AS tf
+                FROM terms GROUP BY doc_id, term
+            ),
+            dfreq AS (
+                SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY term
+            ),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            scored AS (
+                SELECT
+                    tf.doc_id,
+                    tf.term,
+                    {sql_round("tf.tf * ln(n.n_docs::DOUBLE / dfreq.df)", 6)} AS tfidf
+                FROM tf JOIN dfreq ON tf.term = dfreq.term, n
+            )
+            SELECT doc_id, term, tfidf, rk FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+                ) AS rk
+                FROM scored
+            )
+            WHERE rk <= 3
+        """,
+    }
+)
