@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from data_platform_spark.queries._util import pround
+from data_platform_spark.queries._util import pround, sql_round
 from data_platform_spark.sources.tables import load_table
 
 PROPS_SCHEMA = "k INT"
@@ -229,7 +229,7 @@ def events_user_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value double, props string, ema double"
     )
     out = ev.groupBy("user_id").applyInPandas(fn, out_schema)
-    from data_platform_spark.queries._util import pround
+    from data_platform_spark.queries._util import pround, sql_round
     return out.select(
         "user_id", "event_id", pround(F.col("ema"), 4).alias("ema")
     )
@@ -280,3 +280,74 @@ ORACLE["retention_cohorts"] = """
     FROM ww JOIN fw ON ww.user_id = fw.user_id
     GROUP BY 1, 2
 """
+
+
+def events_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour windows advancing every 30 minutes (overlapping
+    buckets — each event lands in 2 windows). Spark's window() generates
+    the assignments; the oracle derives the same two covering windows per
+    event arithmetically."""
+    ev = load_table(spark, sf_dir, "events")
+    w = F.window("ts", "1 hour", "30 minutes")
+    return (
+        ev.groupBy(w.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def events_rolling_hour_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per event, the sum of the same user's values in
+    the preceding hour (event-time range frame over epoch seconds)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_millis(F.col("ts")))
+        .rangeBetween(-3600 * 1000, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        pround(F.sum("value").over(w)).alias("hour_value"),
+    )
+
+
+QUERIES.update(
+    {
+        "events_sliding_window_counts": events_sliding_window_counts,
+        "events_rolling_hour_value": events_rolling_hour_value,
+    }
+)
+
+ORACLE.update(
+    {
+        # each event belongs to the two 1h windows whose starts are the
+        # two most recent 30-min grid points
+        "events_sliding_window_counts": """
+            WITH assigned AS (
+                SELECT
+                    event_type,
+                    to_timestamp(
+                        (epoch_ms(ts) // 1000 // 1800) * 1800 - offs
+                    )::TIMESTAMP AS window_start
+                FROM events,
+                     (SELECT unnest([0, 1800]) AS offs)
+            )
+            SELECT window_start, event_type, count(*) AS n_events
+            FROM assigned
+            GROUP BY 1, 2
+        """,
+        "events_rolling_hour_value": f"""
+            SELECT
+                user_id,
+                event_id,
+                {sql_round("sum(value) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts) RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)")}
+                    AS hour_value
+            FROM events
+        """,
+    }
+)

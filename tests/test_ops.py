@@ -151,3 +151,48 @@ def test_srp_expression_and_numpy_agree(spark):
         S.srp_signature_np(F.col("embedding")).alias("np_sig"),
     )
     assert both.filter(F.col("expr_sig") != F.col("np_sig")).count() == 0
+
+
+def test_asof_join_agrees_with_cogroup_reference(spark):
+    """Cross-validate the union-merge as-of join against an independent
+    cogroup().applyInPandas implementation (per-key pandas merge_asof)."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+    from data_platform_spark.ops.asof import asof_join
+    from data_platform_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"))
+        .distinct()
+    )
+
+    got = {
+        (r["event_id"]): r["click_ts_last"]
+        for r in asof_join(
+            purchases, clicks, on="user_id", left_ts="ts",
+            right_ts="click_ts", value_cols=["click_ts"], suffix="_last",
+        ).collect()
+    }
+
+    def merge(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        left = left.sort_values("ts")
+        right = right.sort_values("click_ts")
+        out = pd.merge_asof(
+            left, right, left_on="ts", right_on="click_ts",
+            direction="backward", allow_exact_matches=True,
+        )
+        return out[["event_id", "click_ts"]]
+
+    ref = (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(merge, "event_id long, click_ts timestamp")
+    )
+    want = {r["event_id"]: r["click_ts"] for r in ref.collect()}
+    assert got == want and len(got) > 0
