@@ -1506,3 +1506,68 @@ ORACLE.update(
         """,
     }
 )
+
+
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube): per-status, per-
+    priority, and grand-total groups with grouping_id disambiguation."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_gs")
+    return spark.sql(
+        """
+        SELECT
+            o_orderstatus,
+            o_orderpriority,
+            grouping(o_orderstatus) AS g_status,
+            grouping(o_orderpriority) AS g_priority,
+            count(*) AS n_orders
+        FROM v_orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+def decimal_revenue_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact decimal arithmetic: prices cast to DECIMAL(18,2) and summed —
+    no floating-point rounding anywhere, so both engines agree to the
+    last cent without portable-rounding tricks."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = F.col("l_extendedprice").cast("decimal(18,2)")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sum(dec).cast("decimal(28,2)").alias("exact_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+QUERIES.update(
+    {
+        "grouping_sets_orders": grouping_sets_orders,
+        "decimal_revenue_exact": decimal_revenue_exact,
+    }
+)
+
+ORACLE.update(
+    {
+        "grouping_sets_orders": """
+            SELECT
+                o_orderstatus,
+                o_orderpriority,
+                grouping(o_orderstatus) AS g_status,
+                grouping(o_orderpriority) AS g_priority,
+                count(*) AS n_orders
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """,
+        "decimal_revenue_exact": """
+            SELECT
+                l_returnflag,
+                sum(l_extendedprice::DECIMAL(18,2))::DECIMAL(28,2)
+                    AS exact_revenue,
+                count(*) AS n_items
+            FROM lineitem
+            GROUP BY l_returnflag
+        """,
+    }
+)
