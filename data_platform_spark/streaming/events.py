@@ -132,3 +132,37 @@ def run_to_memory_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def click_purchase_join_stream(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: each purchase matched to the same
+    user's clicks in the preceding ``within`` interval.
+
+    Both sides are watermarked so the join state is bounded: a click can
+    be dropped from state once it is older than watermark + within; the
+    range condition gives Spark the bound it needs. Batch dual:
+    queries/events.py::funnel_click_to_purchase (oracle-checked).
+    """
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return p.join(
+        c,
+        F.expr(
+            f"""
+            p_user = c_user AND
+            click_ts <= purchase_ts AND
+            click_ts >= purchase_ts - INTERVAL {within}
+            """
+        ),
+    ).select("p_user", "purchase_id", "purchase_ts", "click_ts")

@@ -242,3 +242,53 @@ def test_stream_to_warehouse_upsert_sink(spark, events_dir, tmp_path):
     )
     q2.awaitTermination(120)
     assert wh.read(spark, "raw", "events_stream").count() == 1000
+
+
+def test_stream_stream_interval_join_equals_batch(spark, events_dir):
+    """Stream-stream join with watermarks: matched (purchase, click)
+    pairs equal the batch time-range join on the same data."""
+    from pyspark.sql import functions as F
+
+    from data_platform_spark.sources.tables import load_table
+    from data_platform_spark.streaming import read_events_stream
+    from data_platform_spark.streaming.events import click_purchase_join_stream
+
+    stream = read_events_stream(spark, events_dir)
+    clicks_s = stream.filter(F.col("event_type") == "click")
+    purchases_s = stream.filter(F.col("event_type") == "purchase")
+    q = (
+        click_purchase_join_stream(clicks_s, purchases_s)
+        .writeStream.format("memory")
+        .queryName("ssj_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["purchase_id"], r["click_ts"])
+        for r in spark.table("ssj_sink").collect()
+    }
+
+    ev = load_table(spark, SF, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    want = {
+        (r["purchase_id"], r["click_ts"])
+        for r in p.join(
+            c,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("click_ts") <= F.col("purchase_ts"))
+            & (
+                F.col("click_ts")
+                >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")
+            ),
+        ).collect()
+    }
+    assert got == want and len(got) > 0
