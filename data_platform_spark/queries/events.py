@@ -351,3 +351,57 @@ ORACLE.update(
         """,
     }
 )
+
+
+def events_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's built-in session_window in BATCH mode, validated against a
+    first-principles lag+cumsum oracle: window end = last event + gap,
+    sessions split on >30min inactivity (exact-boundary events merge)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("sw"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+QUERIES["events_session_window_builtin"] = events_session_window_builtin
+
+# session_window merges events with gap <= 30min (boundary-equal events
+# merge: end is exclusive), i.e. a NEW session starts when the gap is
+# STRICTLY greater than 30min — same predicate as events_sessionize;
+# session_end = last ts + gap.
+ORACLE["events_session_window_builtin"] = """
+    WITH flagged AS (
+        SELECT
+            user_id, event_id, ts,
+            CASE
+                WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER w >= 1800000
+                THEN 1 ELSE 0
+            END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+            sum(is_new) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS session_id
+        FROM flagged
+    )
+    SELECT
+        user_id,
+        min(ts) AS session_start,
+        max(ts) + INTERVAL 30 MINUTE AS session_end,
+        count(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_id
+"""
