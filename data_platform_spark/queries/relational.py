@@ -1571,3 +1571,43 @@ ORACLE.update(
         """,
     }
 )
+
+
+def rank_vs_dense_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-aware ranking semantics: rank() (gaps) vs dense_rank() (no
+    gaps) over rounded prices per status — ties are real after rounding,
+    so the two functions genuinely diverge."""
+    orders = load_table(spark, sf_dir, "orders")
+    price2 = pround(F.col("o_totalprice"))
+    w = Window.partitionBy("o_orderstatus").orderBy(F.desc(price2))
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_orderstatus",
+            price2.alias("price"),
+            F.rank().over(w).alias("price_rank"),
+            F.dense_rank().over(w).alias("price_dense_rank"),
+        )
+        .filter(F.col("price_rank") <= 5)
+    )
+
+
+QUERIES["rank_vs_dense_rank_orders"] = rank_vs_dense_rank_orders
+
+ORACLE["rank_vs_dense_rank_orders"] = f"""
+    SELECT o_orderkey, o_orderstatus, price, price_rank, price_dense_rank
+    FROM (
+        SELECT
+            o_orderkey,
+            o_orderstatus,
+            {sql_round("o_totalprice")} AS price,
+            rank() OVER w AS price_rank,
+            dense_rank() OVER w AS price_dense_rank
+        FROM orders
+        WINDOW w AS (
+            PARTITION BY o_orderstatus
+            ORDER BY {sql_round("o_totalprice")} DESC
+        )
+    )
+    WHERE price_rank <= 5
+"""
