@@ -44,14 +44,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # date_trunc/unix_millis over LTZ timestamps), so pin it here.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects; read the raw int64 nanos and truncate to the
-        # engine's microsecond timestamps (same truncation DuckDB applies).
+        # driver testdata events.ts is parquet TIMESTAMP(NANOS), which
+        # Spark's vectorized reader rejects; read the raw int64 nanos and
+        # truncate to the engine's microsecond timestamps (the same
+        # truncation DuckDB applies). Re-derived events tables (e.g.
+        # scripts/make_scale.py output) already carry µs timestamps —
+        # convert only when the column arrives as the raw long.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+        if dict(df.dtypes)["ts"] == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df.select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        )
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
