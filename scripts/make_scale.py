@@ -24,7 +24,11 @@ from data_platform_spark.session import get_spark
 from data_platform_spark.sources.tables import load_table
 
 SRC = "/root/testdata/sf0.1"
-OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale", "sf1")
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def out_dir(name: str) -> str:
+    return os.path.join(_REPO, ".scale", name)
 
 # key columns remapped per table (k -> k*N + i); non-key attrs copied
 KEYMAP = {
@@ -42,6 +46,7 @@ SMALL = ["region", "nation"]  # bounded dims: copied once, not replicated
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    OUT = out_dir(sys.argv[2] if len(sys.argv) > 2 else f"sf{n // 10}")
     spark = get_spark(app_name="make-scale")
     os.makedirs(OUT, exist_ok=True)
 
