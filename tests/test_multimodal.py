@@ -48,3 +48,21 @@ def test_frame_sample_fanout(spark, media):
     assert len(rows) == 1
     assert rows[0]["frame_no"] == 0
     assert len(rows[0]["frame"]) == 1024
+
+
+def test_read_binary_dir(spark, tmp_path):
+    """binaryFile source → media relation with hashed ids + typed meta."""
+    d = tmp_path / "imgs"
+    d.mkdir()
+    (d / "a.png").write_bytes(b"\x89PNG" + bytes(64))
+    (d / "b.png").write_bytes(b"\x89PNG" + bytes(128))
+    media = M.read_binary_dir(spark, str(d), kind="image")
+    rows = {r["meta"]["source"].rsplit("/", 1)[-1]: r for r in media.collect()}
+    assert set(rows) == {"a.png", "b.png"}
+    assert rows["a.png"]["meta"]["n_bytes"] == 68
+    assert rows["b.png"]["kind"] == "image"
+    assert len({r["media_id"] for r in rows.values()}) == 2
+    # schema contract matches the synthetic-blob constructor
+    assert [f.name for f in media.schema.fields] == [
+        f.name for f in M.MEDIA_SCHEMA.fields
+    ]

@@ -253,3 +253,25 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         assert got == want
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_warehouse_swap_preserves_state_on_failure(spark, wh):
+    """O2 atomicity: a failing write must leave the previous table state
+    untouched (write-temp-then-swap never mutates in place)."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    good = spark.createDataFrame([(1, "ok")], "id int, v string")
+    wh.write(good, "stg", "swap_demo")
+
+    @F.udf(T.StringType())
+    def boom(v):
+        raise RuntimeError("simulated mid-write failure")
+
+    bad = good.withColumn("v", boom(F.col("v")))
+    with pytest.raises(Exception):
+        wh.write(bad, "stg", "swap_demo")
+
+    back = wh.read(spark, "stg", "swap_demo")
+    assert [tuple(r) for r in back.collect()] == [(1, "ok")]
