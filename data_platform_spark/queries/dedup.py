@@ -279,3 +279,56 @@ ORACLE["neardup_components"] = f"""
     FROM reach
     GROUP BY src
 """
+
+
+def neardup_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the near-dup pair graph (the clustering-
+    coefficient building block): ordered edges (a<b) joined twice with a
+    closing-edge semi-join — each triangle counted exactly once. Shuffle
+    keys are the edge endpoints; no adjacency materialization."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    doc_sh = D.shingle_array_df(docs).persist()
+    sig = D.minhash_signatures(doc_sh).persist()
+    cand = D.lsh_candidate_pairs(sig)
+    edges = (
+        D.verified_jaccard(doc_sh, cand, threshold=JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+        .persist()
+    )
+    ab = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    bc = edges.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
+    ac = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
+    wedges = ab.join(bc, "b")
+    triangles = wedges.join(ac, ["a", "c"], "left_semi")
+    return triangles.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+QUERIES["neardup_triangle_count"] = neardup_triangle_count
+
+ORACLE["neardup_triangle_count"] = f"""
+    WITH {_shingle_cte()},
+    {_sig_sql()},
+    {_bands_sql()},
+    sizes AS (
+        SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ),
+    common AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS n_common
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        GROUP BY c.doc_a, c.doc_b
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b
+        FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE {sql_round("n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common)", 4)}
+              >= {JACCARD_THRESHOLD}
+    )
+    SELECT count(*) AS n_triangles
+    FROM edges e1
+    JOIN edges e2 ON e1.b = e2.a
+    JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+"""
