@@ -24,12 +24,10 @@ def ema_per_group_builder(alpha: float, value_col: str, ts_cols: list[str]):
 
     def ema(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(ts_cols).reset_index(drop=True)
-        out = []
-        state = None
-        for v in pdf[value_col]:
-            state = v if state is None else alpha * v + (1 - alpha) * state
-            out.append(state)
-        pdf["ema"] = out
+        # pandas ewm(adjust=False) computes exactly the recurrence
+        # y_t = alpha*x_t + (1-alpha)*y_{t-1}, y_0 = x_0 — vectorized,
+        # no per-row Python loop
+        pdf["ema"] = pdf[value_col].ewm(alpha=alpha, adjust=False).mean()
         return pdf
 
     return ema
