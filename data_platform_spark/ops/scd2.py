@@ -37,6 +37,7 @@ def scd2_apply(
     carried_cols: list[str],
     sk_col: str,
     batch_ts: Column,
+    close_missing: bool = False,
 ) -> DataFrame:
     """Return the full new state of an SCD2 dimension.
 
@@ -49,6 +50,11 @@ def scd2_apply(
          dags/dwh_dim_character.py:63-69).
     carried_cols: attributes copied to new versions but not change-
          detected (e.g. source_created_at).
+    close_missing: source-delete handling. The reference never closes a
+         key that vanished from the snapshot (absent keys stay current —
+         its API is append-only); with ``close_missing=True`` such keys
+         are soft-closed at ``batch_ts`` instead (full-snapshot sources
+         where absence means deletion).
     """
     attr_cols = tracked_cols + carried_cols
 
@@ -80,15 +86,19 @@ def scd2_apply(
 
     joined = cur.join(snap, match, "left")
 
-    # current rows with no change (or key absent from snapshot): keep as-is
-    unchanged = joined.filter(
-        F.col(f"snap.{business_key}").isNull() | ~is_changed
-    ).select("cur.*")
+    snap_missing = F.col(f"snap.{business_key}").isNull()
+    if close_missing:
+        # absent key = source delete: keep only unchanged PRESENT keys,
+        # close both changed and vanished keys
+        unchanged = joined.filter(~snap_missing & ~is_changed).select("cur.*")
+        close_pred = snap_missing | is_changed
+    else:
+        # reference semantics: absent keys stay current untouched
+        unchanged = joined.filter(snap_missing | ~is_changed).select("cur.*")
+        close_pred = ~snap_missing & is_changed
 
-    # current rows whose attributes changed: close out
-    closed = joined.filter(
-        F.col(f"snap.{business_key}").isNotNull() & is_changed
-    ).select(
+    # current rows to close out
+    closed = joined.filter(close_pred).select(
         F.col(f"cur.{sk_col}").alias(sk_col),
         F.col(f"cur.{business_key}").alias(business_key),
         *[F.col(f"cur.{c}").alias(c) for c in attr_cols],

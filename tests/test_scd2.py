@@ -84,3 +84,30 @@ def test_invariants(spark):
     assert d2.filter(F.col("valid_from") >= F.col("valid_to")).count() == 0
     # SK uniqueness
     assert d2.select("sk").distinct().count() == d2.count()
+
+
+def test_close_missing_soft_deletes(spark):
+    d1 = _apply(None, _stg(spark, [(1, "a", "x"), (2, "b", "y")]), TS1)
+    # key 2 vanishes from the snapshot
+    snap2 = _stg(spark, [(1, "a", "x")])
+
+    # default (reference semantics): absent key stays current
+    d2_keep = scd2_apply(
+        d1, snap2, business_key="bk", tracked_cols=["attr"],
+        carried_cols=["extra"], sk_col="sk", batch_ts=F.lit(TS2),
+    )
+    r2 = [r for r in d2_keep.collect() if r["bk"] == 2]
+    assert len(r2) == 1 and r2[0]["is_current"]
+
+    # close_missing: absent key soft-closed at the batch clock
+    d2_close = scd2_apply(
+        d1, snap2, business_key="bk", tracked_cols=["attr"],
+        carried_cols=["extra"], sk_col="sk", batch_ts=F.lit(TS2),
+        close_missing=True,
+    )
+    r2c = [r for r in d2_close.collect() if r["bk"] == 2]
+    assert len(r2c) == 1
+    assert not r2c[0]["is_current"] and r2c[0]["valid_to"] == TS2
+    # present unchanged key untouched in both modes
+    r1c = [r for r in d2_close.collect() if r["bk"] == 1]
+    assert len(r1c) == 1 and r1c[0]["is_current"]
