@@ -1611,3 +1611,77 @@ ORACLE["rank_vs_dense_rank_orders"] = f"""
     )
     WHERE price_rank <= 5
 """
+
+
+def nationkeys_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — multiset semantics (each key kept min(countL,
+    countR) times), distinct from the set-semantics INTERSECT."""
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        cust.select(F.col("c_nationkey").alias("nationkey"))
+        .intersectAll(supp.select(F.col("s_nationkey").alias("nationkey")))
+    )
+
+
+def nationkeys_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — multiset difference (occurrences subtracted, not
+    eliminated wholesale)."""
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        cust.select(F.col("c_nationkey").alias("nationkey"))
+        .exceptAll(supp.select(F.col("s_nationkey").alias("nationkey")))
+    )
+
+
+def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """width_bucket equi-width histogram of order totals (fixed bounds so
+    the bucketing is scale-independent)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.width_bucket(F.col("o_totalprice"), F.lit(0.0), F.lit(600000.0), F.lit(12))
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+QUERIES.update(
+    {
+        "nationkeys_intersect_all": nationkeys_intersect_all,
+        "nationkeys_except_all": nationkeys_except_all,
+        "order_price_histogram": order_price_histogram,
+    }
+)
+
+ORACLE.update(
+    {
+        "nationkeys_intersect_all": """
+            SELECT c_nationkey AS nationkey FROM customer
+            INTERSECT ALL
+            SELECT s_nationkey AS nationkey FROM supplier
+        """,
+        "nationkeys_except_all": """
+            SELECT c_nationkey AS nationkey FROM customer
+            EXCEPT ALL
+            SELECT s_nationkey AS nationkey FROM supplier
+        """,
+        # DuckDB 1.0 has no width_bucket: mirror its semantics
+        # (bucket i covers [lo+(i-1)w, lo+iw); below-range -> 0,
+        # >= hi -> n+1) with explicit arithmetic
+        "order_price_histogram": """
+            SELECT
+                CASE
+                    WHEN o_totalprice < 0.0 THEN 0
+                    WHEN o_totalprice >= 600000.0 THEN 13
+                    ELSE 1 + floor(o_totalprice / 50000.0)::BIGINT
+                END AS bucket,
+                count(*) AS n_orders
+            FROM orders
+            GROUP BY 1
+        """,
+    }
+)
