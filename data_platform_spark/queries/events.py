@@ -405,3 +405,22 @@ ORACLE["events_session_window_builtin"] = """
     FROM numbered
     GROUP BY user_id, session_id
 """
+
+
+def approx_stats_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based approximate aggregates — the scale path when exact
+    distinct counts / quantiles are too expensive: HyperLogLog++
+    (approx_count_distinct, fixed mergeable sketch) and an approximate
+    percentile. No SQL oracle (sketch internals are engine-specific);
+    accuracy vs exact values is unit-tested with tolerance."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.percentile_approx("value", 0.5, 1000).alias("approx_median_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+QUERIES["approx_stats_sketches"] = approx_stats_sketches
+# intentionally no oracle: sketches are engine-specific; accuracy bound
+# asserted in tests/test_ops.py against exact aggregates.

@@ -196,3 +196,26 @@ def test_asof_join_agrees_with_cogroup_reference(spark):
     )
     want = {r["event_id"]: r["click_ts"] for r in ref.collect()}
     assert got == want and len(got) > 0
+
+
+def test_approx_sketches_within_tolerance(spark):
+    from pyspark.sql import functions as F
+    from data_platform_spark.queries.events import approx_stats_sketches
+    from data_platform_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    approx = {r["event_type"]: r for r in approx_stats_sketches(spark, sf).collect()}
+    exact = {
+        r["event_type"]: r
+        for r in load_table(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("users"),
+            F.expr("percentile(value, 0.5)").alias("median_value"),
+        )
+        .collect()
+    }
+    for et, e in exact.items():
+        a = approx[et]
+        assert abs(a["approx_users"] - e["users"]) <= max(3, 0.05 * e["users"]), et
+        assert abs(a["approx_median_value"] - e["median_value"]) <= 5.0, et
