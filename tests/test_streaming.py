@@ -292,3 +292,76 @@ def test_stream_stream_interval_join_equals_batch(spark, events_dir):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Late-data handling: events arriving after the watermark has passed
+    their window are DROPPED from the aggregation. File 1 carries the
+    newest events (advancing the watermark); file 2 replays much older
+    events — with a 2h watermark they are beyond the threshold and must
+    not create/update their windows."""
+    import json as _json
+
+    import duckdb
+
+    from data_platform_spark.streaming import hourly_agg_stream, read_events_stream
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT event_id, ts, user_id, event_type, value, props "
+        f"FROM '{SF}/events.parquet' ORDER BY ts"
+    ).fetchall()
+    con.close()
+
+    def dump(path, chunk):
+        with open(path, "w") as f:
+            for r in chunk:
+                f.write(_json.dumps({
+                    "event_id": r[0], "ts": r[1].isoformat(), "user_id": r[2],
+                    "event_type": r[3], "value": r[4], "props": r[5],
+                }) + "\n")
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    # Spark's late-event filter uses the PREVIOUS batch's eviction
+    # watermark, so the watermark advanced by batch A only filters from
+    # batch C onward — three micro-batches: A bulk-new, B newest sliver
+    # (keeps the clock advanced), C the late replay.
+    import os as _os
+    import time as _time
+
+    dump(src / "a-bulk.json", rows[500:900])
+    dump(src / "b-tip.json", rows[900:])
+    dump(src / "c-late.json", rows[:500])   # weeks older than the watermark
+    now = _time.time()
+    _os.utime(src / "a-bulk.json", (now - 200, now - 200))
+    _os.utime(src / "b-tip.json", (now - 100, now - 100))
+    _os.utime(src / "c-late.json", (now, now))
+
+    stream = read_events_stream(spark, str(src), max_files_per_trigger=1)
+    q = (
+        hourly_agg_stream(stream, watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("late_sink")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    from pyspark.sql import functions as F
+
+    sink = spark.table("late_sink")
+    split_hour = rows[500][1].replace(minute=0, second=0, microsecond=0)
+    # the late replay (weeks before the watermark) must NOT have created
+    # any of its windows (the boundary hour itself belongs to the new era)
+    late_windows = sink.filter(F.col("hour_start") < F.lit(split_hour)).count()
+    assert late_windows == 0, late_windows
+    # ...while the new-era events are fully aggregated
+    got_events = (
+        sink.groupBy("hour_start", "event_type")
+        .agg(F.max("n_events").alias("n"))
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    assert got_events == 500, got_events
