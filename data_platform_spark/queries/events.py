@@ -424,3 +424,49 @@ def approx_stats_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["approx_stats_sketches"] = approx_stats_sketches
 # intentionally no oracle: sketches are engine-specific; accuracy bound
 # asserted in tests/test_ops.py against exact aggregates.
+
+
+def top_user_per_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed top-k inside time buckets: the highest-value user of each
+    hour (agg → rank within bucket, deterministic tie-break)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_start"), "user_id"
+        )
+        .agg(pround(F.sum("value")).alias("hour_value"))
+    )
+    w = Window.partitionBy("hour_start").orderBy(
+        F.desc("hour_value"), F.asc("user_id")
+    )
+    return (
+        hourly.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("hour_start", "user_id", "hour_value")
+    )
+
+
+QUERIES["top_user_per_hour"] = top_user_per_hour
+
+ORACLE["top_user_per_hour"] = f"""
+    SELECT hour_start, user_id, hour_value
+    FROM (
+        SELECT
+            hour_start,
+            user_id,
+            hour_value,
+            row_number() OVER (
+                PARTITION BY hour_start
+                ORDER BY hour_value DESC, user_id ASC
+            ) AS rk
+        FROM (
+            SELECT
+                date_trunc('hour', ts) AS hour_start,
+                user_id,
+                {sql_round("sum(value)")} AS hour_value
+            FROM events
+            GROUP BY 1, 2
+        )
+    )
+    WHERE rk = 1
+"""

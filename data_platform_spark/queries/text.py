@@ -367,3 +367,38 @@ ORACLE.update(
         """,
     }
 )
+
+
+def term_zipf_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-frequency (Zipf) table of the corpus vocabulary: term counts
+    with a deterministic frequency rank — the diagnostic behind
+    stopword-list and vocabulary-truncation decisions."""
+    from pyspark.sql.window import Window
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    counts = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("term"))
+    return counts.select(
+        "term", "n", F.row_number().over(w).alias("freq_rank")
+    )
+
+
+QUERIES["term_zipf_ranks"] = term_zipf_ranks
+
+ORACLE["term_zipf_ranks"] = """
+    SELECT
+        term,
+        n,
+        row_number() OVER (ORDER BY n DESC, term ASC) AS freq_rank
+    FROM (
+        SELECT term, count(*) AS n
+        FROM (
+            SELECT unnest(string_split(text, ' ')) AS term FROM documents
+        )
+        GROUP BY term
+    )
+"""
