@@ -148,10 +148,10 @@ ORACLE = {
         numbered AS (
             SELECT
                 user_id, event_id, ts, value,
-                sum(is_new) OVER (
+                CAST(sum(is_new) OVER (
                     PARTITION BY user_id ORDER BY ts, event_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                ) + 1 AS session_id
+                ) + 1 AS BIGINT) AS session_id
             FROM flagged
         )
         SELECT

@@ -212,11 +212,17 @@ def scd2_order_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     sentinel = F.lit(VALID_TO_INFINITY).cast("timestamp")
+    # valid_to is rendered as a string: the 9999-12-31 open-interval sentinel
+    # overflows pandas' ns-resolution timestamps, so timestamp-typed output
+    # cannot round-trip through a pandas-based comparator.
     return orders.select(
         "o_custkey",
         "o_orderkey",
         F.col("o_orderdate").alias("valid_from"),
-        F.coalesce(F.lead("o_orderdate").over(w), sentinel).alias("valid_to"),
+        F.date_format(
+            F.coalesce(F.lead("o_orderdate").over(w), sentinel),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("valid_to"),
         F.lead("o_orderdate").over(w).isNull().alias("is_current"),
     )
 
@@ -378,9 +384,12 @@ ORACLE = {
             o_custkey,
             o_orderkey,
             o_orderdate AS valid_from,
-            coalesce(
-                lead(o_orderdate) OVER w,
-                TIMESTAMP '9999-12-31 00:00:00'
+            strftime(
+                coalesce(
+                    lead(o_orderdate) OVER w,
+                    TIMESTAMP '9999-12-31 00:00:00'
+                ),
+                '%Y-%m-%d %H:%M:%S'
             ) AS valid_to,
             lead(o_orderdate) OVER w IS NULL AS is_current
         FROM orders
@@ -398,7 +407,7 @@ ORACLE = {
     "value_change_detection": """
         SELECT
             user_id,
-            sum(CASE WHEN value IS DISTINCT FROM prev_value THEN 1 ELSE 0 END) AS n_changes,
+            CAST(sum(CASE WHEN value IS DISTINCT FROM prev_value THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
             count(*) AS n_events
         FROM (
             SELECT
@@ -862,10 +871,10 @@ ORACLE.update(
             SELECT
                 year(o_orderdate) AS order_year,
                 month(o_orderdate) AS order_month,
-                sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                         THEN 1 ELSE 0 END) AS high_line_count,
-                sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                         THEN 1 ELSE 0 END) AS low_line_count
+                CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
             FROM orders
             GROUP BY 1, 2
         """,
@@ -1054,8 +1063,12 @@ def customer_order_ids_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered array aggregation: each customer's order keys as a sorted
     array (collect_list + sort_array — deterministic layout)."""
     orders = load_table(spark, sf_dir, "orders")
+    # order_ids is serialized to a CSV string: pandas-based comparators cannot
+    # sort/hash list-typed cells (unhashable), so the array stays internal.
     return orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
-        F.sort_array(F.collect_list("o_orderkey")).alias("order_ids"),
+        F.array_join(F.sort_array(F.collect_list("o_orderkey")), ",").alias(
+            "order_ids"
+        ),
         F.count(F.lit(1)).alias("n_orders"),
     )
 
@@ -1093,7 +1106,7 @@ ORACLE.update(
         "customer_order_ids_array": """
             SELECT
                 o_custkey AS custkey,
-                list_sort(list(o_orderkey)) AS order_ids,
+                array_to_string(list_sort(list(o_orderkey)), ',') AS order_ids,
                 count(*) AS n_orders
             FROM orders
             GROUP BY o_custkey

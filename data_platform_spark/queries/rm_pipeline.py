@@ -30,6 +30,11 @@ from data_platform_spark.sources.fixtures import base_universe
 BATCH_TS = datetime(2026, 1, 1, 12, 0, 0)
 _TS_SQL = "TIMESTAMP '2026-01-01 12:00:00'"
 _INF_SQL = f"TIMESTAMP '{VALID_TO_INFINITY}'"
+# valid_to leaves the dim as a STRING in gate queries: the 9999-12-31 open
+# sentinel overflows pandas ns timestamps in the driver's canonicalizer.
+_INF_STR = f"'{VALID_TO_INFINITY}'"
+def _valid_to_str():
+    return F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to")
 
 
 def _payloads(entities) -> list[str]:
@@ -64,7 +69,7 @@ def rm_dim_character_first_load(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gender",
         "character_url",
         "valid_from",
-        "valid_to",
+        _valid_to_str(),
         "is_current",
     )
 
@@ -115,7 +120,7 @@ def _build_oracle() -> dict[str, str]:
                 json_extract_string(j,'$.gender') AS gender,
                 json_extract_string(j,'$.url') AS character_url,
                 {_TS_SQL} AS valid_from,
-                {_INF_SQL} AS valid_to,
+                {_INF_STR} AS valid_to,
                 TRUE AS is_current
             FROM {chars_values}
         """,
@@ -193,6 +198,7 @@ ORACLE = _build_oracle()
 
 BATCH_TS2 = datetime(2026, 2, 1, 12, 0, 0)
 _TS2_SQL = "TIMESTAMP '2026-02-01 12:00:00'"
+_TS2_STR = "'2026-02-01 12:00:00'"
 
 
 def rm_dim_character_after_mutation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -219,7 +225,7 @@ def rm_dim_character_after_mutation(spark: SparkSession, sf_dir: str) -> DataFra
         "status",
         "type",
         "valid_from",
-        "valid_to",
+        _valid_to_str(),
         "is_current",
     )
 
@@ -269,7 +275,7 @@ def _mutation_oracle() -> str:
         )
         -- unchanged current versions (run 1 values, still open)
         SELECT s.character_sk, b.character_id, b.status, b.type,
-               {_TS_SQL} AS valid_from, {_INF_SQL} AS valid_to,
+               {_TS_SQL} AS valid_from, {_INF_STR} AS valid_to,
                TRUE AS is_current
         FROM base b
         JOIN sk1 s ON s.character_id = b.character_id
@@ -277,7 +283,7 @@ def _mutation_oracle() -> str:
         UNION ALL
         -- closed-out old versions of changed keys
         SELECT s.character_sk, b.character_id, b.status, b.type,
-               {_TS_SQL} AS valid_from, {_TS2_SQL} AS valid_to,
+               {_TS_SQL} AS valid_from, {_TS2_STR} AS valid_to,
                FALSE AS is_current
         FROM base b
         JOIN sk1 s ON s.character_id = b.character_id
@@ -285,7 +291,7 @@ def _mutation_oracle() -> str:
         UNION ALL
         -- newly opened versions with run-2 values and fresh SKs
         SELECT s2.character_sk, m.character_id, m.status, m.type,
-               {_TS2_SQL} AS valid_from, {_INF_SQL} AS valid_to,
+               {_TS2_SQL} AS valid_from, {_INF_STR} AS valid_to,
                TRUE AS is_current
         FROM mut m
         JOIN sk2 s2 ON s2.character_id = m.character_id

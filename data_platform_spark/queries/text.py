@@ -130,7 +130,7 @@ def _build_oracle() -> dict[str, str]:
             SELECT
                 lang,
                 count(*) AS n_docs,
-                sum(len(regexp_extract_all(text, '{X.TOKEN_REGEX}'))::BIGINT) AS total_tokens,
+                CAST(sum(len(regexp_extract_all(text, '{X.TOKEN_REGEX}'))::BIGINT) AS BIGINT) AS total_tokens,
                 {sql_round("avg(len(string_split(text, ' ')))")} AS avg_words
             FROM documents
             GROUP BY lang
