@@ -198,6 +198,7 @@ def hamming64(a: Column, b: Column) -> Column:
 def connected_components(
     edges: DataFrame,
     max_iterations: int = 20,
+    strict: bool = True,
 ) -> DataFrame:
     """Connected components by iterative min-label propagation — the
     clustering step that turns near-dup PAIRS into dedup GROUPS.
@@ -207,9 +208,16 @@ def connected_components(
 
     Driver-side loop with a convergence check per iteration (the standard
     Spark iterative-algorithm shape, cf. GraphX/Pregel): each step is one
-    join + aggregation keyed by node; ``localCheckpoint`` truncates the
-    lineage so plan depth stays constant. Near-dup components have tiny
-    diameters, so this converges in a handful of rounds.
+    join + aggregation keyed by node, followed by a pointer-jumping hop
+    (label := label of my label) so label reach doubles per round —
+    convergence in O(log diameter) iterations instead of O(diameter);
+    ``localCheckpoint`` truncates the lineage so plan depth stays
+    constant. Near-dup components have tiny diameters, so this converges
+    in a handful of rounds.
+
+    ``strict=True`` raises if the loop exits while labels were still
+    changing — silently returning unconverged (wrong) components is worse
+    than failing.
     """
     bidir = (
         edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -223,6 +231,7 @@ def connected_components(
         .withColumn("label", F.col("doc_id"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             bidir.join(labels, bidir.dst == labels.doc_id)
@@ -240,9 +249,30 @@ def connected_components(
                 F.col("label").alias("_old"),
             )
         )
-        changed = updated.filter(F.col("label") != F.col("_old")).count()
-        labels = updated.select("doc_id", "label").localCheckpoint()
+        # pointer jumping: follow my label's label (labels are doc_ids, so
+        # the label table doubles as the pointer table)
+        parent = updated.select(
+            F.col("doc_id").alias("p_id"), F.col("label").alias("p_label")
+        )
+        jumped = (
+            updated.join(parent, updated.label == parent.p_id, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))
+                ).alias("label"),
+                "_old",
+            )
+        )
+        changed = jumped.filter(F.col("label") != F.col("_old")).count()
+        labels = jumped.select("doc_id", "label").localCheckpoint()
         if changed == 0:
+            converged = True
             break
     bidir.unpersist()
+    if not converged and strict:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations — raise max_iterations (labels were still moving)"
+        )
     return labels.select("doc_id", F.col("label").alias("component"))

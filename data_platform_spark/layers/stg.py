@@ -18,6 +18,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from data_platform_spark.ops.core import (
+    anti_append,
     explode_links,
     guarded_to_date,
     normalize_empty_to_null,
@@ -122,39 +123,68 @@ def _first_load(snapshot: DataFrame, batch_ts: Column) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def build_episode_ch(raw_character: DataFrame, batch_ts: Column) -> DataFrame:
-    """stg.episode_ch: (character id, episode url)
+def _link_do_nothing(
+    snapshot: DataFrame, existing: DataFrame | None, keys: list[str]
+) -> DataFrame:
+    """``ON CONFLICT DO NOTHING`` link semantics: existing rows keep their
+    original ``loaded_at``; only never-seen keys append with the current
+    batch clock (dags/stg_character.py:171 et al.). One anti-join shuffle
+    on the PK, no rewrite of surviving rows' values."""
+    if existing is None:
+        return snapshot
+    return existing.unionByName(anti_append(snapshot, existing, keys))
+
+
+def build_episode_ch(
+    raw_character: DataFrame, batch_ts: Column, existing: DataFrame | None = None
+) -> DataFrame:
+    """stg.episode_ch: (character id, episode url), PK (id, url) DO NOTHING
     (dags/stg_character.py:161-173)."""
     d = _parsed(raw_character, CHARACTER_PAYLOAD)
-    return explode_links(d, "d.id", F.col("d.episode")).select(
+    snap = explode_links(d, "d.id", F.col("d.episode")).select(
         F.col("id"), F.col("url"), batch_ts.alias("loaded_at")
     )
+    return _link_do_nothing(snap, existing, ["id", "url"])
 
 
-def build_character_ep(raw_episode: DataFrame, batch_ts: Column) -> DataFrame:
-    """stg.character_ep: (episode id, character url)
-    (dags/stg_episode.py:86-98)."""
+def build_character_ep(
+    raw_episode: DataFrame, batch_ts: Column, existing: DataFrame | None = None
+) -> DataFrame:
+    """stg.character_ep: (episode id, character url), PK (id, url)
+    DO NOTHING (dags/stg_episode.py:86-98)."""
     d = _parsed(raw_episode, EPISODE_PAYLOAD)
-    return explode_links(d, "d.id", F.col("d.characters")).select(
+    snap = explode_links(d, "d.id", F.col("d.characters")).select(
         F.col("id"), F.col("url"), batch_ts.alias("loaded_at")
     )
+    return _link_do_nothing(snap, existing, ["id", "url"])
 
 
-def build_character_loc(raw_location: DataFrame, batch_ts: Column) -> DataFrame:
-    """stg.character_loc: (location id, resident character url)
-    (dags/stg_location.py:82-94)."""
+def build_character_loc(
+    raw_location: DataFrame, batch_ts: Column, existing: DataFrame | None = None
+) -> DataFrame:
+    """stg.character_loc: (location id, resident character url), PK
+    (id, url) DO NOTHING (dags/stg_location.py:82-94)."""
     d = _parsed(raw_location, LOCATION_PAYLOAD)
-    return explode_links(d, "d.id", F.col("d.residents")).select(
+    snap = explode_links(d, "d.id", F.col("d.residents")).select(
         F.col("id"), F.col("url"), batch_ts.alias("loaded_at")
     )
+    return _link_do_nothing(snap, existing, ["id", "url"])
 
 
-def build_location_ch(raw_character: DataFrame, batch_ts: Column) -> DataFrame:
+def build_location_ch(
+    raw_character: DataFrame, batch_ts: Column, existing: DataFrame | None = None
+) -> DataFrame:
     """stg.location_ch: character's origin + last-known location with role
     (dags/stg_character.py:100-147) — two projections of the same parse,
     empty urls normalized to NULL (P6, load-bearing for the Unknown join),
     rows with NULL url kept only when the reference keeps them (the
-    reference filters ``url IS NOT NULL``, :113,:137)."""
+    reference filters ``url IS NOT NULL``, :113,:137).
+
+    PK (id, role) with conditional update on (name, url): unchanged rows
+    keep loaded_at AND last_upd_at; changed rows bump last_upd_at only
+    (dags/stg_character.py:114-120) — upsert_preserving with a composite
+    key, exactly the entity-table S5 path.
+    """
     d = _parsed(raw_character, CHARACTER_PAYLOAD)
     last = d.select(
         F.col("d.id").alias("id"),
@@ -168,8 +198,15 @@ def build_location_ch(raw_character: DataFrame, batch_ts: Column) -> DataFrame:
         normalize_empty_to_null(F.col("d.origin.url")).alias("url"),
         F.lit("origin").alias("role"),
     ).filter(F.col("d.origin.url").isNotNull())
-    return (
+    snap = (
         last.unionByName(origin)
         .dropDuplicates(["id", "role"])
-        .select("id", "name", "url", "role", batch_ts.alias("loaded_at"))
+        .select("id", "name", "url", "role")
+    )
+    if existing is None:
+        return snap.select(
+            "*", batch_ts.alias("loaded_at"), batch_ts.alias("last_upd_at")
+        )
+    return upsert_preserving(
+        existing, snap, ["id", "role"], ["name", "url"], batch_ts
     )

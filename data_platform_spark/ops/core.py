@@ -82,7 +82,7 @@ def anti_append(new: DataFrame, existing: DataFrame, keys: list[str]) -> DataFra
 def upsert_preserving(
     existing: DataFrame,
     incoming: DataFrame,
-    key: str,
+    key: str | list[str],
     tracked_cols: list[str],
     batch_ts: Column,
     preserved_cols: tuple[str, str] = ("loaded_at", "last_upd_at"),
@@ -96,21 +96,29 @@ def upsert_preserving(
     per-row three-way case. One shuffle on the key; output is the complete
     new table state (write-and-swap, SURVEY.md §4.3.5).
 
+    ``key`` may be a composite key (list) — e.g. the reference's
+    ``location_ch`` PK (id, role) (dags/stg_character.py:114).
+
     ``incoming`` must carry ``key`` + ``tracked_cols``; timestamps are
     assigned here from the single ``batch_ts`` (P7 determinism: one clock
     per pipeline run, like PG's transaction-constant now()).
     """
+    keys = [key] if isinstance(key, str) else list(key)
     loaded_col, upd_col = preserved_cols
     old = existing.alias("old")
     new = incoming.alias("new")
     cond = changed("old", "new", tracked_cols)
-    joined = old.join(new, on=F.col(f"old.{key}") == F.col(f"new.{key}"), how="full_outer")
+    on = reduce(
+        lambda a, b: a & b,
+        [F.col(f"old.{k}") == F.col(f"new.{k}") for k in keys],
+    )
+    joined = old.join(new, on=on, how="full_outer")
 
-    is_insert = F.col(f"old.{key}").isNull()
-    is_update = (~is_insert) & F.col(f"new.{key}").isNotNull() & cond
+    is_insert = F.col(f"old.{keys[0]}").isNull()
+    is_update = (~is_insert) & F.col(f"new.{keys[0]}").isNotNull() & cond
 
     out_cols = [
-        F.coalesce(F.col(f"new.{key}"), F.col(f"old.{key}")).alias(key)
+        F.coalesce(F.col(f"new.{k}"), F.col(f"old.{k}")).alias(k) for k in keys
     ]
     for c in tracked_cols:
         out_cols.append(

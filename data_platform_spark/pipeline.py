@@ -37,6 +37,40 @@ class Warehouse:
         self.root = root
         for s in self.SCHEMAS:
             os.makedirs(os.path.join(root, s), exist_ok=True)
+        self.recover()
+
+    def recover(self) -> list[str]:
+        """Crash recovery for the double-rename swap.
+
+        The swap's vulnerable window: after ``rename(final, old)`` but
+        before ``rename(tmp, final)`` the table directory is ABSENT — a
+        crash there would otherwise make the next run treat the table as
+        never-loaded and silently rebuild (losing SCD2 history). On
+        startup: roll back any ``.old-*`` whose final dir is missing,
+        delete ``.old-*`` leftovers whose final dir exists (swap completed,
+        cleanup died), and sweep stale ``.tmp-*`` staging dirs.
+
+        Returns a log of actions for tests/observability.
+        """
+        actions: list[str] = []
+        for s in self.SCHEMAS:
+            sdir = os.path.join(self.root, s)
+            for entry in sorted(os.listdir(sdir)):
+                full = os.path.join(sdir, entry)
+                if not os.path.isdir(full):
+                    continue
+                if ".tmp-" in entry:
+                    shutil.rmtree(full, ignore_errors=True)
+                    actions.append(f"swept {s}/{entry}")
+                elif ".old-" in entry:
+                    final = os.path.join(sdir, entry.split(".old-")[0])
+                    if os.path.isdir(final):
+                        shutil.rmtree(full, ignore_errors=True)
+                        actions.append(f"removed completed-swap {s}/{entry}")
+                    else:
+                        os.rename(full, final)
+                        actions.append(f"rolled back {s}/{entry}")
+        return actions
 
     def path(self, schema: str, table: str) -> str:
         return os.path.join(self.root, schema, table)
@@ -168,20 +202,40 @@ def run_pipeline(
             L_stg.build_stg_character(raw_ch, wh.read(spark, "stg", "character"), ts),
             "stg", "character",
         )
-        wh.write(L_stg.build_episode_ch(raw_ch, ts), "stg", "episode_ch")
-        wh.write(L_stg.build_location_ch(raw_ch, ts), "stg", "location_ch")
+        wh.write(
+            L_stg.build_episode_ch(
+                raw_ch, ts, wh.read(spark, "stg", "episode_ch")
+            ),
+            "stg", "episode_ch",
+        )
+        wh.write(
+            L_stg.build_location_ch(
+                raw_ch, ts, wh.read(spark, "stg", "location_ch")
+            ),
+            "stg", "location_ch",
+        )
     if raw_loc is not None:
         wh.write(
             L_stg.build_stg_location(raw_loc, wh.read(spark, "stg", "location"), ts),
             "stg", "location",
         )
-        wh.write(L_stg.build_character_loc(raw_loc, ts), "stg", "character_loc")
+        wh.write(
+            L_stg.build_character_loc(
+                raw_loc, ts, wh.read(spark, "stg", "character_loc")
+            ),
+            "stg", "character_loc",
+        )
     if raw_ep is not None:
         wh.write(
             L_stg.build_stg_episode(raw_ep, wh.read(spark, "stg", "episode"), ts),
             "stg", "episode",
         )
-        wh.write(L_stg.build_character_ep(raw_ep, ts), "stg", "character_ep")
+        wh.write(
+            L_stg.build_character_ep(
+                raw_ep, ts, wh.read(spark, "stg", "character_ep")
+            ),
+            "stg", "character_ep",
+        )
 
     stg_ch = wh.read(spark, "stg", "character")
     stg_loc = wh.read(spark, "stg", "location")

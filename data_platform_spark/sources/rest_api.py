@@ -57,10 +57,9 @@ def walk_pages(
                 if attempt > retries:
                     raise
                 time.sleep(retry_delay_s)
-        results = page.get("results") or []
-        if not results:
-            return
-        yield from results
+        # An empty intermediate page is NOT end-of-walk: keep following the
+        # cursor (only a null info.next ends it); max_pages bounds the loop.
+        yield from page.get("results") or []
         url = (page.get("info") or {}).get("next")
         pages += 1
 

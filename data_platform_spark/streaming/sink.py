@@ -44,7 +44,16 @@ def stream_upsert_sink(
             if existing is None
             else existing.unionByName(batch_df)
         )
-        w = Window.partitionBy(*key_cols).orderBy(F.desc(order_col))
+        # Deterministic total order: order_col first, then every remaining
+        # column as tie-break (mirrors upsert_bronze's payload tie-break) —
+        # a replayed foreachBatch (at-least-once) must not flip the
+        # surviving row among equal order_col values.
+        tie_break = [
+            F.desc(c)
+            for c in sorted(merged.columns)
+            if c != order_col and c not in key_cols
+        ]
+        w = Window.partitionBy(*key_cols).orderBy(F.desc(order_col), *tie_break)
         deduped = (
             merged.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)

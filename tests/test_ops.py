@@ -219,3 +219,29 @@ def test_approx_sketches_within_tolerance(spark):
         a = approx[et]
         assert abs(a["approx_users"] - e["users"]) <= max(3, 0.05 * e["users"]), et
         assert abs(a["approx_median_value"] - e["median_value"]) <= 5.0, et
+
+
+def test_connected_components_pointer_jump_converges_on_long_path(spark):
+    """A path graph of diameter 12 must converge well inside the doubling
+    bound (log2(12) ~ 4 rounds) and label every node with the min id."""
+    from data_platform_spark.functions.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "doc_a long, doc_b long"
+    )
+    comp = connected_components(edges, max_iterations=6)
+    rows = comp.collect()
+    assert len(rows) == 13
+    assert all(r["component"] == 0 for r in rows)
+
+
+def test_connected_components_strict_raises_when_unconverged(spark):
+    from data_platform_spark.functions.dedup import connected_components
+
+    import pytest
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iterations=1)

@@ -275,3 +275,65 @@ def test_warehouse_swap_preserves_state_on_failure(spark, wh):
 
     back = wh.read(spark, "stg", "swap_demo")
     assert [tuple(r) for r in back.collect()] == [(1, "ok")]
+
+
+def test_warehouse_recover_rolls_back_interrupted_swap(spark, wh):
+    """Crash between rename(final, old) and rename(tmp, final) leaves the
+    table ABSENT with a surviving .old-*; recover() must restore it rather
+    than let the next run silently first-load."""
+    import os
+    import shutil
+
+    df = spark.createDataFrame([(1, "v1")], "id int, v string")
+    wh.write(df, "dwh", "crash_demo")
+    final = wh.path("dwh", "crash_demo")
+
+    # simulate the mid-swap crash state
+    os.rename(final, f"{final}.old-deadbeef")
+    os.makedirs(f"{final}.tmp-cafe0000")  # stale staging dir too
+
+    wh2 = Warehouse(wh.root)  # fresh startup runs recovery
+    assert wh2.exists("dwh", "crash_demo")
+    assert not os.path.isdir(f"{final}.tmp-cafe0000")
+    back = wh2.read(spark, "dwh", "crash_demo")
+    assert [tuple(r) for r in back.collect()] == [(1, "v1")]
+
+
+def test_warehouse_recover_sweeps_completed_swap_leftovers(spark, wh):
+    """Crash after the swap completed but before old-dir cleanup: the
+    .old-* must be garbage-collected, final state untouched."""
+    import os
+
+    df = spark.createDataFrame([(2, "v2")], "id int, v string")
+    wh.write(df, "dwh", "leftover_demo")
+    final = wh.path("dwh", "leftover_demo")
+    os.makedirs(f"{final}.old-feedf00d")
+
+    wh2 = Warehouse(wh.root)
+    assert not os.path.isdir(f"{final}.old-feedf00d")
+    back = wh2.read(spark, "dwh", "leftover_demo")
+    assert [tuple(r) for r in back.collect()] == [(2, "v2")]
+
+
+def test_link_tables_preserve_loaded_at_across_reruns(spark, wh):
+    """Reference parity (ON CONFLICT DO NOTHING / conditional update):
+    rerunning the pipeline must NOT bump link-table loaded_at for rows
+    that already existed."""
+    run_pipeline(spark, wh, _bronze_all(spark, base_universe(), TS1), TS1)
+    first = {
+        (r["id"], r["url"]): r["loaded_at"]
+        for r in wh.read(spark, "stg", "episode_ch").collect()
+    }
+    assert first and all(ts == TS1 for ts in first.values())
+
+    run_pipeline(spark, wh, _bronze_all(spark, base_universe(), TS2), TS2)
+    second = {
+        (r["id"], r["url"]): r["loaded_at"]
+        for r in wh.read(spark, "stg", "episode_ch").collect()
+    }
+    assert second == first  # identical input -> loaded_at untouched
+
+    # location_ch (conditional-update PK (id, role)): same invariant, and
+    # last_upd_at also untouched when nothing changed
+    lch = wh.read(spark, "stg", "location_ch").collect()
+    assert all(r["loaded_at"] == TS1 and r["last_upd_at"] == TS1 for r in lch)

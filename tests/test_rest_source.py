@@ -64,3 +64,20 @@ def test_ingest_and_bronze_upsert(spark):
     row = merged.filter("source_id = 1").collect()[0]
     assert '"status": "Dead"' in row["payload"]
     assert row["loaded_at"] == TS2
+
+
+def test_walk_pages_continues_past_empty_intermediate_page():
+    """An empty results array mid-walk must not truncate ingestion when
+    info.next is still non-null (only a null cursor ends the walk)."""
+    pages = {
+        1: {"info": {"next": "u?page=2"}, "results": [{"id": 1}]},
+        2: {"info": {"next": "u?page=3"}, "results": []},
+        3: {"info": {"next": None}, "results": [{"id": 3}]},
+    }
+
+    def fetch(url):
+        n = int(url.rsplit("page=", 1)[-1]) if "page=" in url else 1
+        return pages[n]
+
+    got = list(walk_pages("u?page=1", fetch))
+    assert [e["id"] for e in got] == [1, 3]
