@@ -138,6 +138,68 @@ def srp_signature_np(vec: Column, n_planes: int = 16, dim: int = 64) -> Column:
     return _sig(vec)
 
 
+def srp_projections(vec: Column, n_planes: int = 16, dim: int = 64) -> list[Column]:
+    """Quantized per-plane projections of ``vec`` (the pre-sign values the
+    SRP signature is built from). JVM higher-order-function fold — meant
+    for single/few-row frames (the query side of ANN), where margins are
+    needed, not just the sign bits."""
+    dvec = as_double(vec)
+    all_weights = srp_plane_weights(n_planes, dim)
+    projs = []
+    for p in range(n_planes):
+        warr = F.array(*[F.lit(w) for w in all_weights[p]])
+        proj = F.aggregate(
+            F.zip_with(dvec, warr, lambda x, y: x * y),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+        projs.append(pround(proj, SRP_QUANTUM_DP))
+    return projs
+
+
+def srp_probe_buckets(
+    vec: Column, n_planes: int = 16, dim: int = 64, n_flip: int = 2
+) -> Column:
+    """Multi-probe SRP: array of bucket signatures to probe for a query.
+
+    Single-probe LSH has unbounded recall loss — a true neighbor on the
+    far side of ONE low-margin hyperplane lands in a different bucket and
+    is never seen. Multi-probe (Lv et al., VLDB'07) also probes the
+    buckets reached by flipping the ``n_flip`` lowest-|margin| bits (the
+    planes the query is closest to): probe set = { bucket XOR s : s ⊆
+    flip-bit masks } — 2**n_flip buckets, deterministic (margin ties break
+    by plane index). Everything is JVM expression logic on the 1-row query
+    frame; candidates stay an equi-join on bucket.
+    """
+    if n_flip != 2:
+        raise NotImplementedError("probe-set enumeration is written for n_flip=2")
+    projs = srp_projections(vec, n_planes, dim)
+    bucket = projs[0] * 0  # typed zero
+    for p in range(n_planes):
+        bucket = bucket + F.when(projs[p] > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    bucket = bucket.cast("int")
+    margins = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    F.abs(projs[p]).alias("m"), F.lit(p).cast("int").alias("p")
+                )
+                for p in range(n_planes)
+            ]
+        )
+    )
+    # 2**p via pow (exact for p < 2**53; F.shiftleft takes only literal
+    # shift amounts, not columns)
+    m1 = F.pow(F.lit(2.0), margins[0]["p"]).cast("int")
+    m2 = F.pow(F.lit(2.0), margins[1]["p"]).cast("int")
+    return F.array(
+        bucket,
+        bucket.bitwiseXOR(m1),
+        bucket.bitwiseXOR(m2),
+        bucket.bitwiseXOR(m1).bitwiseXOR(m2),
+    )
+
+
 def srp_signature(vec: Column, n_planes: int = 16, dim: int = 64) -> Column:
     """Sign-random-projection LSH signature as an int bitmask.
 

@@ -245,3 +245,40 @@ def test_connected_components_strict_raises_when_unconverged(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, max_iterations=1)
+
+
+def test_multiprobe_probe_set_contains_base_bucket(spark):
+    """srp_probe_buckets: 4 distinct signatures, the first being the plain
+    SRP signature (flip-none probe)."""
+    from pyspark.sql import functions as F
+
+    from data_platform_spark.functions import similarity as S
+    from data_platform_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").limit(5)
+    rows = emb.select(
+        S.srp_signature(F.col("embedding")).alias("sig"),
+        S.srp_probe_buckets(F.col("embedding")).alias("probes"),
+    ).collect()
+    for r in rows:
+        assert r["probes"][0] == r["sig"]
+        assert len(set(r["probes"])) == 4
+
+
+def test_multiprobe_recall_not_worse_than_single_probe(spark):
+    """The whole point of multi-probe: recall@k vs the exact baseline must
+    be >= the single-probe bucket's recall."""
+    from data_platform_spark.queries.similarity import (
+        cosine_topk_vec0,
+        srp_ann_multiprobe_vec0,
+        srp_ann_topk_vec0,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    exact = {r["vec_id"] for r in cosine_topk_vec0(spark, sf).collect()}
+    single = {r["vec_id"] for r in srp_ann_topk_vec0(spark, sf).collect()}
+    multi = {r["vec_id"] for r in srp_ann_multiprobe_vec0(spark, sf).collect()}
+    assert len(multi & exact) >= len(single & exact)
+    # absolute target on the deterministic testdata: the tuned multi-probe
+    # config (ANN_PLANES=4, 4 probes) measures 0.4; gate at >= 0.3
+    assert len(multi & exact) / 10 >= 0.3
