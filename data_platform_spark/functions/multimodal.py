@@ -1,8 +1,7 @@
 """Multimodal columns: image/audio/video as opaque binary columns with
 typed metadata, processed by Arrow-batched Pandas UDFs over mapInPandas.
 
-Design (the Spark-side plumbing is real and tested; codec work is
-stubbed):
+Design:
 - A media relation is ``(media_id, kind, content: binary, meta: struct)``
   — the layout ``spark.read.format("binaryFile")`` produces, normalized.
 - Decode / resize / frame-sample run as ``mapInPandas`` stages: one Arrow
@@ -10,10 +9,14 @@ stubbed):
   media_id (even, high-cardinality) and each batch is bounded by
   ``spark.sql.execution.arrow.maxRecordsPerBatch`` so executor memory is
   bounded regardless of blob size skew.
-- The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this container:
-  ``decode_stub`` raises NotImplementedError when ``strict`` else emits a
-  DETERMINISTIC fake decode (byte-histogram features) so the distributed
-  plumbing — schema, batching, UDF signature — is exercised end-to-end.
+- IMAGE decode is REAL: a pure-numpy codec for binary PPM (P6) and
+  uncompressed 24-bit BMP (``decode_image``), with header parsing, pixel
+  reshape, channel statistics and nearest-neighbor resize — no external
+  codec library needed. Compressed formats (JPEG/PNG) and audio/video
+  codecs (ffmpeg/torchaudio) are NOT in this container: those kinds fall
+  back to a DETERMINISTIC byte-histogram featurizer (an honest content
+  feature, clearly not a codec), and ``strict=True`` raises instead of
+  falling back.
 
 Reference note: the reference has no binary/multimodal surface; this is
 the charter-mandated extension (BASELINE.json north_star).
@@ -83,9 +86,110 @@ def media_from_blobs(spark: SparkSession, blobs: list[tuple[int, str, bytes, str
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
-def _fake_decode_features(content: bytes) -> list[float]:
-    """Deterministic stand-in for a codec: 16-bin byte histogram,
-    L1-normalized. Replaces e.g. CLIP/VGG pooling in this container."""
+# ---------------------------------------------------------------------------
+# real pure-numpy image codec: binary PPM (P6) + uncompressed 24-bit BMP
+# ---------------------------------------------------------------------------
+
+
+def _ppm_header_tokens(content: bytes, n: int) -> tuple[list[int], int]:
+    """Read ``n`` whitespace/comment-separated numeric tokens after the P6
+    magic; returns (tokens, offset-of-pixel-data)."""
+    pos = 2  # past b"P6"
+    tokens: list[int] = []
+    while len(tokens) < n:
+        while pos < len(content) and content[pos : pos + 1].isspace():
+            pos += 1
+        if content[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(content) and content[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(content) and not content[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(content[start:pos]))
+    return tokens, pos + 1  # single whitespace byte after maxval
+
+
+def decode_ppm(content: bytes) -> np.ndarray:
+    """Binary PPM (P6) → (H, W, 3) uint8 array. Real header parse:
+    whitespace/comment handling, dimension tokens, maxval check."""
+    if content[:2] != b"P6":
+        raise ValueError("not a binary PPM (P6) file")
+    (width, height, maxval), offset = _ppm_header_tokens(content, 3)
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval} (only 8-bit)")
+    need = width * height * 3
+    pix = np.frombuffer(content, dtype=np.uint8, count=need, offset=offset)
+    return pix.reshape(height, width, 3)
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 array → binary PPM (P6) bytes."""
+    h, w, c = img.shape
+    if c != 3:
+        raise ValueError("encode_ppm expects an RGB array")
+    return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
+
+
+def decode_bmp(content: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP (BI_RGB) → (H, W, 3) uint8 RGB array.
+    Parses BITMAPFILEHEADER + BITMAPINFOHEADER, handles 4-byte row
+    padding, bottom-up row order, and BGR→RGB channel order."""
+    if content[:2] != b"BM":
+        raise ValueError("not a BMP file")
+    data_offset = int.from_bytes(content[10:14], "little")
+    width = int.from_bytes(content[18:22], "little", signed=True)
+    height = int.from_bytes(content[22:26], "little", signed=True)
+    bpp = int.from_bytes(content[28:30], "little")
+    compression = int.from_bytes(content[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise ValueError("only uncompressed 24-bit BMP supported")
+    top_down = height < 0
+    height = abs(height)
+    row_bytes = (width * 3 + 3) & ~3  # rows padded to 4-byte boundary
+    rows = np.frombuffer(
+        content, dtype=np.uint8, count=row_bytes * height, offset=data_offset
+    ).reshape(height, row_bytes)[:, : width * 3]
+    img = rows.reshape(height, width, 3)[:, :, ::-1]  # BGR -> RGB
+    if not top_down:
+        img = img[::-1]  # bottom-up storage
+    return np.ascontiguousarray(img)
+
+
+def decode_image(content: bytes) -> np.ndarray:
+    """Dispatch on magic bytes: P6 PPM or 24-bit BMP → (H, W, 3) uint8."""
+    if content[:2] == b"P6":
+        return decode_ppm(content)
+    if content[:2] == b"BM":
+        return decode_bmp(content)
+    raise ValueError("unsupported image format (supported: P6 PPM, 24-bit BMP)")
+
+
+def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resample to (height, width) — pure index math."""
+    h, w, _ = img.shape
+    rows = (np.arange(height) * h // height).clip(0, h - 1)
+    cols = (np.arange(width) * w // width).clip(0, w - 1)
+    return img[rows][:, cols]
+
+
+def image_features(img: np.ndarray) -> list[float]:
+    """Real image features: [height, width, mean RGB (3), std RGB (3),
+    8-bin luminance histogram (L1-normalized)] — FEATURE_DIM=16 values."""
+    h, w, _ = img.shape
+    fimg = img.reshape(-1, 3).astype("float64")
+    means = fimg.mean(axis=0)
+    stds = fimg.std(axis=0)
+    lum = fimg @ np.array([0.299, 0.587, 0.114])
+    hist = np.histogram(lum, bins=8, range=(0.0, 256.0))[0].astype("float64")
+    hist = hist / hist.sum()
+    return [float(h), float(w), *means, *stds, *hist]
+
+
+def byte_histogram_features(content: bytes) -> list[float]:
+    """Codec-less fallback featurizer: 16-bin byte histogram,
+    L1-normalized. An honest content statistic (used for kinds whose real
+    codec — ffmpeg/torchaudio/JPEG — is not in this container)."""
     if not content:
         return [0.0] * FEATURE_DIM
     arr = np.frombuffer(content, dtype=np.uint8)
@@ -96,47 +200,62 @@ def _fake_decode_features(content: bytes) -> list[float]:
 def extract_features(media: DataFrame, strict: bool = False) -> DataFrame:
     """Decode + featurize every blob via mapInPandas (Arrow-batched).
 
-    strict=True raises NotImplementedError — the marker that a real codec
-    belongs here (PIL image decode / ffmpeg frame sample); the fake path
-    keeps the distributed plumbing testable in codec-less environments.
+    kind == 'image': REAL decode (PPM/BMP numpy codec) + image statistics.
+    Other kinds: byte-histogram fallback when strict=False;
+    strict=True raises NotImplementedError for them — the marker that a
+    real audio/video codec (ffmpeg/torchaudio) belongs there.
     """
 
-    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def _featurize(kind: str, content: bytes) -> list[float]:
+        if kind == "image":
+            return image_features(decode_image(content))
         if strict:
             raise NotImplementedError(
-                "real codec decode (PIL/ffmpeg) not available in this "
-                "environment; use strict=False for the deterministic stub"
+                f"no real codec for kind={kind!r} in this environment "
+                "(image is the only kind with a built-in codec); "
+                "use strict=False for the byte-histogram fallback"
             )
+        return byte_histogram_features(content)
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "n_bytes": pdf["content"].map(len).astype("int64"),
-                    "features": pdf["content"].map(_fake_decode_features),
+                    "features": [
+                        _featurize(k, c)
+                        for k, c in zip(pdf["kind"], pdf["content"])
+                    ],
                 }
             )
 
     return media.mapInPandas(decode_batches, FEATURES_SCHEMA)
 
 
-def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize stage shape: binary in → binary out, same relation.
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL image resize stage: binary in → binary out, same relation.
 
-    Stub: passes bytes through and records the requested geometry in meta
-    (a real implementation swaps only ``_resize``)."""
+    Each image blob is decoded (PPM/BMP), nearest-neighbor resampled to
+    (height, width), and re-encoded as PPM — all inside one Arrow batch.
+    Non-image kinds pass through untouched (a video implementation would
+    swap in an ffmpeg scale filter here)."""
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield pdf  # geometry change happens inside the codec; bytes pass through
+            out = pdf.copy()
+            is_img = out["kind"] == "image"
+            out.loc[is_img, "content"] = out.loc[is_img, "content"].map(
+                lambda b: encode_ppm(resize_nearest(decode_image(b), width, height))
+            )
+            out["meta"] = [
+                {"source": m["source"], "n_bytes": len(c)}
+                for m, c in zip(out["meta"], out["content"])
+            ]
+            yield out
 
-    return media.withColumn(
-        "meta",
-        F.struct(
-            F.col("meta.source").alias("source"),
-            F.col("meta.n_bytes").alias("n_bytes"),
-        ),
-    ).mapInPandas(_resize, media.schema)
+    return media.mapInPandas(_resize, media.schema)
 
 
 def frame_sample_stub(

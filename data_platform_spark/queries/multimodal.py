@@ -1,11 +1,14 @@
 """Multimodal-column queries: binary blob plumbing exercised over the
-documents table (text bytes as opaque blobs — the container has no image/
-audio testdata or codecs; functions/multimodal.py documents where real
-codecs plug in).
+documents table.
 
 ``multimodal_meta`` is oracle-checked (byte length + content hash are
-SQL-expressible); ``multimodal_features`` is the mapInPandas decode path
-(rows-only driver check — deterministic fake decoder).
+SQL-expressible); ``multimodal_features`` is the mapInPandas featurize
+path over text blobs (rows-only; byte-histogram features);
+``multimodal_image_decode`` drives the REAL image codec end to end —
+PPM blobs are built in-plan from document bytes, decoded by the numpy
+P6 parser inside mapInPandas, and the channel statistics are
+oracle-checked against DuckDB computing the same statistics from the
+source bytes directly.
 """
 
 from __future__ import annotations
@@ -14,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_platform_spark.functions import multimodal as M
-from data_platform_spark.queries._util import fan_out
+from data_platform_spark.queries._util import fan_out, pround, sql_round
 from data_platform_spark.sources.tables import load_table
 
 
@@ -48,10 +51,61 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.extract_features(media, strict=False)
 
 
+IMG_W = IMG_H = 8  # 8x8 RGB = 192 pixel bytes per synthetic image
+
+
+def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image-decode path, oracle-checked.
+
+    Each document deterministically renders to an 8×8 binary PPM (pixels =
+    first 192 chars of repeat(md5(text), 6) — ASCII, so 1 byte per char),
+    built as a JVM binary expression. The mapInPandas stage then runs the
+    real numpy P6 codec (header parse → pixel reshape → channel stats).
+    The oracle recomputes height/width/channel means from the same md5
+    characters' code points — if the decoder mis-parsed the header or
+    channel layout, every mean would shift and the hash would fail.
+    """
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    pix = F.encode(
+        F.substring(F.repeat(F.md5(F.col("text")), 6), 1, IMG_W * IMG_H * 3),
+        "UTF-8",
+    )
+    header = F.lit(f"P6\n{IMG_W} {IMG_H}\n255\n".encode())
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.concat(header, pix).alias("content"),
+        F.struct(
+            F.col("source").alias("source"),
+            F.lit(0).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+    feats = M.extract_features(media)  # real PPM decode per blob
+    return feats.select(
+        "media_id",
+        F.col("features")[0].cast("long").alias("height"),
+        F.col("features")[1].cast("long").alias("width"),
+        pround(F.col("features")[2], 4).alias("mean_r"),
+        pround(F.col("features")[3], 4).alias("mean_g"),
+        pround(F.col("features")[4], 4).alias("mean_b"),
+    )
+
+
 QUERIES = {
     "multimodal_meta": multimodal_meta,
     "multimodal_features": multimodal_features,
+    "multimodal_image_decode": multimodal_image_decode,
 }
+
+
+def _channel_mean_sql(channel_offset: int) -> str:
+    # mean over the 64 pixels of ord(char) for one RGB channel
+    return sql_round(
+        "(SELECT avg(ord(substr(px, 3 * (j - 1) + "
+        f"{channel_offset + 1}, 1))) "
+        f"FROM generate_series(1, {IMG_W * IMG_H}) AS t(j))",
+        4,
+    )
 
 ORACLE = {
     "multimodal_meta": """
@@ -62,5 +116,21 @@ ORACLE = {
             md5(text) AS content_md5
         FROM documents
     """,
-    # multimodal_features: intentionally no oracle (Pandas-UDF decode stub)
+    # multimodal_features: intentionally no oracle (Pandas-UDF featurizer)
+    "multimodal_image_decode": f"""
+        WITH s AS (
+            SELECT
+                doc_id,
+                substr(repeat(md5(text), 6), 1, {IMG_W * IMG_H * 3}) AS px
+            FROM documents
+        )
+        SELECT
+            doc_id AS media_id,
+            {IMG_H}::BIGINT AS height,
+            {IMG_W}::BIGINT AS width,
+            {_channel_mean_sql(0)} AS mean_r,
+            {_channel_mean_sql(1)} AS mean_g,
+            {_channel_mean_sql(2)} AS mean_b
+        FROM s
+    """,
 }

@@ -1,8 +1,9 @@
 """Multimodal binary-column plumbing: schema, mapInPandas batching,
-1→N frame fan-out, strict-mode codec marker."""
+REAL PPM/BMP numpy codec, resize, 1→N frame fan-out, strict-mode marker."""
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 
 from pyspark.sql import functions as F
@@ -10,13 +11,52 @@ from pyspark.sql import functions as F
 from data_platform_spark.functions import multimodal as M
 
 
+def _checker_img(h=8, w=8):
+    """Deterministic RGB test pattern."""
+    img = np.zeros((h, w, 3), dtype=np.uint8)
+    img[:, :, 0] = np.arange(w, dtype=np.uint8) * 16  # R ramps by column
+    img[:, :, 1] = np.arange(h, dtype=np.uint8)[:, None] * 16  # G by row
+    img[::2, ::2, 2] = 255  # B checker
+    return img
+
+
+def _bmp_bytes(img: np.ndarray) -> bytes:
+    """Hand-rolled uncompressed 24-bit BMP encoder (bottom-up, padded
+    rows) — independent of the decoder under test."""
+    h, w, _ = img.shape
+    row_bytes = (w * 3 + 3) & ~3
+    pad = row_bytes - w * 3
+    pixel_data = b"".join(
+        bytes(img[r, :, ::-1].tobytes()) + b"\x00" * pad
+        for r in range(h - 1, -1, -1)
+    )
+    data_offset = 14 + 40
+    file_size = data_offset + len(pixel_data)
+    header = (
+        b"BM"
+        + file_size.to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + data_offset.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(pixel_data).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return header + pixel_data
+
+
 @pytest.fixture()
 def media(spark):
+    img = _checker_img()
     blobs = [
-        (1, "image", b"\x89PNG fake header" + bytes(range(200)), "a.png"),
+        (1, "image", M.encode_ppm(img), "a.ppm"),
         (2, "audio", b"RIFF fake wave" + bytes(100), "b.wav"),
         (3, "video", bytes(5000), "c.mp4"),
-        (4, "image", b"", "empty.png"),
+        (4, "image", _bmp_bytes(img), "d.bmp"),
     ]
     return M.media_from_blobs(spark, blobs)
 
@@ -26,20 +66,69 @@ def test_media_schema(media):
     assert media.count() == 4
 
 
-def test_extract_features_deterministic(spark, media):
-    f1 = {r["media_id"]: r["features"] for r in M.extract_features(media).collect()}
-    f2 = {r["media_id"]: r["features"] for r in M.extract_features(media).collect()}
-    assert f1 == f2
-    assert all(len(v) == M.FEATURE_DIM for v in f1.values())
-    # L1-normalized except the empty blob
-    assert abs(sum(f1[1]) - 1.0) < 1e-9
-    assert sum(f1[4]) == 0.0
+def test_ppm_roundtrip():
+    img = _checker_img(5, 7)
+    assert np.array_equal(M.decode_ppm(M.encode_ppm(img)), img)
 
 
-def test_extract_features_strict_raises(spark, media):
+def test_ppm_header_comments_and_whitespace():
+    img = _checker_img(2, 3)
+    raw = b"P6\n# a comment\n 3 \t2\n255\n" + img.tobytes()
+    assert np.array_equal(M.decode_ppm(raw), img)
+
+
+def test_bmp_decode_matches_source_pixels():
+    """BMP decode must undo bottom-up row order, BGR order and padding
+    (3-wide rows force 1 pad byte)."""
+    img = _checker_img(4, 3)
+    assert np.array_equal(M.decode_bmp(_bmp_bytes(img)), img)
+
+
+def test_resize_nearest_samples_source_pixels():
+    img = _checker_img(8, 8)
+    small = M.resize_nearest(img, 4, 4)
+    assert small.shape == (4, 4, 3)
+    assert np.array_equal(small, img[::2, ::2])
+
+
+def test_extract_features_real_image_stats(spark, media):
+    feats = {r["media_id"]: r for r in M.extract_features(media).collect()}
+    img = _checker_img()
+    # PPM and BMP encodings of the SAME image must featurize identically
+    assert feats[1]["features"] == feats[4]["features"]
+    f = feats[1]["features"]
+    assert f[0] == 8.0 and f[1] == 8.0  # height, width
+    assert abs(f[2] - img[:, :, 0].mean()) < 1e-9  # mean R
+    assert abs(f[3] - img[:, :, 1].mean()) < 1e-9  # mean G
+    assert abs(f[4] - img[:, :, 2].mean()) < 1e-9  # mean B
+    assert abs(sum(f[8:]) - 1.0) < 1e-9  # luminance hist normalized
+    # non-image kinds: byte-histogram fallback, L1-normalized
+    assert abs(sum(feats[2]["features"]) - 1.0) < 1e-9
+    assert len(feats[3]["features"]) == M.FEATURE_DIM
+
+
+def test_extract_features_strict_raises_for_codecless_kinds(spark, media):
     with pytest.raises(Exception) as ei:
         M.extract_features(media, strict=True).collect()
     assert "NotImplementedError" in str(ei.value) or "real codec" in str(ei.value)
+
+
+def test_extract_features_strict_ok_for_images_only(spark, media):
+    only_images = media.filter(F.col("kind") == "image")
+    rows = M.extract_features(only_images, strict=True).collect()
+    assert len(rows) == 2  # real codec path needs no fallback
+
+
+def test_resize_images_stage(spark, media):
+    resized = M.resize_images(media, 4, 4)
+    rows = {r["media_id"]: r for r in resized.collect()}
+    img = _checker_img()
+    for mid in (1, 4):
+        out = M.decode_ppm(bytes(rows[mid]["content"]))
+        assert np.array_equal(out, img[::2, ::2])
+        assert rows[mid]["meta"]["n_bytes"] == len(bytes(rows[mid]["content"]))
+    # non-image blobs pass through untouched
+    assert bytes(rows[3]["content"]) == bytes(5000)
 
 
 def test_frame_sample_fanout(spark, media):
@@ -54,13 +143,13 @@ def test_read_binary_dir(spark, tmp_path):
     """binaryFile source → media relation with hashed ids + typed meta."""
     d = tmp_path / "imgs"
     d.mkdir()
-    (d / "a.png").write_bytes(b"\x89PNG" + bytes(64))
-    (d / "b.png").write_bytes(b"\x89PNG" + bytes(128))
+    (d / "a.ppm").write_bytes(M.encode_ppm(_checker_img()))
+    (d / "b.ppm").write_bytes(M.encode_ppm(_checker_img(4, 4)))
     media = M.read_binary_dir(spark, str(d), kind="image")
     rows = {r["meta"]["source"].rsplit("/", 1)[-1]: r for r in media.collect()}
-    assert set(rows) == {"a.png", "b.png"}
-    assert rows["a.png"]["meta"]["n_bytes"] == 68
-    assert rows["b.png"]["kind"] == "image"
+    assert set(rows) == {"a.ppm", "b.ppm"}
+    assert rows["a.ppm"]["meta"]["n_bytes"] == len(M.encode_ppm(_checker_img()))
+    assert rows["b.ppm"]["kind"] == "image"
     assert len({r["media_id"] for r in rows.values()}) == 2
     # schema contract matches the synthetic-blob constructor
     assert [f.name for f in media.schema.fields] == [
