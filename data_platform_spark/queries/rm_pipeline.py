@@ -299,3 +299,139 @@ def _mutation_oracle() -> str:
 
 
 ORACLE["rm_dim_character_after_mutation"] = _mutation_oracle()
+
+
+BATCH_TS3 = datetime(2026, 3, 1, 12, 0, 0)
+_TS3_SQL = "TIMESTAMP '2026-03-01 12:00:00'"
+_TS3_STR = "'2026-03-01 12:00:00'"
+
+
+def rm_dim_character_three_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-clock SCD2 evolution in the correctness gate: base load, run-2
+    mutation (char 1 Alive→Dead, char 3 type change), run-3 mutation
+    (char 1 REVERTS to Alive — third version of the same key — and char 5
+    changes for the first time). Exercises close-out of an already-closed
+    key's successor, re-open with a fresh SK, and interleaved stable keys
+    across batches (dags/dwh_dim_character.py:53-116 rerun three times)."""
+    from data_platform_spark.sources.fixtures import (
+        mutated_universe,
+        mutated_universe_2,
+    )
+
+    ts1, ts2, ts3 = F.lit(BATCH_TS), F.lit(BATCH_TS2), F.lit(BATCH_TS3)
+    stg1 = L_stg.build_stg_character(_bronze(spark, base_universe()[0]), None, ts1)
+    dim1 = L_dwh.build_dim_character(None, stg1, ts1)
+    dim1 = spark.createDataFrame(dim1.collect(), dim1.schema)  # run-1 state
+    stg2 = L_stg.build_stg_character(
+        _bronze(spark, mutated_universe()[0]), None, ts2
+    )
+    dim2 = L_dwh.build_dim_character(dim1, stg2, ts2)
+    dim2 = spark.createDataFrame(dim2.collect(), dim2.schema)  # run-2 state
+    stg3 = L_stg.build_stg_character(
+        _bronze(spark, mutated_universe_2()[0]), None, ts3
+    )
+    dim3 = L_dwh.build_dim_character(dim2, stg3, ts3)
+    return dim3.select(
+        "character_sk",
+        "character_id",
+        "status",
+        "species",
+        "type",
+        "valid_from",
+        _valid_to_str(),
+        "is_current",
+    )
+
+
+QUERIES["rm_dim_character_three_batches"] = rm_dim_character_three_batches
+
+
+def _three_batch_oracle() -> str:
+    from data_platform_spark.sources.fixtures import (
+        mutated_universe,
+        mutated_universe_2,
+    )
+
+    v1 = _sql_values(base_universe()[0])
+    v2 = _sql_values(mutated_universe()[0])
+    v3 = _sql_values(mutated_universe_2()[0])
+    cols = ["name", "status", "species", "type", "gender", "image"]
+    parse = ",\n                    ".join(
+        f"json_extract_string(j,'$.{c}') AS {c}" for c in cols
+    )
+
+    def changed(a: str, b: str) -> str:
+        return " OR ".join(f"{a}.{c} IS DISTINCT FROM {b}.{c}" for c in cols)
+
+    return f"""
+        WITH s1 AS (
+            SELECT json_extract_string(j,'$.id')::INT AS character_id, {parse}
+            FROM {v1}
+        ),
+        s2 AS (
+            SELECT json_extract_string(j,'$.id')::INT AS character_id, {parse}
+            FROM {v2}
+        ),
+        s3 AS (
+            SELECT json_extract_string(j,'$.id')::INT AS character_id, {parse}
+            FROM {v3}
+        ),
+        ch2 AS (
+            SELECT a.character_id, ({changed("a", "b")}) AS chg
+            FROM s1 a JOIN s2 b USING (character_id)
+        ),
+        ch3 AS (
+            SELECT b.character_id, ({changed("b", "c")}) AS chg
+            FROM s2 b JOIN s3 c USING (character_id)
+        ),
+        sk1 AS (
+            SELECT character_id,
+                   row_number() OVER (ORDER BY character_id) AS sk
+            FROM s1
+        ),
+        sk2 AS (
+            SELECT character_id,
+                   (SELECT max(sk) FROM sk1)
+                   + row_number() OVER (ORDER BY character_id) AS sk
+            FROM ch2 WHERE chg
+        ),
+        sk3 AS (
+            SELECT character_id,
+                   (SELECT max(sk) FROM (
+                       SELECT sk FROM sk1 UNION ALL SELECT sk FROM sk2
+                   ))
+                   + row_number() OVER (ORDER BY character_id) AS sk
+            FROM ch3 WHERE chg
+        )
+        -- run-1 versions: close at T2 if changed then, else at T3 if
+        -- changed then, else still open
+        SELECT k.sk AS character_sk, s1.character_id, s1.status, s1.species,
+               s1.type,
+               {_TS_SQL} AS valid_from,
+               CASE WHEN c2.chg THEN {_TS2_STR}
+                    WHEN c3.chg THEN {_TS3_STR}
+                    ELSE {_INF_STR} END AS valid_to,
+               (NOT c2.chg AND NOT c3.chg) AS is_current
+        FROM s1
+        JOIN sk1 k USING (character_id)
+        JOIN ch2 c2 USING (character_id)
+        JOIN ch3 c3 USING (character_id)
+        UNION ALL
+        -- run-2 versions (only keys changed at run 2)
+        SELECT k2.sk, s2.character_id, s2.status, s2.species, s2.type,
+               {_TS2_SQL} AS valid_from,
+               CASE WHEN c3.chg THEN {_TS3_STR} ELSE {_INF_STR} END,
+               NOT c3.chg
+        FROM s2
+        JOIN sk2 k2 USING (character_id)
+        JOIN ch3 c3 USING (character_id)
+        UNION ALL
+        -- run-3 versions (only keys changed at run 3)
+        SELECT k3.sk, s3.character_id, s3.status, s3.species, s3.type,
+               {_TS3_SQL} AS valid_from, {_INF_STR}, TRUE
+        FROM s3
+        JOIN sk3 k3 USING (character_id)
+    """
+
+
+ORACLE["rm_dim_character_three_batches"] = _three_batch_oracle()

@@ -99,3 +99,16 @@ def mutated_universe():
     chars[2] = character(3, type_="Clone", origin_url=False, loc_url=False,
                          episodes=(2,))
     return chars, locs, eps
+
+
+def mutated_universe_2():
+    """Run-3 snapshot on top of run 2: char 1 flips BACK to Alive (a
+    third version of an already-twice-versioned key — the revert case),
+    char 5 species Alien→Robot (first change of a so-far-stable key);
+    char 3 keeps its run-2 'Clone' type."""
+    chars, locs, eps = mutated_universe()
+    chars[0] = character(1, status="Alive", episodes=(1, 2), origin_id=1,
+                         loc_id=1)
+    chars[4] = character(5, species="Robot", origin_id=3, loc_id=3,
+                         episodes=(2, 3))
+    return chars, locs, eps
