@@ -332,3 +332,101 @@ ORACLE["neardup_triangle_count"] = f"""
     JOIN edges e2 ON e1.b = e2.a
     JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
 """
+
+
+# ---------------------------------------------------------------------------
+# third wave: embedding-cosine near-duplicates
+# ---------------------------------------------------------------------------
+
+COSINE_DUP_THRESHOLD = 0.25
+EMB_PLANES = 4  # SRP candidate bucketing (16 buckets at test scale)
+EMB_DIM = 64
+
+
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection: pairs of vectors that share an
+    SRP bucket AND have cosine >= threshold — the semantic-dedup method of
+    LLM data pipelines (exact/minhash/simhash catch surface dups; this
+    catches paraphrases via their embeddings).
+
+    Same narrow layout as knn_within_buckets: the skew-prone bucket
+    self-join ships only (vec_id, bucket); embeddings re-join the
+    candidate pairs on uniformly-distributed vec_id for verification.
+    src < dst keeps each pair once.
+    """
+    from data_platform_spark.functions import similarity as S
+    from data_platform_spark.queries._util import pround
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"), spark)
+    ids = emb.select(
+        "vec_id",
+        S.srp_signature_np(F.col("embedding"), EMB_PLANES, EMB_DIM).alias(
+            "bucket"
+        ),
+    ).persist()
+    a = ids.select("bucket", F.col("vec_id").alias("src"))
+    b = ids.select("bucket", F.col("vec_id").alias("dst"))
+    pairs = a.join(b, "bucket").filter(F.col("src") < F.col("dst")).select(
+        "src", "dst"
+    )
+    vecs = emb.select("vec_id", "embedding")
+    scored = (
+        pairs.join(
+            vecs.select(
+                F.col("vec_id").alias("src"), F.col("embedding").alias("e_src")
+            ),
+            "src",
+        )
+        .join(
+            vecs.select(
+                F.col("vec_id").alias("dst"), F.col("embedding").alias("e_dst")
+            ),
+            "dst",
+        )
+        .select(
+            "src",
+            "dst",
+            pround(
+                S.cosine(
+                    S.as_double(F.col("e_src")), S.as_double(F.col("e_dst"))
+                ),
+                4,
+            ).alias("cosine"),
+        )
+    )
+    return scored.filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+
+
+QUERIES["embedding_neardup_pairs"] = embedding_neardup_pairs
+
+
+def _embedding_neardup_oracle() -> str:
+    from data_platform_spark.queries.similarity import _srp_proj_sql
+
+    srp_bits = " + ".join(
+        f"(CASE WHEN {_srp_proj_sql(p)} > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(EMB_PLANES)
+    )
+    cos = (
+        "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
+        "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
+        "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
+    )
+    return f"""
+        WITH bucketed AS (
+            SELECT vec_id, embedding, {srp_bits} AS bucket FROM embeddings
+        ),
+        scored AS (
+            SELECT
+                a.vec_id AS src,
+                b.vec_id AS dst,
+                {sql_round(cos, 4)} AS cosine
+            FROM bucketed a
+            JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        )
+        SELECT src, dst, cosine FROM scored
+        WHERE cosine >= {COSINE_DUP_THRESHOLD}
+    """
+
+
+ORACLE["embedding_neardup_pairs"] = _embedding_neardup_oracle()

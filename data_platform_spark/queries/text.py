@@ -402,3 +402,76 @@ ORACLE["term_zipf_ranks"] = """
         GROUP BY term
     )
 """
+
+
+# ---------------------------------------------------------------------------
+# third wave: token-budget corpus curation
+# ---------------------------------------------------------------------------
+
+TOKEN_BUDGET = 10_000
+
+
+def corpus_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus curation: greedily keep the highest-quality
+    documents until a token budget is exhausted.
+
+    Rank by (quality DESC, doc_id ASC), running token sum, keep rows whose
+    cumulative count fits the budget — the deterministic core of 'give me
+    the best N-token training mix'. The global running sum is a single-
+    partition window at this scale; the 100 TB layout computes per-
+    partition token subtotals first and broadcasts partition offsets (two
+    narrow passes) — semantics identical.
+    """
+    from pyspark.sql.window import Window
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    t = F.col("text")
+    scored = docs.select(
+        "doc_id",
+        X.quality_score(t).alias("quality"),
+        X.token_count(t).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.orderBy(F.desc("quality"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= TOKEN_BUDGET)
+        .select("doc_id", "quality", "n_tokens", "cum_tokens")
+    )
+
+
+QUERIES["corpus_token_budget_sample"] = corpus_token_budget_sample
+
+
+def _budget_oracle() -> str:
+    all_markers = sorted({m for ms in X.LANG_MARKERS.values() for m in ms})
+    quality = sql_round(
+        "0.5 * least(len(string_split(text, ' ')) / 50.0, 1.0) "
+        f"+ 0.5 * least({_sql_marker_score(all_markers)} / 5.0, 1.0)",
+        4,
+    )
+    return f"""
+        WITH scored AS (
+            SELECT
+                doc_id,
+                {quality} AS quality,
+                len(regexp_extract_all(text, '{X.TOKEN_REGEX}'))::BIGINT
+                    AS n_tokens
+            FROM documents
+        ),
+        c AS (
+            SELECT *,
+                   CAST(sum(n_tokens) OVER (
+                       ORDER BY quality DESC, doc_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS cum_tokens
+            FROM scored
+        )
+        SELECT doc_id, quality, n_tokens, cum_tokens
+        FROM c WHERE cum_tokens <= {TOKEN_BUDGET}
+    """
+
+
+ORACLE["corpus_token_budget_sample"] = _budget_oracle()
