@@ -14,9 +14,11 @@ transactions — Delta/Iceberg — is a drop-in replacement for this class.)
 
 from __future__ import annotations
 
+import fcntl
 import os
 import shutil
 import uuid
+from contextlib import contextmanager
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
@@ -104,13 +106,28 @@ class Warehouse:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(tmp)
-        old = f"{final}.old-{uuid.uuid4().hex[:8]}"
-        had_old = os.path.isdir(final)
-        if had_old:
-            os.rename(final, old)
-        os.rename(tmp, final)
-        if had_old:
-            shutil.rmtree(old, ignore_errors=True)
+        # Swap under a per-table exclusive lock: concurrent writers
+        # serialize (last committer wins a CONSISTENT state; no interleaved
+        # renames can tear the table). Single-host advisory locking — the
+        # multi-host analog is a table format's optimistic commit protocol.
+        with self._table_lock(schema, table):
+            old = f"{final}.old-{uuid.uuid4().hex[:8]}"
+            had_old = os.path.isdir(final)
+            if had_old:
+                os.rename(final, old)
+            os.rename(tmp, final)
+            if had_old:
+                shutil.rmtree(old, ignore_errors=True)
+
+    @contextmanager
+    def _table_lock(self, schema: str, table: str):
+        lock_path = os.path.join(self.root, schema, f".{table}.lock")
+        with open(lock_path, "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            try:
+                yield
+            finally:
+                fcntl.flock(lk, fcntl.LOCK_UN)
 
 
 class BucketedWarehouse:

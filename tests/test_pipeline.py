@@ -337,3 +337,40 @@ def test_link_tables_preserve_loaded_at_across_reruns(spark, wh):
     # last_upd_at also untouched when nothing changed
     lch = wh.read(spark, "stg", "location_ch").collect()
     assert all(r["loaded_at"] == TS1 and r["last_upd_at"] == TS1 for r in lch)
+
+
+def test_warehouse_concurrent_writers_keep_state_consistent(spark, wh):
+    """Racing writers must serialize on the table lock: the final state is
+    ONE writer's complete output (never a torn mix), every reader between
+    writes sees a complete table, and no stray swap dirs remain."""
+    import os
+    import threading
+
+    dfs = {
+        v: spark.createDataFrame(
+            [(i, v) for i in range(50)], "id int, version string"
+        )
+        for v in ("alpha", "beta", "gamma", "delta")
+    }
+    errors = []
+
+    def _write(version):
+        try:
+            for _ in range(3):
+                wh.write(dfs[version], "dwh", "race_demo")
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=_write, args=(v,)) for v in dfs]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    assert not errors
+    rows = wh.read(spark, "dwh", "race_demo").collect()
+    versions = {r["version"] for r in rows}
+    assert len(versions) == 1 and len(rows) == 50  # one complete dataset
+    sdir = os.path.join(wh.root, "dwh")
+    stray = [d for d in os.listdir(sdir) if ".tmp-" in d or ".old-" in d]
+    assert stray == []
