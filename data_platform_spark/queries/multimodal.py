@@ -46,7 +46,7 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas decode/featurize over binary blobs (stub codec)."""
+    """mapInPandas featurize over text blobs (byte-histogram features)."""
     media = _media_from_documents(spark, sf_dir)
     return M.extract_features(media, strict=False)
 
