@@ -1,4 +1,5 @@
 from data_platform_spark.streaming.events import (
+    dedup_events_stream,
     hourly_agg_stream,
     read_events_stream,
     sessionize_stream,
@@ -6,6 +7,7 @@ from data_platform_spark.streaming.events import (
 )
 
 __all__ = [
+    "dedup_events_stream",
     "hourly_agg_stream",
     "read_events_stream",
     "sessionize_stream",

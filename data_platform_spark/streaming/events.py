@@ -115,6 +115,24 @@ def user_running_totals_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def dedup_events_stream(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exact dedup: one row per event_id despite at-least-once
+    redelivery — the streaming member of the dedup family
+    (batch dual: dedup_exact_groups' hash-group semantics).
+
+    ``dropDuplicatesWithinWatermark`` keeps dedup state only until the
+    watermark passes each key's event time, so state is bounded by the
+    redelivery horizon instead of growing with the stream — the property
+    that makes exact dedup viable on an unbounded 100 TB/day feed
+    (plain ``dropDuplicates`` on a stream accumulates state forever).
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def run_to_memory_sink(
     df: DataFrame,
     query_name: str,

@@ -365,3 +365,46 @@ def test_watermark_drops_late_data(spark, tmp_path):
         .collect()[0][0]
     )
     assert got_events == 500, got_events
+
+
+def test_dedup_stream_drops_redelivered_events(spark, tmp_path):
+    """At-least-once redelivery across micro-batches: event_ids repeated in
+    a later file (within the watermark) must come out exactly once."""
+    from datetime import datetime, timedelta
+
+    from data_platform_spark.streaming.events import (
+        dedup_events_stream,
+        read_events_stream,
+        run_to_memory_sink,
+    )
+
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+    t0 = datetime(2026, 1, 1, 10, 0, 0)
+
+    def _evt(eid, minutes):
+        return {
+            "event_id": eid,
+            "ts": (t0 + timedelta(minutes=minutes)).isoformat(),
+            "user_id": eid % 3,
+            "event_type": "click",
+            "value": 1.0,
+            "props": "{}",
+        }
+
+    batch1 = [_evt(i, i) for i in range(10)]
+    batch2 = [_evt(i, i) for i in range(5, 15)]  # 5..9 redelivered
+    with open(src / "b1.json", "w") as f:
+        f.writelines(json.dumps(e) + "\n" for e in batch1)
+    with open(src / "b2.json", "w") as f:
+        f.writelines(json.dumps(e) + "\n" for e in batch2)
+
+    stream = read_events_stream(spark, str(src), max_files_per_trigger=1)
+    q = run_to_memory_sink(
+        dedup_events_stream(stream), "dedup_sink", output_mode="append"
+    )
+    q.awaitTermination(120)
+
+    rows = spark.table("dedup_sink").collect()
+    ids = sorted(r["event_id"] for r in rows)
+    assert ids == list(range(15))  # each id exactly once
