@@ -339,11 +339,16 @@ ORACLE["neardup_triangle_count"] = f"""
 # ---------------------------------------------------------------------------
 
 COSINE_DUP_THRESHOLD = 0.25
-EMB_PLANES = 4  # SRP candidate bucketing (16 buckets at test scale)
+EMB_PLANES = 4  # SRP candidate bucketing (16 buckets at gate scale)
 EMB_DIM = 64
 
 
-def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embedding_neardup_pairs_at(
+    spark: SparkSession,
+    sf_dir: str,
+    planes: int = EMB_PLANES,
+    threshold: float = COSINE_DUP_THRESHOLD,
+) -> DataFrame:
     """Embedding-cosine near-dup detection: pairs of vectors that share an
     SRP bucket AND have cosine >= threshold — the semantic-dedup method of
     LLM data pipelines (exact/minhash/simhash catch surface dups; this
@@ -353,6 +358,13 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join ships only (vec_id, bucket); embeddings re-join the
     candidate pairs on uniformly-distributed vec_id for verification.
     src < dst keeps each pair once.
+
+    ``planes`` is the SCALING KNOB: verification cost is ∝ Σ bucket², so
+    hold average bucket size constant by sizing planes ≈
+    log2(n_vectors / target_bucket_size). Measured at 10× vectors
+    (PLANS.md): planes 4→8 cuts wall-clock 17.7s→4.1s while keeping all
+    high-cosine pairs (the loss concentrates at the threshold boundary,
+    standard LSH recall behavior).
     """
     from data_platform_spark.functions import similarity as S
     from data_platform_spark.queries._util import pround
@@ -360,7 +372,7 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = fan_out(load_table(spark, sf_dir, "embeddings"), spark)
     ids = emb.select(
         "vec_id",
-        S.srp_signature_np(F.col("embedding"), EMB_PLANES, EMB_DIM).alias(
+        S.srp_signature_np(F.col("embedding"), planes, EMB_DIM).alias(
             "bucket"
         ),
     ).persist()
@@ -394,7 +406,12 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cosine"),
         )
     )
-    return scored.filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+    return scored.filter(F.col("cosine") >= threshold)
+
+
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate entry: embedding_neardup_pairs_at with the oracled constants."""
+    return embedding_neardup_pairs_at(spark, sf_dir)
 
 
 QUERIES["embedding_neardup_pairs"] = embedding_neardup_pairs
