@@ -470,3 +470,88 @@ ORACLE["top_user_per_hour"] = f"""
     )
     WHERE rk = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# fourth wave: gap-filled downsampling (hypertable-rollup shape)
+# ---------------------------------------------------------------------------
+
+
+def events_downsample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series downsample with gap filling: 15-minute buckets per
+    event_type over a DENSE time spine — empty buckets emit zero rows
+    (the continuous-aggregate/hypertable-rollup shape; downstream charting
+    and rate math need the zeros).
+
+    Plan shape: one groupBy shuffle for the sparse aggregate; the spine is
+    F.sequence over the [min, max] bucket bounds (a 2-row aggregate) cross
+    joined with the distinct event types (broadcast — both sides are tiny
+    at any data scale: spine length ∝ time range, not row count), then a
+    left join back onto the aggregate keyed by (bucket, type).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    agg = (
+        ev.groupBy(
+            F.window("ts", "15 minutes").getField("start").alias("bucket_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            pround(F.sum("value")).alias("total_value"),
+        )
+    )
+    bounds = agg.agg(
+        F.min("bucket_start").alias("lo"), F.max("bucket_start").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 15 MINUTES"))
+        ).alias("bucket_start")
+    )
+    types = ev.select("event_type").distinct()
+    grid = spine.crossJoin(F.broadcast(types))
+    return (
+        grid.join(agg, ["bucket_start", "event_type"], "left")
+        .select(
+            "bucket_start",
+            "event_type",
+            F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
+            F.coalesce(F.col("total_value"), F.lit(0.0)).alias("total_value"),
+        )
+    )
+
+
+QUERIES["events_downsample_gapfill"] = events_downsample_gapfill
+
+# time_bucket's sub-day origin (2000-01-01) is a whole number of 15-minute
+# intervals from the epoch, so its boundaries coincide with Spark's
+# window("ts", "15 minutes") exactly.
+ORACLE["events_downsample_gapfill"] = f"""
+    WITH b AS (
+        SELECT
+            time_bucket(INTERVAL '15 minutes', ts) AS bucket_start,
+            event_type,
+            count(*) AS n_events,
+            {sql_round("sum(value)")} AS total_value
+        FROM events
+        GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT min(bucket_start) AS lo, max(bucket_start) AS hi FROM b
+    ),
+    spine AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL '15 minutes'))
+            AS bucket_start
+        FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    grid AS (SELECT s.bucket_start, t.event_type FROM spine s, types t)
+    SELECT
+        g.bucket_start,
+        g.event_type,
+        CAST(coalesce(b.n_events, 0) AS BIGINT) AS n_events,
+        coalesce(b.total_value, 0.0) AS total_value
+    FROM grid g
+    LEFT JOIN b ON b.bucket_start = g.bucket_start
+              AND b.event_type = g.event_type
+"""
