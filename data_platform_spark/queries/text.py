@@ -475,3 +475,63 @@ def _budget_oracle() -> str:
 
 
 ORACLE["corpus_token_budget_sample"] = _budget_oracle()
+
+
+# ---------------------------------------------------------------------------
+# fourth wave: deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+# per-language keep fractions (training-mix rebalancing: downsample the
+# over-represented language, keep the rest denser)
+SAMPLE_FRACS = {"en": 0.3, "fr": 0.8, "es": 0.8, "de": 0.8, "zh": 0.5}
+SAMPLE_FRAC_DEFAULT = 0.5
+_HASH_MAX = float(0xFFFFFFFF)
+
+
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-language keep fractions via
+    a content-hash uniform — the training-mix rebalancing primitive.
+
+    u = first 8 md5 hex chars as an integer / 2^32-1 gives a reproducible
+    uniform in [0,1] per document (NO rand(): same sample on every run,
+    every engine, every partitioning). Keep the doc when u < frac(lang).
+    Pure per-row expressions — no shuffle at all until a downstream agg.
+    """
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    u = F.conv(F.substring(F.md5(F.col("text")), 1, 8), 16, 10).cast(
+        "long"
+    ) / F.lit(_HASH_MAX)
+    frac = F.lit(SAMPLE_FRAC_DEFAULT)
+    for lang, f in SAMPLE_FRACS.items():
+        frac = F.when(F.col("lang") == lang, F.lit(f)).otherwise(frac)
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            pround(u, 6).alias("u"),
+            (u < frac).alias("_keep"),
+        )
+        .filter(F.col("_keep"))
+        .drop("_keep")
+    )
+
+
+QUERIES["stratified_sample_docs"] = stratified_sample_docs
+
+
+def _sample_oracle() -> str:
+    branches = " ".join(
+        f"WHEN '{lang}' THEN {f}" for lang, f in SAMPLE_FRACS.items()
+    )
+    u = f"(('0x' || substr(md5(text), 1, 8))::BIGINT / {_HASH_MAX})"
+    return f"""
+        SELECT
+            doc_id,
+            lang,
+            {sql_round(u, 6)} AS u
+        FROM documents
+        WHERE {u} < (CASE lang {branches} ELSE {SAMPLE_FRAC_DEFAULT} END)
+    """
+
+
+ORACLE["stratified_sample_docs"] = _sample_oracle()
