@@ -56,10 +56,18 @@ _FLAGSHIP = (
 
 
 def _ordered_names(merged: dict, oracles: dict) -> list[str]:
-    from data_platform_spark.queries import relational
+    from data_platform_spark.queries import relational, rm_pipeline
 
     order: list[str] = [n for n in _GATE_FIRST if n in merged]
-    ext = [n for n in merged if n not in relational.QUERIES]
+    # rm_pipeline (the flagship reference-parity SCD2 surface) is pinned
+    # directly after the fixes: growing the other extension modules must
+    # push the window tail out, never these rows
+    order += [n for n in rm_pipeline.QUERIES if n in oracles]
+    ext = [
+        n
+        for n in merged
+        if n not in relational.QUERIES and n not in rm_pipeline.QUERIES
+    ]
     # oracled extension queries before rows-only ones: oracle rows are the
     # stronger evidence and the window is finite
     order += [n for n in ext if n in oracles]
