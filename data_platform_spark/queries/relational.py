@@ -1698,3 +1698,380 @@ ORACLE.update(
         """,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H completion block: q9, q11, q13, q15, q16, q20, q21 — the remaining
+# canonical shapes (multi-way profit join, scalar-subquery HAVING,
+# left-join distribution, view+scalar-max, bridged distinct-count,
+# semi-join threshold, exists/not-exists sole-offender). The driver
+# testdata has no `partsupp` table, so the four queries that use it in
+# TPC-H (q9/q11/q16/q20) are adapted: `lineitem` serves as the
+# part<->supplier bridge and `p_retailprice` as the cost basis; the
+# adaptation is documented per query.
+# ---------------------------------------------------------------------------
+
+
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-style profit by (supplier nation, order year) over
+    color-named parts.
+
+    Adaptation: no partsupp in testdata, so unit cost is proxied as
+    0.4 * p_retailprice (deterministic constant margin basis). The
+    `p_name LIKE 'red%'` filter is pushed into the part scan; nation is
+    broadcast; the big joins shuffle on partkey/orderkey and AQE
+    coalesces post-filter partitions.
+    """
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.4) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(
+            part.select("p_partkey", "p_retailprice"),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .join(supp.select("s_suppkey", "s_nationkey"), li.l_suppkey == F.col("s_suppkey"))
+        .join(orders.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey"))
+        .join(nation, F.col("s_nationkey") == nation.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(pround(F.sum("amount")).alias("sum_profit"))
+    )
+
+
+def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-style scalar-subquery HAVING over exact decimals.
+
+    Adaptation (no partsupp): a part's "stock value" is the
+    exact-decimal sum of l_extendedprice * l_quantity over lineitems
+    shipped by suppliers of one nation; keep parts whose value exceeds
+    1/1000 of the nation total (value * 1000 > total, kept integral in
+    decimal space). Decimal arithmetic is order-independent, so both
+    engines agree bit-for-bit regardless of partial-agg scheduling.
+    The nation-total scalar is broadcast, not collected.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    nation = F.broadcast(
+        load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    per_part = (
+        li.join(F.broadcast(supp), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * F.col("l_quantity").cast("decimal(4,0)")
+            )
+            .cast("decimal(28,2)")
+            .alias("value")
+        )
+    )
+    total = per_part.agg(F.sum("value").cast("decimal(38,2)").alias("total"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value") * 1000 > F.col("total"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            (F.col("value") * 100).cast("bigint").alias("value_cents"),
+        )
+    )
+
+
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: distribution of customers by order count.
+
+    Left join keeps zero-order customers (c_count = 0); the
+    '1-URGENT' priority exclusion stands in for the reference's
+    comment NOT LIKE filter. Two shuffles (custkey, then c_count) —
+    the second is tiny (bounded by max orders/customer).
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: quarterly revenue "view" + scalar-max selection
+    (ties kept, per spec). The max is computed as a 1-row broadcast
+    crossJoin — no driver-side collect; supplier join is broadcast
+    from the (tiny) max-revenue side.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        pround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            "total_revenue"
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-style supplier counts per (brand, type, size).
+
+    Adaptation: lineitem is the part-supplier bridge (no partsupp);
+    suppliers with negative acctbal are excluded by anti-join (the
+    spec's complaints exclusion analog). One shuffle on the group
+    keys; countDistinct dedups map-side first.
+    """
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#3")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin([2, 5, 11, 17, 23, 29, 35, 41])
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    bad_supp = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad_supp), li.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .join(
+            part.select("p_partkey", "p_brand", "p_type", "p_size"),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q20_excess_red_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-style: suppliers who moved more than 2x the average
+    quantity of red-named parts in 1997 (threshold 1.25x).
+
+    Adaptation: shipped quantity stands in for partsupp availability.
+    Integer-valued double sums are exact under any summation order, and
+    the 2x-average threshold is derived from those exact sums, so the
+    comparison is engine-portable without rounding. Part filter is a
+    broadcast semi-join; the scalar average is a broadcast crossJoin.
+    """
+    red = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    per_supp = (
+        li.join(F.broadcast(red), li.l_partkey == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").cast("bigint").alias("red_qty"))
+    )
+    avg_qty = per_supp.agg(F.avg("red_qty").alias("avg_qty"))
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        per_supp.crossJoin(F.broadcast(avg_qty))
+        .filter(F.col("red_qty") > 1.25 * F.col("avg_qty"))
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "red_qty")
+    )
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-style: the sole late supplier in multi-supplier orders.
+
+    Late = shipped more than 60 days after the order date (testdata has
+    no commit/receipt dates). The classic triple self-join
+    EXISTS / NOT EXISTS is rewritten as ONE aggregation per order —
+    countDistinct(suppliers), countDistinct(late suppliers) — turning
+    three lineitem shuffles into one; the oracle keeps the textbook
+    EXISTS/NOT EXISTS formulation, so the correctness gate also proves
+    the rewrite's semantic equivalence.
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    per_order = (
+        li.join(
+            orders.select("o_orderkey", "o_orderdate"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .select("l_orderkey", "l_suppkey", late.alias("is_late"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(
+                F.when(F.col("is_late"), F.col("l_suppkey"))
+            ).alias("n_late"),
+            F.min(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("late_supp"),
+        )
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        per_order.groupBy("late_supp")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(supp, F.col("late_supp") == supp.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+QUERIES.update(
+    {
+        "q9_profit_by_nation_year": q9_profit_by_nation_year,
+        "q11_important_part_value": q11_important_part_value,
+        "q13_customer_order_distribution": q13_customer_order_distribution,
+        "q15_top_supplier": q15_top_supplier,
+        "q16_part_supplier_counts": q16_part_supplier_counts,
+        "q20_excess_red_shippers": q20_excess_red_shippers,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
+    }
+)
+
+ORACLE.update(
+    {
+        "q9_profit_by_nation_year": f"""
+            SELECT
+                n.n_name AS nation,
+                year(o.o_orderdate) AS o_year,
+                {sql_round("sum(l.l_extendedprice * (1 - l.l_discount) - 0.4 * p.p_retailprice * l.l_quantity)")}
+                    AS sum_profit
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            WHERE p.p_name LIKE 'red%'
+            GROUP BY n.n_name, year(o.o_orderdate)
+        """,
+        "q11_important_part_value": """
+            WITH per_part AS (
+                SELECT
+                    l.l_partkey AS p_partkey,
+                    sum(l.l_extendedprice::DECIMAL(18,2)
+                        * l.l_quantity::DECIMAL(4,0))::DECIMAL(28,2) AS value
+                FROM lineitem l
+                JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                JOIN nation n ON s.s_nationkey = n.n_nationkey
+                WHERE n.n_name = 'NATION_3'
+                GROUP BY l.l_partkey
+            )
+            SELECT p_partkey, (value * 100)::BIGINT AS value_cents
+            FROM per_part
+            WHERE value * 1000 > (SELECT sum(value) FROM per_part)
+        """,
+        "q13_customer_order_distribution": """
+            SELECT c_count, count(*) AS custdist
+            FROM (
+                SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+                FROM customer c
+                LEFT JOIN orders o
+                  ON c.c_custkey = o.o_custkey
+                 AND o.o_orderpriority <> '1-URGENT'
+                GROUP BY c.c_custkey
+            )
+            GROUP BY c_count
+        """,
+        "q15_top_supplier": f"""
+            WITH revenue AS (
+                SELECT
+                    l_suppkey,
+                    {sql_round("sum(l_extendedprice * (1 - l_discount))")}
+                        AS total_revenue
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                  AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+                GROUP BY l_suppkey
+            )
+            SELECT s.s_suppkey, s.s_name, r.total_revenue
+            FROM revenue r
+            JOIN supplier s ON r.l_suppkey = s.s_suppkey
+            WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+        """,
+        "q16_part_supplier_counts": """
+            SELECT
+                p.p_brand, p.p_type, p.p_size,
+                count(DISTINCT l.l_suppkey) AS supplier_cnt
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p.p_brand <> 'Brand#3'
+              AND p.p_type <> 'PROMO'
+              AND p.p_size IN (2, 5, 11, 17, 23, 29, 35, 41)
+              AND l.l_suppkey NOT IN (
+                  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+              )
+            GROUP BY p.p_brand, p.p_type, p.p_size
+        """,
+        "q20_excess_red_shippers": """
+            WITH per_supp AS (
+                SELECT
+                    l.l_suppkey,
+                    CAST(sum(l.l_quantity) AS BIGINT) AS red_qty
+                FROM lineitem l
+                WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                  AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+                  AND l.l_partkey IN (
+                      SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+                  )
+                GROUP BY l.l_suppkey
+            )
+            SELECT s.s_suppkey, s.s_name, p.red_qty
+            FROM per_supp p
+            JOIN supplier s ON p.l_suppkey = s.s_suppkey
+            WHERE p.red_qty > 1.25 * (SELECT avg(red_qty) FROM per_supp)
+        """,
+        "q21_waiting_suppliers": """
+            SELECT s.s_name, count(*) AS numwait
+            FROM (
+                SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+                FROM lineitem l1
+                JOIN orders o
+                  ON o.o_orderkey = l1.l_orderkey
+                 AND o.o_orderstatus = 'F'
+                WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                  AND EXISTS (
+                      SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey
+                  )
+                  AND NOT EXISTS (
+                      SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                  )
+            ) q
+            JOIN supplier s ON s.s_suppkey = q.l_suppkey
+            GROUP BY s.s_name
+            ORDER BY numwait DESC, s.s_name
+            LIMIT 20
+        """,
+    }
+)
