@@ -15,6 +15,8 @@ transactions — Delta/Iceberg — is a drop-in replacement for this class.)
 from __future__ import annotations
 
 import fcntl
+import json
+import math
 import os
 import shutil
 import uuid
@@ -55,6 +57,16 @@ class Warehouse:
         Returns a log of actions for tests/observability.
         """
         actions: list[str] = []
+        # Merge journals FIRST: an interrupted partition-pruned merge rolls
+        # back to the pre-merge state before the generic sweeps run (the
+        # sweeps would otherwise destroy the .old- dirs the rollback needs).
+        for s in self.SCHEMAS:
+            sdir = os.path.join(self.root, s)
+            for entry in sorted(os.listdir(sdir)):
+                if entry.startswith(".merge-journal-"):
+                    actions.extend(
+                        self._rollback_merge(os.path.join(sdir, entry), s)
+                    )
         for s in self.SCHEMAS:
             sdir = os.path.join(self.root, s)
             for entry in sorted(os.listdir(sdir)):
@@ -72,6 +84,51 @@ class Warehouse:
                     else:
                         os.rename(full, final)
                         actions.append(f"rolled back {s}/{entry}")
+                else:
+                    # partition-level leftovers inside a table dir (a merge
+                    # that crashed after its journal was removed but before
+                    # old-partition cleanup): final partition exists -> GC.
+                    for sub in sorted(os.listdir(full)):
+                        if ".old-" not in sub:
+                            continue
+                        subfull = os.path.join(full, sub)
+                        part = os.path.join(full, sub.split(".old-")[0])
+                        if os.path.isdir(part):
+                            shutil.rmtree(subfull, ignore_errors=True)
+                            actions.append(f"removed merged-old {s}/{entry}/{sub}")
+                        else:
+                            os.rename(subfull, part)
+                            actions.append(f"rolled back {s}/{entry}/{sub}")
+        return actions
+
+    def _rollback_merge(self, journal_path: str, schema: str) -> list[str]:
+        """Undo every partition swap recorded in an interrupted merge.
+
+        While the journal exists, no .old- partition dir has been deleted
+        (cleanup is strictly after journal removal), so rollback to the
+        exact pre-merge state is always possible: restore each recorded
+        old dir, remove any swapped-in or newly-added partition dir, then
+        drop the staging dir and the journal.
+        """
+        actions: list[str] = []
+        with open(journal_path) as f:
+            journal = json.load(f)
+        table_dir = os.path.join(self.root, schema, journal["table"])
+        for swap in journal["swaps"]:
+            part = os.path.join(table_dir, swap["part"])
+            if swap["had_old"]:
+                old = os.path.join(table_dir, swap["old"])
+                if os.path.isdir(old):
+                    shutil.rmtree(part, ignore_errors=True)
+                    os.rename(old, part)
+                    actions.append(f"merge-rollback restored {swap['part']}")
+            else:
+                if os.path.isdir(part):
+                    shutil.rmtree(part, ignore_errors=True)
+                    actions.append(f"merge-rollback removed new {swap['part']}")
+        shutil.rmtree(journal["tmp"], ignore_errors=True)
+        os.remove(journal_path)
+        actions.append(f"merge-rollback {schema}/{journal['table']}")
         return actions
 
     def path(self, schema: str, table: str) -> str:
@@ -118,6 +175,163 @@ class Warehouse:
             os.rename(tmp, final)
             if had_old:
                 shutil.rmtree(old, ignore_errors=True)
+
+    def merge(
+        self,
+        spark: SparkSession,
+        schema: str,
+        table: str,
+        updates: DataFrame,
+        keys: list[str],
+        partition_col: str,
+        delete_col: str | None = None,
+    ) -> list[str]:
+        """Partition-pruned copy-on-write MERGE (Delta/Iceberg MERGE INTO
+        analog at the file level — the upsert path for S4/S5/J7-class
+        maintenance at 100 TB).
+
+        Semantics: rows in ``updates`` replace existing rows with the same
+        ``keys``; unmatched keys insert; rows with ``delete_col`` true
+        delete their key. Only partitions PRESENT in ``updates`` are read
+        (partition-pruned scan) or rewritten — a merge touching 1 of 10k
+        date partitions reads and writes 1/10k of the table, vs the
+        full-table read+swap of ``write``.
+
+        Requires a hive-partitioned table (``write(partition_by=[...])``)
+        and a STABLE partition column per key (a key never moves between
+        partitions — the standard contract for date-partitioned upserts;
+        Delta's pruned MERGE makes the same assumption via its ON
+        predicate).
+
+        Commit protocol: stage all rewritten partitions to a temp dir,
+        journal the planned swaps, swap partition dirs one by one, remove
+        the journal, then GC old dirs. A crash anywhere before journal
+        removal rolls back to the exact pre-merge state on the next
+        startup (``recover``) — the merge is atomic-or-nothing at table
+        granularity even though individual renames are per-partition.
+
+        Returns the list of partition dir names rewritten (observability).
+        """
+        final = self.path(schema, table)
+        live = updates.filter(~F.col(delete_col)).drop(delete_col) if delete_col else updates
+        if not os.path.isdir(final):
+            self.write(live, schema, table, partition_by=[partition_col])
+            return [f"first-load {schema}/{table}"]
+
+        # One collect of the DISTINCT partition values in the batch —
+        # bounded by the partition count (dates), never by row count.
+        part_vals = [
+            r[0] for r in updates.select(partition_col).distinct().collect()
+        ]
+        existing = spark.read.parquet(final).filter(
+            F.col(partition_col).isin(part_vals)
+        )
+        # hive dir names round-trip through partition-type inference (e.g.
+        # '2026-01-01' -> DATE); align the batch to the table's read type
+        # so the union and the rewritten dir names stay consistent
+        part_type = existing.schema[partition_col].dataType
+        live = live.withColumn(
+            partition_col, F.col(partition_col).cast(part_type)
+        )
+        merged = existing.join(
+            updates.select(*keys).distinct(), keys, "left_anti"
+        ).unionByName(live.select(*existing.columns))
+
+        tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").partitionBy(partition_col).parquet(tmp)
+
+        # Partition-dir names come from what Spark actually wrote (exact
+        # hive escaping, no reimplementation). A partition emptied by
+        # deletes appears in part_vals but not in tmp: probe its dir name
+        # by writing just the partition values through the same writer.
+        written = {
+            e for e in os.listdir(tmp)
+            if e.startswith(f"{partition_col}=")
+        }
+        probe = f"{final}.tmp-probe-{uuid.uuid4().hex[:8]}"
+        updates.select(partition_col).distinct().withColumn(
+            "_one", F.lit(1)
+        ).write.mode("overwrite").partitionBy(partition_col).parquet(probe)
+        affected = {
+            e for e in os.listdir(probe)
+            if e.startswith(f"{partition_col}=")
+        }
+        shutil.rmtree(probe, ignore_errors=True)
+
+        with self._table_lock(schema, table):
+            swaps = []
+            for part in sorted(affected):
+                dst = os.path.join(final, part)
+                swaps.append(
+                    {
+                        "part": part,
+                        "old": f"{part}.old-{uuid.uuid4().hex[:8]}",
+                        "had_old": os.path.isdir(dst),
+                        "in_tmp": part in written,
+                    }
+                )
+            journal_path = os.path.join(
+                self.root, schema, f".merge-journal-{uuid.uuid4().hex[:8]}"
+            )
+            with open(journal_path, "w") as f:
+                json.dump({"table": table, "tmp": tmp, "swaps": swaps}, f)
+                f.flush()
+                os.fsync(f.fileno())
+            for swap in swaps:
+                dst = os.path.join(final, swap["part"])
+                if swap["had_old"]:
+                    os.rename(dst, os.path.join(final, swap["old"]))
+                if swap["in_tmp"]:
+                    os.rename(os.path.join(tmp, swap["part"]), dst)
+            os.remove(journal_path)  # <- the commit point
+            for swap in swaps:
+                if swap["had_old"]:
+                    shutil.rmtree(
+                        os.path.join(final, swap["old"]), ignore_errors=True
+                    )
+            shutil.rmtree(tmp, ignore_errors=True)
+        return sorted(affected)
+
+    def compact(
+        self,
+        spark: SparkSession,
+        schema: str,
+        table: str,
+        target_file_bytes: int = 128 << 20,
+        partition_by: list[str] | None = None,
+    ) -> tuple[int, int]:
+        """Small-file compaction: rewrite the table into ~target-sized
+        files (the OPTIMIZE of table formats).
+
+        Incremental upserts and streaming sinks accrete small files; at
+        100 TB scan cost becomes dominated by per-file open/footer
+        overhead and task scheduling, not bytes. One pass: size the
+        output file count from the current on-disk bytes, repartition,
+        swap. Returns (files_before, files_after).
+        """
+        path = self.path(schema, table)
+        files_before, bytes_total = 0, 0
+        for dirpath, _dirnames, filenames in os.walk(path):
+            for fn in filenames:
+                if fn.endswith(".parquet"):
+                    files_before += 1
+                    bytes_total += os.path.getsize(os.path.join(dirpath, fn))
+        n_files = max(1, math.ceil(bytes_total / target_file_bytes))
+        df = spark.read.parquet(path)
+        if partition_by:
+            # cluster rows of each hive partition into the same tasks so
+            # every partition dir ends up with few, full files
+            df = df.repartition(n_files, *[F.col(c) for c in partition_by])
+        else:
+            df = df.repartition(n_files)
+        self.write(df, schema, table, partition_by=partition_by)
+        files_after = sum(
+            1
+            for dirpath, _d, filenames in os.walk(path)
+            for fn in filenames
+            if fn.endswith(".parquet")
+        )
+        return files_before, files_after
 
     @contextmanager
     def _table_lock(self, schema: str, table: str):

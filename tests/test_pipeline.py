@@ -374,3 +374,150 @@ def test_warehouse_concurrent_writers_keep_state_consistent(spark, wh):
     sdir = os.path.join(wh.root, "dwh")
     stray = [d for d in os.listdir(sdir) if ".tmp-" in d or ".old-" in d]
     assert stray == []
+
+
+def _merge_demo_table(spark, wh, table="merge_demo"):
+    """4-date partitioned table for the pruned-merge tests."""
+    rows = [
+        (i, f"2026-0{1 + i % 4}-01", f"v{i}") for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "id int, pdate string, v string")
+    wh.write(df, "dwh", table, partition_by=["pdate"])
+    return {(r["id"]): (r["pdate"], r["v"]) for r in rows_as(spark, wh, table)}
+
+
+def rows_as(spark, wh, table):
+    return wh.read(spark, "dwh", table).collect()
+
+
+def _part_files(wh, table):
+    import os
+
+    base = wh.path("dwh", table)
+    out = {}
+    for dirpath, _d, files in os.walk(base):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                rel = os.path.relpath(dirpath, base)
+                full = os.path.join(dirpath, fn)
+                out.setdefault(rel, []).append((fn, os.path.getmtime(full)))
+    return {k: sorted(v) for k, v in out.items()}
+
+
+def test_merge_rewrites_only_affected_partitions(spark, wh):
+    """Pruned MERGE: update 1 partition + insert a new one; the other
+    3 partition dirs must be byte-for-byte untouched (same files, same
+    mtimes) — the 100 TB property: cost ∝ touched partitions."""
+    _merge_demo_table(spark, wh)
+    before = _part_files(wh, "merge_demo")
+
+    updates = spark.createDataFrame(
+        [
+            (0, "2026-01-01", "v0-updated"),   # update existing key
+            (100, "2026-01-01", "v100-new"),   # insert into existing part
+            (200, "2026-05-01", "v200-new"),   # brand-new partition
+        ],
+        "id int, pdate string, v string",
+    )
+    touched = wh.merge(spark, "dwh", "merge_demo", updates, ["id"], "pdate")
+    assert touched == ["pdate=2026-01-01", "pdate=2026-05-01"]
+
+    after = _part_files(wh, "merge_demo")
+    for part in ("pdate=2026-02-01", "pdate=2026-03-01", "pdate=2026-04-01"):
+        assert after[part] == before[part]  # identical files AND mtimes
+
+    got = {
+        r["id"]: (str(r["pdate"]), r["v"])
+        for r in rows_as(spark, wh, "merge_demo")
+    }
+    assert got[0] == ("2026-01-01", "v0-updated")
+    assert got[100] == ("2026-01-01", "v100-new")
+    assert got[200] == ("2026-05-01", "v200-new")
+    assert len(got) == 22 and got[1] == ("2026-02-01", "v1")
+
+
+def test_merge_deletes_and_drops_emptied_partition(spark, wh):
+    """WHEN MATCHED DELETE: deleting every row of a partition removes the
+    partition dir entirely (no residual empty dir shadowing the delete)."""
+    import os
+
+    _merge_demo_table(spark, wh)
+    # partition 2026-04-01 holds ids 3,7,11,15,19 — delete them all, and
+    # one row from 2026-01-01
+    dels = [(i, f"2026-0{1 + i % 4}-01", None, True) for i in (3, 7, 11, 15, 19)]
+    updates = spark.createDataFrame(
+        dels + [(4, "2026-01-01", None, True), (8, "2026-01-01", "v8-upd", False)],
+        "id int, pdate string, v string, is_deleted boolean",
+    )
+    wh.merge(
+        spark, "dwh", "merge_demo", updates, ["id"], "pdate",
+        delete_col="is_deleted",
+    )
+    got = {r["id"]: r["v"] for r in rows_as(spark, wh, "merge_demo")}
+    assert set(got) == set(range(20)) - {3, 7, 11, 15, 19, 4}
+    assert got[8] == "v8-upd"
+    assert not os.path.isdir(
+        os.path.join(wh.path("dwh", "merge_demo"), "pdate=2026-04-01")
+    )
+
+
+def test_merge_journal_rollback_restores_premerge_state(spark, wh):
+    """A merge interrupted mid-swap (journal still on disk) must roll back
+    to the EXACT pre-merge state on the next startup — atomic-or-nothing
+    across all touched partitions, not per-partition torn state."""
+    import json as _json
+    import os
+
+    _merge_demo_table(spark, wh)
+    pre = sorted(tuple(r) for r in rows_as(spark, wh, "merge_demo"))
+    final = wh.path("dwh", "merge_demo")
+
+    # Simulate the torn mid-merge crash state by hand: partition
+    # 2026-01-01 already swapped to new data, 2026-02-01 renamed away but
+    # its replacement not yet moved in, journal present.
+    tmp = f"{final}.tmp-cafe1234"
+    os.makedirs(tmp, exist_ok=True)
+    new1 = spark.createDataFrame(
+        [(999, "TORN")], "id int, v string"
+    )
+    p1, p2 = os.path.join(final, "pdate=2026-01-01"), os.path.join(
+        final, "pdate=2026-02-01"
+    )
+    os.rename(p1, f"{p1}.old-aaaa1111")
+    new1.write.parquet(p1)
+    os.rename(p2, f"{p2}.old-bbbb2222")
+    journal = {
+        "table": "merge_demo",
+        "tmp": tmp,
+        "swaps": [
+            {"part": "pdate=2026-01-01", "old": "pdate=2026-01-01.old-aaaa1111",
+             "had_old": True, "in_tmp": True},
+            {"part": "pdate=2026-02-01", "old": "pdate=2026-02-01.old-bbbb2222",
+             "had_old": True, "in_tmp": True},
+        ],
+    }
+    with open(os.path.join(wh.root, "dwh", ".merge-journal-dead0001"), "w") as f:
+        _json.dump(journal, f)
+
+    wh2 = Warehouse(wh.root)  # startup recovery
+    post = sorted(tuple(r) for r in rows_as(spark, wh2, "merge_demo"))
+    assert post == pre
+    assert not os.path.isdir(tmp)
+    assert not os.path.exists(
+        os.path.join(wh.root, "dwh", ".merge-journal-dead0001")
+    )
+
+
+def test_compact_reduces_file_count(spark, wh):
+    """OPTIMIZE analog: a fragmented table (40 files) compacts to the
+    byte-sized target with identical contents."""
+    df = spark.createDataFrame(
+        [(i, "x" * 100) for i in range(2000)], "id int, payload string"
+    ).repartition(40)
+    wh.write(df, "dwh", "frag_demo")
+    pre = sorted(tuple(r) for r in rows_as(spark, wh, "frag_demo"))
+
+    before, after = wh.compact(spark, "dwh", "frag_demo")
+    assert before >= 40 and after <= 4
+    post = sorted(tuple(r) for r in rows_as(spark, wh, "frag_demo"))
+    assert post == pre
