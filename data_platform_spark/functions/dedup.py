@@ -22,6 +22,8 @@ charter-mandated LLM-pipeline extension surface.
 
 from __future__ import annotations
 
+from functools import reduce
+
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame
@@ -193,6 +195,109 @@ def simhash64(texts: pd.Series) -> pd.Series:
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit signatures via bit_count(xor)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+SIMHASH32_BITS = 32
+SIMHASH32_BANDS = 4  # 4 bands x 8 bits: catches hamming <= 3 exactly
+
+
+def simhash32_df(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Engine-portable 32-bit SimHash, entirely in JVM expressions.
+
+    Unlike ``simhash64`` (Pandas UDF, sha1), every step here is an
+    oracle-reproducible built-in: lowercase alnum tokenization, token
+    hash = first 8 hex digits of md5 (identical in DuckDB), per-bit
+    ±term-frequency vote, sign → bit. One shuffle (groupBy doc_id) with
+    map-side partial aggregation of the 32 vote sums; no Python in the
+    path, so it scales like any hash aggregate.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")
+        ).alias("tok"),
+    ).filter(F.col("tok") != "")
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+    votes = toks.select(F.col(id_col), h.alias("h")).groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(SIMHASH32_BITS)
+        ]
+    )
+    packed = reduce(
+        lambda a, b: a + b,
+        [
+            F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+            for b in range(SIMHASH32_BITS)
+        ],
+    )
+    return votes.select(
+        F.col(id_col), packed.cast("long").alias("simhash32")
+    )
+
+
+def simhash_band_pairs(
+    sig: DataFrame,
+    hamming_max: int = 3,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash32",
+) -> DataFrame:
+    """Near-dup pairs by SimHash: banded blocking + exact Hamming verify.
+
+    Pigeonhole: two 32-bit signatures within Hamming distance 3 agree on
+    at least one of 4 disjoint 8-bit bands, so an equi-join per band finds
+    ALL such pairs — cost ∝ band-bucket collisions, never n². The verify
+    step is a row-local bit_count(xor) on the already-joined pair.
+    """
+    band_bits = SIMHASH32_BITS // SIMHASH32_BANDS
+    banded = sig.select(
+        F.col(id_col),
+        F.col(sig_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftright(F.col(sig_col), i * band_bits)
+                        .bitwiseAND(F.lit((1 << band_bits) - 1))
+                        .alias("band_val"),
+                    )
+                    for i in range(SIMHASH32_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, sig_col, "band.band_idx", "band.band_val")
+    a = banded.select(
+        F.col("band_idx"),
+        F.col("band_val"),
+        F.col(id_col).alias("doc_a"),
+        F.col(sig_col).alias("sig_a"),
+    )
+    b = banded.select(
+        F.col("band_idx"),
+        F.col("band_val"),
+        F.col(id_col).alias("doc_b"),
+        F.col(sig_col).alias("sig_b"),
+    )
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(
+                F.col("sig_a").bitwiseXOR(F.col("sig_b"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= hamming_max)
+    )
 
 
 def connected_components(

@@ -447,3 +447,98 @@ def _embedding_neardup_oracle() -> str:
 
 
 ORACLE["embedding_neardup_pairs"] = _embedding_neardup_oracle()
+
+
+# ---------------------------------------------------------------------------
+# fourth wave: fully-oracled SimHash (md5-derived bits, zero Python)
+# ---------------------------------------------------------------------------
+
+SIMHASH_HAMMING_MAX = 3
+
+
+def simhash32_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked SimHash: 32-bit signatures from md5-derived token
+    hashes — every step a JVM built-in reproduced bit-for-bit by the
+    DuckDB oracle (unlike simhash_signatures' sha1 Pandas UDF, which gets
+    only a rows-only check)."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    return D.simhash32_df(docs)
+
+
+def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by banded SimHash blocking + Hamming verify.
+
+    4 disjoint 8-bit bands guarantee every pair within Hamming 3 collides
+    in ≥1 band (pigeonhole) — candidate generation is equi-join-shaped
+    (cost ∝ bucket collisions), the verify a row-local bit_count(xor).
+    """
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    sig = D.simhash32_df(docs)
+    return D.simhash_band_pairs(sig, hamming_max=SIMHASH_HAMMING_MAX)
+
+
+QUERIES["simhash32_signatures"] = simhash32_signatures
+QUERIES["simhash_neardup_pairs"] = simhash_neardup_pairs
+
+
+def _simhash32_cte() -> str:
+    """Shared CTE: doc_id → 32-bit simhash, mirroring simhash32_df."""
+    votes = ",\n                   ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(D.SIMHASH32_BITS)
+    )
+    packed = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(D.SIMHASH32_BITS)
+    )
+    return f"""
+        toks AS (
+            SELECT doc_id, tok FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+                FROM documents
+            ) WHERE tok <> ''
+        ),
+        hashes AS (
+            SELECT doc_id,
+                   (('0x' || substr(md5(tok), 1, 8))::UBIGINT)::BIGINT AS h
+            FROM toks
+        ),
+        votes AS (
+            SELECT doc_id,
+                   {votes}
+            FROM hashes
+            GROUP BY doc_id
+        ),
+        simsig AS (
+            SELECT doc_id, CAST({packed} AS BIGINT) AS simhash32 FROM votes
+        )
+    """
+
+
+ORACLE["simhash32_signatures"] = f"""
+    WITH {_simhash32_cte()}
+    SELECT doc_id, simhash32 FROM simsig
+"""
+
+_BAND_BITS = D.SIMHASH32_BITS // D.SIMHASH32_BANDS
+
+ORACLE["simhash_neardup_pairs"] = f"""
+    WITH {_simhash32_cte()},
+    banded AS (
+        SELECT doc_id, simhash32, band_idx,
+               (simhash32 >> (band_idx * {_BAND_BITS})) & {(1 << _BAND_BITS) - 1}
+                   AS band_val
+        FROM simsig, unnest([{", ".join(str(i) for i in range(D.SIMHASH32_BANDS))}])
+             AS t(band_idx)
+    )
+    SELECT DISTINCT
+        a.doc_id AS doc_a,
+        b.doc_id AS doc_b,
+        bit_count(xor(a.simhash32, b.simhash32)) AS hamming
+    FROM banded a
+    JOIN banded b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash32, b.simhash32)) <= {SIMHASH_HAMMING_MAX}
+"""
