@@ -60,6 +60,8 @@ _FLAGSHIP = (
 _WINDOW_DEFER = (
     "simhash32_signatures",
     "simhash_neardup_pairs",
+    "purchase_prior_click_counts",
+    "doc_redaction",
 )
 
 

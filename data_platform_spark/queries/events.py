@@ -555,3 +555,71 @@ ORACLE["events_downsample_gapfill"] = f"""
     LEFT JOIN b ON b.bucket_start = g.bucket_start
               AND b.event_type = g.event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# interval / range join: per-purchase prior-click attribution
+# ---------------------------------------------------------------------------
+
+RANGE_JOIN_MINUTES = 10
+
+
+def purchase_prior_click_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-large interval join: for every purchase, how many clicks the
+    same user made in the preceding 10 minutes (last-touch attribution
+    feature).
+
+    Equi-join on user_id carries the shuffle; the time-range predicate is
+    evaluated inside each matched user's partition, so cost is
+    Σ clicks(u)·purchases(u) per user — bounded by per-user activity, not
+    n². At 100 TB the refinement for hot users is a composite equi key
+    (user_id, coarse time bucket) with each purchase probing its own and
+    the previous bucket, which caps candidates per join key; the
+    single-key layout here is the correct default for human-scale event
+    streams (as-of joins use the same layout, ops/asof.py).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .alias("p")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .select(F.col("user_id"), F.col("ts").alias("c_ts"))
+        .alias("c")
+    )
+    cond = (
+        (F.col("p.user_id") == F.col("c.user_id"))
+        & (
+            F.col("c.c_ts")
+            >= F.col("p.p_ts") - F.expr(f"INTERVAL {RANGE_JOIN_MINUTES} MINUTES")
+        )
+        & (F.col("c.c_ts") < F.col("p.p_ts"))
+    )
+    return (
+        p.join(c, cond, "left")
+        .groupBy(F.col("p.purchase_id").alias("purchase_id"))
+        .agg(F.count(F.col("c.c_ts")).alias("n_prior_clicks"))
+    )
+
+
+QUERIES["purchase_prior_click_counts"] = purchase_prior_click_counts
+
+ORACLE["purchase_prior_click_counts"] = f"""
+    SELECT
+        p.event_id AS purchase_id,
+        count(c.ts) AS n_prior_clicks
+    FROM events p
+    LEFT JOIN events c
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL {RANGE_JOIN_MINUTES} MINUTE
+     AND c.ts < p.ts
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id
+"""

@@ -2075,3 +2075,63 @@ ORACLE.update(
         """,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# range / band join (non-equi join family)
+# ---------------------------------------------------------------------------
+
+PRICE_BANDS = [
+    ("low", 0.0, 50_000.0),
+    ("mid", 50_000.0, 150_000.0),
+    ("high", 150_000.0, 300_000.0),
+    ("premium", 300_000.0, 600_000.0),
+]
+
+
+def orders_price_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast range join: orders classified into price bands by a
+    non-equi BETWEEN predicate against a small dimension.
+
+    The plan is a BroadcastNestedLoopJoin — exactly right here: the build
+    side is 4 rows, so "nested loop" is 4 comparisons per order row,
+    streamed with zero shuffle. This is the scale pattern for any
+    band/tier/SLA lookup: broadcast the bands, never sort or shuffle the
+    fact. (A large-large range join instead equi-joins on a coarse
+    bucket of the range key and post-filters — see
+    purchase_prior_click_counts in queries/events.py.)
+    """
+    from data_platform_spark.queries._util import pround
+
+    orders = load_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        PRICE_BANDS, "band string, lo double, hi double"
+    )
+    return (
+        orders.join(
+            F.broadcast(bands),
+            (F.col("o_totalprice") >= F.col("lo"))
+            & (F.col("o_totalprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            pround(F.sum("o_totalprice")).alias("total_price"),
+        )
+    )
+
+
+QUERIES["orders_price_band_join"] = orders_price_band_join
+
+_BANDS_VALUES = ", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in PRICE_BANDS)
+
+ORACLE["orders_price_band_join"] = f"""
+    SELECT
+        band,
+        count(*) AS n_orders,
+        {sql_round('sum(o_totalprice)')} AS total_price
+    FROM orders
+    JOIN (VALUES {_BANDS_VALUES}) AS bands(band, lo, hi)
+      ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band
+"""

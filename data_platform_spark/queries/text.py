@@ -535,3 +535,47 @@ def _sample_oracle() -> str:
 
 
 ORACLE["stratified_sample_docs"] = _sample_oracle()
+
+
+# ---------------------------------------------------------------------------
+# blocklist / PII-shape redaction (training-data scrubbing)
+# ---------------------------------------------------------------------------
+
+# blocklisted terms + the two canonical PII shapes (emails, long digit
+# runs); the corpus is synthetic word-soup so the PII alternatives match
+# nothing here, but the operator is the real scrubbing shape
+REDACT_PATTERN = (
+    r"\b(error|dup|slow)\b"
+    r"|[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+    r"|[0-9]{6,}"
+)
+
+
+def doc_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist + PII-pattern scrubbing: per-doc redaction count and the
+    post-redaction length — pure JVM regexp (regexp_count /
+    regexp_replace), embarrassingly parallel, no shuffle at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(REDACT_PATTERN))
+        .cast("long")
+        .alias("n_redacted"),
+        F.length(
+            F.regexp_replace(F.col("text"), REDACT_PATTERN, "[X]")
+        )
+        .cast("long")
+        .alias("clean_len"),
+    )
+
+
+QUERIES["doc_redaction"] = doc_redaction
+
+ORACLE["doc_redaction"] = f"""
+    SELECT
+        doc_id,
+        len(regexp_extract_all(text, '{REDACT_PATTERN}')) AS n_redacted,
+        length(regexp_replace(text, '{REDACT_PATTERN}', '[X]', 'g'))
+            AS clean_len
+    FROM documents
+"""
