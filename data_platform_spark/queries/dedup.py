@@ -473,7 +473,10 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cost ∝ bucket collisions), the verify a row-local bit_count(xor).
     """
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
-    sig = D.simhash32_df(docs)
+    # both sides of the band self-join read the signatures: persist so the
+    # tokenize+hash+32-vote aggregation runs once (same diamond-reuse
+    # rationale as neardup_pairs_lsh); 2 longs per doc, tiny at any scale
+    sig = D.simhash32_df(docs).persist()
     return D.simhash_band_pairs(sig, hamming_max=SIMHASH_HAMMING_MAX)
 
 

@@ -282,3 +282,41 @@ def test_multiprobe_recall_not_worse_than_single_probe(spark):
     # absolute target on the deterministic testdata: the tuned multi-probe
     # config (ANN_PLANES=4, 4 probes) measures 0.4; gate at >= 0.3
     assert len(multi & exact) / 10 >= 0.3
+
+
+def test_simhash_band_pairs_complete_vs_brute_force(spark):
+    """Pigeonhole exactness: banded blocking must find EXACTLY the pairs
+    within the Hamming radius — no candidate the brute-force all-pairs
+    scan finds is missed (4 disjoint 8-bit bands cover Hamming<=3), and
+    the verify filter admits nothing beyond the radius."""
+    from itertools import combinations
+
+    from pyspark.sql import functions as F
+
+    from data_platform_spark.functions.dedup import (
+        simhash32_df,
+        simhash_band_pairs,
+    )
+
+    words = ["spark", "join", "merge", "scan", "hash", "sort", "batch"]
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(words[j % len(words)] for j in range(i, i + 5)))
+            for i in range(40)
+        ],
+        "doc_id long, text string",
+    )
+    sig = simhash32_df(docs).persist()
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_band_pairs(sig, hamming_max=3).collect()
+    }
+
+    sigs = {r["doc_id"]: r["simhash32"] for r in sig.collect()}
+    expected = {
+        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+        for a, b in combinations(sorted(sigs), 2)
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    assert expected  # fixture produces real near-dup structure
+    assert got == expected
