@@ -62,6 +62,7 @@ _WINDOW_DEFER = (
     "simhash_neardup_pairs",
     "purchase_prior_click_counts",
     "doc_redaction",
+    "ivf_topk_vec0",
 )
 
 

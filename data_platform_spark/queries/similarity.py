@@ -549,3 +549,123 @@ ORACLE["ann_recall_at_k"] = f"""
         {sql_round(f"count(*) / {TOP_K}.0", 4)} AS recall
     FROM exact_topk e JOIN ann_topk a ON e.vec_id = a.vec_id
 """
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN search end to end: probe nearest cells, exact rerank inside them
+# ---------------------------------------------------------------------------
+
+IVF_NPROBE = 2
+
+
+def ivf_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complete IVF-style ANN query: coarse-quantize the query vector to
+    its ``IVF_NPROBE`` nearest centroid cells, then exact-cosine rerank
+    ONLY the vectors assigned to those cells.
+
+    The scale shape of inverted-file search: the index build (per-vector
+    cell assignment) is the one big job and is reusable across queries; a
+    search touches candidates ∝ nprobe/ncells of the corpus. Centroids
+    and the probed cell list are broadcast (tiny); the candidate restrict
+    is a left-semi join on the cell label; rerank is the same broadcast
+    1-row TakeOrdered as cosine_topk_vec0.
+    """
+    from data_platform_spark.queries._util import pround
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"), spark)
+    cents = S.label_centroids(emb)
+
+    q_long = (
+        emb.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(
+            F.posexplode(S.as_double(F.col("embedding"))).alias("pos", "x")
+        )
+    )
+    qdist = (
+        q_long.join(F.broadcast(cents), "pos")
+        .groupBy("label")
+        .agg(
+            pround(
+                F.sum(
+                    (F.col("x") - F.col("centroid_val"))
+                    * (F.col("x") - F.col("centroid_val"))
+                ),
+                6,
+            ).alias("dist2")
+        )
+    )
+    probe = (
+        qdist.orderBy(F.asc("dist2"), F.asc("label"))
+        .limit(IVF_NPROBE)
+        .select("label")
+    )
+    assign = ivf_assign_nearest_centroid(spark, sf_dir).select(
+        "vec_id", F.col("assigned_label").alias("label")
+    )
+    cand_ids = assign.join(F.broadcast(probe), "label", "left_semi").select(
+        "vec_id"
+    )
+    cand_emb = emb.join(cand_ids, "vec_id", "left_semi")
+    qv = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("q")
+    )
+    return S.cosine_topk(cand_emb, qv, k=TOP_K, exclude_ids=[QUERY_VEC_ID])
+
+
+QUERIES["ivf_topk_vec0"] = ivf_topk_vec0
+
+ORACLE["ivf_topk_vec0"] = f"""
+    WITH cents AS (
+        SELECT
+            label,
+            i - 1 AS pos,
+            {sql_round("avg(embedding[i]::DOUBLE)", 4)} AS centroid_val
+        FROM embeddings, generate_series(1, {DIM}) AS t(i)
+        GROUP BY label, i - 1
+    ),
+    vec_long AS (
+        SELECT vec_id, i - 1 AS pos, embedding[i]::DOUBLE AS x
+        FROM embeddings, generate_series(1, {DIM}) AS t(i)
+    ),
+    dist AS (
+        SELECT
+            v.vec_id,
+            c.label,
+            {sql_round("sum((v.x - c.centroid_val) * (v.x - c.centroid_val))", 6)} AS dist2
+        FROM vec_long v JOIN cents c ON v.pos = c.pos
+        GROUP BY v.vec_id, c.label
+    ),
+    assign AS (
+        SELECT vec_id, label FROM (
+            SELECT vec_id, label,
+                   row_number() OVER (
+                       PARTITION BY vec_id ORDER BY dist2 ASC, label ASC
+                   ) AS rk
+            FROM dist
+        ) WHERE rk = 1
+    ),
+    qdist AS (
+        SELECT label, dist2 FROM dist WHERE vec_id = {QUERY_VEC_ID}
+    ),
+    probe AS (
+        SELECT label FROM qdist ORDER BY dist2 ASC, label ASC LIMIT {IVF_NPROBE}
+    ),
+    cand AS (
+        SELECT vec_id FROM assign
+        WHERE label IN (SELECT label FROM probe)
+          AND vec_id <> {QUERY_VEC_ID}
+    ),
+    q AS (
+        SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+    ),
+    scored AS (
+        SELECT
+            e.vec_id,
+            {sql_round(_COSINE_SQL, 4)} AS cosine
+        FROM embeddings e, q
+        WHERE e.vec_id IN (SELECT vec_id FROM cand)
+    )
+    SELECT vec_id, cosine FROM scored
+    ORDER BY cosine DESC, vec_id ASC
+    LIMIT {TOP_K}
+"""
