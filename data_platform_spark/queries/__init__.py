@@ -63,6 +63,7 @@ _WINDOW_DEFER = (
     "purchase_prior_click_counts",
     "doc_redaction",
     "ivf_topk_vec0",
+    "ivf_recall_at_k",
 )
 
 

@@ -669,3 +669,34 @@ ORACLE["ivf_topk_vec0"] = f"""
     ORDER BY cosine DESC, vec_id ASC
     LIMIT {TOP_K}
 """
+
+
+def ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF search path vs the exact baseline — same gate
+    shape as ann_recall_at_k, keeping the second ANN strategy honest."""
+    from data_platform_spark.queries._util import pround
+
+    exact = cosine_topk_vec0(spark, sf_dir).select("vec_id")
+    ivf = ivf_topk_vec0(spark, sf_dir).select(F.col("vec_id").alias("ivf_id"))
+    return (
+        exact.join(ivf, exact.vec_id == ivf.ivf_id)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .select(
+            F.lit(TOP_K).cast("long").alias("k"),
+            F.col("n_hits"),
+            pround(F.col("n_hits") / F.lit(float(TOP_K)), 4).alias("recall"),
+        )
+    )
+
+
+QUERIES["ivf_recall_at_k"] = ivf_recall_at_k
+
+ORACLE["ivf_recall_at_k"] = f"""
+    WITH exact_topk AS ({ORACLE["cosine_topk_vec0"]}),
+    ivf_topk AS ({ORACLE["ivf_topk_vec0"]})
+    SELECT
+        10::BIGINT AS k,
+        CAST(count(*) AS BIGINT) AS n_hits,
+        {sql_round(f"count(*) / {TOP_K}.0", 4)} AS recall
+    FROM exact_topk e JOIN ivf_topk a ON e.vec_id = a.vec_id
+"""
