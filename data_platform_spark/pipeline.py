@@ -185,6 +185,7 @@ class Warehouse:
         keys: list[str],
         partition_col: str,
         delete_col: str | None = None,
+        order_col: str | None = None,
     ) -> list[str]:
         """Partition-pruned copy-on-write MERGE (Delta/Iceberg MERGE INTO
         analog at the file level — the upsert path for S4/S5/J7-class
@@ -210,11 +211,22 @@ class Warehouse:
         startup (``recover``) — the merge is atomic-or-nothing at table
         granularity even though individual renames are per-partition.
 
+        With ``order_col`` the resolution is newest-wins instead of
+        batch-always-wins: among all rows for a key (existing AND batch),
+        the highest order_col survives, ties broken deterministically over
+        the remaining columns — the replay-safe mode for at-least-once
+        streaming sinks (re-merging an old batch cannot regress a newer
+        row). Mutually exclusive with ``delete_col``.
+
         Returns the list of partition dir names rewritten (observability).
         """
+        if delete_col and order_col:
+            raise ValueError("delete_col and order_col are mutually exclusive")
         final = self.path(schema, table)
         live = updates.filter(~F.col(delete_col)).drop(delete_col) if delete_col else updates
         if not os.path.isdir(final):
+            if order_col:
+                live = _newest_per_key(live, keys, order_col)
             self.write(live, schema, table, partition_by=[partition_col])
             return [f"first-load {schema}/{table}"]
 
@@ -233,9 +245,16 @@ class Warehouse:
         live = live.withColumn(
             partition_col, F.col(partition_col).cast(part_type)
         )
-        merged = existing.join(
-            updates.select(*keys).distinct(), keys, "left_anti"
-        ).unionByName(live.select(*existing.columns))
+        if order_col:
+            merged = _newest_per_key(
+                existing.unionByName(live.select(*existing.columns)),
+                keys,
+                order_col,
+            )
+        else:
+            merged = existing.join(
+                updates.select(*keys).distinct(), keys, "left_anti"
+            ).unionByName(live.select(*existing.columns))
 
         tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
         merged.write.mode("overwrite").partitionBy(partition_col).parquet(tmp)
@@ -397,6 +416,24 @@ class BucketedWarehouse:
 
     def read(self, table: str) -> DataFrame:
         return self.spark.table(f"{self.database}.{table}")
+
+
+def _newest_per_key(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
+    """Highest order_col per key with a deterministic full-column
+    tie-break (mirrors streaming/sink.py's dedup contract)."""
+    from pyspark.sql.window import Window
+
+    tie_break = [
+        F.desc(c)
+        for c in sorted(df.columns)
+        if c != order_col and c not in keys
+    ]
+    w = Window.partitionBy(*keys).orderBy(F.desc(order_col), *tie_break)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
 
 def _batch_ts_lit(run_ts: datetime):

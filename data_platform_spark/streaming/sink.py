@@ -67,3 +67,43 @@ def stream_upsert_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_merge_sink(
+    stream_df: DataFrame,
+    wh: Warehouse,
+    schema: str,
+    table: str,
+    key_cols: list[str],
+    order_col: str,
+    partition_col: str,
+    checkpoint_dir: str,
+):
+    """foreachBatch sink backed by the partition-pruned MERGE.
+
+    Same exactly-once-effective contract as stream_upsert_sink (newest
+    order_col per key survives, deterministic tie-break), but per-batch
+    cost is ∝ the hive partitions the batch touches instead of the whole
+    table — the sink that stays O(batch) as the table grows to 100 TB.
+    The journaled swap in ``Warehouse.merge`` keeps a crashed batch
+    atomic-or-nothing, so foreachBatch's at-least-once replay always
+    re-merges from a consistent state.
+    """
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        wh.merge(
+            batch_df.sparkSession,
+            schema,
+            table,
+            batch_df,
+            keys=key_cols,
+            partition_col=partition_col,
+            order_col=order_col,
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

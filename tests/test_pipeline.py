@@ -521,3 +521,27 @@ def test_compact_reduces_file_count(spark, wh):
     assert before >= 40 and after <= 4
     post = sorted(tuple(r) for r in rows_as(spark, wh, "frag_demo"))
     assert post == pre
+
+
+def test_merge_order_col_newest_wins(spark, wh):
+    """order_col mode: a stale replay (older order_col) must not regress
+    a newer existing row; newer batch rows replace; in-batch duplicate
+    keys resolve to the newest."""
+    base = spark.createDataFrame(
+        [(1, "2026-01-01", "v1", 10), (2, "2026-01-01", "v2", 10)],
+        "id int, pdate string, v string, seq int",
+    )
+    wh.merge(spark, "dwh", "ord_demo", base, ["id"], "pdate", order_col="seq")
+
+    updates = spark.createDataFrame(
+        [
+            (1, "2026-01-01", "v1-stale", 5),    # older -> must lose
+            (2, "2026-01-01", "v2-new", 20),     # newer -> must win
+            (3, "2026-01-01", "v3-a", 7),        # in-batch dup key...
+            (3, "2026-01-01", "v3-b", 9),        # ...newest survives
+        ],
+        "id int, pdate string, v string, seq int",
+    )
+    wh.merge(spark, "dwh", "ord_demo", updates, ["id"], "pdate", order_col="seq")
+    got = {r["id"]: (r["v"], r["seq"]) for r in rows_as(spark, wh, "ord_demo")}
+    assert got == {1: ("v1", 10), 2: ("v2-new", 20), 3: ("v3-b", 9)}

@@ -408,3 +408,40 @@ def test_dedup_stream_drops_redelivered_events(spark, tmp_path):
     rows = spark.table("dedup_sink").collect()
     ids = sorted(r["event_id"] for r in rows)
     assert ids == list(range(15))  # each id exactly once
+
+
+def test_stream_to_warehouse_merge_sink(spark, events_dir, tmp_path):
+    """Partition-pruned MERGE as a streaming sink: same exactly-once
+    contract as the upsert sink, table hive-partitioned by event_type;
+    replaying the whole source is absorbed by newest-wins resolution."""
+    from data_platform_spark.pipeline import Warehouse
+    from data_platform_spark.streaming import read_events_stream
+    from data_platform_spark.streaming.sink import stream_merge_sink
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    q = stream_merge_sink(
+        read_events_stream(spark, events_dir, max_files_per_trigger=1),
+        wh, "raw", "events_merged",
+        key_cols=["event_id"], order_col="ts", partition_col="event_type",
+        checkpoint_dir=str(tmp_path / "ckpt1"),
+    )
+    q.awaitTermination(120)
+    out = wh.read(spark, "raw", "events_merged")
+    assert out.count() == 1000
+    import os
+
+    parts = sorted(
+        d
+        for d in os.listdir(wh.path("raw", "events_merged"))
+        if d.startswith("event_type=")
+    )
+    assert len(parts) == 5  # hive layout by event_type
+
+    q2 = stream_merge_sink(
+        read_events_stream(spark, events_dir),
+        wh, "raw", "events_merged",
+        key_cols=["event_id"], order_col="ts", partition_col="event_type",
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    q2.awaitTermination(120)
+    assert wh.read(spark, "raw", "events_merged").count() == 1000
