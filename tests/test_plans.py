@@ -51,3 +51,25 @@ def test_events_scan_prunes_columns(spark):
     # unknown_member_events needs only user_id from events
     p = _plan(spark, "unknown_member_events")
     assert "struct<user_id:bigint>" in p.replace(" ", "") or "user_id" in p
+
+
+def test_band_join_broadcasts_tiny_dim(spark):
+    """4-row bands dim must broadcast (BNLJ over 4 rows, zero fact
+    shuffle); the fact scan reads only o_totalprice."""
+    p = _plan(spark, "orders_price_band_join")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "o_orderdate" not in p  # column pruning on the fact scan
+
+
+def test_interval_join_is_equi_keyed(spark):
+    """purchase/click range join must key on user_id (hash or broadcast
+    equi-join), never a cartesian/pure-nested-loop plan."""
+    p = _plan(spark, "purchase_prior_click_counts")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_simhash_pairs_persist_and_no_cartesian(spark):
+    p = _plan(spark, "simhash_neardup_pairs")
+    assert "InMemoryTableScan" in p  # signatures computed once
+    assert "CartesianProduct" not in p
