@@ -2135,3 +2135,61 @@ ORACLE["orders_price_band_join"] = f"""
       ON o_totalprice >= lo AND o_totalprice < hi
     GROUP BY band
 """
+
+
+# ---------------------------------------------------------------------------
+# data-quality profiling
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+
+def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profiling (row count, null count, exact distinct count)
+    in ONE scan: a single wide aggregate row unpivoted with stack().
+
+    Multiple count(DISTINCT col) in one aggregate plan via Catalyst's
+    Expand (one pass over the data, rows multiplied by the distinct-agg
+    count) — the standard profile shape; at 100 TB swap exact distinct
+    for approx_count_distinct per column and Expand disappears.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            F.sum(
+                F.when(F.col(c).isNull(), 1).otherwise(0)
+            ).cast("long").alias(f"{c}__nulls"),
+            F.countDistinct(F.col(c)).alias(f"{c}__distinct"),
+        ]
+    wide = orders.agg(*aggs)
+    stack_expr = ", ".join(
+        f"'{c}', {c}__rows, {c}__nulls, {c}__distinct" for c in _PROFILE_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_expr}) AS "
+        "(column_name, n_rows, n_nulls, n_distinct)"
+    )
+
+
+QUERIES["orders_profile"] = orders_profile
+
+ORACLE["orders_profile"] = " UNION ALL ".join(
+    f"""
+    SELECT
+        '{c}' AS column_name,
+        count(*) AS n_rows,
+        count(*) - count({c}) AS n_nulls,
+        count(DISTINCT {c}) AS n_distinct
+    FROM orders
+    """
+    for c in _PROFILE_COLS
+)
