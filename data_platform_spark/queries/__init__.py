@@ -64,6 +64,7 @@ _WINDOW_DEFER = (
     "doc_redaction",
     "ivf_topk_vec0",
     "ivf_recall_at_k",
+    "ngram_jaccard_pairs",
 )
 
 

@@ -545,3 +545,102 @@ ORACLE["simhash_neardup_pairs"] = f"""
          AND a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash32, b.simhash32)) <= {SIMHASH_HAMMING_MAX}
 """
+
+
+# ---------------------------------------------------------------------------
+# fourth wave: exact n-gram Jaccard via a df-capped inverted index
+# ---------------------------------------------------------------------------
+
+# Stop-shingle cap: shingles appearing in more documents than this are
+# excluded from candidate generation (they are corpus boilerplate — each
+# one would fan out df^2 candidate pairs while carrying ~zero similarity
+# signal). The cap bounds total candidate cost at cap * |index| = LINEAR
+# in corpus size; without it the hottest shingle alone is n^2.
+NGRAM_DF_CAP = 64
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-word-shingle Jaccard near-dup pairs (inverted index).
+
+    The family member between exact-hash dedup and MinHash-LSH: MinHash
+    *approximates* shingle Jaccard; this computes it exactly for every
+    candidate pair. Candidate generation is an inverted-index pair
+    expansion restricted to *rare* shingles (document frequency between 2
+    and NGRAM_DF_CAP); verification is the same codegen'd
+    ``array_intersect`` row-op the LSH path uses (functions/dedup.py
+    ``verified_jaccard``), so the reported Jaccard is exact set Jaccard.
+
+    100 TB shape: shingling is a narrow map (array expressions, zero
+    shuffle); ONE shuffle builds the inverted index (groupBy shingle,
+    carrying only (shingle, doc_id)); pairs are generated narrowly from
+    each posting list via nested ``transform``/``flatten`` — no self-join
+    second shuffle; the df cap makes candidate count <= cap * |postings|.
+    Deliberate, documented recall bound: a pair whose shared shingles are
+    ALL above the cap yields no candidate — at threshold >= 0.2 such
+    pairs are similar only in boilerplate. The oracle implements the
+    identical capped index, so the gate checks algorithm parity.
+    """
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    doc_sh = D.shingle_array_df(docs).persist()
+    postings = (
+        doc_sh.select("doc_id", F.explode("sh_arr").alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids").between(2, NGRAM_DF_CAP))
+    )
+    # all (ids[i], ids[j]) with i < j, as a narrow array expression
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda a, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+            ),
+        )
+    )
+    cand = (
+        postings.select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p.doc_a"), F.col("p.doc_b"))
+        .distinct()
+    )
+    return D.verified_jaccard(doc_sh, cand, threshold=JACCARD_THRESHOLD)
+
+
+QUERIES["ngram_jaccard_pairs"] = ngram_jaccard_pairs
+
+ORACLE["ngram_jaccard_pairs"] = f"""
+    WITH {_shingle_cte()},
+    df AS (
+        SELECT shingle, count(*) AS dfc FROM sh GROUP BY shingle
+    ),
+    rare AS (
+        SELECT sh.doc_id, sh.shingle
+        FROM sh JOIN df USING (shingle)
+        WHERE df.dfc BETWEEN 2 AND {NGRAM_DF_CAP}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM rare a
+        JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
+    sizes AS (
+        SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ),
+    common AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS n_common
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT
+        doc_a,
+        doc_b,
+        {sql_round("n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common)", 4)}
+            AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE {sql_round("n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common)", 4)}
+          >= {JACCARD_THRESHOLD}
+"""
