@@ -65,6 +65,7 @@ _WINDOW_DEFER = (
     "ivf_topk_vec0",
     "ivf_recall_at_k",
     "ngram_jaccard_pairs",
+    "events_rollup_incremental",
 )
 
 

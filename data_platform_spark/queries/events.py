@@ -623,3 +623,48 @@ ORACLE["purchase_prior_click_counts"] = f"""
     WHERE p.event_type = 'purchase'
     GROUP BY p.event_id
 """
+
+
+def events_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance, gate-checked: events split into
+    3 disjoint batches (event_id mod 3), each reduced to a per-type
+    partial rollup (ops/incremental.rollup_delta), then folded with
+    combine_rollups — the O(batch) refresh path a 100 TB fact table uses
+    instead of per-batch full recompute. The oracle is the one-shot GROUP
+    BY over all events: folding MUST be indistinguishable from
+    recomputing (sum/count/min/max are algebraic; the fold is associative
+    and commutative)."""
+    from data_platform_spark.ops.incremental import combine_rollups, rollup_delta
+
+    ev = load_table(spark, sf_dir, "events")
+    keys = ["event_type"]
+    measures = {"value": "sum", "event_id": "count", "ts": "max"}
+    state = None
+    for i in range(3):
+        delta = rollup_delta(
+            ev.filter(F.pmod("event_id", F.lit(3)) == i), keys, measures
+        )
+        state = (
+            delta
+            if state is None
+            else combine_rollups(state, delta, keys, measures)
+        )
+    return state.select(
+        "event_type",
+        pround(F.col("sum_value")).alias("total_value"),
+        F.col("count_event_id").alias("n_events"),
+        F.date_format("max_ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+    )
+
+
+QUERIES["events_rollup_incremental"] = events_rollup_incremental
+
+ORACLE["events_rollup_incremental"] = f"""
+    SELECT
+        event_type,
+        {sql_round("sum(value)")} AS total_value,
+        count(event_id) AS n_events,
+        strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+    FROM events
+    GROUP BY event_type
+"""

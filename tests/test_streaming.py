@@ -445,3 +445,54 @@ def test_stream_to_warehouse_merge_sink(spark, events_dir, tmp_path):
     )
     q2.awaitTermination(120)
     assert wh.read(spark, "raw", "events_merged").count() == 1000
+
+
+def test_stream_rollup_sink_matches_batch_rollup(spark, events_dir, tmp_path):
+    """Streaming incremental-rollup sink: per-micro-batch partial aggs
+    folded into the stored rollup must equal a one-shot batch GROUP BY
+    over the whole source; restarting over the same source (replayed
+    batch ids) must not double-count."""
+    from data_platform_spark.ops.incremental import incremental_rollup  # noqa: F401
+    from data_platform_spark.ops.incremental import stream_rollup_sink
+    from data_platform_spark.pipeline import Warehouse
+    from data_platform_spark.streaming import read_events_stream
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    keys, measures = ["event_type"], {"value": "sum", "event_id": "count"}
+    q = stream_rollup_sink(
+        read_events_stream(spark, events_dir, max_files_per_trigger=1),
+        wh, "dwh", "ev_rollup", keys, measures, "event_type",
+        checkpoint_dir=str(tmp_path / "ckpt1"),
+    )
+    q.awaitTermination(120)
+
+    batch = (
+        spark.read.schema("event_id LONG, ts TIMESTAMP, user_id LONG, "
+                          "event_type STRING, value DOUBLE, props STRING")
+        .json(events_dir)
+        .groupBy("event_type")
+        .agg(F.sum("value").alias("s"), F.count("event_id").alias("n"))
+    )
+    expect = {r["event_type"]: (r["s"], r["n"]) for r in batch.collect()}
+    got = {
+        r["event_type"]: (r["sum_value"], r["count_event_id"])
+        for r in wh.read(spark, "dwh", "ev_rollup").collect()
+    }
+    assert set(got) == set(expect)
+    for t, (s, n) in expect.items():
+        assert got[t][1] == n
+        assert abs(got[t][0] - s) < 1e-6 * abs(s)
+
+    # same source, fresh checkpoint -> same deterministic batch ids ->
+    # every batch is a replay; the marker set must absorb all of them
+    q2 = stream_rollup_sink(
+        read_events_stream(spark, events_dir, max_files_per_trigger=1),
+        wh, "dwh", "ev_rollup", keys, measures, "event_type",
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    q2.awaitTermination(120)
+    got2 = {
+        r["event_type"]: (r["sum_value"], r["count_event_id"])
+        for r in wh.read(spark, "dwh", "ev_rollup").collect()
+    }
+    assert got2 == got
