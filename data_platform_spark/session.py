@@ -45,6 +45,10 @@ def get_spark(
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # INT96 (the legacy default) carries NO parquet min/max statistics,
+        # silently disabling file/row-group pruning on every timestamp
+        # column the engine writes; INT64 micros restores it
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # local mode: don't let tiny testdata files produce 1-row partitions
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
