@@ -156,6 +156,94 @@ def decode_bmp(content: bytes) -> np.ndarray:
     return np.ascontiguousarray(img)
 
 
+def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM → ((n_samples, n_channels) float64 in [-1, 1),
+    sample_rate). Real container parse: walks word-aligned RIFF chunks
+    (tolerates LIST/fact chunks between fmt and data), supports PCM
+    8-bit unsigned and 16-bit signed little-endian."""
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    fmt = data = None
+    pos = 12
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        size = int.from_bytes(content[pos + 4 : pos + 8], "little")
+        body = content[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are 2-byte aligned
+    if fmt is None or data is None:
+        raise ValueError("WAVE file missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    n_ch = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1:
+        raise ValueError(f"only PCM (format 1) supported, got {audio_format}")
+    if bits == 8:  # 8-bit PCM is UNSIGNED, midpoint 128
+        x = (np.frombuffer(data, dtype=np.uint8).astype("float64") - 128.0) / 128.0
+    elif bits == 16:  # 16-bit PCM is SIGNED little-endian
+        x = np.frombuffer(data, dtype="<i2").astype("float64") / 32768.0
+    else:
+        raise ValueError(f"unsupported PCM bit depth {bits} (8/16 only)")
+    n = (len(x) // n_ch) * n_ch
+    return x[:n].reshape(-1, n_ch), rate
+
+
+def encode_wav(samples: np.ndarray, rate: int, bits: int = 16) -> bytes:
+    """(n_samples, n_channels) float64 in [-1, 1) → PCM WAV bytes."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n_ch = samples.shape[1]
+    if bits == 8:
+        raw = (samples * 128.0 + 128.0).clip(0, 255).astype(np.uint8).tobytes()
+    elif bits == 16:
+        raw = (samples * 32768.0).clip(-32768, 32767).astype("<i2").tobytes()
+    else:
+        raise ValueError("bits must be 8 or 16")
+    block = n_ch * bits // 8
+    fmt = (
+        b"fmt "
+        + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + n_ch.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * block).to_bytes(4, "little")
+        + block.to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
+    )
+    data = b"data" + len(raw).to_bytes(4, "little") + raw
+    body = b"WAVE" + fmt + data
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def audio_features(samples: np.ndarray, rate: int) -> list[float]:
+    """Real audio features: [n_samples, n_channels, sample_rate,
+    duration_s, mean, rms, peak, zero-crossing-rate, 8-bin amplitude
+    histogram (L1-normalized)] — FEATURE_DIM=16 values, mono-mixed."""
+    n, ch = samples.shape
+    mono = samples.mean(axis=1)
+    mean = float(mono.mean())
+    rms = float(np.sqrt(np.mean(mono**2)))
+    peak = float(np.abs(mono).max())
+    zcr = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1]))) if n > 1 else 0.0
+    hist = np.histogram(mono, bins=8, range=(-1.0, 1.0))[0].astype("float64")
+    hist = hist / hist.sum() if hist.sum() else hist
+    return [
+        float(n),
+        float(ch),
+        float(rate),
+        n / rate,
+        mean,
+        rms,
+        peak,
+        zcr,
+        *hist,
+    ]
+
+
 def decode_image(content: bytes) -> np.ndarray:
     """Dispatch on magic bytes: P6 PPM or 24-bit BMP → (H, W, 3) uint8."""
     if content[:2] == b"P6":
@@ -201,18 +289,21 @@ def extract_features(media: DataFrame, strict: bool = False) -> DataFrame:
     """Decode + featurize every blob via mapInPandas (Arrow-batched).
 
     kind == 'image': REAL decode (PPM/BMP numpy codec) + image statistics.
-    Other kinds: byte-histogram fallback when strict=False;
+    kind == 'audio': REAL decode (RIFF/WAVE PCM parser) + audio
+    statistics. Other kinds: byte-histogram fallback when strict=False;
     strict=True raises NotImplementedError for them — the marker that a
-    real audio/video codec (ffmpeg/torchaudio) belongs there.
+    real video codec (ffmpeg) belongs there.
     """
 
     def _featurize(kind: str, content: bytes) -> list[float]:
         if kind == "image":
             return image_features(decode_image(content))
+        if kind == "audio":
+            return audio_features(*decode_wav(content))
         if strict:
             raise NotImplementedError(
                 f"no real codec for kind={kind!r} in this environment "
-                "(image is the only kind with a built-in codec); "
+                "(image and audio are the kinds with built-in codecs); "
                 "use strict=False for the byte-histogram fallback"
             )
         return byte_histogram_features(content)

@@ -66,6 +66,10 @@ _WINDOW_DEFER = (
     "ivf_recall_at_k",
     "ngram_jaccard_pairs",
     "events_rollup_incremental",
+    "price_quantity_regression",
+    "part_name_fuzzy_pairs",
+    "events_clustered_time_slice",
+    "multimodal_audio_decode",
 )
 
 

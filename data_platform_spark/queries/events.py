@@ -668,3 +668,47 @@ ORACLE["events_rollup_incremental"] = f"""
     FROM events
     GROUP BY event_type
 """
+
+
+def events_clustered_time_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout round-trip under the correctness gate: events rewritten
+    with cluster_write (range-clustered + sorted by ts, INT64-micros
+    stats — ops/layout.py), read back, and aggregated over the first
+    7 days. The oracle runs the same slice on the RAW table: a layout
+    rewrite must be invisible to query results while making the
+    time-range scan prune to the few files whose footer range overlaps
+    the slice (footer-stat evidence in tests/test_layout.py)."""
+    import tempfile
+
+    from data_platform_spark.ops.layout import cluster_write
+
+    ev = load_table(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="dps_layout_") + "/ev_by_ts"
+    cluster_write(ev, path, ["ts"], n_files=8)
+    back = spark.read.parquet(path)
+    cutoff = F.lit(ev.agg(F.min("ts")).collect()[0][0]) + F.expr(
+        "INTERVAL 7 DAYS"
+    )
+    return (
+        back.filter(F.col("ts") < cutoff)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            pround(F.sum("value")).alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+QUERIES["events_clustered_time_slice"] = events_clustered_time_slice
+
+ORACLE["events_clustered_time_slice"] = f"""
+    SELECT
+        event_type,
+        count(*) AS n_events,
+        {sql_round("sum(value)")} AS total_value,
+        count(DISTINCT user_id) AS n_users
+    FROM events
+    WHERE ts < (SELECT min(ts) + INTERVAL 7 DAY FROM events)
+    GROUP BY event_type
+"""

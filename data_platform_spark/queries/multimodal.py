@@ -134,3 +134,78 @@ ORACLE = {
         FROM s
     """,
 }
+
+
+WAV_RATE = 8000
+WAV_N = 32  # md5 hex string -> 32 one-byte PCM8 samples
+
+
+def _pcm8_header(n_samples: int) -> bytes:
+    block = 1  # mono, 8-bit
+    fmt = (
+        b"fmt "
+        + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + (1).to_bytes(2, "little")
+        + WAV_RATE.to_bytes(4, "little")
+        + (WAV_RATE * block).to_bytes(4, "little")
+        + block.to_bytes(2, "little")
+        + (8).to_bytes(2, "little")
+    )
+    data_hdr = b"data" + n_samples.to_bytes(4, "little")
+    body_len = 4 + len(fmt) + len(data_hdr) + n_samples
+    return b"RIFF" + body_len.to_bytes(4, "little") + b"WAVE" + fmt + data_hdr
+
+
+def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio-decode path, oracle-checked.
+
+    Each document deterministically renders to a PCM8 mono WAV (samples =
+    the 32 md5 hex chars as unsigned bytes), assembled as a JVM binary
+    expression: fixed RIFF/fmt/data header + encode(md5(text)). The
+    mapInPandas stage runs the real RIFF parser (chunk walk, PCM8
+    midpoint-128 normalization) and audio statistics. The oracle
+    recomputes n_samples / duration / mean / rms from the same md5
+    characters' code points — a mis-parsed header, wrong chunk offset, or
+    wrong sign convention shifts every value and fails the hash.
+    """
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        F.concat(
+            F.lit(_pcm8_header(WAV_N)), F.encode(F.md5(F.col("text")), "UTF-8")
+        ).alias("content"),
+        F.struct(
+            F.col("source").alias("source"),
+            F.lit(0).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+    feats = M.extract_features(media, strict=True)  # real WAV decode per blob
+    return feats.select(
+        "media_id",
+        F.col("features")[0].cast("long").alias("n_samples"),
+        pround(F.col("features")[3], 6).alias("duration_s"),
+        pround(F.col("features")[4], 6).alias("mean_amp"),
+        pround(F.col("features")[5], 6).alias("rms_amp"),
+    )
+
+
+QUERIES["multimodal_audio_decode"] = multimodal_audio_decode
+
+_AMP = "(ord(substr(px, j, 1)) - 128) / 128.0"
+
+ORACLE["multimodal_audio_decode"] = f"""
+    WITH s AS (
+        SELECT doc_id, md5(text) AS px FROM documents
+    )
+    SELECT
+        doc_id AS media_id,
+        {WAV_N}::BIGINT AS n_samples,
+        {sql_round(f"{WAV_N} * 1.0 / {WAV_RATE}", 6)} AS duration_s,
+        {sql_round(f"(SELECT avg({_AMP}) FROM generate_series(1, {WAV_N}) AS t(j))", 6)}
+            AS mean_amp,
+        {sql_round(f"sqrt((SELECT avg(pow({_AMP}, 2)) FROM generate_series(1, {WAV_N}) AS t(j)))", 6)}
+            AS rms_amp
+    FROM s
+"""

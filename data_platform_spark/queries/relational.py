@@ -2193,3 +2193,89 @@ ORACLE["orders_profile"] = " UNION ALL ".join(
     """
     for c in _PROFILE_COLS
 )
+
+
+def price_quantity_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS regression aggregate surface (regr_slope / regr_intercept /
+    regr_r2 / regr_count): extendedprice as a linear function of quantity
+    per return flag. Linear-model fitting as a pure JVM aggregate — one
+    shuffle on the group key, partial-aggregated map-side; the
+    distributed path for trend fitting that never collects rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        pround(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+        pround(F.regr_intercept("l_extendedprice", "l_quantity"), 2).alias(
+            "intercept"
+        ),
+        pround(F.regr_r2("l_extendedprice", "l_quantity"), 4).alias("r2"),
+        F.regr_count("l_extendedprice", "l_quantity").alias("n_pairs"),
+    )
+
+
+QUERIES["price_quantity_regression"] = price_quantity_regression
+
+ORACLE["price_quantity_regression"] = f"""
+    SELECT
+        l_returnflag,
+        {sql_round("regr_slope(l_extendedprice, l_quantity)", 4)} AS slope,
+        {sql_round("regr_intercept(l_extendedprice, l_quantity)", 2)} AS intercept,
+        {sql_round("regr_r2(l_extendedprice, l_quantity)", 4)} AS r2,
+        regr_count(l_extendedprice, l_quantity) AS n_pairs
+    FROM lineitem
+    GROUP BY l_returnflag
+"""
+
+
+def part_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy matching (edit distance) — the data-cleaning /
+    entity-resolution primitive. All-pairs levenshtein is n²; the
+    standard scale shape is BLOCK then verify: candidate pairs must
+    already agree on a cheap key (here: first token + name length band),
+    so the expensive edit distance runs only within blocks. The block
+    join is a plain equi-join — shuffles only (block_key, name) — and
+    block sizes bound the quadratic term exactly like LSH bands do for
+    Jaccard. Verified pairs: levenshtein <= 4 over distinct part names
+    sharing a first word."""
+    part = load_table(spark, sf_dir, "part")
+    names = part.select("p_name").distinct().select(
+        F.col("p_name").alias("name"),
+        F.concat_ws(
+            "#",
+            F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)),
+            F.floor(F.length("p_name") / 4).cast("string"),
+        ).alias("blk"),
+    )
+    a = names.select(F.col("name").alias("name_a"), "blk")
+    b = names.select(F.col("name").alias("name_b"), "blk")
+    return (
+        a.join(b, "blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 4)
+        .distinct()
+    )
+
+
+QUERIES["part_name_fuzzy_pairs"] = part_name_fuzzy_pairs
+
+ORACLE["part_name_fuzzy_pairs"] = """
+    WITH names AS (
+        SELECT DISTINCT
+            p_name AS name,
+            concat_ws('#',
+                      split_part(p_name, ' ', 1),
+                      CAST(CAST(floor(length(p_name) / 4) AS BIGINT) AS VARCHAR)) AS blk
+        FROM part
+    )
+    SELECT DISTINCT
+        a.name AS name_a,
+        b.name AS name_b,
+        levenshtein(a.name, b.name) AS edit_dist
+    FROM names a
+    JOIN names b ON a.blk = b.blk AND a.name < b.name
+    WHERE levenshtein(a.name, b.name) <= 4
+"""

@@ -20,6 +20,11 @@ def _checker_img(h=8, w=8):
     return img
 
 
+def _saw_sig(n=64):
+    """Deterministic mono sawtooth in [-0.5, 0.5)."""
+    return (np.arange(n) / n - 0.5)[:, None]
+
+
 def _bmp_bytes(img: np.ndarray) -> bytes:
     """Hand-rolled uncompressed 24-bit BMP encoder (bottom-up, padded
     rows) — independent of the decoder under test."""
@@ -54,7 +59,7 @@ def media(spark):
     img = _checker_img()
     blobs = [
         (1, "image", M.encode_ppm(img), "a.ppm"),
-        (2, "audio", b"RIFF fake wave" + bytes(100), "b.wav"),
+        (2, "audio", M.encode_wav(_saw_sig(), 8000, bits=16), "b.wav"),
         (3, "video", bytes(5000), "c.mp4"),
         (4, "image", _bmp_bytes(img), "d.bmp"),
     ]
@@ -102,8 +107,13 @@ def test_extract_features_real_image_stats(spark, media):
     assert abs(f[3] - img[:, :, 1].mean()) < 1e-9  # mean G
     assert abs(f[4] - img[:, :, 2].mean()) < 1e-9  # mean B
     assert abs(sum(f[8:]) - 1.0) < 1e-9  # luminance hist normalized
-    # non-image kinds: byte-histogram fallback, L1-normalized
-    assert abs(sum(feats[2]["features"]) - 1.0) < 1e-9
+    # audio: REAL WAV decode — sample count, rate, rms of the sawtooth
+    sig = _saw_sig()
+    af = feats[2]["features"]
+    assert af[0] == 64.0 and af[1] == 1.0 and af[2] == 8000.0
+    assert abs(af[5] - np.sqrt((sig**2).mean())) < 1e-3  # rms (16-bit quant)
+    # codec-less kinds (video): byte-histogram fallback, L1-normalized
+    assert abs(sum(feats[3]["features"]) - 1.0) < 1e-9
     assert len(feats[3]["features"]) == M.FEATURE_DIM
 
 
@@ -155,3 +165,66 @@ def test_read_binary_dir(spark, tmp_path):
     assert [f.name for f in media.schema.fields] == [
         f.name for f in M.MEDIA_SCHEMA.fields
     ]
+
+
+def test_wav_roundtrip_pcm16_stereo():
+    import numpy as np
+
+    from data_platform_spark.functions.multimodal import decode_wav, encode_wav
+
+    t = np.linspace(0, 1, 400, endpoint=False)
+    left = 0.5 * np.sin(2 * np.pi * 5 * t)
+    right = 0.25 * np.cos(2 * np.pi * 3 * t)
+    sig = np.stack([left, right], axis=1)
+    back, rate = decode_wav(encode_wav(sig, 400, bits=16))
+    assert rate == 400
+    assert back.shape == (400, 2)
+    assert np.abs(back - sig).max() < 1 / 32768 + 1e-9
+
+
+def test_wav_roundtrip_pcm8_mono_and_chunk_walk():
+    import numpy as np
+
+    from data_platform_spark.functions.multimodal import decode_wav, encode_wav
+
+    sig = (np.arange(64) / 64.0 - 0.5)[:, None]
+    wav = encode_wav(sig, 8000, bits=8)
+    # splice an unknown LIST chunk between fmt and data: a real RIFF
+    # parser must skip it, a fixed-offset-44 parser breaks
+    fmt_end = 12 + 8 + 16
+    alien = b"LIST" + (6).to_bytes(4, "little") + b"INFOab"
+    spliced = wav[:fmt_end] + alien + wav[fmt_end:]
+    spliced = spliced[:4] + (len(spliced) - 8).to_bytes(4, "little") + spliced[8:]
+    back, rate = decode_wav(spliced)
+    assert rate == 8000
+    assert back.shape == (64, 1)
+    assert np.abs(back - sig).max() <= 1 / 128 + 1e-9
+
+
+def test_wav_rejects_non_riff_and_non_pcm():
+    import numpy as np
+    import pytest
+
+    from data_platform_spark.functions.multimodal import decode_wav, encode_wav
+
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"not audio at all")
+    wav = bytearray(encode_wav(np.zeros((4, 1)), 8000, bits=16))
+    wav[20:22] = (3).to_bytes(2, "little")  # IEEE float format code
+    with pytest.raises(ValueError, match="PCM"):
+        decode_wav(bytes(wav))
+
+
+def test_audio_features_values():
+    import numpy as np
+
+    from data_platform_spark.functions.multimodal import audio_features
+
+    sig = np.array([[0.5], [-0.5], [0.5], [-0.5]])
+    f = audio_features(sig, 100)
+    assert f[0] == 4.0 and f[1] == 1.0 and f[2] == 100.0
+    assert abs(f[3] - 0.04) < 1e-12  # duration
+    assert abs(f[4]) < 1e-12  # mean
+    assert abs(f[5] - 0.5) < 1e-12  # rms
+    assert f[6] == 0.5  # peak
+    assert f[7] == 1.0  # every step crosses zero
