@@ -70,6 +70,8 @@ _WINDOW_DEFER = (
     "part_name_fuzzy_pairs",
     "events_clustered_time_slice",
     "multimodal_audio_decode",
+    "multimodal_video_decode",
+    "multimodal_frame_sample",
 )
 
 

@@ -13,6 +13,8 @@ source bytes directly.
 
 from __future__ import annotations
 
+import numpy as np
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -192,6 +194,178 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["multimodal_audio_decode"] = multimodal_audio_decode
+
+VID_W, VID_H = 4, 2  # row = 12 bytes: 4-byte aligned, so no DIB padding
+VID_FPS = 5.0
+VID_FRAME = VID_W * VID_H * 3  # 24 bytes per frame
+
+
+def _avi_parts(n_frames: int) -> tuple[bytes, bytes, bytes]:
+    """Split a template AVI (all-zero frames) into (head, between-frames,
+    tail) so the plan can splice per-document frame bytes in as JVM
+    ``concat``: head + f1 + mid + f2 + ... + tail. Works because the
+    container layout is fixed for fixed (n_frames, w, h, fps) and the
+    24-byte frame rows need no padding."""
+    full = M.encode_avi(
+        np.zeros((n_frames, VID_H, VID_W, 3), dtype=np.uint8), fps=VID_FPS
+    )
+    movi = full.index(b"movi")
+    starts = [movi + 4 + 8 * (i + 1) + VID_FRAME * i for i in range(n_frames)]
+    head = full[: starts[0]]
+    mid = full[starts[0] + VID_FRAME : starts[1]]
+    tail = full[starts[-1] + VID_FRAME :]
+    return head, mid, tail
+
+
+def _doc_avi_content(n_frames: int) -> F.Column:
+    """Per-document AVI binary: container bytes from the template, frame
+    DIB bytes = consecutive 24-char slices of repeat(md5(text), ...)."""
+    head, mid, tail = _avi_parts(n_frames)
+    reps = -(-(n_frames * VID_FRAME) // 32)  # ceil: md5 hex is 32 chars
+    px = F.repeat(F.md5(F.col("text")), reps)
+    parts: list[F.Column] = [F.lit(head)]
+    for i in range(n_frames):
+        if i:
+            parts.append(F.lit(mid))
+        parts.append(F.encode(F.substring(px, i * VID_FRAME + 1, VID_FRAME), "UTF-8"))
+    parts.append(F.lit(tail))
+    return F.concat(*parts)
+
+
+def multimodal_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-decode path, oracle-checked.
+
+    Each document deterministically renders to a 2-frame 4×2 AVI: the
+    container (RIFF/hdrl/strl/movi/idx1) comes from the fixed template,
+    the two DIB frame payloads are the first 48 chars of
+    repeat(md5(text), 2) — spliced together as one JVM ``concat``. The
+    mapInPandas stage runs the real AVI parser (recursive LIST walk,
+    avih/strh/strf, per-frame DIB decode) and video statistics. The
+    oracle recomputes frame count / duration / mean intensity / motion
+    from the same md5 characters' code points: a mis-parsed header, wrong
+    frame offset, or a dropped/truncated frame shifts every value. Mean
+    intensity and motion aggregate integer byte values (exact float64
+    sums in both engines — no decimal-weight rounding boundary) and are
+    invariant to the decoder's bottom-up/BGR spatial remap because they
+    pool over all samples; motion pairs byte j of frame 1 with byte j of
+    frame 2 under the same remap."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        _doc_avi_content(2).alias("content"),
+        F.struct(
+            F.col("source").alias("source"),
+            F.lit(0).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+    feats = M.extract_features(media, strict=True)  # real AVI decode per blob
+    return feats.select(
+        "media_id",
+        F.col("features")[0].cast("long").alias("n_frames"),
+        F.col("features")[1].cast("long").alias("height"),
+        F.col("features")[2].cast("long").alias("width"),
+        pround(F.col("features")[4], 6).alias("duration_s"),
+        pround(F.col("features")[5], 4).alias("mean_intensity"),
+        pround(F.col("features")[7], 4).alias("motion"),
+    )
+
+
+QUERIES["multimodal_video_decode"] = multimodal_video_decode
+
+ORACLE["multimodal_video_decode"] = f"""
+    WITH s AS (
+        SELECT doc_id, substr(repeat(md5(text), 2), 1, {2 * VID_FRAME}) AS px
+        FROM documents
+    )
+    SELECT
+        doc_id AS media_id,
+        2::BIGINT AS n_frames,
+        {VID_H}::BIGINT AS height,
+        {VID_W}::BIGINT AS width,
+        {sql_round(f"2 / {VID_FPS}", 6)} AS duration_s,
+        {sql_round(f"(SELECT avg(ord(substr(px, j, 1))) FROM generate_series(1, {2 * VID_FRAME}) AS t(j))", 4)}
+            AS mean_intensity,
+        {sql_round(f"(SELECT avg(abs(ord(substr(px, {VID_FRAME} + j, 1)) - ord(substr(px, j, 1)))) FROM generate_series(1, {VID_FRAME}) AS t(j))", 4)}
+            AS motion
+    FROM s
+"""
+
+FS_FRAMES = 4  # 4 frames @ 5 fps, sampled every 0.4s -> frames 0 and 2
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL frame sampling + image-path composition, oracle-checked.
+
+    Each document renders to a 4-frame AVI (frames = 24-char md5 slices);
+    ``sample_frames`` container-parses it and keeps one frame per 0.4s of
+    media time (frames 0 and 2 at 5 fps), re-encoding each as PPM. The
+    sampled frames then re-enter the IMAGE path: ``extract_features``
+    runs the real P6 codec on every frame and the per-frame channel means
+    are oracle-checked. media_id is temporarily composited as
+    id * FS_FRAMES + frame_no through the featurize stage (features keep
+    only media_id) and split back out — both factors are exact in the
+    int64 domain."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        _doc_avi_content(FS_FRAMES).alias("content"),
+        F.struct(
+            F.col("source").alias("source"),
+            F.lit(0).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+    frames = M.sample_frames(media, every_n_seconds=0.4)
+    as_media = frames.select(
+        (F.col("media_id") * FS_FRAMES + F.col("frame_no")).alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.col("frame").alias("content"),
+        F.struct(
+            F.lit("frame").alias("source"),
+            F.length("frame").cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+    feats = M.extract_features(as_media, strict=True)
+    fno = F.col("media_id") % FS_FRAMES
+    return feats.select(
+        F.floor(F.col("media_id") / FS_FRAMES).cast("long").alias("media_id"),
+        fno.cast("int").alias("frame_no"),
+        pround(fno / F.lit(VID_FPS), 6).alias("t_s"),
+        pround(F.col("features")[2], 4).alias("mean_r"),
+        pround(F.col("features")[3], 4).alias("mean_g"),
+        pround(F.col("features")[4], 4).alias("mean_b"),
+    )
+
+
+QUERIES["multimodal_frame_sample"] = multimodal_frame_sample
+
+
+def _frame_channel_mean_sql(channel_offset: int) -> str:
+    # mean over one frame's 8 pixels of ord(byte) for one BGR channel;
+    # frame f starts at px offset 24 * fn
+    return sql_round(
+        f"(SELECT avg(ord(substr(px, {VID_FRAME} * fn + 3 * (j - 1) + "
+        f"{channel_offset + 1}, 1))) "
+        f"FROM generate_series(1, {VID_W * VID_H}) AS t(j))",
+        4,
+    )
+
+
+ORACLE["multimodal_frame_sample"] = f"""
+    WITH s AS (
+        SELECT doc_id, repeat(md5(text), {-(-(FS_FRAMES * VID_FRAME) // 32)}) AS px
+        FROM documents
+    )
+    SELECT
+        doc_id AS media_id,
+        fn AS frame_no,
+        {sql_round(f"fn / {VID_FPS}", 6)} AS t_s,
+        {_frame_channel_mean_sql(2)} AS mean_r,
+        {_frame_channel_mean_sql(1)} AS mean_g,
+        {_frame_channel_mean_sql(0)} AS mean_b
+    FROM s CROSS JOIN (SELECT unnest([0, 2]) AS fn) f
+"""
 
 _AMP = "(ord(substr(px, j, 1)) - 128) / 128.0"
 

@@ -54,21 +54,28 @@ def _bmp_bytes(img: np.ndarray) -> bytes:
     return header + pixel_data
 
 
+def _vid_frames(t=6, h=4, w=6):
+    """Deterministic video: frame i = checker pattern shifted by i."""
+    base = _checker_img(h, w).astype(np.int16)
+    return np.stack([(base + 7 * i) % 256 for i in range(t)]).astype(np.uint8)
+
+
 @pytest.fixture()
 def media(spark):
     img = _checker_img()
     blobs = [
         (1, "image", M.encode_ppm(img), "a.ppm"),
         (2, "audio", M.encode_wav(_saw_sig(), 8000, bits=16), "b.wav"),
-        (3, "video", bytes(5000), "c.mp4"),
+        (3, "video", M.encode_avi(_vid_frames(), fps=3.0), "c.avi"),
         (4, "image", _bmp_bytes(img), "d.bmp"),
+        (5, "blob", bytes(5000), "e.bin"),  # kind with no built-in codec
     ]
     return M.media_from_blobs(spark, blobs)
 
 
 def test_media_schema(media):
     assert media.schema == M.MEDIA_SCHEMA
-    assert media.count() == 4
+    assert media.count() == 5
 
 
 def test_ppm_roundtrip():
@@ -112,9 +119,16 @@ def test_extract_features_real_image_stats(spark, media):
     af = feats[2]["features"]
     assert af[0] == 64.0 and af[1] == 1.0 and af[2] == 8000.0
     assert abs(af[5] - np.sqrt((sig**2).mean())) < 1e-3  # rms (16-bit quant)
-    # codec-less kinds (video): byte-histogram fallback, L1-normalized
-    assert abs(sum(feats[3]["features"]) - 1.0) < 1e-9
-    assert len(feats[3]["features"]) == M.FEATURE_DIM
+    # video: REAL AVI decode — frame count, dims, fps, motion
+    vid = _vid_frames()
+    vf = feats[3]["features"]
+    assert vf[:4] == [6.0, 4.0, 6.0, 3.0]  # n_frames, h, w, fps
+    assert abs(vf[4] - 2.0) < 1e-9  # duration: 6 frames @ 3 fps
+    expected_motion = np.mean(np.abs(np.diff(vid.astype("float64"), axis=0)))
+    assert abs(vf[7] - expected_motion) < 1e-9
+    # codec-less kinds (blob): byte-histogram fallback, L1-normalized
+    assert abs(sum(feats[5]["features"]) - 1.0) < 1e-9
+    assert len(feats[5]["features"]) == M.FEATURE_DIM
 
 
 def test_extract_features_strict_raises_for_codecless_kinds(spark, media):
@@ -123,10 +137,10 @@ def test_extract_features_strict_raises_for_codecless_kinds(spark, media):
     assert "NotImplementedError" in str(ei.value) or "real codec" in str(ei.value)
 
 
-def test_extract_features_strict_ok_for_images_only(spark, media):
-    only_images = media.filter(F.col("kind") == "image")
-    rows = M.extract_features(only_images, strict=True).collect()
-    assert len(rows) == 2  # real codec path needs no fallback
+def test_extract_features_strict_ok_for_real_codec_kinds(spark, media):
+    decodable = media.filter(F.col("kind") != "blob")
+    rows = M.extract_features(decodable, strict=True).collect()
+    assert len(rows) == 4  # image x2, audio, video — no fallback needed
 
 
 def test_resize_images_stage(spark, media):
@@ -138,15 +152,68 @@ def test_resize_images_stage(spark, media):
         assert np.array_equal(out, img[::2, ::2])
         assert rows[mid]["meta"]["n_bytes"] == len(bytes(rows[mid]["content"]))
     # non-image blobs pass through untouched
-    assert bytes(rows[3]["content"]) == bytes(5000)
+    assert bytes(rows[5]["content"]) == bytes(5000)
 
 
-def test_frame_sample_fanout(spark, media):
-    frames = M.frame_sample_stub(media.filter(F.col("kind") == "video"))
-    rows = frames.collect()
-    assert len(rows) == 1
-    assert rows[0]["frame_no"] == 0
-    assert len(rows[0]["frame"]) == 1024
+def test_avi_roundtrip():
+    """encode_avi → decode_avi is the identity on frames and fps."""
+    vid = _vid_frames(t=4, h=3, w=5)  # w=5 → padded rows (15 -> 16 bytes)
+    frames, fps = M.decode_avi(M.encode_avi(vid, fps=2.5))
+    assert np.array_equal(frames, vid)
+    assert fps == 2.5
+
+
+def test_avi_chunk_walk_tolerates_junk():
+    """Parser must skip unknown chunks (JUNK before hdrl is common)."""
+    raw = M.encode_avi(_vid_frames(t=2), fps=1.0)
+    junk = b"JUNK" + (6).to_bytes(4, "little") + b"abcdef"
+    spliced = raw[:12] + junk + raw[12:]
+    body_len = len(spliced) - 8
+    spliced = spliced[:4] + body_len.to_bytes(4, "little") + spliced[8:]
+    frames, fps = M.decode_avi(spliced)
+    assert frames.shape[0] == 2 and fps == 1.0
+
+
+def test_avi_rejects_non_avi():
+    with pytest.raises(ValueError):
+        M.decode_avi(b"RIFF" + (4).to_bytes(4, "little") + b"WAVE")
+    with pytest.raises(ValueError):
+        M.decode_avi(bytes(64))
+
+
+def test_frame_sample_real(spark, media):
+    """Time-based sampling: 6 frames @ 3 fps, every 1s → frames 0 and 3;
+    sampled frames are valid PPM images matching the source frames."""
+    vids = media.filter(F.col("kind") == "video")
+    rows = sorted(
+        M.sample_frames(vids, every_n_seconds=1.0).collect(),
+        key=lambda r: r["frame_no"],
+    )
+    assert [r["frame_no"] for r in rows] == [0, 3]
+    assert [r["t_s"] for r in rows] == [0.0, 1.0]
+    vid = _vid_frames()
+    for r in rows:
+        assert np.array_equal(M.decode_ppm(bytes(r["frame"])), vid[r["frame_no"]])
+
+
+def test_frame_sample_composes_with_image_features(spark, media):
+    """Sampled frames re-enter the image path: frames → media relation →
+    extract_features runs the real PPM codec on each frame."""
+    vids = media.filter(F.col("kind") == "video")
+    frames = M.sample_frames(vids, every_n_seconds=1.0)
+    as_media = frames.select(
+        (F.col("media_id") + F.col("frame_no")).alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.col("frame").alias("content"),
+        F.struct(
+            F.lit("frame").alias("source"),
+            F.length("frame").cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+    feats = M.extract_features(as_media, strict=True).collect()
+    assert len(feats) == 2
+    for r in feats:
+        assert r["features"][0] == 4.0 and r["features"][1] == 6.0  # h, w
 
 
 def test_read_binary_dir(spark, tmp_path):
