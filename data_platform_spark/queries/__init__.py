@@ -72,6 +72,8 @@ _WINDOW_DEFER = (
     "multimodal_audio_decode",
     "multimodal_video_decode",
     "multimodal_frame_sample",
+    "doc_repetition_stats",
+    "benchmark_decontamination",
 )
 
 

@@ -579,3 +579,145 @@ ORACLE["doc_redaction"] = f"""
             AS clean_len
     FROM documents
 """
+
+
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition (Gopher-style quality signal): the
+    fraction of duplicate word trigrams and duplicate words per doc.
+
+    Heavily repetitious documents (boilerplate, keyword stuffing, list
+    spam) are standard removals before LLM training; the dup-trigram
+    fraction is the classic detector. All array expressions inside
+    whole-stage codegen — ``split`` → ``transform(sequence)`` trigram
+    build → ``array_distinct`` — zero shuffle, embarrassingly parallel,
+    so the cost at 100 TB is one scan."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    ws = F.split(F.col("text"), " ")
+    tg = F.expr(
+        "CASE WHEN size(split(text, ' ')) < 3 THEN array() "
+        "ELSE transform(sequence(0, size(split(text, ' ')) - 3), "
+        "i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1], "
+        "split(text, ' ')[i+2])) END"
+    )
+    n_tg = F.size(tg).cast("long")
+    n_tg_d = F.size(F.array_distinct(tg)).cast("long")
+    n_w = F.size(ws).cast("long")
+    n_w_d = F.size(F.array_distinct(ws)).cast("long")
+    return docs.select(
+        "doc_id",
+        n_tg.alias("n_trigrams"),
+        n_tg_d.alias("n_distinct_trigrams"),
+        pround(F.lit(1.0) - n_tg_d / n_tg, 6).alias("dup_trigram_frac"),
+        n_w.alias("n_words"),
+        pround(F.lit(1.0) - n_w_d / n_w, 6).alias("dup_word_frac"),
+    )
+
+
+QUERIES["doc_repetition_stats"] = doc_repetition_stats
+
+ORACLE["doc_repetition_stats"] = f"""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), t AS (
+        SELECT
+            doc_id,
+            ws,
+            CASE WHEN len(ws) < 3 THEN []::VARCHAR[]
+                 ELSE list_transform(range(1, len(ws) - 1),
+                      i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])
+            END AS tg
+        FROM w
+    )
+    SELECT
+        doc_id,
+        len(tg)::BIGINT AS n_trigrams,
+        len(list_distinct(tg))::BIGINT AS n_distinct_trigrams,
+        {sql_round("1.0 - len(list_distinct(tg)) * 1.0 / len(tg)", 6)}
+            AS dup_trigram_frac,
+        len(ws)::BIGINT AS n_words,
+        {sql_round("1.0 - len(list_distinct(ws)) * 1.0 / len(ws)", 6)}
+            AS dup_word_frac
+    FROM t
+"""
+
+
+DECON_N = 5          # word n-gram order for contamination matching
+DECON_BENCH_MOD = 20  # doc_id % MOD == 0 -> benchmark ("eval") split
+
+
+def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per training doc, how many of its
+    distinct word 5-grams appear in the benchmark (eval) split.
+
+    The standard pre-training hygiene op: training documents sharing long
+    n-grams with an evaluation set inflate benchmark scores and must be
+    flagged/dropped. Here the eval split is the deterministic
+    ``doc_id % 20 == 0`` slice of the corpus.
+
+    100 TB shape: the benchmark n-gram set is DISTINCT'd and
+    **broadcast** — eval suites are millions of n-grams at most, dwarfed
+    by the corpus, so the training side never shuffles: scan → explode
+    distinct 5-grams → broadcast-hash probe → partial-agg count per doc.
+    One shuffle total (the per-doc count), keyed by high-cardinality
+    doc_id."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "CASE WHEN size(split(text, ' ')) < 5 THEN array() "
+                    "ELSE transform(sequence(0, size(split(text, ' ')) - 5), "
+                    "i -> concat_ws(' ', split(text, ' ')[i], "
+                    "split(text, ' ')[i+1], split(text, ' ')[i+2], "
+                    "split(text, ' ')[i+3], split(text, ' ')[i+4])) END"
+                )
+            )
+        ).alias("g"),
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % DECON_BENCH_MOD == 0)
+        .select("g")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    train = grams.filter(F.col("doc_id") % DECON_BENCH_MOD != 0)
+    joined = train.join(F.broadcast(bench), "g", "left")
+    n_grams = F.count(F.lit(1)).cast("long")
+    n_hit = F.count("hit").cast("long")
+    return joined.groupBy("doc_id").agg(
+        n_grams.alias("n_ngrams"),
+        n_hit.alias("n_contaminated"),
+        pround(n_hit / n_grams, 6).alias("contaminated_frac"),
+        (F.count("hit") > 0).alias("is_contaminated"),
+    )
+
+
+QUERIES["benchmark_decontamination"] = benchmark_decontamination
+
+ORACLE["benchmark_decontamination"] = f"""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), g AS (
+        SELECT
+            doc_id,
+            unnest(list_distinct(
+                CASE WHEN len(ws) < {DECON_N} THEN []::VARCHAR[]
+                     ELSE list_transform(range(1, len(ws) - {DECON_N - 2}),
+                          i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]
+                               || ' ' || ws[i + 3] || ' ' || ws[i + 4])
+                END)) AS g
+        FROM w
+    ), bench AS (
+        SELECT DISTINCT g FROM g WHERE doc_id % {DECON_BENCH_MOD} = 0
+    )
+    SELECT
+        t.doc_id,
+        count(*)::BIGINT AS n_ngrams,
+        count(b.g)::BIGINT AS n_contaminated,
+        {sql_round("count(b.g) * 1.0 / count(*)", 6)} AS contaminated_frac,
+        count(b.g) > 0 AS is_contaminated
+    FROM g t LEFT JOIN bench b USING (g)
+    WHERE t.doc_id % {DECON_BENCH_MOD} != 0
+    GROUP BY t.doc_id
+"""
