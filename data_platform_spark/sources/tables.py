@@ -52,8 +52,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # convert only when the column arrives as the raw long.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        if dict(df.dtypes)["ts"] == "bigint":
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # parquet timestamp[us] with isAdjustedToUTC=false arrives as
+            # TIMESTAMP_NTZ, which unix_millis()/window() reject. The session
+            # timezone is pinned to UTC above, so this cast is
+            # value-preserving and keeps DuckDB-oracle epoch parity.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df.select(
             "event_id", "ts", "user_id", "event_type", "value", "props"
         )
