@@ -48,9 +48,31 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas featurize over text blobs (byte-histogram features)."""
+    """mapInPandas featurize over text blobs, exploded to scalar rows.
+
+    The features array (16-bin L1-normalized high-nibble byte histogram,
+    functions/multimodal.py:481) is posexploded to one
+    (media_id, feature_idx, value) row per bin: the driver's comparator
+    canonicalizes through pandas, which cannot hash array cells
+    (CORRECTNESS_r04 `unhashable type: 'list'`), and scalar rows are the
+    long layout a feature store would join on anyway. Over ASCII text the
+    histogram is SQL-expressible, so this path is now oracle-checked
+    end-to-end (the mapInPandas codec plumbing vs DuckDB recomputing the
+    same nibble counts from the characters)."""
     media = _media_from_documents(spark, sf_dir)
-    return M.extract_features(media, strict=False)
+    feats = M.extract_features(media, strict=False)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.posexplode("features").alias("feature_idx", "value"),
+    ).select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.col("feature_idx").cast("long").alias("feature_idx"),
+        pround(F.col("value"), 6).alias("value"),
+    )
 
 
 IMG_W = IMG_H = 8  # 8x8 RGB = 192 pixel bytes per synthetic image
@@ -118,7 +140,37 @@ ORACLE = {
             md5(text) AS content_md5
         FROM documents
     """,
-    # multimodal_features: intentionally no oracle (Pandas-UDF featurizer)
+    # Byte-histogram parity: documents.text is ASCII (verified: 0 rows
+    # where octet_length(encode(text)) != length(text)), so the UTF-8
+    # byte stream IS the character stream and the nibble histogram can be
+    # recomputed character-by-character in SQL.
+    "multimodal_features": f"""
+        WITH pos AS (
+            SELECT doc_id, text,
+                   unnest(generate_series(1, length(text))) AS j
+            FROM documents
+        ),
+        counts AS (
+            SELECT doc_id, ord(substr(text, j, 1)) // 16 AS bin,
+                   count(*)::DOUBLE AS c
+            FROM pos
+            GROUP BY 1, 2
+        ),
+        bins AS (
+            SELECT doc_id, length(text)::BIGINT AS n_bytes,
+                   unnest(generate_series(0, {M.FEATURE_DIM - 1})) AS bin
+            FROM documents
+        )
+        SELECT
+            bins.doc_id AS media_id,
+            'text' AS kind,
+            bins.n_bytes,
+            bins.bin::BIGINT AS feature_idx,
+            {sql_round("coalesce(c, 0) / bins.n_bytes", 6)} AS value
+        FROM bins
+        LEFT JOIN counts
+          ON bins.doc_id = counts.doc_id AND bins.bin = counts.bin
+    """,
     "multimodal_image_decode": f"""
         WITH s AS (
             SELECT

@@ -34,9 +34,15 @@ def test_oracle_parity(spark, name):
     "name", sorted(set(_QUERIES) - set(_ORACLES))
 )
 def test_rows_only_queries_run(spark, name):
+    from tests.oracle_harness import _canon, spark_to_pandas
+
     df = _QUERIES[name](spark, SF_ORACLE)
-    assert df.count() >= 0
     assert len(df.schema.fields) > 0
+    # The driver's rows-only check still hashes cells through pandas, so a
+    # query emitting array/list cells fails it even without an oracle
+    # (multimodal_features, CORRECTNESS_r04). Canonicalize the driver's
+    # way — this raises on unhashable cells pre-commit.
+    _canon(spark_to_pandas(df))
 
 
 def test_entry_smoke(spark):
