@@ -1,0 +1,90 @@
+"""On-demand FK-integrity checks — the engine-side equivalent of the
+reference's declarative foreign keys.
+
+The reference enforces referential integrity with Postgres constraints
+(/root/reference/dags/configure.py:341-354 — fact_char_loc FKs to
+dim_character, dim_location and dim_location_role); a data lake has no
+constraint engine, so integrity is a *query*: anti-join each FK column
+against its dimension's keys and surface the violations.
+
+100 TB design: each check is one join keyed on the FK. Dimension key
+sets are projected to a single column and deduplicated before the join,
+so genuinely small dims (role enums, nation/region) broadcast and cost
+zero shuffle; large parents (orders under lineitem) fall back to a
+shuffled join on the key — the same cost profile as the query load
+itself, and embarrassingly parallel across FK specs.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class FkSpec(NamedTuple):
+    """One foreign-key relationship to validate."""
+
+    fact: DataFrame
+    fact_name: str
+    fk_col: str
+    dim: DataFrame
+    ref_name: str
+    pk_col: str
+    broadcast_dim: bool = True  # only set False for big parent tables
+
+
+def _dim_keys(spec: FkSpec):
+    keys = spec.dim.select(F.col(spec.pk_col).alias("__pk")).dropDuplicates(
+        ["__pk"]
+    )
+    return F.broadcast(keys) if spec.broadcast_dim else keys
+
+
+def fk_orphans(spec: FkSpec) -> DataFrame:
+    """Rows of the fact whose FK value has no match in the dimension.
+
+    SQL FK semantics: a NULL FK is *not* a violation (MATCH SIMPLE), so
+    NULLs are filtered before the anti-join.
+    """
+    keys = _dim_keys(spec)
+    return spec.fact.filter(F.col(spec.fk_col).isNotNull()).join(
+        keys, F.col(spec.fk_col) == F.col("__pk"), "left_anti"
+    )
+
+
+def fk_check(specs: list[FkSpec]) -> DataFrame:
+    """Validate a batch of FK relationships in one DataFrame.
+
+    Returns one row per spec: (fact_table, fk_col, ref_table, n_rows,
+    n_orphans). n_rows counts every fact row; n_orphans counts non-NULL
+    FK values absent from the dimension. Each spec is a single left join
+    against the deduplicated key set plus a two-value aggregate, so the
+    whole check is a union of tiny results.
+    """
+    if not specs:
+        raise ValueError("fk_check needs at least one FkSpec")
+    out: DataFrame | None = None
+    for spec in specs:
+        keys = _dim_keys(spec)
+        joined = spec.fact.select(F.col(spec.fk_col).alias("__fk")).join(
+            keys, F.col("__fk") == F.col("__pk"), "left"
+        )
+        orphan = F.col("__fk").isNotNull() & F.col("__pk").isNull()
+        agg = joined.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.coalesce(
+                F.sum(F.when(orphan, 1).otherwise(0)), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_orphans"),
+        ).select(
+            F.lit(spec.fact_name).alias("fact_table"),
+            F.lit(spec.fk_col).alias("fk_col"),
+            F.lit(spec.ref_name).alias("ref_table"),
+            "n_rows",
+            "n_orphans",
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out

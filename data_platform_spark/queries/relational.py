@@ -2279,3 +2279,72 @@ ORACLE["part_name_fuzzy_pairs"] = """
     JOIN names b ON a.blk = b.blk AND a.name < b.name
     WHERE levenshtein(a.name, b.name) <= 4
 """
+
+
+def tpch_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit of the whole star schema in one result:
+    every FK edge of the TPC-H-ish universe, with its orphan count.
+
+    Scale choices are explicit per edge: enum-sized parents (region,
+    nation) broadcast; row-scale parents (customer under orders, orders
+    under lineitem, part/supplier under lineitem) use shuffled key joins
+    — at 100 TB those parents are far past broadcast size, and the check
+    costs one key-projected shuffle each, independent of the fact's
+    payload width."""
+    from data_platform_spark.ops.integrity import FkSpec, fk_check
+
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return fk_check(
+        [
+            FkSpec(nation, "nation", "n_regionkey", region, "region",
+                   "r_regionkey"),
+            FkSpec(customer, "customer", "c_nationkey", nation, "nation",
+                   "n_nationkey"),
+            FkSpec(supplier, "supplier", "s_nationkey", nation, "nation",
+                   "n_nationkey"),
+            FkSpec(orders, "orders", "o_custkey", customer, "customer",
+                   "c_custkey", broadcast_dim=False),
+            FkSpec(lineitem, "lineitem", "l_orderkey", orders, "orders",
+                   "o_orderkey", broadcast_dim=False),
+            FkSpec(lineitem, "lineitem", "l_partkey", part, "part",
+                   "p_partkey", broadcast_dim=False),
+            FkSpec(lineitem, "lineitem", "l_suppkey", supplier, "supplier",
+                   "s_suppkey", broadcast_dim=False),
+        ]
+    )
+
+
+QUERIES["tpch_fk_orphans"] = tpch_fk_orphans
+
+
+def _fk_edge_sql(fact: str, fk: str, ref: str, pk: str) -> str:
+    return f"""
+        SELECT
+            '{fact}' AS fact_table,
+            '{fk}' AS fk_col,
+            '{ref}' AS ref_table,
+            (SELECT count(*) FROM {fact}) AS n_rows,
+            (SELECT count(*) FROM {fact} f
+             WHERE f.{fk} IS NOT NULL
+               AND NOT EXISTS (SELECT 1 FROM {ref} r WHERE r.{pk} = f.{fk})
+            ) AS n_orphans
+    """
+
+
+ORACLE["tpch_fk_orphans"] = " UNION ALL ".join(
+    [
+        _fk_edge_sql("nation", "n_regionkey", "region", "r_regionkey"),
+        _fk_edge_sql("customer", "c_nationkey", "nation", "n_nationkey"),
+        _fk_edge_sql("supplier", "s_nationkey", "nation", "n_nationkey"),
+        _fk_edge_sql("orders", "o_custkey", "customer", "c_custkey"),
+        _fk_edge_sql("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        _fk_edge_sql("lineitem", "l_partkey", "part", "p_partkey"),
+        _fk_edge_sql("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ]
+)

@@ -435,3 +435,66 @@ def _three_batch_oracle() -> str:
 
 
 ORACLE["rm_dim_character_three_batches"] = _three_batch_oracle()
+
+
+# ---------------------------------------------------------------------------
+# FK integrity: the reference's declarative constraints as a query
+# ---------------------------------------------------------------------------
+
+
+def fact_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's FK constraints, checked as an engine query.
+
+    Postgres enforces fact_char_loc's three FKs declaratively
+    (dags/configure.py:341-354: character_sk -> dim_character,
+    location_sk -> dim_location, role_id -> dim_location_role); the lake
+    engine proves the same integrity with ops.integrity.fk_check — one
+    broadcast-key join per FK over the first-load fact build. Expected:
+    every FK row reports n_orphans = 0 with the true fact row count.
+    """
+    from data_platform_spark.ops.integrity import FkSpec, fk_check
+
+    chars, locs, _eps = base_universe()
+    raw_ch = _bronze(spark, chars)
+    raw_loc = _bronze(spark, locs)
+    ts = F.lit(BATCH_TS)
+    stg_ch = L_stg.build_stg_character(raw_ch, None, ts)
+    stg_loc = L_stg.build_stg_location(raw_loc, None, ts)
+    location_ch = L_stg.build_location_ch(raw_ch, ts)
+    character_loc = L_stg.build_character_loc(raw_loc, ts)
+    dim_ch = L_dwh.build_dim_character(None, stg_ch, ts)
+    dim_loc = L_dwh.build_dim_location(None, stg_loc, spark, ts)
+    role = L_dwh.dim_location_role(spark)
+    fact = L_dwh.build_fact_char_loc(
+        None, location_ch, character_loc, stg_ch, dim_ch, dim_loc, role, ts
+    )
+    return fk_check(
+        [
+            FkSpec(fact, "fact_char_loc", "character_sk",
+                   dim_ch, "dim_character", "character_sk"),
+            FkSpec(fact, "fact_char_loc", "location_sk",
+                   dim_loc, "dim_location", "location_sk"),
+            FkSpec(fact, "fact_char_loc", "role_id",
+                   role, "dim_location_role", "role_id"),
+        ]
+    )
+
+
+QUERIES["fact_fk_orphans"] = fact_fk_orphans
+
+# n_rows is genuinely re-derived (the full fact oracle as a subquery);
+# n_orphans = 0 states exactly the constraint the reference declares.
+_FACT_SQL = ORACLE["rm_fact_char_loc_first_load"]
+ORACLE["fact_fk_orphans"] = f"""
+    SELECT
+        'fact_char_loc' AS fact_table,
+        fk.fk_col,
+        fk.ref_table,
+        (SELECT count(*) FROM ({_FACT_SQL})) AS n_rows,
+        CAST(0 AS BIGINT) AS n_orphans
+    FROM (VALUES
+        ('character_sk', 'dim_character'),
+        ('location_sk', 'dim_location'),
+        ('role_id', 'dim_location_role')
+    ) AS fk(fk_col, ref_table)
+"""

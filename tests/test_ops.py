@@ -320,3 +320,39 @@ def test_simhash_band_pairs_complete_vs_brute_force(spark):
     }
     assert expected  # fixture produces real near-dup structure
     assert got == expected
+
+
+def test_fk_check_detects_orphans_and_ignores_null_fk(spark):
+    from data_platform_spark.ops.integrity import FkSpec, fk_check, fk_orphans
+
+    dim = spark.createDataFrame([(1,), (2,)], "k: long")
+    fact = spark.createDataFrame(
+        [(1,), (2,), (99,), (None,)], "fk: long"
+    )
+    spec = FkSpec(fact, "f", "fk", dim, "d", "k")
+    row = fk_check([spec]).collect()[0]
+    assert (row.fact_table, row.fk_col, row.ref_table) == ("f", "fk", "d")
+    assert row.n_rows == 4  # NULL FK counted as a row...
+    assert row.n_orphans == 1  # ...but not as a violation (MATCH SIMPLE)
+    orphans = fk_orphans(spec).collect()
+    assert [r.fk for r in orphans] == [99]
+
+
+def test_fk_check_duplicate_dim_keys_do_not_inflate_counts(spark):
+    from data_platform_spark.ops.integrity import FkSpec, fk_check
+
+    dim = spark.createDataFrame([(1,), (1,), (2,)], "k: long")
+    fact = spark.createDataFrame([(1,), (1,), (3,)], "fk: long")
+    row = fk_check([FkSpec(fact, "f", "fk", dim, "d", "k")]).collect()[0]
+    assert row.n_rows == 3
+    assert row.n_orphans == 1
+
+
+def test_fk_check_empty_fact_reports_zero(spark):
+    from data_platform_spark.ops.integrity import FkSpec, fk_check
+
+    dim = spark.createDataFrame([(1,)], "k: long")
+    fact = spark.createDataFrame([], "fk: long")
+    row = fk_check([FkSpec(fact, "f", "fk", dim, "d", "k")]).collect()[0]
+    assert row.n_rows == 0
+    assert row.n_orphans == 0
