@@ -1322,14 +1322,34 @@ def monthly_order_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking-window surface: ntile quartiles + percent_rank over
-    account balance (deterministic tie-break on key)."""
+    account balance (deterministic tie-break on key).
+
+    The order is total (unique c_custkey tie-break), so both ranking
+    functions derive arithmetically from a two-phase global row number
+    (ops.global_order) plus a broadcast total count — no single-partition
+    window; ntile/percent_rank formulas match the SQL-standard window
+    functions exactly under a total order."""
+    from data_platform_spark.ops.global_order import (
+        global_row_number,
+        ntile_from_row_number,
+        percent_rank_from_row_number,
+    )
+
     cust = load_table(spark, sf_dir, "customer")
-    w = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
-    return cust.select(
-        "c_custkey",
-        pround(F.col("c_acctbal")).alias("acctbal"),
-        F.ntile(4).over(w).alias("quartile"),
-        pround(F.percent_rank().over(w), 6).alias("pct_rank"),
+    order = [F.desc("c_acctbal"), F.asc("c_custkey")]
+    ranked = global_row_number(
+        cust.select("c_custkey", "c_acctbal"), order, "__rn"
+    )
+    total = cust.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    rn, n = F.col("__rn"), F.col("__n")
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .select(
+            "c_custkey",
+            pround(F.col("c_acctbal")).alias("acctbal"),
+            ntile_from_row_number(rn, n, 4).alias("quartile"),
+            pround(percent_rank_from_row_number(rn, n), 6).alias("pct_rank"),
+        )
     )
 
 

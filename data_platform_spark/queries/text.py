@@ -372,8 +372,12 @@ ORACLE.update(
 def term_zipf_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rank-frequency (Zipf) table of the corpus vocabulary: term counts
     with a deterministic frequency rank — the diagnostic behind
-    stopword-list and vocabulary-truncation decisions."""
-    from pyspark.sql.window import Window
+    stopword-list and vocabulary-truncation decisions.
+
+    The rank is a TOTAL order over the vocabulary (10^8-10^9 terms at
+    100 TB), so it uses the two-phase range-partition + broadcast-offset
+    layout from ops.global_order — no single-partition window."""
+    from data_platform_spark.ops.global_order import global_row_number
 
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
     counts = (
@@ -381,10 +385,10 @@ def term_zipf_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    w = Window.orderBy(F.desc("n"), F.asc("term"))
-    return counts.select(
-        "term", "n", F.row_number().over(w).alias("freq_rank")
+    ranked = global_row_number(
+        counts, [F.desc("n"), F.asc("term")], "freq_rank"
     )
+    return ranked.select("term", "n", "freq_rank")
 
 
 QUERIES["term_zipf_ranks"] = term_zipf_ranks
@@ -417,12 +421,12 @@ def corpus_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Rank by (quality DESC, doc_id ASC), running token sum, keep rows whose
     cumulative count fits the budget — the deterministic core of 'give me
-    the best N-token training mix'. The global running sum is a single-
-    partition window at this scale; the 100 TB layout computes per-
-    partition token subtotals first and broadcasts partition offsets (two
-    narrow passes) — semantics identical.
+    the best N-token training mix'. The running sum runs in the two-phase
+    range-partition + broadcast-offset layout (ops.global_order): per-
+    partition token subtotals, broadcast prefix offsets — no single-
+    partition window, semantics identical.
     """
-    from pyspark.sql.window import Window
+    from data_platform_spark.ops.global_order import global_running_sum
 
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
     t = F.col("text")
@@ -431,14 +435,14 @@ def corpus_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         X.quality_score(t).alias("quality"),
         X.token_count(t).cast("long").alias("n_tokens"),
     )
-    w = (
-        Window.orderBy(F.desc("quality"), F.asc("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = global_running_sum(
+        scored,
+        [F.desc("quality"), F.asc("doc_id")],
+        F.col("n_tokens"),
+        "cum_tokens",
     )
-    return (
-        scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
-        .filter(F.col("cum_tokens") <= TOKEN_BUDGET)
-        .select("doc_id", "quality", "n_tokens", "cum_tokens")
+    return cum.filter(F.col("cum_tokens") <= TOKEN_BUDGET).select(
+        "doc_id", "quality", "n_tokens", "cum_tokens"
     )
 
 

@@ -356,3 +356,75 @@ def test_fk_check_empty_fact_reports_zero(spark):
     row = fk_check([FkSpec(fact, "f", "fk", dim, "d", "k")]).collect()[0]
     assert row.n_rows == 0
     assert row.n_orphans == 0
+
+
+def test_global_running_sum_matches_single_partition_window(spark):
+    import random
+
+    from pyspark.sql.window import Window
+
+    from data_platform_spark.ops.global_order import global_running_sum
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(0, 5), rng.randint(1, 100)) for i in range(500)]
+    df = spark.createDataFrame(rows, "id: long, grp: long, v: long")
+    # deliberately non-unique first key (grp) + unique tie-break (id)
+    order = [F.desc("grp"), F.asc("id")]
+    got = {
+        r.id: r.cum
+        for r in global_running_sum(
+            df, order, F.col("v"), "cum", num_partitions=7
+        ).collect()
+    }
+    w = Window.orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = {
+        r.id: r.cum
+        for r in df.withColumn("cum", F.sum("v").over(w)).collect()
+    }
+    assert got == want
+
+
+def test_global_row_number_and_rank_functions_match_windows(spark):
+    import random
+
+    from pyspark.sql.window import Window
+
+    from data_platform_spark.ops.global_order import (
+        global_row_number,
+        ntile_from_row_number,
+        percent_rank_from_row_number,
+    )
+
+    rng = random.Random(11)
+    for n_rows in (1, 3, 97, 100):  # exercise N % 4 in {0,1,2,3} and N < n
+        rows = [(i, rng.randint(0, 9)) for i in range(n_rows)]
+        df = spark.createDataFrame(rows, "id: long, v: long")
+        order = [F.desc("v"), F.asc("id")]
+        total = df.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+        got = {
+            (r.id): (r.rn, r.q, round(r.pr, 9))
+            for r in global_row_number(df, order, "rn", num_partitions=5)
+            .crossJoin(F.broadcast(total))
+            .select(
+                "id",
+                "rn",
+                ntile_from_row_number(F.col("rn"), F.col("__n"), 4).alias("q"),
+                percent_rank_from_row_number(F.col("rn"), F.col("__n")).alias(
+                    "pr"
+                ),
+            )
+            .collect()
+        }
+        w = Window.orderBy(*order)
+        want = {
+            (r.id): (r.rn, r.q, round(r.pr, 9))
+            for r in df.select(
+                "id",
+                F.row_number().over(w).cast("long").alias("rn"),
+                F.ntile(4).over(w).alias("q"),
+                F.percent_rank().over(w).alias("pr"),
+            ).collect()
+        }
+        assert got == want, f"mismatch at n_rows={n_rows}"

@@ -73,3 +73,45 @@ def test_simhash_pairs_persist_and_no_cartesian(spark):
     p = _plan(spark, "simhash_neardup_pairs")
     assert "InMemoryTableScan" in p  # signatures computed once
     assert "CartesianProduct" not in p
+
+
+# ---------------------------------------------------------------------------
+# global-window guard: no registered query may funnel an unbounded relation
+# through a single-partition window (VERDICT r4 "What's wrong" #3-5)
+# ---------------------------------------------------------------------------
+
+import re
+
+import pytest
+
+# Queries allowed to keep an empty-partitionBy window because its input is
+# BOUNDED — by fixture/batch size or by a coarse aggregate domain — never
+# by raw data volume. Every entry needs a justification.
+_BOUNDED_GLOBAL_WINDOW_OK = {
+    # rm_* / fact_fk_orphans: assign_sk row_numbers the per-batch INCREMENT
+    # of the fixture pipeline (ops/core.py:140 docstring; SURVEY.md §4.3.3)
+    "rm_dim_character_first_load",
+    "rm_fact_char_loc_first_load",
+    "rm_dim_character_after_mutation",
+    "rm_dim_character_three_batches",
+    "fact_fk_orphans",
+    # lag over a year-grained aggregate: rows bounded by the calendar
+    "orders_by_year",
+}
+
+_EMPTY_PARTITION_WINDOW = re.compile(
+    r"windowspecdefinition\((\S+) (ASC|DESC) NULLS"
+)
+
+
+@pytest.mark.parametrize("name", sorted(all_queries()))
+def test_no_unbounded_single_partition_window(spark, name):
+    if name in _BOUNDED_GLOBAL_WINDOW_OK:
+        pytest.skip("global window over bounded input (see allowlist)")
+    df = all_queries()[name](spark, SF)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    hits = _EMPTY_PARTITION_WINDOW.findall(plan)
+    assert not hits, (
+        f"{name}: empty-partitionBy window over order {hits} — use "
+        "ops.global_order (range partition + broadcast offsets) instead"
+    )
