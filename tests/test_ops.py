@@ -428,3 +428,47 @@ def test_global_row_number_and_rank_functions_match_windows(spark):
             ).collect()
         }
         assert got == want, f"mismatch at n_rows={n_rows}"
+
+
+def test_simhash64_vectorized_equals_reference_loop(spark):
+    """The numpy-vectorized simhash64 must reproduce the original
+    per-token ±1 vote loop bit-for-bit (including empty/null → 0,
+    term-frequency weighting, and the signed-64 wrap)."""
+    import hashlib
+    import random
+    import string
+
+    from data_platform_spark import functions as _  # noqa: F401
+    from data_platform_spark.functions.dedup import simhash64
+
+    def reference(text):
+        if not text:
+            return 0
+        acc = [0] * 64
+        for tok in text.split(" "):
+            h = int.from_bytes(
+                hashlib.sha1(tok.encode("utf-8")).digest()[:8], "big"
+            )
+            for bit in range(64):
+                acc[bit] += 1 if (h >> bit) & 1 else -1
+        v = 0
+        for bit in range(64):
+            if acc[bit] > 0:
+                v |= 1 << bit
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    rng = random.Random(42)
+    vocab = ["".join(rng.choices(string.ascii_lowercase, k=4)) for _i in range(30)]
+    texts = [
+        " ".join(rng.choices(vocab, k=rng.randint(1, 40)))
+        for _i in range(200)
+    ]
+    # edges: empty, null, single token, heavy repetition, unicode, spaces
+    texts += ["", None, "solo", "dup dup dup dup dup", "héllo wörld", "a  b"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i: long, t: string")
+    got = {
+        r.i: r.s
+        for r in df.select("i", simhash64(F.col("t")).alias("s")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == reference(t), f"mismatch at {i}: {t!r}"
