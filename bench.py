@@ -66,7 +66,11 @@ def main() -> None:
     for name in HEADLINE:
         fn = queries[name]
         best = None
-        for _ in range(2):  # best-of-2: damp scheduler/GC noise
+        # best-of-N (default 3): the shared bench host shows ~1.6× run-to-
+        # run spread on identical plans (PLANS.md round-5 adjudication of
+        # the r4 "regression"); per-query minima inside one process damp it
+        runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+        for _ in range(runs):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
