@@ -228,3 +228,138 @@ def srp_signature(vec: Column, n_planes: int = 16, dim: int = 64) -> Column:
     for b in bits[1:]:
         out = out + b
     return out
+
+
+# ---------------------------------------------------------------------------
+# DataFrame-level ANN search pipelines (the queries/ wrappers load a table
+# and delegate here; tests drive the same code over planted fixtures)
+# ---------------------------------------------------------------------------
+
+
+def ivf_assign(
+    emb: DataFrame,
+    cents: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: nearest-centroid (L2) assignment per
+    vector. Centroids are the tiny (label, pos, centroid_val) long layout
+    from ``label_centroids`` — broadcast into the posexploded join; argmin
+    via a per-vector window with deterministic tie-break."""
+    from pyspark.sql.window import Window
+
+    vec_long = emb.select(
+        id_col, F.posexplode(as_double(F.col(vec_col))).alias("pos", "x")
+    )
+    dist = (
+        vec_long.join(F.broadcast(cents), "pos")
+        .groupBy(id_col, "label")
+        .agg(
+            pround(
+                F.sum(
+                    (F.col("x") - F.col("centroid_val"))
+                    * (F.col("x") - F.col("centroid_val"))
+                ),
+                6,
+            ).alias("dist2")
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.asc("dist2"), F.asc("label"))
+    return (
+        dist.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(id_col, F.col("label").alias("assigned_label"), "dist2")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_vec_id: int,
+    nprobe: int = 2,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """IVF-style ANN search: coarse-quantize the query to its ``nprobe``
+    nearest centroid cells, exact-cosine rerank only those cells' vectors.
+    Centroids + probed cells broadcast; candidate restrict is a left-semi
+    join on the cell label; rerank is a broadcast 1-row TakeOrdered."""
+    cents = label_centroids(emb, label_col, vec_col)
+    q_long = emb.filter(F.col(id_col) == query_vec_id).select(
+        F.posexplode(as_double(F.col(vec_col))).alias("pos", "x")
+    )
+    qdist = (
+        q_long.join(F.broadcast(cents), "pos")
+        .groupBy("label")
+        .agg(
+            pround(
+                F.sum(
+                    (F.col("x") - F.col("centroid_val"))
+                    * (F.col("x") - F.col("centroid_val"))
+                ),
+                6,
+            ).alias("dist2")
+        )
+    )
+    probe = (
+        qdist.orderBy(F.asc("dist2"), F.asc("label"))
+        .limit(nprobe)
+        .select("label")
+    )
+    assign = ivf_assign(emb, cents, id_col, vec_col).select(
+        id_col, F.col("assigned_label").alias("label")
+    )
+    cand_ids = assign.join(F.broadcast(probe), "label", "left_semi").select(
+        id_col
+    )
+    cand_emb = emb.join(cand_ids, id_col, "left_semi")
+    qv = emb.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("q")
+    )
+    return cosine_topk(
+        cand_emb,
+        qv,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        exclude_ids=[query_vec_id],
+    )
+
+
+def srp_multiprobe_topk(
+    emb: DataFrame,
+    query_vec_id: int,
+    n_planes: int = 16,
+    dim: int = 64,
+    n_flip: int = 2,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe SRP ANN search (Lv et al., VLDB'07): cosine top-k over
+    the query's bucket plus the buckets across its ``n_flip``
+    lowest-margin hyperplanes. Probe set is JVM expression logic on the
+    1-row query frame, broadcast; candidates are an equi-join on the
+    signature — cost ∝ probed bucket sizes, never n²."""
+    with_bucket = emb.select(
+        id_col,
+        vec_col,
+        srp_signature_np(F.col(vec_col), n_planes, dim).alias("bucket"),
+    )
+    q = emb.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("q"),
+        F.explode(
+            srp_probe_buckets(F.col(vec_col), n_planes, dim, n_flip)
+        ).alias("probe"),
+    )
+    cand = with_bucket.join(
+        F.broadcast(q), with_bucket["bucket"] == q["probe"]
+    ).filter(F.col(id_col) != query_vec_id)
+    sim = cand.select(
+        id_col,
+        pround(
+            cosine(as_double(F.col(vec_col)), as_double(F.col("q"))), 4
+        ).alias("cosine"),
+    )
+    return sim.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)

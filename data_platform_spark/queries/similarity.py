@@ -133,33 +133,9 @@ def ivf_assign_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     via window with deterministic tie-break. The building block for
     IVF-style ANN: probe only the assigned cell's vectors at query time.
     """
-    from pyspark.sql.window import Window
-    from data_platform_spark.queries._util import pround
-
     emb = fan_out(load_table(spark, sf_dir, "embeddings"), spark)
     cents = S.label_centroids(emb)  # label, pos, centroid_val (rounded 4dp)
-    vec_long = emb.select(
-        "vec_id", F.posexplode(S.as_double(F.col("embedding"))).alias("pos", "x")
-    )
-    dist = (
-        vec_long.join(F.broadcast(cents), "pos")
-        .groupBy("vec_id", "label")
-        .agg(
-            pround(
-                F.sum(
-                    (F.col("x") - F.col("centroid_val"))
-                    * (F.col("x") - F.col("centroid_val"))
-                ),
-                6,
-            ).alias("dist2")
-        )
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.asc("dist2"), F.asc("label"))
-    return (
-        dist.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", F.col("label").alias("assigned_label"), "dist2")
-    )
+    return S.ivf_assign(emb, cents)
 
 
 def srp_ann_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -418,33 +394,10 @@ def srp_ann_multiprobe_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
     logic on the 1-row query frame and broadcast; candidates stay an
     equi-join on the signature.
     """
-    from data_platform_spark.queries._util import pround
-
     emb = fan_out(load_table(spark, sf_dir, "embeddings"), spark)
-    with_bucket = emb.select(
-        "vec_id",
-        "embedding",
-        S.srp_signature_np(F.col("embedding"), ANN_PLANES, DIM).alias("bucket"),
+    return S.srp_multiprobe_topk(
+        emb, QUERY_VEC_ID, n_planes=ANN_PLANES, dim=DIM, n_flip=N_FLIP, k=TOP_K
     )
-    q = (
-        emb.filter(F.col("vec_id") == QUERY_VEC_ID)
-        .select(
-            F.col("embedding").alias("q"),
-            F.explode(
-                S.srp_probe_buckets(F.col("embedding"), ANN_PLANES, DIM, N_FLIP)
-            ).alias("probe"),
-        )
-    )
-    cand = with_bucket.join(
-        F.broadcast(q), with_bucket.bucket == q.probe
-    ).filter(F.col("vec_id") != QUERY_VEC_ID)
-    sim = cand.select(
-        "vec_id",
-        pround(
-            S.cosine(S.as_double(F.col("embedding")), S.as_double(F.col("q"))), 4
-        ).alias("cosine"),
-    )
-    return sim.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(TOP_K)
 
 
 def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -570,46 +523,8 @@ def ivf_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a left-semi join on the cell label; rerank is the same broadcast
     1-row TakeOrdered as cosine_topk_vec0.
     """
-    from data_platform_spark.queries._util import pround
-
     emb = fan_out(load_table(spark, sf_dir, "embeddings"), spark)
-    cents = S.label_centroids(emb)
-
-    q_long = (
-        emb.filter(F.col("vec_id") == QUERY_VEC_ID)
-        .select(
-            F.posexplode(S.as_double(F.col("embedding"))).alias("pos", "x")
-        )
-    )
-    qdist = (
-        q_long.join(F.broadcast(cents), "pos")
-        .groupBy("label")
-        .agg(
-            pround(
-                F.sum(
-                    (F.col("x") - F.col("centroid_val"))
-                    * (F.col("x") - F.col("centroid_val"))
-                ),
-                6,
-            ).alias("dist2")
-        )
-    )
-    probe = (
-        qdist.orderBy(F.asc("dist2"), F.asc("label"))
-        .limit(IVF_NPROBE)
-        .select("label")
-    )
-    assign = ivf_assign_nearest_centroid(spark, sf_dir).select(
-        "vec_id", F.col("assigned_label").alias("label")
-    )
-    cand_ids = assign.join(F.broadcast(probe), "label", "left_semi").select(
-        "vec_id"
-    )
-    cand_emb = emb.join(cand_ids, "vec_id", "left_semi")
-    qv = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("embedding").alias("q")
-    )
-    return S.cosine_topk(cand_emb, qv, k=TOP_K, exclude_ids=[QUERY_VEC_ID])
+    return S.ivf_topk(emb, QUERY_VEC_ID, nprobe=IVF_NPROBE, k=TOP_K)
 
 
 QUERIES["ivf_topk_vec0"] = ivf_topk_vec0

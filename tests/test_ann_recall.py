@@ -1,0 +1,101 @@
+"""ANN recall gates on a planted-cluster fixture (VERDICT r4 task #6).
+
+The driver's embeddings table is isotropic random — recall there proves
+machinery, not usefulness (recall@10 = 0.4 is the honest ceiling for any
+sublinear method on structureless data). These tests plant Gaussian
+clusters on the unit sphere and gate each ANN strategy at its REALISTIC
+operating point:
+
+- IVF (nprobe=2 of 8 cells): topical clusters, sigma = 0.10 — the
+  labeled-centroid index recovers the query's cell essentially always.
+- Multi-probe SRP (4 planes, probe 4 of 16 buckets): near-duplicate
+  tightness, sigma = 0.02 — the regime the engine's dedup stack uses
+  SRP for. On looser topical clusters a SINGLE hash table structurally
+  loses neighbors flipped on a plane outside the query's two lowest
+  margins (measured 0.4-0.5 at sigma 0.05-0.10; PLANS.md round-5 table)
+  — the scale fix is OR-construction over several tables, as in the
+  MinHash band stack, not more probes in one table.
+
+The exact baseline is ``cosine_topk`` on the same fixture (same 4-dp
+rounding + vec_id tie-break as the ANN rerank), so the comparison is
+deterministic under ties.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from data_platform_spark.functions.similarity import (
+    cosine_topk,
+    ivf_topk,
+    srp_multiprobe_topk,
+)
+
+DIM = 64
+N_CLUSTERS = 8
+PER_CLUSTER = 40
+K = 10
+
+
+def _planted(spark, sigma: float, seed: int = 5):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(N_CLUSTERS, DIM))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for c in range(N_CLUSTERS):
+        for _ in range(PER_CLUSTER):
+            v = centers[c] + sigma * rng.normal(size=DIM)
+            v /= np.linalg.norm(v)
+            rows.append((vid, c, [float(x) for x in v]))
+            vid += 1
+    return spark.createDataFrame(
+        rows, "vec_id: long, label: long, embedding: array<double>"
+    )
+
+
+def _recall(spark, df, ann_ids: set[int]) -> float:
+    qv = df.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    truth = {
+        r.vec_id for r in cosine_topk(df, qv, k=K, exclude_ids=[0]).collect()
+    }
+    return len(ann_ids & truth) / K
+
+
+def test_ivf_recall_topical_clusters(spark):
+    df = _planted(spark, sigma=0.10).persist()
+    try:
+        df.count()
+        got = {r.vec_id for r in ivf_topk(df, 0, nprobe=2, k=K).collect()}
+        assert _recall(spark, df, got) >= 0.8
+    finally:
+        df.unpersist()
+
+
+def test_srp_multiprobe_recall_neardup_clusters(spark):
+    df = _planted(spark, sigma=0.02).persist()
+    try:
+        df.count()
+        got = {
+            r.vec_id
+            for r in srp_multiprobe_topk(
+                df, 0, n_planes=4, dim=DIM, n_flip=2, k=K
+            ).collect()
+        }
+        assert _recall(spark, df, got) >= 0.8
+    finally:
+        df.unpersist()
+
+
+@pytest.mark.parametrize("nprobe,floor", [(1, 0.8), (2, 0.8)])
+def test_ivf_recall_neardup_clusters(spark, nprobe, floor):
+    df = _planted(spark, sigma=0.02).persist()
+    try:
+        df.count()
+        got = {r.vec_id for r in ivf_topk(df, 0, nprobe=nprobe, k=K).collect()}
+        assert _recall(spark, df, got) >= floor
+    finally:
+        df.unpersist()
