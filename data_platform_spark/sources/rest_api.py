@@ -90,3 +90,21 @@ def ingest_entity(
 ) -> DataFrame:
     """One-call ingestion: page walk → bronze DataFrame."""
     return to_bronze_df(spark, walk_pages(start_url, fetch), loaded_at)
+
+
+def http_fetch(url: str, timeout_s: float = 10.0) -> dict:
+    """Production default ``Fetcher``: stdlib GET → decoded JSON page.
+
+    The injected-fetcher contract stays the hermetic test seam; this is
+    the live implementation of the reference's requests.get
+    (dags/operators/extract_api_operator.py:29). stdlib urllib only — no
+    extra dependency, and ``walk_pages`` owns retry/backoff so this stays
+    a single attempt.
+    """
+    import urllib.request
+
+    req = urllib.request.Request(
+        url, headers={"User-Agent": "data-platform-spark/ingest"}
+    )
+    with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+        return json.loads(resp.read().decode("utf-8"))

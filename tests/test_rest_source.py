@@ -2,7 +2,10 @@
 
 from __future__ import annotations
 
+import os
 from datetime import datetime
+
+import pytest
 
 from data_platform_spark.layers.raw import upsert_bronze
 from data_platform_spark.sources.rest_api import ingest_entity, walk_pages
@@ -81,3 +84,30 @@ def test_walk_pages_continues_past_empty_intermediate_page():
 
     got = list(walk_pages("u?page=1", fetch))
     assert [e["id"] for e in got] == [1, 3]
+
+
+@pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_LIVE_HTTP") != "1",
+    reason="live HTTP smoke: set SPARK_GRAFT_LIVE_HTTP=1 on a networked host"
+    " (this sandbox has no egress; hermetic fetcher tests above cover the"
+    " walk/retry/bronze logic)",
+)
+def test_live_fetch_one_page_to_bronze(spark):
+    """End-to-end against the real API the reference ingests — the only
+    reference behavior a hermetic fetcher cannot exercise. One page,
+    cursor deliberately severed so the walk stays bounded."""
+    from datetime import datetime
+
+    from data_platform_spark.sources.rest_api import (
+        http_fetch,
+        to_bronze_df,
+        walk_pages,
+    )
+
+    url = "https://rickandmortyapi.com/api/character?page=1"
+    one_page = lambda u: {**http_fetch(u), "info": {"next": None}}  # noqa: E731
+    ents = list(walk_pages(url, one_page))
+    assert len(ents) > 0
+    df = to_bronze_df(spark, ents, datetime(2026, 1, 1))
+    assert df.count() == len(ents)
+    assert df.columns == ["source_id", "payload", "loaded_at"]
