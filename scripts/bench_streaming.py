@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""O(batch) evidence for the streaming warehouse sinks (PLANS.md round-5).
+
+Times the per-batch core of the two streaming sinks — the exact
+foreachBatch body each executes per micro-batch (trigger machinery is a
+constant identical across sizes):
+
+- stream_merge_sink  → ``Warehouse.merge`` (partition-pruned copy-on-
+  write upsert)
+- stream_rollup_sink → ``incremental_rollup`` (pruned read + combine +
+  pruned merge, replay-marker keyed)
+
+Two sweeps:
+1. TABLE size grows at fixed batch size — the O(batch) claim: latency
+   must stay flat, because only the 2 hive partitions the batch touches
+   are ever read or rewritten.
+2. BATCH size grows at fixed table size — latency may grow with the
+   batch (that is the numerator of O(batch)), never with the table.
+
+Run: python scripts/bench_streaming.py   (prints one JSON line)
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from data_platform_spark.ops.incremental import incremental_rollup  # noqa: E402
+from data_platform_spark.pipeline import Warehouse  # noqa: E402
+from data_platform_spark.session import get_spark  # noqa: E402
+
+N_DAYS = 32
+BATCH_DAYS = 2  # every batch touches the same 2 partitions
+
+
+def _table_df(spark, n_rows: int):
+    return spark.range(n_rows).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % N_DAYS).cast("int").alias("day"),
+        (F.col("id") % 1000).alias("user"),
+        (F.col("id") * 0.5).alias("value"),
+    )
+
+
+def _batch_df(spark, n_rows: int, key_offset: int):
+    # half replaces existing keys, half inserts; all rows in 2 days
+    return spark.range(n_rows).select(
+        (F.col("id") + key_offset).alias("event_id"),
+        (F.col("id") % BATCH_DAYS).cast("int").alias("day"),
+        (F.col("id") % 1000).alias("user"),
+        (F.col("id") * 0.25).alias("value"),
+    )
+
+
+def time_merge(spark, root: str, table_rows: int, batch_rows: int) -> float:
+    wh = Warehouse(root)
+    wh.write(
+        _table_df(spark, table_rows), "raw", "events", partition_by=["day"]
+    )
+    times = []
+    for i in range(3):
+        batch = _batch_df(spark, batch_rows, key_offset=table_rows - batch_rows // 2 + i)
+        t0 = time.perf_counter()
+        wh.merge(
+            spark, "raw", "events", batch,
+            keys=["event_id"], partition_col="day", order_col=None,
+        )
+        times.append(time.perf_counter() - t0)
+    return round(statistics.median(times), 3)
+
+
+def time_rollup(spark, root: str, table_rows: int, batch_rows: int) -> float:
+    wh = Warehouse(root)
+    incremental_rollup(
+        spark, wh, "agg", "by_day_user",
+        _table_df(spark, table_rows),
+        keys=["day", "user"], measures={"value": "sum"},
+        partition_col="day", batch_id="seed",
+    )
+    times = []
+    for i in range(3):
+        batch = _batch_df(spark, batch_rows, key_offset=i * batch_rows)
+        t0 = time.perf_counter()
+        incremental_rollup(
+            spark, wh, "agg", "by_day_user", batch,
+            keys=["day", "user"], measures={"value": "sum"},
+            partition_col="day", batch_id=f"m{table_rows}-{batch_rows}-{i}",
+        )
+        times.append(time.perf_counter() - t0)
+    return round(statistics.median(times), 3)
+
+
+def main() -> None:
+    spark = get_spark(app_name="dps-stream-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    out = {"fixed_batch": {}, "fixed_table": {}}
+    work = Path(tempfile.mkdtemp(prefix="dps-sbench-"))
+    try:
+        # sweep 1: table grows 16x, batch fixed -> must stay flat
+        for table_rows in (100_000, 400_000, 1_600_000):
+            d = work / f"t{table_rows}"
+            out["fixed_batch"][f"table={table_rows}"] = {
+                "merge_s": time_merge(spark, str(d / "m"), table_rows, 20_000),
+                "rollup_s": time_rollup(spark, str(d / "r"), table_rows, 20_000),
+            }
+        # sweep 2: batch grows 4x, table fixed
+        for batch_rows in (10_000, 20_000, 40_000):
+            d = work / f"b{batch_rows}"
+            out["fixed_table"][f"batch={batch_rows}"] = {
+                "merge_s": time_merge(spark, str(d / "m"), 400_000, batch_rows),
+                "rollup_s": time_rollup(spark, str(d / "r"), 400_000, batch_rows),
+            }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
