@@ -31,76 +31,88 @@ def _modules():
 
 
 # The driver's correctness gate checks the FIRST ~50 registered queries, in
-# dict order. Cumulative accounting across rounds 1-3: 95 distinct queries
-# have a driver-green CORRECTNESS row; 29 were registered after the round-2
-# window froze and have never been driver-checked; 3 events queries regressed
-# in round 3 when the testdata timestamps switched to TIMESTAMP_NTZ (fixed in
-# sources/tables.py). The round-4 window therefore packs, in order:
-# (1) the 3 round-3 regressions, fixed — their fresh green rows lead;
-# (2) the 29 never-checked queries (oracled first, rows-only last);
-# (3) new round-4 queries (FK-integrity, scale-safe window rewrites);
-# (4) rm_pipeline SCD2 pins + flagship relational to fill the 50.
-# Everything else (driver-proven in r1/r2 and unchanged) follows.
-_R4_WINDOW = (
-    # (1) round-3 regressions, fixed
-    "events_sessionize",
-    "funnel_click_to_purchase",
-    "events_rolling_hour_value",
-    # (2) never driver-checked, oracled
-    "simhash32_signatures",
-    "simhash_neardup_pairs",
-    "purchase_prior_click_counts",
-    "doc_redaction",
-    "ivf_topk_vec0",
-    "ivf_recall_at_k",
-    "ngram_jaccard_pairs",
-    "events_rollup_incremental",
-    "price_quantity_regression",
-    "part_name_fuzzy_pairs",
-    "events_clustered_time_slice",
-    "multimodal_audio_decode",
-    "multimodal_video_decode",
-    "multimodal_frame_sample",
-    "doc_repetition_stats",
-    "benchmark_decontamination",
-    "q9_profit_by_nation_year",
-    "q11_important_part_value",
-    "q13_customer_order_distribution",
-    "q15_top_supplier",
-    "q16_part_supplier_counts",
-    "q20_excess_red_shippers",
-    "q21_waiting_suppliers",
-    "orders_price_band_join",
-    "orders_profile",
-    # (3) round-4 additions + scale-safe rewrites needing re-proof
+# dict order. Cumulative accounting through round 4: 123 of 126 registered
+# queries carry a driver-green row (hash-green, or rows-only with rows for
+# the 3 un-oracled ones). The round-5 window packs, in order:
+# (1) the 3 queries with NO green row ever: multimodal_features (r4 ERR,
+#     now scalar-projected AND oracled) + the two new FK-integrity queries;
+# (2) re-proof of every implementation changed this round: the three
+#     two-phase global-order rewrites, the vectorized simhash64 signature
+#     path, and the five ANN queries refactored onto the DataFrame-level
+#     pipelines;
+# (3) canaries proven in earlier rounds and unchanged, kept in-window so a
+#     shared-loader/pipeline regression is caught by the driver (ADVICE r4):
+#     one events query, one rm SCD2 pin, the flagship;
+# (4) the 35 queries whose last green row is round 1 — the stalest
+#     evidence in the registry, rotated back in to refresh it.
+# Everything else (green in r3/r4 and unchanged) follows, oracled first.
+_R5_WINDOW = (
+    # (1) never driver-green
+    "multimodal_features",
     "fact_fk_orphans",
+    "tpch_fk_orphans",
+    # (2) changed implementations needing re-proof
+    "term_zipf_ranks",
     "corpus_token_budget_sample",
     "customer_balance_quartiles",
-    "term_zipf_ranks",
-    # (4) reference-parity SCD2 pins + flagships
-    "rm_dim_character_first_load",
-    "rm_fact_char_loc_first_load",
-    "rm_dim_character_after_mutation",
+    "simhash_signatures",
+    "srp_ann_multiprobe_vec0",
+    "ivf_topk_vec0",
+    "ivf_assign_nearest_centroid",
+    "ann_recall_at_k",
+    "ivf_recall_at_k",
+    # (3) canaries (loader / pipeline / flagship)
+    "events_sessionize",
     "rm_dim_character_three_batches",
     "q1_pricing_summary",
-    "q3_top_revenue_orders",
-    "q5_region_revenue",
-    "topk_orders_per_customer",
-    "asof_purchase_last_click",
-    "scd2_order_versions",
-    "value_change_detection",
-    # (2) never driver-checked, rows-only (weaker evidence → window tail)
-    "events_user_ema",
-    "approx_stats_sketches",
-    "simhash_signatures",
-    "multimodal_features",
+    # (4) last green in round 1
+    "rollup_order_totals",
+    "unknown_member_events",
+    "q4_priority_with_late_items",
+    "q17_small_quantity_revenue",
+    "nations_intersect",
+    "nations_except",
+    "cube_order_stats",
+    "pivot_user_event_matrix",
+    "skew_safe_event_type_counts",
+    "nation_customer_supplier_counts",
+    "sql_api_revenue_by_status",
+    "q14_promo_revenue_ratio",
+    "q2_min_price_per_brand",
+    "q19_disjunctive_revenue",
+    "customer_ids_parsed",
+    "orders_by_year",
+    "latest_event_per_user",
+    "p5_guarded_date_roundtrip",
+    "p6_empty_url_normalization",
+    "order_price_stats",
+    "value_correlation",
+    "q6_forecast_revenue",
+    "q10_returned_item_customers",
+    "q18_large_volume_orders",
+    "q22_idle_customers",
+    "monthly_order_calendar",
+    "q7_nation_trade_volume",
+    "q8_market_share",
+    "events_props_map",
+    "grouping_sets_orders",
+    "decimal_revenue_exact",
+    "rank_vs_dense_rank_orders",
+    "nationkeys_intersect_all",
+    "nationkeys_except_all",
+    "order_price_histogram",
 )
 
 
 def _ordered_names(merged: dict, oracles: dict) -> list[str]:
-    order: list[str] = [n for n in _R4_WINDOW if n in merged]
+    unknown = set(_R5_WINDOW) - merged.keys()
+    if unknown:
+        # Fail fast: a stale/misspelled window entry would otherwise
+        # silently lose its gate slot (this masked a missing query in r4).
+        raise ValueError(f"window names not in registry: {sorted(unknown)}")
+    order: list[str] = list(_R5_WINDOW)
     seen = set(order)
-    # remainder: driver-proven r1/r2 rows, oracled before rows-only
+    # remainder: r3/r4-proven rows, oracled before rows-only
     rest = [n for n in merged if n not in seen]
     order += [n for n in rest if n in oracles]
     order += [n for n in rest if n not in oracles]
