@@ -94,16 +94,20 @@ def label_centroids(
     )
 
 
-def srp_plane_weights(n_planes: int = 16, dim: int = 64) -> list[list[float]]:
+def srp_plane_weights(
+    n_planes: int = 16, dim: int = 64, plane_offset: int = 0
+) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes: plane p, dimension i
     (1-based) weight = ((i*2654435761 + (p+1)*40503) mod 1997)/1997 - 0.5.
-    Integer-hash derived — bit-identical in Python, Spark and SQL."""
+    Integer-hash derived — bit-identical in Python, Spark and SQL.
+    ``plane_offset`` selects planes [offset, offset + n_planes) — the
+    independent plane families behind multi-table (banded) SRP."""
     return [
         [
             ((i * 2654435761 + (p + 1) * 40503) % 1997) / 1997.0 - 0.5
             for i in range(1, dim + 1)
         ]
-        for p in range(n_planes)
+        for p in range(plane_offset, plane_offset + n_planes)
     ]
 
 
@@ -113,17 +117,22 @@ def srp_plane_weights(n_planes: int = 16, dim: int = 64) -> list[list[float]]:
 SRP_QUANTUM_DP = 6
 
 
-def srp_signature_np(vec: Column, n_planes: int = 16, dim: int = 64) -> Column:
+def srp_signature_np(
+    vec: Column, n_planes: int = 16, dim: int = 64, plane_offset: int = 0
+) -> Column:
     """SRP signature via an Arrow-vectorized Pandas UDF (numpy matmul).
 
     ~20× faster than the interpreted higher-order-function fold at local
     scale: one float64 (batch × dim) @ (dim × planes) matrix multiply per
     Arrow batch. Semantically identical to ``srp_signature`` (unit-tested
-    equal) thanks to the shared quantization.
+    equal) thanks to the shared quantization. ``plane_offset`` picks the
+    plane family (multi-table SRP).
     """
     import numpy as np
 
-    w = np.array(srp_plane_weights(n_planes, dim), dtype="float64").T  # dim×planes
+    w = np.array(
+        srp_plane_weights(n_planes, dim, plane_offset), dtype="float64"
+    ).T  # dim×planes
     powers = np.array([1 << p for p in range(n_planes)], dtype="int64")
     q = float(10 ** SRP_QUANTUM_DP)
 
@@ -356,6 +365,69 @@ def srp_multiprobe_topk(
     cand = with_bucket.join(
         F.broadcast(q), with_bucket["bucket"] == q["probe"]
     ).filter(F.col(id_col) != query_vec_id)
+    sim = cand.select(
+        id_col,
+        pround(
+            cosine(as_double(F.col(vec_col)), as_double(F.col("q"))), 4
+        ).alias("cosine"),
+    )
+    return sim.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+def srp_banded_topk(
+    emb: DataFrame,
+    query_vec_id: int,
+    n_tables: int = 4,
+    n_planes: int = 4,
+    dim: int = 64,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-table (banded) SRP ANN: OR-construction over ``n_tables``
+    independent plane families — candidate iff the vector shares the
+    query's bucket in ANY table.
+
+    This is the recall fix a single SRP table cannot provide (PLANS.md
+    round-5 table: one table tops out at 0.4-0.5 on topical clusters —
+    a neighbor flipped on any plane outside the probe set is invisible;
+    L independent tables drive miss probability down exponentially, the
+    same AND/OR trade the MinHash band stack uses for Jaccard).
+
+    Single-query form: all L signatures come from ONE scan (L matmul
+    columns per Arrow batch), the query's L buckets ride a broadcast
+    1-row frame, and candidacy is a disjunctive filter — no join
+    explosion, no second scan. The batch-query form at scale stores the
+    L signature columns as index columns and unions L equi-joins.
+    """
+    from functools import reduce as _reduce
+    from operator import or_ as _or
+
+    sigs = emb.select(
+        id_col,
+        vec_col,
+        *[
+            srp_signature_np(
+                F.col(vec_col), n_planes, dim, plane_offset=t * n_planes
+            ).alias(f"__b{t}")
+            for t in range(n_tables)
+        ],
+    )
+    qrow = emb.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("q"),
+        *[
+            srp_signature_np(
+                F.col(vec_col), n_planes, dim, plane_offset=t * n_planes
+            ).alias(f"__q{t}")
+            for t in range(n_tables)
+        ],
+    )
+    match = _reduce(
+        _or, [F.col(f"__b{t}") == F.col(f"__q{t}") for t in range(n_tables)]
+    )
+    cand = sigs.crossJoin(F.broadcast(qrow)).filter(
+        match & (F.col(id_col) != query_vec_id)
+    )
     sim = cand.select(
         id_col,
         pround(

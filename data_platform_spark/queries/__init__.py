@@ -47,10 +47,11 @@ def _modules():
 #     evidence in the registry, rotated back in to refresh it.
 # Everything else (green in r3/r4 and unchanged) follows, oracled first.
 _R5_WINDOW = (
-    # (1) never driver-green
+    # (1) never driver-green (srp_banded_ann_vec0 is new this round)
     "multimodal_features",
     "fact_fk_orphans",
     "tpch_fk_orphans",
+    "srp_banded_ann_vec0",
     # (2) changed implementations needing re-proof
     "term_zipf_ranks",
     "corpus_token_budget_sample",
@@ -100,7 +101,8 @@ _R5_WINDOW = (
     "rank_vs_dense_rank_orders",
     "nationkeys_intersect_all",
     "nationkeys_except_all",
-    "order_price_histogram",
+    # order_price_histogram (r1-green) yielded its slot to the new
+    # srp_banded_ann_vec0 — first-evidence beats evidence-refresh
 )
 
 

@@ -675,9 +675,11 @@ def events_clustered_time_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     with cluster_write (range-clustered + sorted by ts, INT64-micros
     stats — ops/layout.py), read back, and aggregated over the first
     7 days. The oracle runs the same slice on the RAW table: a layout
-    rewrite must be invisible to query results while making the
-    time-range scan prune to the few files whose footer range overlaps
-    the slice (footer-stat evidence in tests/test_layout.py)."""
+    rewrite must be invisible to query results. The cutoff here is
+    derived from min(ts) for oracle determinism, so it rides a 1-row
+    broadcast rather than a literal; production time slices use literal
+    bounds, which push into the scan and prune to the files whose footer
+    range overlaps (footer-stat evidence in tests/test_layout.py)."""
     import tempfile
 
     from data_platform_spark.ops.layout import cluster_write
@@ -686,11 +688,14 @@ def events_clustered_time_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = tempfile.mkdtemp(prefix="dps_layout_") + "/ev_by_ts"
     cluster_write(ev, path, ["ts"], n_files=8)
     back = spark.read.parquet(path)
-    cutoff = F.lit(ev.agg(F.min("ts")).collect()[0][0]) + F.expr(
-        "INTERVAL 7 DAYS"
+    # 1-row broadcast crossJoin for the cutoff (q15's scalar pattern) —
+    # declarative, no driver-side collect in the plan
+    cutoff = ev.agg(
+        (F.min("ts") + F.expr("INTERVAL 7 DAYS")).alias("__cutoff")
     )
     return (
-        back.filter(F.col("ts") < cutoff)
+        back.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("ts") < F.col("__cutoff"))
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),

@@ -58,16 +58,27 @@ QUERIES = {
 }
 
 
-def _srp_proj_sql(p: int) -> str:
+def _srp_proj_sql(p: int, col: str = "embedding") -> str:
     # mirror of S.srp_signature: weight(i,p) in [-0.5, 0.5), i is 1-based;
     # projection quantized to SRP_QUANTUM_DP before the sign test (same
-    # quantum as both Spark implementations)
+    # quantum as both Spark implementations); p is the ABSOLUTE plane
+    # index, so banded tables are just higher plane ranges
     raw = (
-        "(SELECT sum(embedding[i]::DOUBLE * "
+        f"(SELECT sum({col}[i]::DOUBLE * "
         f"((((i * 2654435761 + {(p + 1) * 40503}) % 1997)::DOUBLE / 1997.0) - 0.5)) "
         f"FROM generate_series(1, {DIM}) AS t(i))"
     )
     return sql_round(raw, S.SRP_QUANTUM_DP)
+
+
+def _srp_bucket_sql(n_planes: int, plane_offset: int, col: str = "embedding") -> str:
+    # bucket of one plane family: bit b (local) = sign of plane
+    # (plane_offset + b); mirrors S.srp_signature_np(plane_offset=...)
+    return " + ".join(
+        f"(CASE WHEN {_srp_proj_sql(plane_offset + b, col)} > 0"
+        f" THEN {1 << b} ELSE 0 END)"
+        for b in range(n_planes)
+    )
 
 
 _COSINE_SQL = (
@@ -615,3 +626,66 @@ ORACLE["ivf_recall_at_k"] = f"""
         {sql_round(f"count(*) / {TOP_K}.0", 4)} AS recall
     FROM exact_topk e JOIN ivf_topk a ON e.vec_id = a.vec_id
 """
+
+
+# ---------------------------------------------------------------------------
+# multi-table (banded) SRP ANN: the OR-construction recall path
+# ---------------------------------------------------------------------------
+
+SRP_TABLES = 4  # OR-construction width (L independent plane families)
+
+
+def srp_banded_ann_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table SRP ANN: candidate iff the vector shares the query's
+    bucket in ANY of ``SRP_TABLES`` independent 4-plane families — the
+    exponential-recall OR-construction a single table (however probed)
+    cannot provide (PLANS.md round-5 operating-point table). One scan
+    computes all table signatures; the query's buckets ride a broadcast
+    1-row frame; rerank is exact cosine."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"), spark)
+    return S.srp_banded_topk(
+        emb,
+        QUERY_VEC_ID,
+        n_tables=SRP_TABLES,
+        n_planes=ANN_PLANES,
+        dim=DIM,
+        k=TOP_K,
+    )
+
+
+QUERIES["srp_banded_ann_vec0"] = srp_banded_ann_vec0
+
+
+def _banded_oracle() -> str:
+    b_exprs = ",\n                ".join(
+        f"{_srp_bucket_sql(ANN_PLANES, t * ANN_PLANES)} AS b{t}"
+        for t in range(SRP_TABLES)
+    )
+    q_exprs = ",\n                ".join(
+        f"{_srp_bucket_sql(ANN_PLANES, t * ANN_PLANES, 'qv')} AS q{t}"
+        for t in range(SRP_TABLES)
+    )
+    match = " OR ".join(f"e.b{t} = qb.q{t}" for t in range(SRP_TABLES))
+    return f"""
+        WITH q AS (
+            SELECT embedding AS qv FROM embeddings
+            WHERE vec_id = {QUERY_VEC_ID}
+        ),
+        qb AS (
+            SELECT {q_exprs} FROM q
+        ),
+        bucketed AS (
+            SELECT vec_id, embedding, {b_exprs} FROM embeddings
+        ),
+        scored AS (
+            SELECT e.vec_id, {sql_round(_COSINE_SQL, 4)} AS cosine
+            FROM bucketed e, qb, q
+            WHERE ({match}) AND e.vec_id <> {QUERY_VEC_ID}
+        )
+        SELECT vec_id, cosine FROM scored
+        ORDER BY cosine DESC, vec_id ASC
+        LIMIT {TOP_K}
+    """
+
+
+ORACLE["srp_banded_ann_vec0"] = _banded_oracle()

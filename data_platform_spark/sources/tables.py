@@ -60,6 +60,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # TIMESTAMP_NTZ, which unix_millis()/window() reject. The session
             # timezone is pinned to UTC above, so this cast is
             # value-preserving and keeps DuckDB-oracle epoch parity.
+            # CAVEAT (ADVICE r4): the NTZ->LTZ cast resolves the timezone at
+            # EXECUTION time, not here — if a caller resets
+            # spark.sql.session.timeZone between load and action, epoch
+            # values shift. The pin above re-applies on every load_table
+            # call, which covers every declared-query path (each call loads
+            # its own tables); a caller composing loaded frames across its
+            # own tz changes is outside the engine's contract.
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df.select(
             "event_id", "ts", "user_id", "event_type", "value", "props"

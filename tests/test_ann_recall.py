@@ -99,3 +99,23 @@ def test_ivf_recall_neardup_clusters(spark, nprobe, floor):
         assert _recall(spark, df, got) >= floor
     finally:
         df.unpersist()
+
+
+def test_srp_banded_recall_mid_tightness(spark):
+    """OR-construction over 4 independent plane tables moves the SRP
+    recall >= 0.8 frontier from sigma 0.02 (single table) to sigma 0.05
+    (measured 0.4 single-table vs 0.8 banded-4; PLANS.md round-5)."""
+    from data_platform_spark.functions.similarity import srp_banded_topk
+
+    df = _planted(spark, sigma=0.05).persist()
+    try:
+        df.count()
+        got = {
+            r.vec_id
+            for r in srp_banded_topk(
+                df, 0, n_tables=4, n_planes=4, dim=DIM, k=K
+            ).collect()
+        }
+        assert _recall(spark, df, got) >= 0.8
+    finally:
+        df.unpersist()
