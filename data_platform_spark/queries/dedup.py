@@ -644,3 +644,59 @@ ORACLE["ngram_jaccard_pairs"] = f"""
     WHERE {sql_round("n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common)", 4)}
           >= {JACCARD_THRESHOLD}
 """
+
+
+# ---------------------------------------------------------------------------
+# dedup resolution policy: keep the best copy, not an arbitrary one
+# ---------------------------------------------------------------------------
+
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate resolution with a QUALITY keep policy: within each
+    content-hash group keep the highest-quality copy (tie: lowest doc_id)
+    — the curation-grade variant of `documents_after_dedup`, which keeps
+    the minimum id regardless of quality. One window keyed by the hash
+    (one shuffle, scale-safe); quality is the shared reference-free
+    heuristic from functions.text."""
+    from pyspark.sql.window import Window
+
+    from data_platform_spark.functions import text as X
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    scored = docs.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("content_md5"),
+        X.quality_score(F.col("text")).alias("quality"),
+    )
+    w = Window.partitionBy("content_md5").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "content_md5", "quality")
+    )
+
+
+QUERIES["dedup_keep_best"] = dedup_keep_best
+
+
+def _keep_best_oracle() -> str:
+    from data_platform_spark.queries.text import quality_sql
+
+    return f"""
+        SELECT doc_id, content_md5, quality FROM (
+            SELECT
+                doc_id,
+                md5(text) AS content_md5,
+                {quality_sql()} AS quality,
+                row_number() OVER (
+                    PARTITION BY md5(text)
+                    ORDER BY {quality_sql()} DESC, doc_id ASC
+                ) AS rk
+            FROM documents
+        ) WHERE rk = 1
+    """
+
+
+ORACLE["dedup_keep_best"] = _keep_best_oracle()

@@ -449,13 +449,19 @@ def corpus_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["corpus_token_budget_sample"] = corpus_token_budget_sample
 
 
-def _budget_oracle() -> str:
+def quality_sql() -> str:
+    """SQL mirror of functions.text.quality_score (shared by the curation
+    and dedup oracles)."""
     all_markers = sorted({m for ms in X.LANG_MARKERS.values() for m in ms})
-    quality = sql_round(
+    return sql_round(
         "0.5 * least(len(string_split(text, ' ')) / 50.0, 1.0) "
         f"+ 0.5 * least({_sql_marker_score(all_markers)} / 5.0, 1.0)",
         4,
     )
+
+
+def _budget_oracle() -> str:
+    quality = quality_sql()
     return f"""
         WITH scored AS (
             SELECT
@@ -725,3 +731,70 @@ ORACLE["benchmark_decontamination"] = f"""
     WHERE t.doc_id % {DECON_BENCH_MOD} != 0
     GROUP BY t.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# fifth wave: per-source training-mix quotas
+# ---------------------------------------------------------------------------
+
+PER_SOURCE_TOKEN_BUDGET = 3_000
+
+
+def corpus_mix_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix curation with per-SOURCE token quotas: within each
+    source, keep the highest-quality documents until that source's budget
+    is spent — the 'mix weights' primitive of corpus assembly (each
+    source contributes a bounded token share, best docs first).
+
+    Unlike ``corpus_token_budget_sample``'s single global order, the
+    running sum here is PARTITIONED by source — Spark's native scale-safe
+    window shape: one shuffle keyed by source, each partition's window
+    evaluated independently in parallel (skewed giant sources are the
+    known caveat; the two-phase ops.global_order layout applies per
+    source if one source dominates)."""
+    from pyspark.sql.window import Window
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    t = F.col("text")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        X.quality_score(t).alias("quality"),
+        X.token_count(t).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("quality"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= PER_SOURCE_TOKEN_BUDGET)
+        .select("doc_id", "source", "quality", "n_tokens", "cum_tokens")
+    )
+
+
+QUERIES["corpus_mix_by_source"] = corpus_mix_by_source
+
+ORACLE["corpus_mix_by_source"] = f"""
+    WITH scored AS (
+        SELECT
+            doc_id,
+            source,
+            {{q}} AS quality,
+            len(regexp_extract_all(text, '{X.TOKEN_REGEX}'))::BIGINT
+                AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT *,
+               CAST(sum(n_tokens) OVER (
+                   PARTITION BY source
+                   ORDER BY quality DESC, doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_tokens
+        FROM scored
+    )
+    SELECT doc_id, source, quality, n_tokens, cum_tokens
+    FROM c WHERE cum_tokens <= {PER_SOURCE_TOKEN_BUDGET}
+""".replace("{q}", quality_sql())
