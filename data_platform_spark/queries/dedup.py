@@ -700,3 +700,64 @@ def _keep_best_oracle() -> str:
 
 
 ORACLE["dedup_keep_best"] = _keep_best_oracle()
+
+
+def neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-duplicate resolution with the quality keep policy: for each
+    connected component of the verified LSH pair graph, keep the
+    highest-quality member (tie: lowest doc_id) and report the group
+    size — the full curation pipeline from shingles to a kept-docs list.
+    Ranking is one component-keyed window over the (tiny) component
+    relation; the heavy lifting stays in the bucketed LSH stack."""
+    from pyspark.sql.window import Window
+
+    from data_platform_spark.functions import text as X
+
+    comp = neardup_components(spark, sf_dir)
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    q = docs.select("doc_id", X.quality_score(F.col("text")).alias("quality"))
+    joined = comp.join(q, "doc_id")
+    wc = Window.partitionBy("component")
+    w = Window.partitionBy("component").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return (
+        joined.withColumn("n_members", F.count(F.lit(1)).over(wc))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("kept_doc_id"),
+            "quality",
+            F.col("n_members").cast("long").alias("n_members"),
+        )
+    )
+
+
+QUERIES["neardup_keep_best"] = neardup_keep_best
+
+
+def _neardup_keep_best_oracle() -> str:
+    from data_platform_spark.queries.text import quality_sql
+
+    return f"""
+        WITH comp AS ({ORACLE["neardup_components"]}),
+        q AS (
+            SELECT doc_id, {quality_sql()} AS quality FROM documents
+        ),
+        ranked AS (
+            SELECT c.component, c.doc_id, q.quality,
+                   count(*) OVER (PARTITION BY c.component) AS n_members,
+                   row_number() OVER (
+                       PARTITION BY c.component
+                       ORDER BY q.quality DESC, c.doc_id ASC
+                   ) AS rk
+            FROM comp c JOIN q USING (doc_id)
+        )
+        SELECT component, doc_id AS kept_doc_id, quality,
+               CAST(n_members AS BIGINT) AS n_members
+        FROM ranked WHERE rk = 1
+    """
+
+
+ORACLE["neardup_keep_best"] = _neardup_keep_best_oracle()
