@@ -88,3 +88,26 @@ def fk_check(specs: list[FkSpec]) -> DataFrame:
         )
         out = agg if out is None else out.unionByName(agg)
     return out
+
+
+class FkViolation(Exception):
+    """Raised when a fact violates a declared FK — the engine-side analog
+    of Postgres rejecting the write under the reference's constraints."""
+
+
+def require_fk(specs: list[FkSpec]) -> list:
+    """Enforce FK integrity: run ``fk_check`` and raise ``FkViolation``
+    naming every violated edge (with orphan counts) if any FK has
+    orphans. The collect is metadata-scale — one row per spec."""
+    rows = fk_check(specs).collect()
+    bad = [r for r in rows if r.n_orphans > 0]
+    if bad:
+        raise FkViolation(
+            "FK violations: "
+            + "; ".join(
+                f"{r.fact_table}.{r.fk_col} -> {r.ref_table} "
+                f"({r.n_orphans} orphans of {r.n_rows} rows)"
+                for r in bad
+            )
+        )
+    return rows

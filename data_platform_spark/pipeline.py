@@ -446,11 +446,18 @@ def run_pipeline(
     wh: Warehouse,
     bronze: dict[str, DataFrame],
     run_ts: datetime | None = None,
+    validate_fk: bool = True,
 ) -> None:
     """Full refresh: bronze upsert → staging → dims → facts.
 
     ``bronze`` maps entity → incoming bronze DataFrame (source_id,
     payload, loaded_at) from the ingestion client.
+
+    ``validate_fk`` enforces the reference's declared FK constraints
+    (dags/configure.py:341-381) at fact-build time: each fact is checked
+    against its dims BEFORE the write and the run raises FkViolation on
+    any orphan — the engine-side analog of Postgres rejecting the
+    transaction.
     """
     run_ts = run_ts or datetime.now(timezone.utc)
     ts = _batch_ts_lit(run_ts)
@@ -538,27 +545,47 @@ def run_pipeline(
     dim_loc = wh.read(spark, "dwh", "dim_location")
     dim_ep = wh.read(spark, "dwh", "dim_episode")
 
+    from data_platform_spark.ops.integrity import FkSpec, require_fk
+
     if all(x is not None for x in (stg_ch, stg_ep, dim_ch, dim_ep)):
-        wh.write(
-            L_dwh.build_fact_char_ep(
-                wh.read(spark, "dwh", "fact_char_ep"),
-                wh.read(spark, "stg", "episode_ch"),
-                wh.read(spark, "stg", "character_ep"),
-                stg_ch, stg_ep, dim_ch, dim_ep, ts,
-            ),
-            "dwh", "fact_char_ep",
-        )
+        fact_ce_df = L_dwh.build_fact_char_ep(
+            wh.read(spark, "dwh", "fact_char_ep"),
+            wh.read(spark, "stg", "episode_ch"),
+            wh.read(spark, "stg", "character_ep"),
+            stg_ch, stg_ep, dim_ch, dim_ep, ts,
+        ).persist()
+        if validate_fk:
+            require_fk(
+                [
+                    FkSpec(fact_ce_df, "fact_char_ep", "character_sk",
+                           dim_ch, "dim_character", "character_sk"),
+                    FkSpec(fact_ce_df, "fact_char_ep", "episode_sk",
+                           dim_ep, "dim_episode", "episode_sk"),
+                ]
+            )
+        wh.write(fact_ce_df, "dwh", "fact_char_ep")
+        fact_ce_df.unpersist()
     if all(x is not None for x in (stg_ch, dim_ch, dim_loc)):
-        wh.write(
-            L_dwh.build_fact_char_loc(
-                wh.read(spark, "dwh", "fact_char_loc"),
-                wh.read(spark, "stg", "location_ch"),
-                wh.read(spark, "stg", "character_loc"),
-                stg_ch, dim_ch, dim_loc,
-                L_dwh.dim_location_role(spark), ts,
-            ),
-            "dwh", "fact_char_loc",
-        )
+        role = L_dwh.dim_location_role(spark)
+        fact_cl_df = L_dwh.build_fact_char_loc(
+            wh.read(spark, "dwh", "fact_char_loc"),
+            wh.read(spark, "stg", "location_ch"),
+            wh.read(spark, "stg", "character_loc"),
+            stg_ch, dim_ch, dim_loc, role, ts,
+        ).persist()
+        if validate_fk:
+            require_fk(
+                [
+                    FkSpec(fact_cl_df, "fact_char_loc", "character_sk",
+                           dim_ch, "dim_character", "character_sk"),
+                    FkSpec(fact_cl_df, "fact_char_loc", "location_sk",
+                           dim_loc, "dim_location", "location_sk"),
+                    FkSpec(fact_cl_df, "fact_char_loc", "role_id",
+                           role, "dim_location_role", "role_id"),
+                ]
+            )
+        wh.write(fact_cl_df, "dwh", "fact_char_loc")
+        fact_cl_df.unpersist()
 
     # ---- datamart (the layer the reference declares but never populates)
     fact_ce = wh.read(spark, "dwh", "fact_char_ep")

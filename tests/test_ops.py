@@ -472,3 +472,22 @@ def test_simhash64_vectorized_equals_reference_loop(spark):
     }
     for i, t in enumerate(texts):
         assert got[i] == reference(t), f"mismatch at {i}: {t!r}"
+
+
+def test_require_fk_raises_with_edge_details(spark):
+    import pytest as _pytest
+
+    from data_platform_spark.ops.integrity import (
+        FkSpec,
+        FkViolation,
+        require_fk,
+    )
+
+    dim = spark.createDataFrame([(1,), (2,)], "k: long")
+    clean = spark.createDataFrame([(1,), (2,)], "fk: long")
+    rows = require_fk([FkSpec(clean, "f", "fk", dim, "d", "k")])
+    assert [r.n_orphans for r in rows] == [0]
+
+    dirty = spark.createDataFrame([(1,), (7,), (8,)], "fk: long")
+    with _pytest.raises(FkViolation, match=r"f\.fk -> d \(2 orphans of 3 rows\)"):
+        require_fk([FkSpec(dirty, "f", "fk", dim, "d", "k")])
