@@ -31,11 +31,12 @@ def _modules():
 
 
 # The driver's correctness gate checks the FIRST ~50 registered queries, in
-# dict order. Cumulative accounting through round 4: 123 of 126 registered
-# queries carry a driver-green row (hash-green, or rows-only with rows for
-# the 3 un-oracled ones). The round-5 window packs, in order:
-# (1) the 3 queries with NO green row ever: multimodal_features (r4 ERR,
-#     now scalar-projected AND oracled) + the two new FK-integrity queries;
+# dict order. Cumulative accounting entering round 5: 130 registered, 123
+# carry a driver-green row from r1-r4 (hash-green, or rows-only with rows
+# for the 3 un-oracled ones); the 7 without are multimodal_features
+# (r4 ERR, now scalar-projected AND oracled) and the 6 queries new this
+# round. The round-5 window packs, in order:
+# (1) the 7 queries with NO green row ever;
 # (2) re-proof of every implementation changed this round: the three
 #     two-phase global-order rewrites, the vectorized simhash64 signature
 #     path, and the five ANN queries refactored onto the DataFrame-level
@@ -43,15 +44,19 @@ def _modules():
 # (3) canaries proven in earlier rounds and unchanged, kept in-window so a
 #     shared-loader/pipeline regression is caught by the driver (ADVICE r4):
 #     one events query, one rm SCD2 pin, the flagship;
-# (4) the 35 queries whose last green row is round 1 — the stalest
-#     evidence in the registry, rotated back in to refresh it.
-# Everything else (green in r3/r4 and unchanged) follows, oracled first.
+# (4) 31 of the 35 queries whose last green row is round 1 — the stalest
+#     evidence in the registry, rotated back in to refresh it (4 r1-green
+#     slots yielded to the new queries: first evidence beats refresh).
+# Everything else (green in r1/r3/r4 and unchanged) follows, oracled first.
 _R5_WINDOW = (
-    # (1) never driver-green (srp_banded_ann_vec0 is new this round)
+    # (1) never driver-green (all but multimodal_features are new this round)
     "multimodal_features",
     "fact_fk_orphans",
     "tpch_fk_orphans",
     "srp_banded_ann_vec0",
+    "corpus_mix_by_source",
+    "dedup_keep_best",
+    "neardup_keep_best",
     # (2) changed implementations needing re-proof
     "term_zipf_ranks",
     "corpus_token_budget_sample",
@@ -98,11 +103,9 @@ _R5_WINDOW = (
     "events_props_map",
     "grouping_sets_orders",
     "decimal_revenue_exact",
-    "rank_vs_dense_rank_orders",
-    "nationkeys_intersect_all",
-    "nationkeys_except_all",
-    # order_price_histogram (r1-green) yielded its slot to the new
-    # srp_banded_ann_vec0 — first-evidence beats evidence-refresh
+    # rank_vs_dense_rank_orders, nationkeys_intersect_all,
+    # nationkeys_except_all, order_price_histogram (all r1-green) yielded
+    # their slots to the round-5 queries above
 )
 
 
