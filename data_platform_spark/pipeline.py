@@ -138,8 +138,15 @@ class Warehouse:
         return os.path.isdir(self.path(schema, table))
 
     def read(self, spark: SparkSession, schema: str, table: str) -> DataFrame | None:
+        # mergeSchema: after an allow_new_columns merge, only rewritten
+        # partitions carry the new column; Spark's default single-footer
+        # schema sample would make the column appear/vanish depending on
+        # which file it probes. Footer union is cheap at this metadata
+        # scale (a table format holds the schema centrally at 100 TB).
         return (
-            spark.read.parquet(self.path(schema, table))
+            spark.read.option("mergeSchema", "true").parquet(
+                self.path(schema, table)
+            )
             if self.exists(schema, table)
             else None
         )
@@ -186,10 +193,19 @@ class Warehouse:
         partition_col: str,
         delete_col: str | None = None,
         order_col: str | None = None,
+        allow_new_columns: bool = False,
     ) -> list[str]:
         """Partition-pruned copy-on-write MERGE (Delta/Iceberg MERGE INTO
         analog at the file level — the upsert path for S4/S5/J7-class
         maintenance at 100 TB).
+
+        ``allow_new_columns`` is the schema-evolution mode (Delta's
+        mergeSchema analog): batch columns absent from the table are ADDED
+        (existing rows get NULL) and table columns absent from the batch
+        are NULL-filled — only for the rewritten partitions, the same
+        scope a table format's metadata update covers logically. Default
+        off: the strict mode projects the batch onto the table's columns,
+        so accidental producer drift cannot silently widen the schema.
 
         Semantics: rows in ``updates`` replace existing rows with the same
         ``keys``; unmatched keys insert; rows with ``delete_col`` true
@@ -245,16 +261,22 @@ class Warehouse:
         live = live.withColumn(
             partition_col, F.col(partition_col).cast(part_type)
         )
+        if allow_new_columns:
+            aligned = live
+        else:
+            aligned = live.select(*existing.columns)
         if order_col:
             merged = _newest_per_key(
-                existing.unionByName(live.select(*existing.columns)),
+                existing.unionByName(
+                    aligned, allowMissingColumns=allow_new_columns
+                ),
                 keys,
                 order_col,
             )
         else:
             merged = existing.join(
                 updates.select(*keys).distinct(), keys, "left_anti"
-            ).unionByName(live.select(*existing.columns))
+            ).unionByName(aligned, allowMissingColumns=allow_new_columns)
 
         tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
         merged.write.mode("overwrite").partitionBy(partition_col).parquet(tmp)

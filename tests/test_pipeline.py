@@ -545,3 +545,44 @@ def test_merge_order_col_newest_wins(spark, wh):
     wh.merge(spark, "dwh", "ord_demo", updates, ["id"], "pdate", order_col="seq")
     got = {r["id"]: (r["v"], r["seq"]) for r in rows_as(spark, wh, "ord_demo")}
     assert got == {1: ("v1", 10), 2: ("v2-new", 20), 3: ("v3-b", 9)}
+
+
+def test_merge_schema_evolution(spark, wh):
+    """allow_new_columns: a batch with an extra column widens the table
+    (old rows NULL); a later batch missing that column is NULL-filled;
+    strict mode keeps projecting unknown columns away."""
+    from pyspark.sql import functions as F
+
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30)], "id: long, day: string, v: long"
+    )
+    wh.write(base, "raw", "evo", partition_by=["day"])
+
+    widened = spark.createDataFrame(
+        [(2, "a", 21, "new"), (4, "a", 40, "new")],
+        "id: long, day: string, v: long, tag: string",
+    )
+    wh.merge(spark, "raw", "evo", widened, keys=["id"], partition_col="day",
+             allow_new_columns=True)
+    out = wh.read(spark, "raw", "evo")
+    assert set(out.columns) == {"id", "day", "v", "tag"}
+    rows = {r.id: (r.v, r.tag) for r in out.collect()}
+    # day=b partition untouched on disk; mergeSchema read still shows tag
+    assert rows == {1: (10, None), 2: (21, "new"), 3: (30, None), 4: (40, "new")}
+
+    narrow = spark.createDataFrame([(5, "a", 50)], "id: long, day: string, v: long")
+    wh.merge(spark, "raw", "evo", narrow, keys=["id"], partition_col="day",
+             allow_new_columns=True)
+    rows = {r.id: (r.v, r.tag) for r in wh.read(spark, "raw", "evo").collect()}
+    assert rows[5] == (50, None) and rows[2] == (21, "new")
+
+    # strict mode: unknown batch columns are projected away, not added
+    # (and a batch MISSING a table column fails analysis loudly)
+    stray = spark.createDataFrame(
+        [(6, "a", 60, "t6", "zzz")],
+        "id: long, day: string, v: long, tag: string, stray: string",
+    )
+    wh.merge(spark, "raw", "evo", stray, keys=["id"], partition_col="day")
+    out = wh.read(spark, "raw", "evo")
+    assert "stray" not in out.columns
+    assert {r.id for r in out.collect()} == {1, 2, 3, 4, 5, 6}
