@@ -717,3 +717,90 @@ ORACLE["events_clustered_time_slice"] = f"""
     WHERE ts < (SELECT min(ts) + INTERVAL 7 DAY FROM events)
     GROUP BY event_type
 """
+
+
+def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: per-user hourly spine + forward fill —
+    the alignment step that turns irregular event streams into the dense
+    grid sequence models train on.
+
+    Per user: hourly sums, a generated spine from the user's first to
+    last active hour, left join, then last-non-null carry-forward via a
+    user-partitioned window (no leading NULLs by construction — the first
+    spine hour always has events). Output is the per-user fill summary
+    (spine size, observed hours, forward-filled total), keeping the gate
+    result compact while exercising the full spine+fill pipeline. Scale
+    shape: spine rows ∝ users × active-span hours, windows partitioned by
+    user — no global ordering anywhere."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    hourly = ev.groupBy("user_id", hour.alias("hour")).agg(
+        F.sum("value").alias("hour_value")
+    )
+    spans = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour"),
+    )
+    joined = spine.join(hourly, ["user_id", "hour"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = joined.select(
+        "user_id",
+        F.col("hour_value").isNotNull().alias("observed"),
+        F.last("hour_value", ignorenulls=True).over(w).alias("filled"),
+    )
+    return filled.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum(F.when(F.col("observed"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_observed"),
+        pround(F.sum("filled")).alias("sum_filled"),
+    )
+
+
+QUERIES["events_hourly_gapfill"] = events_hourly_gapfill
+
+ORACLE["events_hourly_gapfill"] = f"""
+    WITH hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS hour,
+               sum(value) AS hour_value
+        FROM events GROUP BY 1, 2
+    ),
+    spans AS (
+        SELECT user_id,
+               date_trunc('hour', min(ts)) AS lo,
+               date_trunc('hour', max(ts)) AS hi
+        FROM events GROUP BY 1
+    ),
+    spine AS (
+        SELECT user_id,
+               unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+        FROM spans
+    ),
+    j AS (
+        SELECT s.user_id, h.hour_value,
+               last_value(h.hour_value IGNORE NULLS) OVER (
+                   PARTITION BY s.user_id ORDER BY s.hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS filled
+        FROM spine s
+        LEFT JOIN hourly h ON s.user_id = h.user_id AND s.hour = h.hour
+    )
+    SELECT user_id,
+           count(*) AS n_hours,
+           CAST(sum(CASE WHEN hour_value IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_observed,
+           {sql_round("sum(filled)")} AS sum_filled
+    FROM j GROUP BY user_id
+"""
