@@ -58,6 +58,7 @@ _R5_WINDOW = (
     "dedup_keep_best",
     "neardup_keep_best",
     "events_hourly_gapfill",
+    "events_zorder_two_dim_slice",
     # (2) changed implementations needing re-proof
     "term_zipf_ranks",
     "corpus_token_budget_sample",
@@ -101,11 +102,11 @@ _R5_WINDOW = (
     "monthly_order_calendar",
     "q7_nation_trade_volume",
     "q8_market_share",
-    "events_props_map",
     "decimal_revenue_exact",
     # rank_vs_dense_rank_orders, nationkeys_intersect_all,
-    # nationkeys_except_all, order_price_histogram, grouping_sets_orders
-    # (all r1-green) yielded their slots to the round-5 queries above
+    # nationkeys_except_all, order_price_histogram, grouping_sets_orders,
+    # events_props_map (all r1-green) yielded their slots to the round-5
+    # queries above
 )
 
 

@@ -804,3 +804,44 @@ ORACLE["events_hourly_gapfill"] = f"""
            {sql_round("sum(filled)")} AS sum_filled
     FROM j GROUP BY user_id
 """
+
+
+def events_zorder_two_dim_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout round-trip under the correctness gate: events
+    rewritten Z-ordered on (user_id, value) via rank-bucketed Morton
+    codes (ops/layout.py), read back, and sliced on BOTH dimensions with
+    literal predicates — the workload shape Z-ordering exists for (either
+    single-dimension filter alone would favor plain range clustering).
+    Literals push into the parquet scan; two-dimensional footer-pruning
+    evidence lives in tests/test_layout.py. The oracle runs the same
+    slice on the RAW table: layout must never change results."""
+    import tempfile
+
+    from data_platform_spark.ops.layout import zorder_write
+
+    ev = load_table(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="dps_layout_") + "/ev_z"
+    zorder_write(ev, path, ["user_id", "value"], n_files=8)
+    back = spark.read.parquet(path)
+    sliced = back.filter(
+        F.col("user_id").between(10, 40) & F.col("value").between(50, 500)
+    )
+    return sliced.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        pround(F.sum("value")).alias("total_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+QUERIES["events_zorder_two_dim_slice"] = events_zorder_two_dim_slice
+
+ORACLE["events_zorder_two_dim_slice"] = f"""
+    SELECT
+        event_type,
+        count(*) AS n_events,
+        {sql_round("sum(value)")} AS total_value,
+        count(DISTINCT user_id) AS n_users
+    FROM events
+    WHERE user_id BETWEEN 10 AND 40 AND value BETWEEN 50 AND 500
+    GROUP BY event_type
+"""
