@@ -22,6 +22,12 @@ and a 1-row broadcast. No stage sees more than one partition's rows.
 Semantics match the single-partition form exactly whenever the order is
 total (callers pass a unique tie-break column, as every registered query
 here does).
+
+The ranged relation stays persisted after the call (both branches of the
+diamond consume it lazily, so eager unpersist is impossible here);
+short-lived query sessions rely on LRU eviction, long-lived drivers
+composing many global orders should checkpoint or unpersist through the
+returned lineage.
 """
 
 from __future__ import annotations

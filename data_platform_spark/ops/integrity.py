@@ -62,6 +62,11 @@ def fk_check(specs: list[FkSpec]) -> DataFrame:
     FK values absent from the dimension. Each spec is a single left join
     against the deduplicated key set plus a two-value aggregate, so the
     whole check is a union of tiny results.
+
+    A fact appearing in several specs (lineitem: 3 FKs) is scanned once
+    per spec — deliberate: each scan is column-pruned to one key, and
+    the alternative (caching a multi-key projection of a 100 TB fact to
+    share one scan) costs more than the extra pruned scans.
     """
     if not specs:
         raise ValueError("fk_check needs at least one FkSpec")
