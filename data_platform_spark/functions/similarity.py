@@ -435,3 +435,72 @@ def srp_banded_topk(
         ).alias("cosine"),
     )
     return sim.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Lloyd's k-means as an iterative composition of the IVF primitives
+    — the UNSUPERVISED coarse-quantizer build (label_centroids needs
+    labels; real corpora don't have them).
+
+    Deterministic by construction: seeds are the k smallest-id vectors
+    (one metadata-scale collect of k ids), distances and means carry the
+    same quantization as ivf_assign/label_centroids, iteration count is
+    fixed (an index build, not a convergence chase — the standard
+    practice for IVF training). Each round is one assign (broadcast
+    centroids) + one mean (map-side partial agg); centroids are
+    localCheckpoint'd per round so plan depth stays constant, the same
+    iterative-algorithm shape as connected_components. A cell that loses
+    all members drops out (k shrinks), identically in any engine.
+
+    Returns (centroids, assignment): the (label, pos, centroid_val) long
+    layout ready for ``ivf_topk``-style search, and the final
+    (id, assigned_label, dist2) assignment.
+    """
+    spark = emb.sparkSession
+    seed_ids = [
+        r[0] for r in emb.select(id_col).orderBy(id_col).limit(k).collect()
+    ]
+    seed_map = spark.createDataFrame(
+        [(int(v), i) for i, v in enumerate(seed_ids)],
+        f"{id_col}: long, __km_cell: int",
+    )
+    cents = (
+        emb.join(F.broadcast(seed_map), id_col)
+        .select(
+            "__km_cell",
+            F.posexplode(as_double(F.col(vec_col))).alias("pos", "x"),
+        )
+        .select(
+            F.col("__km_cell").alias("label"),
+            "pos",
+            pround(F.col("x"), 4).alias("centroid_val"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(n_iter):
+        assign = ivf_assign(emb, cents, id_col, vec_col)
+        # private name: the input frame may carry its own `label` column
+        # (the embeddings table does)
+        joined = emb.join(
+            assign.select(id_col, F.col("assigned_label").alias("__km_cell")),
+            id_col,
+        )
+        cents = (
+            joined.select(
+                "__km_cell",
+                F.posexplode(as_double(F.col(vec_col))).alias("pos", "x"),
+            )
+            .groupBy("__km_cell", "pos")
+            .agg(pround(F.avg("x"), 4).alias("centroid_val"))
+            .select(
+                F.col("__km_cell").alias("label"), "pos", "centroid_val"
+            )
+            .localCheckpoint()
+        )
+    return cents, ivf_assign(emb, cents, id_col, vec_col)

@@ -689,3 +689,98 @@ def _banded_oracle() -> str:
 
 
 ORACLE["srp_banded_ann_vec0"] = _banded_oracle()
+
+
+# ---------------------------------------------------------------------------
+# unsupervised IVF build: k-means coarse quantizer
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 8
+KMEANS_ITER = 2
+
+
+def kmeans_cell_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unsupervised IVF index build under the gate: Lloyd's k-means
+    (deterministic smallest-id seeds, 2 fixed update rounds) over the
+    embeddings, profiled as final cell sizes + mean within-cell squared
+    distance. The oracle unrolls the identical iterations in SQL — every
+    seed choice, quantized distance, tie-break and mean must agree for
+    the hash to match."""
+    from data_platform_spark.queries._util import pround
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"), spark)
+    _cents, assign = S.kmeans_fit(
+        emb, k=KMEANS_K, n_iter=KMEANS_ITER
+    )
+    return assign.groupBy(F.col("assigned_label").alias("cell")).agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        pround(F.avg("dist2"), 4).alias("avg_dist2"),
+    )
+
+
+QUERIES["kmeans_cell_profile"] = kmeans_cell_profile
+
+
+def _kmeans_oracle(k: int, n_iter: int) -> str:
+    dist_expr = sql_round(
+        "sum((v.x - c.centroid_val) * (v.x - c.centroid_val))", 6
+    )
+
+    def round_ctes(i: int, cents: str) -> str:
+        return f"""
+        dist{i} AS (
+            SELECT v.vec_id, c.label, {dist_expr} AS dist2
+            FROM vec_long v JOIN {cents} c ON v.pos = c.pos
+            GROUP BY v.vec_id, c.label
+        ),
+        ranked{i} AS (
+            SELECT vec_id, label, dist2,
+                   row_number() OVER (
+                       PARTITION BY vec_id ORDER BY dist2 ASC, label ASC
+                   ) AS rk
+            FROM dist{i}
+        ),
+        assign{i} AS (
+            SELECT vec_id, label, dist2 FROM ranked{i} WHERE rk = 1
+        )"""
+
+    ctes = [
+        f"""seeds AS (
+            SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS label,
+                   embedding
+            FROM embeddings ORDER BY vec_id LIMIT {k}
+        ),
+        vec_long AS (
+            SELECT vec_id, i - 1 AS pos, embedding[i]::DOUBLE AS x
+            FROM embeddings, generate_series(1, {DIM}) AS t(i)
+        ),
+        cents0 AS (
+            SELECT label, i - 1 AS pos,
+                   {sql_round("embedding[i]::DOUBLE", 4)} AS centroid_val
+            FROM seeds, generate_series(1, {DIM}) AS t(i)
+        )"""
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(round_ctes(i, f"cents{i - 1}"))
+        ctes.append(
+            f"""cents{i} AS (
+            SELECT a.label, v.pos,
+                   {sql_round("avg(v.x)", 4)} AS centroid_val
+            FROM assign{i} a JOIN vec_long v USING (vec_id)
+            GROUP BY a.label, v.pos
+        )"""
+        )
+    final = n_iter + 1
+    ctes.append(round_ctes(final, f"cents{n_iter}"))
+    joined = ",\n".join(ctes)
+    return f"""
+        WITH {joined}
+        SELECT label AS cell,
+               count(*) AS n_vectors,
+               {sql_round("avg(dist2)", 4)} AS avg_dist2
+        FROM assign{final}
+        GROUP BY label
+    """
+
+
+ORACLE["kmeans_cell_profile"] = _kmeans_oracle(KMEANS_K, KMEANS_ITER)
