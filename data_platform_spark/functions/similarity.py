@@ -290,11 +290,32 @@ def ivf_topk(
     vec_col: str = "embedding",
     label_col: str = "label",
 ) -> DataFrame:
-    """IVF-style ANN search: coarse-quantize the query to its ``nprobe``
-    nearest centroid cells, exact-cosine rerank only those cells' vectors.
-    Centroids + probed cells broadcast; candidate restrict is a left-semi
-    join on the cell label; rerank is a broadcast 1-row TakeOrdered."""
+    """IVF-style ANN search with LABEL-derived centroids (the supervised
+    coarse quantizer); delegates to ``ivf_topk_with_index``."""
     cents = label_centroids(emb, label_col, vec_col)
+    assign = ivf_assign(emb, cents, id_col, vec_col)
+    return ivf_topk_with_index(
+        emb, cents, assign, query_vec_id, nprobe, k, id_col, vec_col
+    )
+
+
+def ivf_topk_with_index(
+    emb: DataFrame,
+    cents: DataFrame,
+    assign: DataFrame,
+    query_vec_id: int,
+    nprobe: int = 2,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN search over a PREBUILT index: coarse-quantize the
+    query to its ``nprobe`` nearest cells of ``cents`` (any coarse
+    quantizer — label means or k-means), exact-cosine rerank only the
+    vectors ``assign`` maps to those cells. Centroids + probed cells
+    broadcast; candidate restrict is a left-semi join on the cell label;
+    rerank is a broadcast 1-row TakeOrdered. This is the search shape
+    that amortizes one index build across every query at 100 TB."""
     q_long = emb.filter(F.col(id_col) == query_vec_id).select(
         F.posexplode(as_double(F.col(vec_col))).alias("pos", "x")
     )
@@ -316,10 +337,8 @@ def ivf_topk(
         .limit(nprobe)
         .select("label")
     )
-    assign = ivf_assign(emb, cents, id_col, vec_col).select(
-        id_col, F.col("assigned_label").alias("label")
-    )
-    cand_ids = assign.join(F.broadcast(probe), "label", "left_semi").select(
+    cells = assign.select(id_col, F.col("assigned_label").alias("label"))
+    cand_ids = cells.join(F.broadcast(probe), "label", "left_semi").select(
         id_col
     )
     cand_emb = emb.join(cand_ids, id_col, "left_semi")

@@ -60,6 +60,7 @@ _R5_WINDOW = (
     "events_hourly_gapfill",
     "events_zorder_two_dim_slice",
     "kmeans_cell_profile",
+    "kmeans_ivf_topk_vec0",
     # (2) changed implementations needing re-proof
     "term_zipf_ranks",
     "corpus_token_budget_sample",
@@ -102,11 +103,10 @@ _R5_WINDOW = (
     "q22_idle_customers",
     "monthly_order_calendar",
     "q7_nation_trade_volume",
-    "q8_market_share",
     # rank_vs_dense_rank_orders, nationkeys_intersect_all,
     # nationkeys_except_all, order_price_histogram, grouping_sets_orders,
-    # events_props_map, decimal_revenue_exact (all r1-green) yielded their
-    # slots to the round-5 queries above
+    # events_props_map, decimal_revenue_exact, q8_market_share (all
+    # r1-green) yielded their slots to the round-5 queries above
 )
 
 

@@ -721,7 +721,9 @@ def kmeans_cell_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["kmeans_cell_profile"] = kmeans_cell_profile
 
 
-def _kmeans_oracle(k: int, n_iter: int) -> str:
+def _kmeans_ctes(k: int, n_iter: int) -> tuple[str, str, str]:
+    """CTE block deriving the k-means index in SQL; returns
+    (cte_sql, final_assign_name, final_cents_name)."""
     dist_expr = sql_round(
         "sum((v.x - c.centroid_val) * (v.x - c.centroid_val))", 6
     )
@@ -772,15 +774,78 @@ def _kmeans_oracle(k: int, n_iter: int) -> str:
         )
     final = n_iter + 1
     ctes.append(round_ctes(final, f"cents{n_iter}"))
-    joined = ",\n".join(ctes)
+    return ",\n".join(ctes), f"assign{final}", f"cents{n_iter}"
+
+
+def _kmeans_oracle(k: int, n_iter: int) -> str:
+    ctes, final_assign, _cents = _kmeans_ctes(k, n_iter)
     return f"""
-        WITH {joined}
+        WITH {ctes}
         SELECT label AS cell,
                count(*) AS n_vectors,
                {sql_round("avg(dist2)", 4)} AS avg_dist2
-        FROM assign{final}
+        FROM {final_assign}
         GROUP BY label
     """
 
 
 ORACLE["kmeans_cell_profile"] = _kmeans_oracle(KMEANS_K, KMEANS_ITER)
+
+
+def kmeans_ivf_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end UNSUPERVISED ANN: k-means index build (kmeans_fit) +
+    IVF search over the learned cells (ivf_topk_with_index) — the
+    complete build-once/search-many shape with no label dependence. The
+    oracle re-derives the entire index (seeds, 2 Lloyd rounds, final
+    assignment), probes the query's nearest learned cells and reranks by
+    exact cosine."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"), spark)
+    cents, assign = S.kmeans_fit(emb, k=KMEANS_K, n_iter=KMEANS_ITER)
+    return S.ivf_topk_with_index(
+        emb, cents, assign, QUERY_VEC_ID, nprobe=IVF_NPROBE, k=TOP_K
+    )
+
+
+QUERIES["kmeans_ivf_topk_vec0"] = kmeans_ivf_topk_vec0
+
+
+def _kmeans_ivf_oracle() -> str:
+    ctes, final_assign, final_cents = _kmeans_ctes(KMEANS_K, KMEANS_ITER)
+    qdist_expr = sql_round(
+        "sum((ql.x - c.centroid_val) * (ql.x - c.centroid_val))", 6
+    )
+    return f"""
+        WITH {ctes},
+        q AS (
+            SELECT embedding AS qv FROM embeddings
+            WHERE vec_id = {QUERY_VEC_ID}
+        ),
+        q_long AS (
+            SELECT i - 1 AS pos, qv[i]::DOUBLE AS x
+            FROM q, generate_series(1, {DIM}) AS t(i)
+        ),
+        qdist AS (
+            SELECT c.label, {qdist_expr} AS dist2
+            FROM q_long ql JOIN {final_cents} c ON ql.pos = c.pos
+            GROUP BY c.label
+        ),
+        probe AS (
+            SELECT label FROM qdist
+            ORDER BY dist2 ASC, label ASC LIMIT {IVF_NPROBE}
+        ),
+        cand AS (
+            SELECT a.vec_id FROM {final_assign} a
+            JOIN probe p ON a.label = p.label
+            WHERE a.vec_id <> {QUERY_VEC_ID}
+        ),
+        scored AS (
+            SELECT e.vec_id, {sql_round(_COSINE_SQL, 4)} AS cosine
+            FROM embeddings e JOIN cand USING (vec_id), q
+        )
+        SELECT vec_id, cosine FROM scored
+        ORDER BY cosine DESC, vec_id ASC
+        LIMIT {TOP_K}
+    """
+
+
+ORACLE["kmeans_ivf_topk_vec0"] = _kmeans_ivf_oracle()
