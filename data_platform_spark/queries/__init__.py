@@ -61,6 +61,8 @@ _R5_WINDOW = (
     "events_zorder_two_dim_slice",
     "kmeans_cell_profile",
     "kmeans_ivf_topk_vec0",
+    "doc_chunking",
+    "corpus_pack_sequences",
     # (2) changed implementations needing re-proof
     "term_zipf_ranks",
     "corpus_token_budget_sample",
@@ -101,12 +103,11 @@ _R5_WINDOW = (
     "q10_returned_item_customers",
     "q18_large_volume_orders",
     "q22_idle_customers",
-    "monthly_order_calendar",
-    "q7_nation_trade_volume",
     # rank_vs_dense_rank_orders, nationkeys_intersect_all,
     # nationkeys_except_all, order_price_histogram, grouping_sets_orders,
-    # events_props_map, decimal_revenue_exact, q8_market_share (all
-    # r1-green) yielded their slots to the round-5 queries above
+    # events_props_map, decimal_revenue_exact, q8_market_share,
+    # monthly_order_calendar, q7_nation_trade_volume (all r1-green)
+    # yielded their slots to the round-5 queries above
 )
 
 

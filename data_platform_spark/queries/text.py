@@ -798,3 +798,110 @@ ORACLE["corpus_mix_by_source"] = f"""
     SELECT doc_id, source, quality, n_tokens, cum_tokens
     FROM c WHERE cum_tokens <= {PER_SOURCE_TOKEN_BUDGET}
 """.replace("{q}", quality_sql())
+
+
+# ---------------------------------------------------------------------------
+# sixth wave: chunking + sequence packing (training-batch assembly)
+# ---------------------------------------------------------------------------
+
+CHUNK_WORDS = 32
+CHUNK_STRIDE = 24  # 8-word overlap between consecutive chunks
+
+
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking: fixed-size word windows with
+    overlap — the chunk layer under RAG indexes and long-doc training.
+    All JVM array expressions (split → sequence of starts → explode →
+    slice → hash); one narrow pass, rows ∝ total chunks."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    words = F.split(F.col("text"), " ")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(words), F.lit(1)), F.lit(CHUNK_STRIDE)
+    )
+    chunked = docs.select(
+        "doc_id", words.alias("w"), F.explode(starts).alias("start")
+    ).select(
+        "doc_id",
+        (((F.col("start") - 1) / CHUNK_STRIDE).cast("long")).alias("chunk_idx"),
+        F.slice(F.col("w"), F.col("start"), CHUNK_WORDS).alias("chunk"),
+    )
+    return chunked.select(
+        "doc_id",
+        "chunk_idx",
+        F.size("chunk").alias("n_words"),
+        F.md5(F.concat_ws(" ", F.col("chunk"))).alias("chunk_md5"),
+    )
+
+
+QUERIES["doc_chunking"] = doc_chunking
+
+ORACLE["doc_chunking"] = f"""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ),
+    starts AS (
+        SELECT doc_id, words,
+               unnest(generate_series(1, greatest(len(words), 1),
+                                      {CHUNK_STRIDE})) AS start
+        FROM w
+    )
+    SELECT
+        doc_id,
+        CAST((start - 1) / {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+        len(words[start : start + {CHUNK_WORDS} - 1]) AS n_words,
+        md5(array_to_string(words[start : start + {CHUNK_WORDS} - 1], ' '))
+            AS chunk_md5
+    FROM starts
+"""
+
+
+PACK_CTX_TOKENS = 512
+
+
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-and-cut sequence packing: documents laid end to end in
+    a stable order (doc_id), cut into fixed context-length bins — the
+    batch-assembly step of LLM training-data pipelines. The token offset
+    comes from the two-phase global running sum (ops.global_order), so
+    packing scales without a single-partition window; bin id = start
+    offset div context length."""
+    from data_platform_spark.ops.global_order import global_running_sum
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    scored = docs.select(
+        "doc_id",
+        X.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    cum = global_running_sum(
+        scored, [F.asc("doc_id")], F.col("n_tokens"), "cum_tokens"
+    )
+    start_offset = F.col("cum_tokens") - F.col("n_tokens")
+    return cum.select(
+        "doc_id",
+        "n_tokens",
+        F.floor(start_offset / PACK_CTX_TOKENS).cast("long").alias("bin_id"),
+    )
+
+
+QUERIES["corpus_pack_sequences"] = corpus_pack_sequences
+
+ORACLE["corpus_pack_sequences"] = f"""
+    WITH scored AS (
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{X.TOKEN_REGEX}'))::BIGINT
+                   AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT *,
+               CAST(sum(n_tokens) OVER (
+                   ORDER BY doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_tokens
+        FROM scored
+    )
+    SELECT doc_id, n_tokens,
+           CAST(floor((cum_tokens - n_tokens) / {PACK_CTX_TOKENS}.0)
+                AS BIGINT) AS bin_id
+    FROM c
+"""
