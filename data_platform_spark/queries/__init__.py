@@ -63,6 +63,7 @@ _R5_WINDOW = (
     "kmeans_ivf_topk_vec0",
     "doc_chunking",
     "corpus_pack_sequences",
+    "chunk_dedup_stats",
     # (2) changed implementations needing re-proof
     "term_zipf_ranks",
     "corpus_token_budget_sample",
@@ -102,8 +103,7 @@ _R5_WINDOW = (
     "q6_forecast_revenue",
     "q10_returned_item_customers",
     "q18_large_volume_orders",
-    "q22_idle_customers",
-    # rank_vs_dense_rank_orders, nationkeys_intersect_all,
+    # q22_idle_customers, rank_vs_dense_rank_orders, nationkeys_intersect_all,
     # nationkeys_except_all, order_price_histogram, grouping_sets_orders,
     # events_props_map, decimal_revenue_exact, q8_market_share,
     # monthly_order_calendar, q7_nation_trade_volume (all r1-green)

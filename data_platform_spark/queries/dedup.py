@@ -761,3 +761,42 @@ def _neardup_keep_best_oracle() -> str:
 
 
 ORACLE["neardup_keep_best"] = _neardup_keep_best_oracle()
+
+
+def chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUB-document dedup: exact duplicate detection at CHUNK granularity
+    — repeated boilerplate (headers, footers, license blocks) hides
+    inside otherwise-unique documents and only chunk-level hashing finds
+    it. Composition of the chunking layer (queries/text.doc_chunking
+    windows) with the hash-group dedup layer: one shuffle on chunk hash;
+    output is the per-duplication-level histogram (how many chunk hashes
+    appear in 1, 2, ... documents), compact at any corpus size."""
+    from data_platform_spark.queries.text import doc_chunking
+
+    chunks = doc_chunking(spark, sf_dir)
+    per_hash = chunks.groupBy("chunk_md5").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    return per_hash.groupBy("n_docs").agg(
+        F.count(F.lit(1)).alias("n_chunks")
+    )
+
+
+QUERIES["chunk_dedup_stats"] = chunk_dedup_stats
+
+
+def _chunk_dedup_oracle() -> str:
+    from data_platform_spark.queries.text import ORACLE as TEXT_ORACLE
+
+    return f"""
+        WITH chunks AS ({TEXT_ORACLE["doc_chunking"]}),
+        per_hash AS (
+            SELECT chunk_md5, count(DISTINCT doc_id) AS n_docs
+            FROM chunks GROUP BY chunk_md5
+        )
+        SELECT n_docs, count(*) AS n_chunks
+        FROM per_hash GROUP BY n_docs
+    """
+
+
+ORACLE["chunk_dedup_stats"] = _chunk_dedup_oracle()

@@ -491,3 +491,39 @@ def test_require_fk_raises_with_edge_details(spark):
     dirty = spark.createDataFrame([(1,), (7,), (8,)], "fk: long")
     with _pytest.raises(FkViolation, match=r"f\.fk -> d \(2 orphans of 3 rows\)"):
         require_fk([FkSpec(dirty, "f", "fk", dim, "d", "k")])
+
+
+def test_global_running_sum_property(spark):
+    """Property check for the two-phase layout: random row sets (with
+    heavy key ties and negative values) must reproduce the
+    single-partition window's running sum exactly, across partition
+    counts including more partitions than rows."""
+    import random
+
+    from pyspark.sql.window import Window
+
+    from data_platform_spark.ops.global_order import global_running_sum
+
+    rng = random.Random(1234)
+    for trial in range(6):
+        n = rng.choice([1, 2, 17, 173])
+        num_parts = rng.choice([1, 3, 8, 64])
+        rows = [
+            (i, rng.randint(0, 2), rng.randint(-50, 50)) for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, "id: long, grp: long, v: long")
+        order = [F.asc("grp"), F.desc("id")]
+        got = {
+            r.id: r.cum
+            for r in global_running_sum(
+                df, order, F.col("v"), "cum", num_partitions=num_parts
+            ).collect()
+        }
+        w = Window.orderBy(*order).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        want = {
+            r.id: r.cum
+            for r in df.withColumn("cum", F.sum("v").over(w)).collect()
+        }
+        assert got == want, f"trial {trial}: n={n} parts={num_parts}"
