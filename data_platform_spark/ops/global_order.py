@@ -97,6 +97,81 @@ def global_running_sum(
     )
 
 
+def grouped_running_sum(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[Column],
+    value: Column,
+    out_col: str,
+    zero: Column | None = None,
+    num_partitions: int | None = None,
+    broadcast_offsets: bool = True,
+    pid_out: str | None = None,
+) -> DataFrame:
+    """Per-group inclusive running sum of ``value`` over the total order
+    given by ``order_cols`` — the skew-safe form of
+    ``Window.partitionBy(*group_cols).orderBy(*order_cols)``.
+
+    The native grouped window funnels each group through ONE task; with a
+    realistic corpus shape (one source holding ~90% of the data) that is a
+    straggler at 100 TB. Here the range partitioner keys on
+    ``(group_cols, order_cols)``, so a dominant group's ordered rows span
+    MANY consecutive partitions; the within-partition window (partitioned
+    by ``group_cols + [pid]``) runs fully parallel, and per-``(group,
+    pid)`` subtotals — at most ``#groups + #partitions`` rows, metadata
+    scale — yield each cell's prefix offset via a tiny window ordered by
+    pid. The offsets join back on ``(group_cols, pid)``; pass
+    ``broadcast_offsets=False`` for very-high-cardinality group columns
+    where the subtotal relation outgrows the broadcast threshold (it then
+    runs as a plain shuffle join on the same keys the data is already
+    ranged by).
+
+    ``pid_out`` keeps the phase-1 partition id in the output under that
+    name (diagnostics: tests assert a dominant group spans >1 partition).
+
+    Semantics match the native grouped window whenever the order is total
+    within each group (callers pass a unique tie-break column).
+    """
+    if zero is None:
+        zero = F.lit(0).cast("long")
+    spark = df.sparkSession
+    num = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    range_keys = [F.asc(c) for c in group_cols] + list(order_cols)
+    ranged = df.repartitionByRange(num, *range_keys)
+    with_pid = ranged.withColumn(_VAL, value).withColumn(
+        _PID, F.spark_partition_id()
+    )
+    w = (
+        Window.partitionBy(*group_cols, _PID)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # Persist for the same reason as global_running_sum: the offsets
+    # branch re-reads the relation and spark_partition_id() is
+    # nondeterministic across recomputes.
+    local = with_pid.withColumn(_LOCAL, F.sum(_VAL).over(w)).persist()
+    wo = (
+        Window.partitionBy(*group_cols)
+        .orderBy(_PID)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        local.groupBy(*group_cols, _PID)
+        .agg(F.sum(_VAL).alias("__go_t"))
+        .withColumn(_OFFSETS, F.coalesce(F.sum("__go_t").over(wo), zero))
+        .drop("__go_t")
+    )
+    if broadcast_offsets:
+        offsets = F.broadcast(offsets)
+    joined = local.join(offsets, on=[*group_cols, _PID], how="inner")
+    out = joined.withColumn(out_col, F.col(_LOCAL) + F.col(_OFFSETS))
+    if pid_out is not None:
+        out = out.withColumn(pid_out, F.col(_PID))
+    return out.drop(_PID, _VAL, _LOCAL, _OFFSETS)
+
+
 def global_row_number(
     df: DataFrame,
     order_cols: list[Column],

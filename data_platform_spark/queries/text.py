@@ -747,12 +747,17 @@ def corpus_mix_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     source contributes a bounded token share, best docs first).
 
     Unlike ``corpus_token_budget_sample``'s single global order, the
-    running sum here is PARTITIONED by source — Spark's native scale-safe
-    window shape: one shuffle keyed by source, each partition's window
-    evaluated independently in parallel (skewed giant sources are the
-    known caveat; the two-phase ops.global_order layout applies per
-    source if one source dominates)."""
-    from pyspark.sql.window import Window
+    running sum here is PARTITIONED by source. A native
+    ``Window.partitionBy("source")`` funnels each source through one
+    task — and the realistic corpus shape is one source holding most of
+    the data (cf. the reference's single-API-source world,
+    /root/reference/dags/operators/extract_api_operator.py:8-11, taken to
+    100 TB). So this runs the skew-safe grouped two-phase layout
+    (``ops.global_order.grouped_running_sum``): range-partition on
+    (source, quality desc, doc_id), within-partition window, per-(source,
+    partition) subtotal offsets — a dominant source's ordered rows span
+    many partitions instead of one."""
+    from data_platform_spark.ops.global_order import grouped_running_sum
 
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
     t = F.col("text")
@@ -762,15 +767,15 @@ def corpus_mix_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         X.quality_score(t).alias("quality"),
         X.token_count(t).cast("long").alias("n_tokens"),
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy(F.desc("quality"), F.asc("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = grouped_running_sum(
+        scored,
+        ["source"],
+        [F.desc("quality"), F.asc("doc_id")],
+        F.col("n_tokens"),
+        "cum_tokens",
     )
-    return (
-        scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
-        .filter(F.col("cum_tokens") <= PER_SOURCE_TOKEN_BUDGET)
-        .select("doc_id", "source", "quality", "n_tokens", "cum_tokens")
+    return cum.filter(F.col("cum_tokens") <= PER_SOURCE_TOKEN_BUDGET).select(
+        "doc_id", "source", "quality", "n_tokens", "cum_tokens"
     )
 
 

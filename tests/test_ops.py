@@ -527,3 +527,89 @@ def test_global_running_sum_property(spark):
             for r in df.withColumn("cum", F.sum("v").over(w)).collect()
         }
         assert got == want, f"trial {trial}: n={n} parts={num_parts}"
+
+
+def test_grouped_running_sum_matches_grouped_window(spark):
+    """grouped_running_sum must reproduce the native
+    Window.partitionBy(group).orderBy(...) running sum exactly, across
+    group cardinalities and partition counts (including parts > rows)."""
+    import random
+
+    from pyspark.sql.window import Window
+
+    from data_platform_spark.ops.global_order import grouped_running_sum
+
+    rng = random.Random(99)
+    for trial, (n, n_groups, parts) in enumerate(
+        [(1, 1, 4), (17, 3, 1), (200, 5, 8), (400, 40, 16)]
+    ):
+        rows = [
+            (i, f"s{rng.randint(0, n_groups - 1)}", rng.randint(-20, 80))
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, "id: long, src: string, v: long")
+        order = [F.desc("v"), F.asc("id")]
+        got = {
+            r.id: r.cum
+            for r in grouped_running_sum(
+                df, ["src"], order, F.col("v"), "cum", num_partitions=parts
+            ).collect()
+        }
+        w = (
+            Window.partitionBy("src")
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        want = {
+            r.id: r.cum
+            for r in df.withColumn("cum", F.sum("v").over(w)).collect()
+        }
+        assert got == want, f"trial {trial}"
+
+
+def test_grouped_running_sum_spreads_dominant_group(spark):
+    """The skew case corpus_mix_by_source is built for: one group holds
+    ~90% of the rows. The native grouped window would run that group in
+    ONE task; the grouped two-phase layout must (a) still be exact and
+    (b) spread the dominant group's rows across >1 range partition, so
+    no single task processes the whole source."""
+    import random
+
+    from pyspark.sql.window import Window
+
+    from data_platform_spark.ops.global_order import grouped_running_sum
+
+    rng = random.Random(7)
+    rows = [
+        (
+            i,
+            "dominant" if i % 10 != 0 else f"small{i % 50}",
+            rng.randint(1, 100),
+        )
+        for i in range(20_000)
+    ]
+    df = spark.createDataFrame(rows, "id: long, src: string, v: long")
+    order = [F.desc("v"), F.asc("id")]
+    out = grouped_running_sum(
+        df,
+        ["src"],
+        order,
+        F.col("v"),
+        "cum",
+        num_partitions=16,
+        pid_out="pid",
+    ).collect()
+    spread = len({r.pid for r in out if r.src == "dominant"})
+    assert spread > 1, (
+        f"dominant group confined to {spread} partition(s) — the layout "
+        "degenerated to the single-task grouped window"
+    )
+    w = (
+        Window.partitionBy("src")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        r.id: r.cum for r in df.withColumn("cum", F.sum("v").over(w)).collect()
+    }
+    assert {r.id: r.cum for r in out} == want
