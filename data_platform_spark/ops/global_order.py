@@ -23,11 +23,16 @@ Semantics match the single-partition form exactly whenever the order is
 total (callers pass a unique tie-break column, as every registered query
 here does).
 
-The ranged relation stays persisted after the call (both branches of the
-diamond consume it lazily, so eager unpersist is impossible here);
-short-lived query sessions rely on LRU eviction, long-lived drivers
-composing many global orders should checkpoint or unpersist through the
-returned lineage.
+Cache lifecycle: in the default lazy mode the ranged relation stays
+persisted after the call (both branches of the diamond consume it
+lazily, so eager unpersist is impossible); short-lived query sessions
+rely on LRU eviction. Long-lived drivers composing many global orders
+pass ``eager=True``: the result is pinned with
+``localCheckpoint(eager=True)`` and the ranged relation is unpersisted
+before returning, so each composition releases its intermediate cache
+deterministically — the only blocks that remain alive are the
+checkpointed result itself, which the context cleaner releases when the
+caller drops the DataFrame.
 """
 
 from __future__ import annotations
@@ -49,12 +54,17 @@ def global_running_sum(
     out_col: str,
     zero: Column | None = None,
     num_partitions: int | None = None,
+    eager: bool = False,
 ) -> DataFrame:
     """Inclusive running sum of ``value`` over the total order given by
     ``order_cols`` (pass ``F.desc(...)``/``F.asc(...)`` expressions).
 
     ``zero`` must be a typed zero literal matching ``value``'s type
     (default ``lit(0).cast("long")``; pass ``lit(0.0)`` for doubles).
+
+    ``eager=True`` materializes the result now (``localCheckpoint``) and
+    releases the intermediate cache before returning — see the module
+    docstring's cache-lifecycle note.
     """
     if zero is None:
         zero = F.lit(0).cast("long")
@@ -92,9 +102,13 @@ def global_running_sum(
         zero,
         lambda acc, s: acc + s["t"],
     )
-    return joined.withColumn(out_col, F.col(_LOCAL) + offset).drop(
+    result = joined.withColumn(out_col, F.col(_LOCAL) + offset).drop(
         _PID, _VAL, _LOCAL, _OFFSETS
     )
+    if eager:
+        result = result.localCheckpoint(eager=True)
+        local.unpersist()
+    return result
 
 
 def grouped_running_sum(
@@ -107,6 +121,7 @@ def grouped_running_sum(
     num_partitions: int | None = None,
     broadcast_offsets: bool = True,
     pid_out: str | None = None,
+    eager: bool = False,
 ) -> DataFrame:
     """Per-group inclusive running sum of ``value`` over the total order
     given by ``order_cols`` — the skew-safe form of
@@ -169,7 +184,11 @@ def grouped_running_sum(
     out = joined.withColumn(out_col, F.col(_LOCAL) + F.col(_OFFSETS))
     if pid_out is not None:
         out = out.withColumn(pid_out, F.col(_PID))
-    return out.drop(_PID, _VAL, _LOCAL, _OFFSETS)
+    result = out.drop(_PID, _VAL, _LOCAL, _OFFSETS)
+    if eager:
+        result = result.localCheckpoint(eager=True)
+        local.unpersist()
+    return result
 
 
 def global_row_number(
@@ -177,6 +196,7 @@ def global_row_number(
     order_cols: list[Column],
     out_col: str,
     num_partitions: int | None = None,
+    eager: bool = False,
 ) -> DataFrame:
     """1-based row number over a total order — a running count of 1s
     through the same two-phase layout."""
@@ -186,6 +206,7 @@ def global_row_number(
         F.lit(1).cast("long"),
         out_col,
         num_partitions=num_partitions,
+        eager=eager,
     )
 
 
@@ -198,9 +219,12 @@ def ntile_from_row_number(rn: Column, n_rows: Column, n: int) -> Column:
     small = F.floor(n_rows / n)  # floor bucket size
     big_buckets = n_rows % n
     big_span = big_buckets * (small + 1)  # rows covered by the big buckets
+    # The otherwise-branch is never taken when small == 0 (big_span covers
+    # every row then), but don't rely on CaseWhen's lazy evaluation to
+    # avoid the 0-divisor: clamp it. greatest(small, 1) == small whenever
+    # the branch is actually evaluated, so results are identical.
     bucket0 = F.when(rn <= big_span, F.floor((rn - 1) / (small + 1))).otherwise(
-        # never evaluated when small == 0: big_span covers every row then
-        big_buckets + F.floor((rn - big_span - 1) / small)
+        big_buckets + F.floor((rn - big_span - 1) / F.greatest(small, F.lit(1)))
     )
     return (bucket0 + 1).cast("int")
 

@@ -613,3 +613,67 @@ def test_grouped_running_sum_spreads_dominant_group(spark):
         r.id: r.cum for r in df.withColumn("cum", F.sum("v").over(w)).collect()
     }
     assert {r.id: r.cum for r in out} == want
+
+
+def _n_persistent_rdds(spark):
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def test_global_order_eager_mode_releases_cache(spark):
+    """eager=True must not leak one persisted relation per composition:
+    a long-lived driver composing N global orders (the documented
+    lifecycle concern in ops/global_order.py) should see the ranged
+    intermediate released after every call. Only the checkpointed
+    results themselves may hold blocks, and those go away when the
+    caller drops the DataFrames."""
+    import gc
+    import time
+
+    from data_platform_spark.ops.global_order import (
+        global_running_sum,
+        grouped_running_sum,
+    )
+
+    spark.catalog.clearCache()
+    gc.collect()
+    time.sleep(0.5)
+    baseline = _n_persistent_rdds(spark)
+
+    df = spark.range(2_000).select(
+        F.col("id"),
+        (F.col("id") % 7).alias("grp").cast("string"),
+        (F.col("id") % 13).alias("v"),
+    )
+    counts = []
+    for i in range(10):
+        if i % 2 == 0:
+            out = global_running_sum(
+                df, [F.asc("id")], F.col("v"), "cum",
+                num_partitions=4, eager=True,
+            )
+        else:
+            out = grouped_running_sum(
+                df, ["grp"], [F.asc("id")], F.col("v"), "cum",
+                num_partitions=4, eager=True,
+            )
+        assert out.count() == 2_000
+        del out  # caller drops the result; cleaner may reclaim async
+        counts.append(_n_persistent_rdds(spark))
+
+    # The lazy mode would leave >= 10 persisted relations here. Eager
+    # mode unpersists each ranged intermediate deterministically; the
+    # only residue is checkpointed-result blocks pending async cleanup.
+    gc.collect()
+    # ContextCleaner reclaims weakly-reachable RDDs only after a JVM GC
+    # (periodic GC defaults to every 30 min) — force one so the async
+    # cleanup happens now instead of flaking on timing.
+    deadline = time.time() + 30
+    while time.time() < deadline and _n_persistent_rdds(spark) > baseline + 3:
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(1.0)
+    final = _n_persistent_rdds(spark)
+    assert final <= baseline + 3, (
+        f"persisted RDDs grew {baseline} -> {final} over 10 eager "
+        f"compositions (per-iteration counts: {counts})"
+    )
