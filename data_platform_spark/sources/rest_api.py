@@ -100,11 +100,21 @@ def http_fetch(url: str, timeout_s: float = 10.0) -> dict:
     (dags/operators/extract_api_operator.py:29). stdlib urllib only — no
     extra dependency, and ``walk_pages`` owns retry/backoff so this stays
     a single attempt.
+
+    The URL scheme is validated before opening: the ``info.next`` cursor
+    is SERVER-SUPPLIED, and urllib would happily open ``file://`` — a
+    compromised API response must not become a local-file read.
     """
+    import urllib.parse
     import urllib.request
 
+    scheme = urllib.parse.urlparse(url).scheme.lower()
+    if scheme not in ("http", "https"):
+        raise ValueError(
+            f"refusing non-HTTP(S) fetch URL (scheme={scheme!r}): {url!r}"
+        )
     req = urllib.request.Request(
         url, headers={"User-Agent": "data-platform-spark/ingest"}
     )
-    with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+    with urllib.request.urlopen(req, timeout=timeout_s) as resp:  # noqa: S310 — scheme validated above
         return json.loads(resp.read().decode("utf-8"))
