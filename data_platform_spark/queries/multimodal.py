@@ -166,7 +166,10 @@ ORACLE = {
             'text' AS kind,
             bins.n_bytes,
             bins.bin::BIGINT AS feature_idx,
-            {sql_round("coalesce(c, 0) / bins.n_bytes", 6)} AS value
+            {sql_round(
+                "CASE WHEN bins.n_bytes = 0 THEN 0.0 "
+                "ELSE coalesce(c, 0) / bins.n_bytes END", 6
+            )} AS value
         FROM bins
         LEFT JOIN counts
           ON bins.doc_id = counts.doc_id AND bins.bin = counts.bin

@@ -213,8 +213,9 @@ def rm_dim_character_after_mutation(spark: SparkSession, sf_dir: str) -> DataFra
     stg1 = L_stg.build_stg_character(_bronze(spark, base_universe()[0]), None, ts1)
     dim1 = L_dwh.build_dim_character(None, stg1, ts1)
     # materialize run 1 (the warehouse write/read cycle) so run 2's plan
-    # doesn't recompute it twice with fresh SK windows
-    dim1 = spark.createDataFrame(dim1.collect(), dim1.schema)
+    # doesn't recompute it twice with fresh SK windows; localCheckpoint
+    # pins the rows executor-side — no driver roundtrip
+    dim1 = dim1.localCheckpoint(eager=True)
     stg2 = L_stg.build_stg_character(
         _bronze(spark, mutated_universe()[0]), None, ts2
     )
@@ -321,12 +322,12 @@ def rm_dim_character_three_batches(spark: SparkSession, sf_dir: str) -> DataFram
     ts1, ts2, ts3 = F.lit(BATCH_TS), F.lit(BATCH_TS2), F.lit(BATCH_TS3)
     stg1 = L_stg.build_stg_character(_bronze(spark, base_universe()[0]), None, ts1)
     dim1 = L_dwh.build_dim_character(None, stg1, ts1)
-    dim1 = spark.createDataFrame(dim1.collect(), dim1.schema)  # run-1 state
+    dim1 = dim1.localCheckpoint(eager=True)  # pin run-1 state
     stg2 = L_stg.build_stg_character(
         _bronze(spark, mutated_universe()[0]), None, ts2
     )
     dim2 = L_dwh.build_dim_character(dim1, stg2, ts2)
-    dim2 = spark.createDataFrame(dim2.collect(), dim2.schema)  # run-2 state
+    dim2 = dim2.localCheckpoint(eager=True)  # pin run-2 state
     stg3 = L_stg.build_stg_character(
         _bronze(spark, mutated_universe_2()[0]), None, ts3
     )
