@@ -198,27 +198,66 @@ def test_asof_join_agrees_with_cogroup_reference(spark):
     assert got == want and len(got) > 0
 
 
-def test_approx_sketches_within_tolerance(spark):
+def test_approx_sketches_within_documented_error_bands(spark):
+    """Gate approx_stats_sketches (the rows-only query — sketch internals
+    have no DuckDB oracle) against each sketch's DOCUMENTED guarantee,
+    not ad-hoc absolute bands:
+
+    - approx_count_distinct(rsd=0.02): HLL++ standard error is rsd·N, so
+      the estimate must sit within 5σ = 10% of the exact distinct count
+      (floor of 3 for tiny groups where the sketch is exact-ish anyway).
+    - percentile_approx(0.5, accuracy=1000): Greenwald-Khanna-style bound
+      — the returned value's RANK is within 1/accuracy of the requested
+      quantile. Assert the returned value's exact rank interval
+      [#(< v), #(<= v)] overlaps [(0.5-eps)·N, (0.5+eps)·N] with
+      eps = 1/1000 plus one-rank slack for ties/rounding.
+    - n_events is not a sketch: exact equality.
+    """
     from pyspark.sql import functions as F
     from data_platform_spark.queries.events import approx_stats_sketches
     from data_platform_spark.sources.tables import load_table
 
     sf = "/root/testdata/sf0.001"
     approx = {r["event_type"]: r for r in approx_stats_sketches(spark, sf).collect()}
+    values = {
+        r["event_type"]: sorted(v for v in r["vals"] if v is not None)
+        for r in load_table(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.collect_list("value").alias("vals"))
+        .collect()
+    }
     exact = {
         r["event_type"]: r
         for r in load_table(spark, sf, "events")
         .groupBy("event_type")
         .agg(
             F.count_distinct("user_id").alias("users"),
-            F.expr("percentile(value, 0.5)").alias("median_value"),
+            F.count(F.lit(1)).alias("n"),
         )
         .collect()
     }
+    assert set(approx) == set(exact) and len(exact) > 0
+    eps = 1.0 / 1000  # percentile_approx accuracy parameter
     for et, e in exact.items():
         a = approx[et]
-        assert abs(a["approx_users"] - e["users"]) <= max(3, 0.05 * e["users"]), et
-        assert abs(a["approx_median_value"] - e["median_value"]) <= 5.0, et
+        assert a["n_events"] == e["n"], et
+        hll_band = max(3, 5 * 0.02 * e["users"])
+        assert abs(a["approx_users"] - e["users"]) <= hll_band, (
+            f"{et}: HLL estimate {a['approx_users']} vs exact "
+            f"{e['users']} outside 5-sigma band {hll_band}"
+        )
+        vals = values[et]
+        n = len(vals)
+        v = a["approx_median_value"]
+        lo_rank = sum(1 for x in vals if x < v)
+        hi_rank = sum(1 for x in vals if x <= v)
+        want_lo = (0.5 - eps) * n - 1
+        want_hi = (0.5 + eps) * n + 1
+        assert lo_rank <= want_hi and hi_rank >= want_lo, (
+            f"{et}: approx median {v} has rank interval "
+            f"[{lo_rank}, {hi_rank}] outside target "
+            f"[{want_lo:.1f}, {want_hi:.1f}] of n={n}"
+        )
 
 
 def test_connected_components_pointer_jump_converges_on_long_path(spark):
