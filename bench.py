@@ -23,7 +23,10 @@ from data_platform_spark.queries import all_queries  # noqa: E402
 from data_platform_spark.session import get_spark  # noqa: E402
 
 # Headline set: one per capability family — relational joins/aggs, windows,
-# sessionization, dedup/LSH, text, similarity.
+# sessionization, dedup/LSH, text, similarity; plus (round 6) one per
+# round-5 operator family so regressions in the new surface show up
+# round-over-round: gap-fill spine, chunking, two-phase sequence packing,
+# k-means IVF ANN, FK-integrity audit.
 HEADLINE = [
     "q1_pricing_summary",
     "q3_top_revenue_orders",
@@ -38,6 +41,11 @@ HEADLINE = [
     "doc_lang_id",
     "cosine_topk_vec0",
     "srp_bucket_histogram",
+    "events_hourly_gapfill",
+    "doc_chunking",
+    "corpus_pack_sequences",
+    "kmeans_ivf_topk_vec0",
+    "tpch_fk_orphans",
 ]
 
 
