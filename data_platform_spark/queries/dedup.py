@@ -800,3 +800,96 @@ def _chunk_dedup_oracle() -> str:
 
 
 ORACLE["chunk_dedup_stats"] = _chunk_dedup_oracle()
+
+
+# ---------------------------------------------------------------------------
+# round 6: incremental dedup — a new crawl batch against the standing corpus
+# ---------------------------------------------------------------------------
+
+INCR_NEW_MOD = 10  # doc_id % 10 == 0 -> "new batch"; the rest -> standing corpus
+
+
+def incremental_dedup_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup: classify each document of a NEW ingest
+    batch against the standing corpus WITHOUT re-deduplicating the
+    corpus — the daily-crawl shape at 100 TB, where the standing side is
+    a persisted content-hash index and only the new batch's hashes
+    shuffle. Per new doc:
+
+    - ``is_dup_of_existing`` — its content hash already exists in the
+      standing corpus (left semi-shape via a left join on the hash);
+    - ``is_dup_in_batch`` — an earlier doc (lower doc_id) in the SAME
+      batch has the same hash (per-hash window, groups are tiny);
+    - ``keep`` — neither: the doc enters the corpus.
+
+    The standing side projects to the 1-column hash index before the
+    join, so the shuffle carries (hash) pairs only — never text. The
+    fixture split is deterministic (doc_id mod), so the oracle re-derives
+    the exact same batches."""
+    from pyspark.sql.window import Window
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    hashed = docs.select(
+        "doc_id", "source", F.md5(F.col("text")).alias("content_md5")
+    )
+    existing = (
+        hashed.filter(F.col("doc_id") % INCR_NEW_MOD != 0)
+        .select("content_md5")
+        .distinct()
+        .withColumn("_seen", F.lit(True))
+    )
+    new_batch = hashed.filter(F.col("doc_id") % INCR_NEW_MOD == 0)
+    w = (
+        Window.partitionBy("content_md5")
+        .orderBy(F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = new_batch.withColumn(
+        "is_dup_in_batch", F.count(F.lit(1)).over(w) > 0
+    )
+    joined = flagged.join(existing, "content_md5", "left")
+    return joined.select(
+        "doc_id",
+        "source",
+        "content_md5",
+        F.coalesce(F.col("_seen"), F.lit(False)).alias("is_dup_of_existing"),
+        "is_dup_in_batch",
+        (
+            ~F.coalesce(F.col("_seen"), F.lit(False))
+            & ~F.col("is_dup_in_batch")
+        ).alias("keep"),
+    )
+
+
+QUERIES["incremental_dedup_new_batch"] = incremental_dedup_new_batch
+
+ORACLE["incremental_dedup_new_batch"] = f"""
+    WITH hashed AS (
+        SELECT doc_id, source, md5(text) AS content_md5 FROM documents
+    ),
+    existing AS (
+        SELECT DISTINCT content_md5 FROM hashed
+        WHERE doc_id % {INCR_NEW_MOD} != 0
+    ),
+    new_batch AS (
+        SELECT * FROM hashed WHERE doc_id % {INCR_NEW_MOD} = 0
+    ),
+    flagged AS (
+        SELECT *,
+               count(*) OVER (
+                   PARTITION BY content_md5
+                   ORDER BY doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) > 0 AS is_dup_in_batch
+        FROM new_batch
+    )
+    SELECT
+        f.doc_id,
+        f.source,
+        f.content_md5,
+        e.content_md5 IS NOT NULL AS is_dup_of_existing,
+        f.is_dup_in_batch,
+        e.content_md5 IS NULL AND NOT f.is_dup_in_batch AS keep
+    FROM flagged f
+    LEFT JOIN existing e USING (content_md5)
+"""

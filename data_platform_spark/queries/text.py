@@ -910,3 +910,266 @@ ORACLE["corpus_pack_sequences"] = f"""
                 AS BIGINT) AS bin_id
     FROM c
 """
+
+
+# ---------------------------------------------------------------------------
+# seventh wave (round 6): retrieval scoring, LM-quality filtering,
+# tokenizer induction
+# ---------------------------------------------------------------------------
+
+BM25_QUERY_TERMS = ["spark", "join", "window"]
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 20
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval: top-k documents for a fixed term query —
+    the lexical-retrieval half of a RAG stack (Okapi BM25: per-term IDF
+    x saturating TF with document-length normalization).
+
+    Distributed shape: explode → filter to query terms (so the shuffled
+    relation is only the matching postings, not the corpus) → tf counts;
+    document frequency per term is a 3-row broadcast; (n_docs, avgdl) a
+    1-row broadcast. Per-term contributions are fixed to integer
+    micro-units BEFORE the per-document sum, so the aggregate is an
+    order-independent LONG sum — bit-identical across partitionings and
+    engines (FP addition order would otherwise leak into the hash gate).
+    Top-k via sort+limit = TakeOrdered, no global sort materialized.
+    """
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    ws = F.split(F.col("text"), " ")
+    base = docs.select(
+        "doc_id", ws.alias("ws"), F.size(ws).cast("double").alias("dl")
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        # dl values are small integers: the double sum inside avg is
+        # exact, hence order-independent
+        F.avg("dl").alias("avgdl"),
+    )
+    postings = base.select(
+        "doc_id", "dl", F.explode("ws").alias("term")
+    ).filter(F.col("term").isin(BM25_QUERY_TERMS))
+    tf = postings.groupBy("doc_id", "dl", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    df_tab = (
+        postings.select("doc_id", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("double").alias("df"))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    norm = (F.col("tf") * (BM25_K1 + 1)) / (
+        F.col("tf")
+        + BM25_K1
+        * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    contrib_micro = F.floor(idf * norm * 1_000_000 + F.lit(0.5)).cast("long")
+    scored = (
+        tf.join(F.broadcast(df_tab), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(contrib_micro).alias("score_micro"),
+            F.count(F.lit(1)).alias("n_matched_terms"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("score_micro"), F.asc("doc_id")
+    ).limit(BM25_TOPK)
+
+
+QUERIES["bm25_topk"] = bm25_topk
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    return f"""
+        WITH base AS (
+            SELECT doc_id,
+                   len(string_split(text, ' '))::DOUBLE AS dl,
+                   string_split(text, ' ') AS ws
+            FROM documents
+        ),
+        stats AS (
+            SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM base
+        ),
+        postings AS (
+            SELECT doc_id, dl, unnest(ws) AS term FROM base
+        ),
+        matched AS (
+            SELECT doc_id, dl, term FROM postings WHERE term IN ({terms})
+        ),
+        tf AS (
+            SELECT doc_id, dl, term, count(*)::DOUBLE AS tf
+            FROM matched GROUP BY doc_id, dl, term
+        ),
+        df_tab AS (
+            SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+            FROM matched GROUP BY term
+        ),
+        contrib AS (
+            SELECT
+                tf.doc_id,
+                CAST(floor(
+                    ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                    * (tf.tf * ({BM25_K1} + 1)) / (tf.tf + {BM25_K1}
+                       * (1 - {BM25_B} + {BM25_B} * tf.dl / s.avgdl))
+                    * 1000000 + 0.5) AS BIGINT) AS c
+            FROM tf JOIN df_tab d USING (term) CROSS JOIN stats s
+        )
+        SELECT doc_id,
+               sum(c)::BIGINT AS score_micro,
+               count(*)::BIGINT AS n_matched_terms
+        FROM contrib
+        GROUP BY doc_id
+        ORDER BY score_micro DESC, doc_id ASC
+        LIMIT {BM25_TOPK}
+    """
+
+
+ORACLE["bm25_topk"] = _bm25_oracle()
+
+
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality score (the CCNet/perplexity-filter
+    shape): train a corpus unigram LM (term counts / total tokens) and
+    score every document by its average token log-probability — low
+    scores flag gibberish and off-distribution text, high scores flag
+    boilerplate; the middle band is what training pipelines keep.
+
+    Two shuffles (term counts; per-doc sum) + a 1-row broadcast for the
+    total. Per-token log-probs are fixed to integer micro-units before
+    the per-doc sum — order-independent LONG arithmetic, same rationale
+    as bm25_topk. The term-probability join is a plain shuffle join on
+    term: at 100 TB the vocabulary side can be arbitrarily large (no
+    broadcast assumption) and hot terms ride AQE skew handling.
+    """
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    tokens = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    term_counts = tokens.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("cnt")
+    )
+    total = tokens.agg(
+        F.count(F.lit(1)).cast("double").alias("total_tokens")
+    )
+    logp_micro = F.floor(
+        F.log(F.col("cnt") / F.col("total_tokens")) * 1_000_000 + F.lit(0.5)
+    ).cast("long")
+    scored = (
+        tokens.join(term_counts, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(logp_micro).alias("sum_logp_micro"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "sum_logp_micro",
+        pround(
+            F.col("sum_logp_micro") / 1_000_000 / F.col("n_tokens"), 4
+        ).alias("avg_logp"),
+    )
+
+
+QUERIES["doc_unigram_logprob"] = doc_unigram_logprob
+
+ORACLE["doc_unigram_logprob"] = f"""
+    WITH tokens AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    term_counts AS (
+        SELECT term, count(*)::DOUBLE AS cnt FROM tokens GROUP BY term
+    ),
+    total AS (
+        SELECT count(*)::DOUBLE AS total_tokens FROM tokens
+    ),
+    scored AS (
+        SELECT
+            t.doc_id,
+            count(*)::BIGINT AS n_tokens,
+            sum(CAST(floor(ln(c.cnt / tt.total_tokens) * 1000000 + 0.5)
+                     AS BIGINT))::BIGINT AS sum_logp_micro
+        FROM tokens t
+        JOIN term_counts c USING (term)
+        CROSS JOIN total tt
+        GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_tokens, sum_logp_micro,
+           {sql_round("sum_logp_micro / 1000000.0 / n_tokens", 4)} AS avg_logp
+    FROM scored
+"""
+
+
+BPE_TOPK = 20
+
+
+def bpe_pair_merge_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One round of BPE-style pair induction: the most frequent adjacent
+    character pairs across the corpus, weighted by word frequency — the
+    inner loop of tokenizer vocabulary training, run at corpus scale.
+
+    Shape: word counts first (one shuffle collapses the token stream to
+    the VOCABULARY — at 100 TB that's the compression step that makes
+    tokenizer training tractable), then each unique word explodes into
+    its adjacent pairs (array expression, no Python) weighted by its
+    corpus count; one more shuffle sums pair counts. Top-k via
+    sort+limit. Exact integer counts end to end.
+    """
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    word_counts = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    pairs = F.expr(
+        "CASE WHEN length(word) < 2 THEN array() "
+        "ELSE transform(sequence(1, length(word) - 1), "
+        "i -> substring(word, i, 2)) END"
+    )
+    pair_counts = (
+        word_counts.select(F.explode(pairs).alias("pair"), "wc")
+        .groupBy("pair")
+        .agg(F.sum("wc").alias("n_occurrences"))
+    )
+    return pair_counts.orderBy(
+        F.desc("n_occurrences"), F.asc("pair")
+    ).limit(BPE_TOPK)
+
+
+QUERIES["bpe_pair_merge_round"] = bpe_pair_merge_round
+
+ORACLE["bpe_pair_merge_round"] = f"""
+    WITH word_counts AS (
+        SELECT word, count(*)::BIGINT AS wc
+        FROM (
+            SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        )
+        GROUP BY word
+    ),
+    pairs AS (
+        SELECT unnest(
+                   CASE WHEN length(word) < 2 THEN []::VARCHAR[]
+                        ELSE list_transform(range(1, length(word)),
+                                            i -> substr(word, i, 2))
+                   END) AS pair,
+               wc
+        FROM word_counts
+    )
+    SELECT pair, sum(wc)::BIGINT AS n_occurrences
+    FROM pairs
+    GROUP BY pair
+    ORDER BY n_occurrences DESC, pair ASC
+    LIMIT {BPE_TOPK}
+"""
