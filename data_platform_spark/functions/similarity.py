@@ -523,3 +523,171 @@ def kmeans_fit(
             .localCheckpoint()
         )
     return cents, ivf_assign(emb, cents, id_col, vec_col)
+
+
+# ---------------------------------------------------------------------------
+# product quantization (round 6): compressed-domain ANN
+# ---------------------------------------------------------------------------
+
+
+def pq_dist_table(
+    emb: DataFrame,
+    n_sub: int = 4,
+    n_codes: int = 8,
+    dim: int = 64,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-(vector, subspace, codeword) squared L2 distance in integer
+    micro-units — the shared core of PQ encode and ADC search.
+
+    Codebooks are TRAINED: per-subspace Lloyd rounds (fixed ``n_iter``,
+    the kmeans_fit convention — an index build, not a convergence chase)
+    from deterministic smallest-id seeds. Training matters: with raw
+    seed codebooks a far vector that quantizes onto the query's own
+    codeword reads as ADC distance 0 — measured recall 0 on planted
+    clusters; two Lloyd rounds spread the codewords over the data and
+    restore the ranking. Centroid values quantize to 4 dp per round and
+    distances to micro-unit LONGs, so every engine reproduces the build
+    bit-for-bit (same quantization discipline as kmeans_fit / ivf).
+
+    The codebook relation is n_sub*n_codes*sub_dim rows — metadata
+    scale, broadcast; each round is one assign + one mean,
+    localCheckpoint'd so plan depth stays constant.
+    """
+    from pyspark.sql.window import Window
+
+    sub = dim // n_sub
+    vec_long = emb.select(
+        id_col,
+        F.posexplode(as_double(F.col(vec_col))).alias("pos", "x"),
+    ).select(
+        id_col,
+        "pos",
+        (F.col("pos") / sub).cast("int").alias("m"),
+        "x",
+    )
+    seeds = (
+        emb.select(id_col).orderBy(id_col).limit(n_codes)
+        .select(
+            id_col,
+            (F.row_number().over(Window.orderBy(id_col)) - 1).alias("code"),
+        )
+    )
+    cents = (
+        vec_long.join(F.broadcast(seeds), id_col)
+        .select("code", "pos", pround(F.col("x"), 4).alias("cb_val"))
+        .localCheckpoint()
+    )
+
+    def dist_against(c: DataFrame) -> DataFrame:
+        return (
+            vec_long.join(F.broadcast(c), "pos")
+            .groupBy(id_col, "m", "code")
+            .agg(
+                F.floor(
+                    F.sum((F.col("x") - F.col("cb_val")) ** 2) * 1_000_000
+                    + F.lit(0.5)
+                )
+                .cast("long")
+                .alias("dist2_micro")
+            )
+        )
+
+    w = Window.partitionBy(id_col, "m").orderBy(
+        F.asc("dist2_micro"), F.asc("code")
+    )
+    for _ in range(n_iter):
+        assign = (
+            dist_against(cents)
+            .withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .select(id_col, "m", "code")
+        )
+        cents = (
+            vec_long.join(assign, [id_col, "m"])
+            .groupBy("code", "pos")
+            .agg(pround(F.avg("x"), 4).alias("cb_val"))
+            .localCheckpoint()
+        )
+    return dist_against(cents)
+
+
+def pq_encode(dist: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """(id, m, code): per-(vector, subspace) argmin over the distance
+    table — the compressed representation (log2(n_codes) bits per
+    subspace). Window groups are n_codes rows."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(id_col, "m").orderBy(
+        F.asc("dist2_micro"), F.asc("code")
+    )
+    return (
+        dist.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(id_col, "m", "code")
+    )
+
+
+def pq_adc_shortlist(
+    dist: DataFrame,
+    query_id: int,
+    shortlist: int,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC candidate generation: the query's distance table (n_sub *
+    n_codes rows, broadcast) looked up per coded vector; approximate
+    distance = LONG sum over n_sub subspaces. Returns the ``shortlist``
+    nearest ids by ADC distance (asc, id tie-break)."""
+    codes = pq_encode(dist, id_col)
+    qtab = dist.filter(F.col(id_col) == query_id).select(
+        "m", "code", F.col("dist2_micro").alias("__qd")
+    )
+    adc = (
+        codes.filter(F.col(id_col) != query_id)
+        .join(F.broadcast(qtab), ["m", "code"])
+        .groupBy(id_col)
+        .agg(F.sum("__qd").alias("adc_micro"))
+    )
+    return adc.orderBy(F.asc("adc_micro"), F.asc(id_col)).limit(shortlist)
+
+
+def pq_rerank_topk(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 10,
+    shortlist: int = 50,
+    n_sub: int = 4,
+    n_codes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage PQ search: ADC shortlist in the compressed domain, then
+    EXACT L2 rerank of only the shortlist — the standard IVFPQ refine
+    step. At scale the full-precision vectors are fetched for just
+    ``shortlist`` ids (a semi-join on the id), so the expensive exact
+    math touches a constant-size candidate set."""
+    dist = pq_dist_table(
+        emb, n_sub, n_codes, dim, id_col=id_col, vec_col=vec_col
+    )
+    short = pq_adc_shortlist(dist, query_id, shortlist, id_col)
+    qv = emb.filter(F.col(id_col) == query_id).select(
+        as_double(F.col(vec_col)).alias("__q")
+    )
+    cand = emb.join(short.select(id_col), id_col)
+    d2 = F.aggregate(
+        F.zip_with(
+            as_double(F.col(vec_col)),
+            F.col("__q"),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = cand.crossJoin(F.broadcast(qv)).select(
+        id_col,
+        F.floor(d2 * 1_000_000 + F.lit(0.5)).cast("long").alias("d2_micro"),
+    )
+    return scored.orderBy(F.asc("d2_micro"), F.asc(id_col)).limit(k)

@@ -57,6 +57,9 @@ _R6_WINDOW = (
     "doc_unigram_logprob",
     "bpe_pair_merge_round",
     "incremental_dedup_new_batch",
+    "pq_code_histogram",
+    "pq_adc_topk_vec0",
+    "pq_rerank_topk_vec0",
     # (2) changed implementations needing re-proof
     "corpus_mix_by_source",
     "simhash_signatures",

@@ -849,3 +849,199 @@ def _kmeans_ivf_oracle() -> str:
 
 
 ORACLE["kmeans_ivf_topk_vec0"] = _kmeans_ivf_oracle()
+
+
+# ---------------------------------------------------------------------------
+# round 6: product quantization — the embedding-COMPRESSION scale path
+# ---------------------------------------------------------------------------
+
+PQ_M = 4                 # subspaces
+PQ_SUB = DIM // PQ_M     # dims per subspace
+PQ_K = 8                 # codewords per subspace -> 3 bits/subspace
+
+
+def _pq_dist_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance table over the embeddings table — thin wrapper over
+    functions.similarity.pq_dist_table (deterministic smallest-id seed
+    codebooks, micro-unit LONG distances; see its docstring)."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"), spark)
+    return S.pq_dist_table(emb, PQ_M, PQ_K, DIM)
+
+
+def pq_code_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encoding diagnostics: vectors per (subspace, codeword) — the
+    codebook-utilization histogram that tells you whether the index
+    compresses uniformly. Encode = per-(vector, subspace) argmin over the
+    distance table (window over PQ_K rows, deterministic tie-break)."""
+    codes = S.pq_encode(_pq_dist_table(spark, sf_dir))
+    return codes.groupBy("m", "code").agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )
+
+
+def pq_adc_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN search with asymmetric distance computation (ADC): every
+    vector is represented by PQ_M codeword ids (3 bits each here — a
+    ~170x compression of the float64 vector), and the query's distance
+    to ANY vector is a table lookup per subspace plus an integer sum.
+
+    This is how 100 TB of embeddings fit an ANN index: the distance
+    table (query x all codewords, PQ_M*PQ_K rows) is computed ONCE and
+    broadcast; the scan side touches only the code columns. Exact
+    integer micro-unit arithmetic end to end — the ADC sum is a LONG
+    sum over PQ_M rows per vector."""
+    dist = _pq_dist_table(spark, sf_dir)
+    return S.pq_adc_shortlist(dist, QUERY_VEC_ID, TOP_K)
+
+
+def pq_rerank_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage PQ search (the IVFPQ refine step): ADC shortlist of 50
+    candidates in the compressed domain, then EXACT L2 rerank of only
+    the shortlist — full-precision vectors are fetched for a
+    constant-size candidate set via a semi-join on the id. Recall gate
+    on planted clusters lives in tests/test_ann_recall.py."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"), spark)
+    return S.pq_rerank_topk(
+        emb, QUERY_VEC_ID, k=TOP_K, shortlist=50,
+        n_sub=PQ_M, n_codes=PQ_K, dim=DIM,
+    )
+
+
+QUERIES.update(
+    {
+        "pq_code_histogram": pq_code_histogram,
+        "pq_adc_topk_vec0": pq_adc_topk_vec0,
+        "pq_rerank_topk_vec0": pq_rerank_topk_vec0,
+    }
+)
+
+
+PQ_ITER = 2
+
+
+def _pq_ctes() -> str:
+    """CTE block re-deriving the TRAINED PQ index in SQL: seeds, per-
+    subspace Lloyd rounds (PQ_ITER, 4-dp centroid quantization, micro-
+    unit LONG distances), final distance table + codes — every seed
+    choice, assignment tie-break and mean must agree with the engine for
+    the hash to match (same unroll style as the kmeans oracle)."""
+
+    def dist_cte(name: str, cents: str) -> str:
+        return f"""
+        {name} AS (
+            SELECT
+                v.vec_id, v.m, c.code,
+                CAST(floor(sum((v.x - c.cb_val) * (v.x - c.cb_val))
+                           * 1000000 + 0.5) AS BIGINT) AS dist2_micro
+            FROM vec_long v JOIN {cents} c ON v.pos = c.pos
+            GROUP BY v.vec_id, v.m, c.code
+        )"""
+
+    def assign_cte(i: int) -> str:
+        return f"""
+        assign{i} AS (
+            SELECT vec_id, m, code FROM (
+                SELECT vec_id, m, code,
+                       row_number() OVER (
+                           PARTITION BY vec_id, m
+                           ORDER BY dist2_micro ASC, code ASC
+                       ) AS rk
+                FROM dist{i}
+            ) WHERE rk = 1
+        )"""
+
+    ctes = [
+        f"""seeds AS (
+            SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS code
+            FROM embeddings ORDER BY vec_id LIMIT {PQ_K}
+        ),
+        vec_long AS (
+            SELECT vec_id, i - 1 AS pos,
+                   CAST((i - 1) // {PQ_SUB} AS INT) AS m,
+                   embedding[i]::DOUBLE AS x
+            FROM embeddings, generate_series(1, {DIM}) AS t(i)
+        ),
+        cents0 AS (
+            SELECT s.code, v.pos, {sql_round("v.x", 4)} AS cb_val
+            FROM vec_long v JOIN seeds s USING (vec_id)
+        )"""
+    ]
+    for i in range(1, PQ_ITER + 1):
+        ctes.append(dist_cte(f"dist{i}", f"cents{i - 1}"))
+        ctes.append(assign_cte(i))
+        ctes.append(
+            f"""cents{i} AS (
+            SELECT a.code, v.pos, {sql_round("avg(v.x)", 4)} AS cb_val
+            FROM assign{i} a
+            JOIN vec_long v ON a.vec_id = v.vec_id AND a.m = v.m
+            GROUP BY a.code, v.pos
+        )"""
+        )
+    ctes.append(dist_cte("dist", f"cents{PQ_ITER}"))
+    ctes.append(
+        """codes AS (
+            SELECT vec_id, m, code FROM (
+                SELECT vec_id, m, code,
+                       row_number() OVER (
+                           PARTITION BY vec_id, m
+                           ORDER BY dist2_micro ASC, code ASC
+                       ) AS rk
+                FROM dist
+            ) WHERE rk = 1
+        )"""
+    )
+    return ",\n".join(ctes)
+
+
+ORACLE["pq_code_histogram"] = f"""
+    WITH {_pq_ctes()}
+    SELECT m, code, count(*) AS n_vectors
+    FROM codes
+    GROUP BY m, code
+"""
+
+ORACLE["pq_adc_topk_vec0"] = f"""
+    WITH {_pq_ctes()},
+    qtab AS (
+        SELECT m, code, dist2_micro AS q_dist2_micro
+        FROM dist WHERE vec_id = {QUERY_VEC_ID}
+    )
+    SELECT c.vec_id, sum(q.q_dist2_micro)::BIGINT AS adc_micro
+    FROM codes c
+    JOIN qtab q USING (m, code)
+    WHERE c.vec_id <> {QUERY_VEC_ID}
+    GROUP BY c.vec_id
+    ORDER BY adc_micro ASC, vec_id ASC
+    LIMIT {TOP_K}
+"""
+
+
+ORACLE["pq_rerank_topk_vec0"] = f"""
+    WITH {_pq_ctes()},
+    qtab AS (
+        SELECT m, code, dist2_micro AS q_dist2_micro
+        FROM dist WHERE vec_id = {QUERY_VEC_ID}
+    ),
+    short AS (
+        SELECT c.vec_id
+        FROM codes c
+        JOIN qtab q USING (m, code)
+        WHERE c.vec_id <> {QUERY_VEC_ID}
+        GROUP BY c.vec_id
+        ORDER BY sum(q.q_dist2_micro) ASC, c.vec_id ASC
+        LIMIT 50
+    ),
+    qvec AS (
+        SELECT pos, x AS qx FROM vec_long WHERE vec_id = {QUERY_VEC_ID}
+    )
+    SELECT
+        v.vec_id,
+        CAST(floor(sum((v.x - q.qx) * (v.x - q.qx)) * 1000000 + 0.5)
+             AS BIGINT) AS d2_micro
+    FROM vec_long v
+    JOIN short USING (vec_id)
+    JOIN qvec q USING (pos)
+    GROUP BY v.vec_id
+    ORDER BY d2_micro ASC, vec_id ASC
+    LIMIT {TOP_K}
+"""
