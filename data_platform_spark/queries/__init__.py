@@ -20,6 +20,7 @@ def _modules():
     from data_platform_spark.queries import (
         dedup,
         events,
+        graph,
         multimodal,
         relational,
         rm_pipeline,
@@ -27,7 +28,16 @@ def _modules():
         text,
     )
 
-    return (relational, events, text, dedup, similarity, multimodal, rm_pipeline)
+    return (
+        relational,
+        events,
+        text,
+        dedup,
+        similarity,
+        multimodal,
+        rm_pipeline,
+        graph,
+    )
 
 
 # The driver's correctness gate checks the FIRST ~50 registered queries, in
@@ -60,6 +70,7 @@ _R6_WINDOW = (
     "pq_code_histogram",
     "pq_adc_topk_vec0",
     "pq_rerank_topk_vec0",
+    "term_pagerank_topk",
     # (2) changed implementations needing re-proof
     "corpus_mix_by_source",
     "simhash_signatures",

@@ -1,0 +1,175 @@
+"""Graph-analytics queries over data-derived graphs (extension surface):
+weighted PageRank on the term-adjacency graph.
+
+The dedup stack already ships two graph primitives (connected components
+via pointer jumping, triangle counting — queries/dedup.py); this module
+adds the iterative-propagation family. Everything is integer NANO-unit
+arithmetic so per-node sums are order-independent LONG adds — the same
+cross-engine determinism discipline as bm25_topk's micro-units.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_platform_spark.queries._util import fan_out
+from data_platform_spark.sources.tables import load_table
+
+PAGERANK_DAMP = 0.85
+PAGERANK_ITER = 3
+PAGERANK_TOPK = 20
+_NANO = 1_000_000_000
+
+
+def term_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the word-adjacency graph: nodes are corpus
+    terms, a directed edge (a → b) weighs how often b follows a — the
+    random-surfer centrality of the vocabulary (keyword extraction à la
+    TextRank, built corpus-scale).
+
+    Distributed shape: one shuffle builds the edge list (adjacent-pair
+    explode → groupBy), one more the out-weight table; each of the
+    PAGERANK_ITER fixed rounds is an edges⋈ranks join + a groupBy(dst)
+    sum — the classic synchronous PageRank layout where only (node,
+    rank) pairs shuffle, never the graph payload. Edges are
+    localCheckpoint'd once (reused every round, constant plan depth).
+
+    Determinism: ranks live in NANO-unit LONGs; each edge contribution
+    is floor(d · (rank·w / out_w)) with the cast/multiply order
+    identical in the oracle, so per-node sums are order-independent
+    integer adds. Dangling terms (docs' last words with no successors)
+    leak their mass — the standard simplification, identical in both
+    engines. Deterministic argsort output: top-k by rank desc, term asc.
+    """
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    ws = F.split(F.col("text"), " ")
+    pairs = F.expr(
+        "transform(sequence(1, size(split(text, ' ')) - 1), "
+        "i -> struct(split(text, ' ')[i - 1] AS src, "
+        "split(text, ' ')[i] AS dst))"
+    )
+    edges = (
+        docs.filter(F.size(ws) >= 2)
+        .select(F.explode(pairs).alias("e"))
+        .select("e.src", "e.dst")
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .localCheckpoint()
+    )
+    out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
+    edges = edges.join(out_w, "src")
+    nodes = (
+        docs.select(F.explode(ws).alias("term")).distinct().localCheckpoint()
+    )
+    n = nodes.agg(F.count(F.lit(1)).alias("n_terms"))
+
+    base = F.floor(F.lit(float(_NANO)) / F.col("n_terms")).cast("long")
+    teleport = F.floor(
+        F.lit((1 - PAGERANK_DAMP) * _NANO) / F.col("n_terms")
+    ).cast("long")
+
+    ranks = nodes.crossJoin(F.broadcast(n)).select(
+        "term", base.alias("pr_nano")
+    )
+    for _ in range(PAGERANK_ITER):
+        contribs = (
+            ranks.join(edges, ranks["term"] == edges["src"])
+            .select(
+                F.col("dst").alias("term"),
+                F.floor(
+                    F.lit(PAGERANK_DAMP)
+                    * (
+                        (F.col("pr_nano").cast("double") * F.col("w"))
+                        / F.col("out_w")
+                    )
+                )
+                .cast("long")
+                .alias("c"),
+            )
+            .groupBy("term")
+            .agg(F.sum("c").alias("in_nano"))
+        )
+        ranks = (
+            nodes.join(contribs, "term", "left")
+            .crossJoin(F.broadcast(n))
+            .select(
+                "term",
+                (teleport + F.coalesce(F.col("in_nano"), F.lit(0))).alias(
+                    "pr_nano"
+                ),
+            )
+        )
+    return ranks.orderBy(F.desc("pr_nano"), F.asc("term")).limit(
+        PAGERANK_TOPK
+    )
+
+
+QUERIES = {"term_pagerank_topk": term_pagerank_topk}
+
+
+def _pagerank_oracle() -> str:
+    def round_ctes(i: int) -> str:
+        return f"""
+        c{i} AS (
+            SELECT e.dst AS term,
+                   sum(CAST(floor({PAGERANK_DAMP} *
+                       ((p.pr_nano::DOUBLE * e.w) / e.out_w))
+                       AS BIGINT)) AS in_nano
+            FROM pr{i - 1} p JOIN edges e ON p.term = e.src
+            GROUP BY e.dst
+        ),
+        pr{i} AS (
+            SELECT n.term,
+                   (SELECT teleport FROM scalars)
+                   + coalesce(c.in_nano, 0) AS pr_nano
+            FROM nodes n LEFT JOIN c{i} c USING (term)
+        )"""
+
+    ctes = [
+        f"""pairs AS (
+            SELECT ws[i] AS src, ws[i + 1] AS dst
+            FROM (
+                SELECT string_split(text, ' ') AS ws FROM documents
+            ), unnest(generate_series(1, len(ws) - 1)) AS t(i)
+            WHERE len(ws) >= 2
+        ),
+        edges_raw AS (
+            SELECT src, dst, count(*)::BIGINT AS w
+            FROM pairs GROUP BY src, dst
+        ),
+        edges AS (
+            SELECT e.*, o.out_w
+            FROM edges_raw e
+            JOIN (
+                SELECT src, sum(w)::BIGINT AS out_w
+                FROM edges_raw GROUP BY src
+            ) o USING (src)
+        ),
+        nodes AS (
+            SELECT DISTINCT unnest(string_split(text, ' ')) AS term
+            FROM documents
+        ),
+        scalars AS (
+            SELECT
+                CAST(floor({_NANO}.0 / count(*)) AS BIGINT) AS base,
+                CAST(floor({(1 - PAGERANK_DAMP) * _NANO} / count(*))
+                     AS BIGINT) AS teleport
+            FROM nodes
+        ),
+        pr0 AS (
+            SELECT term, (SELECT base FROM scalars) AS pr_nano FROM nodes
+        )"""
+    ]
+    for i in range(1, PAGERANK_ITER + 1):
+        ctes.append(round_ctes(i))
+    return f"""
+        WITH {",".join(ctes)}
+        SELECT term, pr_nano::BIGINT AS pr_nano
+        FROM pr{PAGERANK_ITER}
+        ORDER BY pr_nano DESC, term ASC
+        LIMIT {PAGERANK_TOPK}
+    """
+
+
+ORACLE = {"term_pagerank_topk": _pagerank_oracle()}

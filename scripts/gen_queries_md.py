@@ -20,6 +20,7 @@ MODULES = [
     "similarity",
     "multimodal",
     "rm_pipeline",
+    "graph",
 ]
 
 HEADER = """# Query inventory index
