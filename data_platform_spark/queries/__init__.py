@@ -71,6 +71,7 @@ _R6_WINDOW = (
     "pq_adc_topk_vec0",
     "pq_rerank_topk_vec0",
     "term_pagerank_topk",
+    "hybrid_rrf_topk",
     # (2) changed implementations needing re-proof
     "corpus_mix_by_source",
     "simhash_signatures",

@@ -1173,3 +1173,188 @@ ORACLE["bpe_pair_merge_round"] = f"""
     ORDER BY n_occurrences DESC, pair ASC
     LIMIT {BPE_TOPK}
 """
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval: reciprocal-rank fusion of the lexical and dense legs
+# ---------------------------------------------------------------------------
+
+RRF_K = 60
+RRF_TOPK = 20
+
+
+def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion: the lexical leg
+    (BM25 over the fixed term query) and the dense leg (cosine against
+    document 0's embedding — doc_id and vec_id share one id domain in
+    the testdata) each produce a full ranking; RRF fuses them as
+    sum(1 / (60 + rank)) — the standard score-free fusion that needs no
+    calibration between BM25 scores and cosines.
+
+    Scale shape: each leg's rank is a GLOBAL row number, so both go
+    through the two-phase ops.global_order layout (range partition +
+    broadcast offsets — no single-partition window; same machinery as
+    corpus curation). The fusion itself is a full-outer join on the id
+    plus a fixed two-term reciprocal sum, rounded to 6 dp identically in
+    the oracle. Top-k via sort+limit = TakeOrdered."""
+    from data_platform_spark.functions import similarity as S
+    from data_platform_spark.ops.global_order import global_row_number
+
+    # lexical leg: BM25 contributions, micro-units (same math as bm25_topk)
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    ws = F.split(F.col("text"), " ")
+    base = docs.select(
+        "doc_id", ws.alias("ws"), F.size(ws).cast("double").alias("dl")
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    postings = base.select(
+        "doc_id", "dl", F.explode("ws").alias("term")
+    ).filter(F.col("term").isin(BM25_QUERY_TERMS))
+    tf = postings.groupBy("doc_id", "dl", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    df_tab = (
+        postings.select("doc_id", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("double").alias("df"))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    norm = (F.col("tf") * (BM25_K1 + 1)) / (
+        F.col("tf")
+        + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    contrib_micro = F.floor(idf * norm * 1_000_000 + F.lit(0.5)).cast("long")
+    lex_scored = (
+        tf.join(F.broadcast(df_tab), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(contrib_micro).alias("score_micro"))
+        .filter(F.col("doc_id") != 0)  # doc 0 is the dense query
+    )
+    lex = global_row_number(
+        lex_scored, [F.desc("score_micro"), F.asc("doc_id")], "rn_lex"
+    ).select("doc_id", "rn_lex")
+
+    # dense leg: cosine vs document 0's embedding (4-dp, cosine_topk math)
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"), spark)
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        S.as_double(F.col("embedding")).alias("q")
+    )
+    dense_scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            pround(
+                S.cosine(S.as_double(F.col("embedding")), F.col("q")), 4
+            ).alias("cosine"),
+        )
+    )
+    dense = global_row_number(
+        dense_scored, [F.desc("cosine"), F.asc("doc_id")], "rn_dense"
+    ).select("doc_id", "rn_dense")
+
+    fused = dense.join(lex, "doc_id", "full_outer").select(
+        "doc_id",
+        "rn_lex",
+        "rn_dense",
+        pround(
+            F.coalesce(1.0 / (F.lit(RRF_K) + F.col("rn_lex")), F.lit(0.0))
+            + F.coalesce(
+                1.0 / (F.lit(RRF_K) + F.col("rn_dense")), F.lit(0.0)
+            ),
+            6,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(RRF_TOPK)
+
+
+QUERIES["hybrid_rrf_topk"] = hybrid_rrf_topk
+
+
+def _hybrid_rrf_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    cos = (
+        "list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[]) / "
+        "(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))"
+        " * sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])))"
+    )
+    return f"""
+        WITH base AS (
+            SELECT doc_id,
+                   len(string_split(text, ' '))::DOUBLE AS dl,
+                   string_split(text, ' ') AS ws
+            FROM documents
+        ),
+        stats AS (
+            SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM base
+        ),
+        matched AS (
+            SELECT doc_id, dl, term
+            FROM (SELECT doc_id, dl, unnest(ws) AS term FROM base)
+            WHERE term IN ({terms})
+        ),
+        tf AS (
+            SELECT doc_id, dl, term, count(*)::DOUBLE AS tf
+            FROM matched GROUP BY doc_id, dl, term
+        ),
+        df_tab AS (
+            SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+            FROM matched GROUP BY term
+        ),
+        lex_scored AS (
+            SELECT
+                tf.doc_id,
+                sum(CAST(floor(
+                    ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                    * (tf.tf * ({BM25_K1} + 1)) / (tf.tf + {BM25_K1}
+                       * (1 - {BM25_B} + {BM25_B} * tf.dl / s.avgdl))
+                    * 1000000 + 0.5) AS BIGINT))::BIGINT AS score_micro
+            FROM tf JOIN df_tab d USING (term) CROSS JOIN stats s
+            WHERE tf.doc_id != 0
+            GROUP BY tf.doc_id
+        ),
+        lex AS (
+            SELECT doc_id,
+                   row_number() OVER (
+                       ORDER BY score_micro DESC, doc_id ASC
+                   )::BIGINT AS rn_lex
+            FROM lex_scored
+        ),
+        q AS (
+            SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+        ),
+        dense_scored AS (
+            SELECT e.vec_id AS doc_id, {sql_round(cos, 4)} AS cosine
+            FROM embeddings e, q
+            WHERE e.vec_id != 0
+        ),
+        dense AS (
+            SELECT doc_id,
+                   row_number() OVER (
+                       ORDER BY cosine DESC, doc_id ASC
+                   )::BIGINT AS rn_dense
+            FROM dense_scored
+        )
+        SELECT
+            coalesce(d.doc_id, l.doc_id) AS doc_id,
+            l.rn_lex,
+            d.rn_dense,
+            {sql_round(
+                f"coalesce(1.0 / ({RRF_K} + l.rn_lex), 0.0)"
+                f" + coalesce(1.0 / ({RRF_K} + d.rn_dense), 0.0)", 6
+            )} AS rrf
+        FROM dense d FULL OUTER JOIN lex l USING (doc_id)
+        ORDER BY rrf DESC, doc_id ASC
+        LIMIT {RRF_TOPK}
+    """
+
+
+ORACLE["hybrid_rrf_topk"] = _hybrid_rrf_oracle()
