@@ -46,10 +46,10 @@ def _modules():
 # for the 3 un-oracled ones); the 9 without are new this round. Evidence
 # age after r5: 50 green in r5, 40 in r4, 36 in r3, 11 stuck at r1. The
 # round-6 window packs, in order:
-# (1) the 9 queries with NO green row ever (new this round: BM25
+# (1) the 11 queries with NO green row ever (new this round: BM25
 #     retrieval, unigram-LM scoring, BPE pair induction, incremental
 #     dedup, the three product-quantization queries, term PageRank,
-#     hybrid RRF fusion);
+#     hybrid RRF fusion, n-gram containment, rolling z-score anomaly);
 # (2) re-proof of every implementation changed this round: the grouped
 #     two-phase rewrite of corpus_mix_by_source, the memory-bounded
 #     simhash64, the four global_order consumers (ntile divisor clamp),
@@ -73,6 +73,8 @@ _R6_WINDOW = (
     "pq_rerank_topk_vec0",
     "term_pagerank_topk",
     "hybrid_rrf_topk",
+    "ngram_containment_pairs",
+    "events_anomaly_zscore",
     # (2) changed implementations needing re-proof
     "corpus_mix_by_source",
     "simhash_signatures",
@@ -105,10 +107,8 @@ _R6_WINDOW = (
     "dedup_exact_groups",
     "doc_fingerprint",
     "doc_lang_id",
-    "doc_length_histogram",
     "doc_quality",
     "doc_text_stats",
-    "doc_top_terms_tfidf",
     "documents_after_dedup",
     "embedding_label_centroids",
     "embedding_neardup_pairs",
@@ -120,9 +120,10 @@ _R6_WINDOW = (
     "events_session_window_builtin",
     "events_sliding_window_counts",
     "knn_within_buckets",
-    # lang_id_confusion, minhash_signatures, multimodal_image_decode
-    # (r3-green) yielded their refresh slots to the round-6 queries —
-    # the window stays within the driver's ~50-query gate
+    # lang_id_confusion, minhash_signatures, multimodal_image_decode,
+    # doc_length_histogram, doc_top_terms_tfidf (r3-green) yielded their
+    # refresh slots to the round-6 queries — the window stays within the
+    # driver's ~50-query gate
 )
 
 

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_platform_spark.functions import dedup as D
-from data_platform_spark.queries._util import fan_out, sql_round
+from data_platform_spark.queries._util import fan_out, pround, sql_round
 from data_platform_spark.sources.tables import load_table
 
 JACCARD_THRESHOLD = 0.2
@@ -892,4 +892,112 @@ ORACLE["incremental_dedup_new_batch"] = f"""
         e.content_md5 IS NULL AND NOT f.is_dup_in_batch AS keep
     FROM flagged f
     LEFT JOIN existing e USING (content_md5)
+"""
+
+
+# ---------------------------------------------------------------------------
+# round 6: asymmetric containment — quote / excerpt / superset detection
+# ---------------------------------------------------------------------------
+
+CONTAINMENT_THRESHOLD = 0.5
+
+
+def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT pairs: containment(A in B) =
+    |shingles(A) ∩ shingles(B)| / |shingles(A)| — catches a short
+    document quoted or excerpted inside a long one, which symmetric
+    Jaccard misses (a 50-word quote inside a 5000-word article has tiny
+    Jaccard but containment ≈ 1). The standard complement to Jaccard in
+    training-data dedup (quote-heavy web text, boilerplate supersets).
+
+    Same scale shape as ngram_jaccard_pairs: narrow shingling, ONE
+    inverted-index shuffle with the df cap, narrow in-list pair
+    expansion, then one codegen'd array_intersect per candidate —
+    reported when EITHER direction clears the threshold."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    doc_sh = D.shingle_array_df(docs).persist()
+    postings = (
+        doc_sh.select("doc_id", F.explode("sh_arr").alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids").between(2, NGRAM_DF_CAP))
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda a, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+            ),
+        )
+    )
+    cand = (
+        postings.select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p.doc_a"), F.col("p.doc_b"))
+        .distinct()
+    )
+    a = doc_sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh_arr").alias("sh_a")
+    )
+    b = doc_sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh_arr").alias("sh_b")
+    )
+    paired = cand.join(a, "doc_a").join(b, "doc_b")
+    n_common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    c_ab = pround(n_common / F.size("sh_a"), 4)
+    c_ba = pround(n_common / F.size("sh_b"), 4)
+    return (
+        paired.select(
+            "doc_a",
+            "doc_b",
+            c_ab.alias("containment_a_in_b"),
+            c_ba.alias("containment_b_in_a"),
+        )
+        .filter(
+            F.greatest(
+                F.col("containment_a_in_b"), F.col("containment_b_in_a")
+            )
+            >= CONTAINMENT_THRESHOLD
+        )
+    )
+
+
+QUERIES["ngram_containment_pairs"] = ngram_containment_pairs
+
+ORACLE["ngram_containment_pairs"] = f"""
+    WITH {_shingle_cte()},
+    df AS (
+        SELECT shingle, count(*) AS dfc FROM sh GROUP BY shingle
+    ),
+    rare AS (
+        SELECT sh.doc_id, sh.shingle
+        FROM sh JOIN df USING (shingle)
+        WHERE df.dfc BETWEEN 2 AND {NGRAM_DF_CAP}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM rare a
+        JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
+    sizes AS (
+        SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ),
+    common AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS n_common
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT
+        doc_a,
+        doc_b,
+        {sql_round("n_common * 1.0 / sa.n_sh", 4)} AS containment_a_in_b,
+        {sql_round("n_common * 1.0 / sb.n_sh", 4)} AS containment_b_in_a
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE greatest({sql_round("n_common * 1.0 / sa.n_sh", 4)},
+                   {sql_round("n_common * 1.0 / sb.n_sh", 4)})
+          >= {CONTAINMENT_THRESHOLD}
 """

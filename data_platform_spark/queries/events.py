@@ -845,3 +845,91 @@ ORACLE["events_zorder_two_dim_slice"] = f"""
     WHERE user_id BETWEEN 10 AND 40 AND value BETWEEN 50 AND 500
     GROUP BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# round 6: rolling z-score anomaly detection
+# ---------------------------------------------------------------------------
+
+ZSCORE_LOOKBACK = 20  # prior events per user in the baseline window
+ZSCORE_MIN_N = 5      # minimum baseline size before flagging
+ZSCORE_CUT = 3.0
+
+
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flags: each event scored against the
+    user's own trailing baseline (previous ZSCORE_LOOKBACK events'
+    mean/stddev) — the standard online-monitoring shape for metric
+    streams, here in batch form. One shuffle on user_id; the window
+    frame is rows-bounded so state per key is O(lookback).
+
+    Cross-engine determinism: mean and stddev are rounded to 4 dp FIRST,
+    and the z-score (2 dp) and flag derive only from the rounded values
+    — so the flag can flip only if a rounded baseline column itself
+    diverges (same acceptance class as value_correlation)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(-ZSCORE_LOOKBACK, -1)
+    )
+    base = ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.count(F.lit(1)).over(w).alias("n_prior"),
+        pround(F.avg("value").over(w), 4).alias("base_mean"),
+        pround(F.stddev_samp("value").over(w), 4).alias("base_std"),
+    )
+    z = F.when(
+        (F.col("n_prior") >= ZSCORE_MIN_N) & (F.col("base_std") > 0),
+        pround(
+            F.abs(F.col("value") - F.col("base_mean")) / F.col("base_std"), 2
+        ),
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        "n_prior",
+        "base_mean",
+        "base_std",
+        z.alias("zscore"),
+        F.coalesce(z >= ZSCORE_CUT, F.lit(False)).alias("is_anomaly"),
+    )
+
+
+QUERIES["events_anomaly_zscore"] = events_anomaly_zscore
+
+ORACLE["events_anomaly_zscore"] = f"""
+    WITH base AS (
+        SELECT
+            event_id,
+            user_id,
+            value,
+            count(*) OVER w AS n_prior,
+            {sql_round("avg(value) OVER w", 4)} AS base_mean,
+            {sql_round("stddev_samp(value) OVER w", 4)} AS base_std
+        FROM events
+        WINDOW w AS (
+            PARTITION BY user_id
+            ORDER BY ts ASC, event_id ASC
+            ROWS BETWEEN {ZSCORE_LOOKBACK} PRECEDING AND 1 PRECEDING
+        )
+    ),
+    scored AS (
+        SELECT *,
+            CASE WHEN n_prior >= {ZSCORE_MIN_N} AND base_std > 0
+                 THEN {sql_round("abs(value - base_mean) / base_std", 2)}
+            END AS zscore
+        FROM base
+    )
+    SELECT
+        event_id,
+        user_id,
+        n_prior,
+        base_mean,
+        base_std,
+        zscore,
+        coalesce(zscore >= {ZSCORE_CUT}, false) AS is_anomaly
+    FROM scored
+"""
