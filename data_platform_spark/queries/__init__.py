@@ -41,9 +41,9 @@ def _modules():
 
 
 # The driver's correctness gate checks the FIRST ~50 registered queries, in
-# dict order. Cumulative accounting entering round 6: 146 registered, 137
+# dict order. Cumulative accounting entering round 6: 148 registered, 137
 # carry a driver-green row from r1-r5 (hash-green, or rows-only with rows
-# for the 3 un-oracled ones); the 9 without are new this round. Evidence
+# for the 3 un-oracled ones); the 11 without are new this round. Evidence
 # age after r5: 50 green in r5, 40 in r4, 36 in r3, 11 stuck at r1. The
 # round-6 window packs, in order:
 # (1) the 11 queries with NO green row ever (new this round: BM25
