@@ -97,6 +97,32 @@ def minhash_signatures(
     return doc_sh.select(F.col(id_col), *cols)
 
 
+def band_long(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    n_hashes: int = N_MINHASH,
+    band_size: int = BAND_SIZE,
+) -> DataFrame:
+    """Melt a wide minhash signature relation to the long LSH-band layout
+    (``_id``, ``bk``) — one row per (doc, band), the band index embedded
+    in the key. The narrow relation every band join (self or bipartite)
+    shuffles; never the text."""
+    n_bands = n_hashes // band_size
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                "#",
+                F.lit(str(b)),
+                *[F.col(f"mh{b * band_size + j}") for j in range(band_size)],
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sig.select(
+        F.col(id_col).alias("_id"), F.explode(band_keys).alias("bk")
+    )
+
+
 def lsh_candidate_pairs(
     sig: DataFrame,
     id_col: str = "doc_id",
@@ -112,18 +138,7 @@ def lsh_candidate_pairs(
     minhash signatures are computed exactly once. Never a cross join;
     shuffle carries only (doc_id, band_key).
     """
-    n_bands = n_hashes // band_size
-    band_keys = F.array(
-        *[
-            F.concat_ws(
-                "#",
-                F.lit(str(b)),
-                *[F.col(f"mh{b * band_size + j}") for j in range(band_size)],
-            )
-            for b in range(n_bands)
-        ]
-    )
-    long = sig.select(F.col(id_col).alias("_id"), F.explode(band_keys).alias("bk"))
+    long = band_long(sig, id_col, n_hashes, band_size)
     a = long.select(F.col("_id").alias("doc_a"), "bk")
     b = long.select(F.col("_id").alias("doc_b"), "bk")
     return (

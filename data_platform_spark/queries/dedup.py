@@ -98,7 +98,7 @@ def _sig_sql(n: int = D.N_MINHASH) -> str:
     """
 
 
-def _bands_sql(n: int = D.N_MINHASH, band_size: int = D.BAND_SIZE) -> str:
+def _bands_cte(n: int = D.N_MINHASH, band_size: int = D.BAND_SIZE) -> str:
     n_bands = n // band_size
     cols = ", ".join(
         "concat_ws('#', "
@@ -106,6 +106,14 @@ def _bands_sql(n: int = D.N_MINHASH, band_size: int = D.BAND_SIZE) -> str:
         + f") AS band{b}"
         for b in range(n_bands)
     )
+    return f"""
+        bands AS (
+            SELECT doc_id, {cols} FROM sig
+        )"""
+
+
+def _bands_sql(n: int = D.N_MINHASH, band_size: int = D.BAND_SIZE) -> str:
+    n_bands = n // band_size
     pair_selects = "\n            UNION\n".join(
         f"""            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM bands a JOIN bands b ON a.band{b} = b.band{b}
@@ -113,9 +121,7 @@ def _bands_sql(n: int = D.N_MINHASH, band_size: int = D.BAND_SIZE) -> str:
         for b in range(n_bands)
     )
     return f"""
-        bands AS (
-            SELECT doc_id, {cols} FROM sig
-        ),
+        {_bands_cte(n, band_size)},
         cand AS (
 {pair_selects}
         )
@@ -1001,3 +1007,129 @@ ORACLE["ngram_containment_pairs"] = f"""
                    {sql_round("n_common * 1.0 / sb.n_sh", 4)})
           >= {CONTAINMENT_THRESHOLD}
 """
+
+
+def incremental_neardup_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup: every document of the new ingest batch
+    checked against the standing corpus' MinHash band index — the
+    companion to incremental_dedup_new_batch for the fuzzy case, and the
+    realistic daily-crawl shape at 100 TB: the standing side is a
+    persisted (doc_id, band_key) index, only the new batch's signatures
+    are computed fresh, and the candidate join is BIPARTITE (new x
+    existing on band key), never a corpus self-join.
+
+    Per new doc: how many standing docs it near-duplicates (verified
+    shingle Jaccard >= threshold over band candidates), the best match's
+    Jaccard and id, and the keep decision. Docs with no band collision
+    survive with zero matches (left join keeps them)."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    doc_sh = D.shingle_array_df(docs).persist()
+    sig = D.minhash_signatures(doc_sh).persist()
+    long = D.band_long(sig)
+    new_ids = F.col("_id") % INCR_NEW_MOD == 0
+    new_bands = long.filter(new_ids).select(
+        F.col("_id").alias("doc_a"), "bk"
+    )
+    existing_bands = long.filter(~new_ids).select(
+        F.col("_id").alias("doc_b"), "bk"
+    )
+    cand = (
+        new_bands.join(existing_bands, "bk")
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    verified = D.verified_jaccard(doc_sh, cand, threshold=JACCARD_THRESHOLD)
+    # best match = (max jaccard, min doc_b among ties) via one max-struct
+    # aggregate — no window, single map-side-combining shuffle
+    best = F.max(
+        F.struct(
+            F.col("jaccard").alias("j"), (-F.col("doc_b")).alias("nd")
+        )
+    )
+    per_new = verified.groupBy("doc_a").agg(
+        F.count(F.lit(1)).alias("n_matches"), best.alias("best")
+    )
+    new_docs = docs.filter(F.col("doc_id") % INCR_NEW_MOD == 0).select(
+        "doc_id"
+    )
+    out = new_docs.join(
+        per_new.withColumnRenamed("doc_a", "doc_id"), "doc_id", "left"
+    )
+    return out.select(
+        "doc_id",
+        F.coalesce(F.col("n_matches"), F.lit(0)).cast("long").alias(
+            "n_matches"
+        ),
+        F.col("best.j").alias("best_jaccard"),
+        (-F.col("best.nd")).cast("long").alias("best_match_doc"),
+        (F.coalesce(F.col("n_matches"), F.lit(0)) == 0).alias("keep"),
+    )
+
+
+QUERIES["incremental_neardup_new_batch"] = incremental_neardup_new_batch
+
+
+def _incr_neardup_oracle() -> str:
+    n_bands = D.N_MINHASH // D.BAND_SIZE
+    pair_selects = "\n            UNION\n".join(
+        f"""            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b ON a.band{b} = b.band{b}
+            WHERE a.doc_id % {INCR_NEW_MOD} = 0
+              AND b.doc_id % {INCR_NEW_MOD} != 0"""
+        for b in range(n_bands)
+    )
+    j = "n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common)"
+    return f"""
+        WITH {_shingle_cte()},
+        {_sig_sql()},
+        {_bands_cte()},
+        cand AS (
+{pair_selects}
+        ),
+        sizes AS (
+            SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+        ),
+        common AS (
+            SELECT c.doc_a, c.doc_b, count(*) AS n_common
+            FROM cand c
+            JOIN sh a ON a.doc_id = c.doc_a
+            JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+            GROUP BY c.doc_a, c.doc_b
+        ),
+        verified AS (
+            SELECT doc_a, doc_b, {sql_round(j, 4)} AS jaccard
+            FROM common
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE {sql_round(j, 4)} >= {JACCARD_THRESHOLD}
+        ),
+        ranked AS (
+            SELECT doc_a, doc_b, jaccard,
+                   row_number() OVER (
+                       PARTITION BY doc_a
+                       ORDER BY jaccard DESC, doc_b ASC
+                   ) AS rk,
+                   count(*) OVER (PARTITION BY doc_a) AS cnt
+            FROM verified
+        ),
+        per_new AS (
+            SELECT doc_a AS doc_id,
+                   cnt::BIGINT AS n_matches,
+                   jaccard AS best_jaccard,
+                   doc_b::BIGINT AS best_match_doc
+            FROM ranked WHERE rk = 1
+        )
+        SELECT
+            d.doc_id,
+            coalesce(p.n_matches, 0)::BIGINT AS n_matches,
+            p.best_jaccard,
+            p.best_match_doc,
+            coalesce(p.n_matches, 0) = 0 AS keep
+        FROM (
+            SELECT doc_id FROM documents WHERE doc_id % {INCR_NEW_MOD} = 0
+        ) d
+        LEFT JOIN per_new p USING (doc_id)
+    """
+
+
+ORACLE["incremental_neardup_new_batch"] = _incr_neardup_oracle()
