@@ -116,3 +116,45 @@ def require_fk(specs: list[FkSpec]) -> list:
             )
         )
     return rows
+
+
+def erase_cascade(
+    root: DataFrame,
+    root_key: str,
+    tombstones: DataFrame,
+    children: list[tuple[str, DataFrame, str, str, str]],
+) -> dict[str, DataFrame]:
+    """Right-to-erasure cascade: delete the tombstoned root rows and
+    every descendant row reachable through the declared FK chain — the
+    GDPR/CCPA deletion shape run as semi/anti joins, fully distributed
+    (each hop shuffles only key projections; no driver-side key list).
+
+    ``children`` is an ordered list of hops
+    ``(name, df, fk_col, parent_name, parent_key_col)``: the child's
+    ``fk_col`` references ``parent_key_col`` of the parent relation
+    (``parent_name`` is ``'root'`` or an earlier hop's name). Each hop's
+    deleted set = rows whose FK hits the parent's deleted keys
+    (left-semi); its survivors = the anti-join complement. Returns
+    ``{name: surviving_df}`` including ``'root'``. Deletion is
+    functional (new DataFrames), matching the engine's immutable-write
+    model — callers swap results in atomically via the Warehouse.
+    """
+    deleted: dict[str, DataFrame] = {
+        "root": root.join(
+            tombstones.select(root_key).distinct(), root_key, "left_semi"
+        )
+    }
+    out: dict[str, DataFrame] = {
+        "root": root.join(
+            tombstones.select(root_key).distinct(), root_key, "left_anti"
+        )
+    }
+    for name, df, fk_col, parent_name, parent_key_col in children:
+        keys = (
+            deleted[parent_name]
+            .select(F.col(parent_key_col).alias(fk_col))
+            .distinct()
+        )
+        deleted[name] = df.join(keys, fk_col, "left_semi")
+        out[name] = df.join(keys, fk_col, "left_anti")
+    return out

@@ -2368,3 +2368,84 @@ ORACLE["tpch_fk_orphans"] = " UNION ALL ".join(
         _fk_edge_sql("lineitem", "l_suppkey", "supplier", "s_suppkey"),
     ]
 )
+
+
+# ---------------------------------------------------------------------------
+# round 6: right-to-erasure cascade audit
+# ---------------------------------------------------------------------------
+
+ERASE_MOD = 100  # c_custkey % 100 == 0 -> tombstoned customer
+
+
+def erasure_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR/CCPA right-to-erasure as a distributed cascade: tombstoned
+    customers delete, their orders delete through o_custkey, those
+    orders' lineitems delete through l_orderkey — three FK hops of
+    semi/anti joins (ops/integrity.erase_cascade), each shuffling only
+    key projections. Output is the per-table deletion audit
+    (before / deleted / after), the evidence record an erasure request
+    needs. Counts are exact integers — hash-stable by construction."""
+    from data_platform_spark.ops.integrity import erase_cascade
+
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    tombstones = customer.filter(
+        F.col("c_custkey") % ERASE_MOD == 0
+    ).select("c_custkey")
+    survivors = erase_cascade(
+        customer,
+        "c_custkey",
+        tombstones,
+        [
+            ("orders", orders, "o_custkey", "root", "c_custkey"),
+            ("lineitem", lineitem, "l_orderkey", "orders", "o_orderkey"),
+        ],
+    )
+    def audit(name: str, before: DataFrame, after: DataFrame) -> DataFrame:
+        b = before.agg(F.count(F.lit(1)).alias("n_before"))
+        a = after.agg(F.count(F.lit(1)).alias("n_after"))
+        return b.crossJoin(a).select(
+            F.lit(name).alias("table_name"),
+            "n_before",
+            (F.col("n_before") - F.col("n_after")).alias("n_deleted"),
+            "n_after",
+        )
+
+    return (
+        audit("customer", customer, survivors["root"])
+        .unionByName(audit("orders", orders, survivors["orders"]))
+        .unionByName(audit("lineitem", lineitem, survivors["lineitem"]))
+    )
+
+
+QUERIES["erasure_cascade_audit"] = erasure_cascade_audit
+
+ORACLE["erasure_cascade_audit"] = f"""
+    WITH dead_cust AS (
+        SELECT c_custkey FROM customer WHERE c_custkey % {ERASE_MOD} = 0
+    ),
+    dead_orders AS (
+        SELECT o_orderkey FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM dead_cust)
+    )
+    SELECT 'customer' AS table_name,
+           (SELECT count(*) FROM customer) AS n_before,
+           (SELECT count(*) FROM dead_cust) AS n_deleted,
+           (SELECT count(*) FROM customer) -
+           (SELECT count(*) FROM dead_cust) AS n_after
+    UNION ALL
+    SELECT 'orders',
+           (SELECT count(*) FROM orders),
+           (SELECT count(*) FROM dead_orders),
+           (SELECT count(*) FROM orders) -
+           (SELECT count(*) FROM dead_orders)
+    UNION ALL
+    SELECT 'lineitem',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM dead_orders)),
+           (SELECT count(*) FROM lineitem) -
+           (SELECT count(*) FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM dead_orders))
+"""

@@ -780,3 +780,101 @@ def test_lsh_band_join_skew_split_keeps_pair_stage_balanced(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_erase_cascade_leaves_no_orphans(spark):
+    """After a 3-hop erasure cascade, the surviving tables must still
+    satisfy every FK edge (require_fk passes), the tombstoned keys must
+    be gone everywhere, and non-cascaded rows must be untouched."""
+    from data_platform_spark.ops.integrity import (
+        FkSpec,
+        erase_cascade,
+        require_fk,
+    )
+    from data_platform_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    customer = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    lineitem = load_table(spark, sf, "lineitem")
+    tombstones = customer.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey"
+    )
+    out = erase_cascade(
+        customer,
+        "c_custkey",
+        tombstones,
+        [
+            ("orders", orders, "o_custkey", "root", "c_custkey"),
+            ("lineitem", lineitem, "l_orderkey", "orders", "o_orderkey"),
+        ],
+    )
+    # tombstoned keys gone at every level
+    assert out["root"].filter(F.col("c_custkey") % 10 == 0).count() == 0
+    assert (
+        out["orders"].join(tombstones, F.col("o_custkey") == F.col("c_custkey"))
+        .count()
+        == 0
+    )
+    # FK integrity holds on the survivors
+    require_fk(
+        [
+            FkSpec(out["orders"], "orders", "o_custkey",
+                   out["root"], "customer", "c_custkey"),
+            FkSpec(out["lineitem"], "lineitem", "l_orderkey",
+                   out["orders"], "orders", "o_orderkey"),
+        ]
+    )
+    # conservation: deleted + surviving = original, per level
+    assert out["root"].count() + tombstones.count() == customer.count()
+    dead_orders = orders.join(
+        tombstones, F.col("o_custkey") == F.col("c_custkey"), "left_semi"
+    )
+    assert out["orders"].count() + dead_orders.count() == orders.count()
+
+
+def test_grouped_running_sum_property(spark):
+    """Property check for the grouped two-phase layout: random row sets
+    (heavy group skew, negative values, duplicate order keys with a
+    unique tie-break) must reproduce the native grouped window exactly,
+    across partition counts including more partitions than rows."""
+    import random
+
+    from pyspark.sql.window import Window
+
+    from data_platform_spark.ops.global_order import grouped_running_sum
+
+    rng = random.Random(4321)
+    for trial in range(5):
+        n = rng.choice([1, 2, 23, 211])
+        parts = rng.choice([1, 3, 8, 64])
+        n_groups = rng.choice([1, 2, 9])
+        rows = [
+            (
+                i,
+                f"g{min(rng.randint(0, n_groups - 1), rng.randint(0, n_groups - 1))}",
+                rng.randint(-40, 40),
+                rng.randint(0, 3),
+            )
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(
+            rows, "id: long, grp: string, v: long, dup: long"
+        )
+        order = [F.asc("dup"), F.desc("id")]
+        got = {
+            r.id: r.cum
+            for r in grouped_running_sum(
+                df, ["grp"], order, F.col("v"), "cum", num_partitions=parts
+            ).collect()
+        }
+        w = (
+            Window.partitionBy("grp")
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        want = {
+            r.id: r.cum
+            for r in df.withColumn("cum", F.sum("v").over(w)).collect()
+        }
+        assert got == want, f"trial {trial}: n={n} parts={parts}"
