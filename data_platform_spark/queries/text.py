@@ -1358,3 +1358,108 @@ def _hybrid_rrf_oracle() -> str:
 
 
 ORACLE["hybrid_rrf_topk"] = _hybrid_rrf_oracle()
+
+
+# ---------------------------------------------------------------------------
+# temperature-based source mixing (multilingual-style (share)^alpha recipe)
+# ---------------------------------------------------------------------------
+
+MIX_ALPHA = 0.7
+MIX_BUDGET_TOKENS = 10_000
+
+
+def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing: target share of source s ∝
+    (token_share_s)^α — the standard multilingual/multi-source recipe
+    (α < 1 upweights small sources) — realized as a per-doc keep
+    probability p_s = min(1, B·q_s / T_s) against a deterministic
+    content-hash uniform. Unlike stratified_sample_docs (fixed
+    fractions) the probabilities are DERIVED from the corpus itself.
+
+    Scale shape: one narrow pass scores token counts, one groupBy(source)
+    builds the share table (rows = #sources, broadcast back), the keep
+    decision is a per-row comparison — no other shuffle. p and u round
+    to 6 dp before the comparison, mirrored in the oracle, so the keep
+    set is engine-exact."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    scored = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        X.token_count(F.col("text")).cast("double").alias("n_tokens"),
+    )
+    per_source = scored.groupBy("source").agg(
+        F.sum("n_tokens").alias("t_s")
+    )
+    total = per_source.agg(F.sum("t_s").alias("t_all"))
+    powed = per_source.crossJoin(F.broadcast(total)).select(
+        "source",
+        "t_s",
+        F.pow(F.col("t_s") / F.col("t_all"), MIX_ALPHA).alias("w_s"),
+    )
+    z = powed.agg(F.sum("w_s").alias("z"))
+    probs = powed.crossJoin(F.broadcast(z)).select(
+        "source",
+        pround(
+            F.least(
+                F.lit(1.0),
+                F.lit(MIX_BUDGET_TOKENS)
+                * (F.col("w_s") / F.col("z"))
+                / F.col("t_s"),
+            ),
+            6,
+        ).alias("p_keep"),
+    )
+    u = pround(
+        F.conv(F.substring(F.md5(F.col("text")), 1, 8), 16, 10).cast("long")
+        / F.lit(_HASH_MAX),
+        6,
+    )
+    return (
+        scored.join(F.broadcast(probs), "source")
+        .select(
+            "doc_id",
+            "source",
+            u.alias("u"),
+            "p_keep",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .filter(F.col("u") < F.col("p_keep"))
+    )
+
+
+QUERIES["corpus_temperature_mix"] = corpus_temperature_mix
+
+ORACLE["corpus_temperature_mix"] = f"""
+    WITH scored AS (
+        SELECT doc_id, source, text,
+               len(regexp_extract_all(text, '{X.TOKEN_REGEX}'))::DOUBLE
+                   AS n_tokens
+        FROM documents
+    ),
+    per_source AS (
+        SELECT source, sum(n_tokens) AS t_s FROM scored GROUP BY source
+    ),
+    total AS (SELECT sum(t_s) AS t_all FROM per_source),
+    powed AS (
+        SELECT source, t_s, pow(t_s / t.t_all, {MIX_ALPHA}) AS w_s
+        FROM per_source, total t
+    ),
+    zt AS (SELECT sum(w_s) AS z FROM powed),
+    probs AS (
+        SELECT source,
+               {sql_round(
+                   f"least(1.0, {MIX_BUDGET_TOKENS} * (w_s / zt.z) / t_s)", 6
+               )} AS p_keep
+        FROM powed, zt
+    )
+    SELECT
+        s.doc_id,
+        s.source,
+        {sql_round(f"(('0x' || substr(md5(s.text), 1, 8))::BIGINT / {_HASH_MAX})", 6)} AS u,
+        p.p_keep,
+        s.n_tokens::BIGINT AS n_tokens
+    FROM scored s JOIN probs p USING (source)
+    WHERE {sql_round(f"(('0x' || substr(md5(s.text), 1, 8))::BIGINT / {_HASH_MAX})", 6)}
+          < p.p_keep
+"""
