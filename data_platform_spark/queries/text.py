@@ -1463,3 +1463,137 @@ ORACLE["corpus_temperature_mix"] = f"""
     WHERE {sql_round(f"(('0x' || substr(md5(s.text), 1, 8))::BIGINT / {_HASH_MAX})", 6)}
           < p.p_keep
 """
+
+
+# ---------------------------------------------------------------------------
+# chunk-granularity retrieval: BM25 over the chunk layer (the RAG shape)
+# ---------------------------------------------------------------------------
+
+
+def chunk_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 at CHUNK granularity — the actual RAG retrieval unit: the
+    corpus is first cut into overlapping windows (the doc_chunking
+    layer), then ranked by BM25 against the fixed term query, returning
+    (doc, chunk) hits. Composition of two proven layers: the chunk
+    explode feeds the postings build directly — chunks never
+    materialize outside the pipeline, so the scale cost stays one
+    narrow chunk pass + the postings-only shuffle. Same micro-unit
+    integer discipline as bm25_topk."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    words = F.split(F.col("text"), " ")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(words), F.lit(1)), F.lit(CHUNK_STRIDE)
+    )
+    chunks = docs.select(
+        "doc_id", words.alias("w"), F.explode(starts).alias("start")
+    ).select(
+        "doc_id",
+        (((F.col("start") - 1) / CHUNK_STRIDE).cast("long")).alias(
+            "chunk_idx"
+        ),
+        F.slice(F.col("w"), F.col("start"), CHUNK_WORDS).alias("chunk"),
+    )
+    base = chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.col("chunk").alias("ws"),
+        F.size("chunk").cast("double").alias("dl"),
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    postings = base.select(
+        "doc_id", "chunk_idx", "dl", F.explode("ws").alias("term")
+    ).filter(F.col("term").isin(BM25_QUERY_TERMS))
+    tf = postings.groupBy("doc_id", "chunk_idx", "dl", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    df_tab = (
+        postings.select("doc_id", "chunk_idx", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("double").alias("df"))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    norm = (F.col("tf") * (BM25_K1 + 1)) / (
+        F.col("tf")
+        + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    contrib_micro = F.floor(idf * norm * 1_000_000 + F.lit(0.5)).cast("long")
+    scored = (
+        tf.join(F.broadcast(df_tab), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id", "chunk_idx")
+        .agg(F.sum(contrib_micro).alias("score_micro"))
+    )
+    return scored.orderBy(
+        F.desc("score_micro"), F.asc("doc_id"), F.asc("chunk_idx")
+    ).limit(BM25_TOPK)
+
+
+QUERIES["chunk_bm25_topk"] = chunk_bm25_topk
+
+
+def _chunk_bm25_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    return f"""
+        WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        ),
+        starts AS (
+            SELECT doc_id, words,
+                   unnest(generate_series(1, greatest(len(words), 1),
+                                          {CHUNK_STRIDE})) AS start
+            FROM w
+        ),
+        base AS (
+            SELECT
+                doc_id,
+                CAST((start - 1) / {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+                words[start : start + {CHUNK_WORDS} - 1] AS ws,
+                len(words[start : start + {CHUNK_WORDS} - 1])::DOUBLE AS dl
+            FROM starts
+        ),
+        stats AS (
+            SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM base
+        ),
+        matched AS (
+            SELECT doc_id, chunk_idx, dl, term
+            FROM (
+                SELECT doc_id, chunk_idx, dl, unnest(ws) AS term FROM base
+            )
+            WHERE term IN ({terms})
+        ),
+        tf AS (
+            SELECT doc_id, chunk_idx, dl, term, count(*)::DOUBLE AS tf
+            FROM matched GROUP BY doc_id, chunk_idx, dl, term
+        ),
+        df_tab AS (
+            SELECT term, count(*)::DOUBLE AS df
+            FROM (SELECT DISTINCT doc_id, chunk_idx, term FROM matched)
+            GROUP BY term
+        ),
+        contrib AS (
+            SELECT
+                tf.doc_id,
+                tf.chunk_idx,
+                CAST(floor(
+                    ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                    * (tf.tf * ({BM25_K1} + 1)) / (tf.tf + {BM25_K1}
+                       * (1 - {BM25_B} + {BM25_B} * tf.dl / s.avgdl))
+                    * 1000000 + 0.5) AS BIGINT) AS c
+            FROM tf JOIN df_tab d USING (term) CROSS JOIN stats s
+        )
+        SELECT doc_id, chunk_idx, sum(c)::BIGINT AS score_micro
+        FROM contrib
+        GROUP BY doc_id, chunk_idx
+        ORDER BY score_micro DESC, doc_id ASC, chunk_idx ASC
+        LIMIT {BM25_TOPK}
+    """
+
+
+ORACLE["chunk_bm25_topk"] = _chunk_bm25_oracle()

@@ -878,3 +878,40 @@ def test_grouped_running_sum_property(spark):
             for r in df.withColumn("cum", F.sum("v").over(w)).collect()
         }
         assert got == want, f"trial {trial}: n={n} parts={parts}"
+
+
+def test_grouped_running_sum_shuffle_join_path(spark):
+    """broadcast_offsets=False (the very-high-cardinality-groups path:
+    offsets resolve through a plain shuffle join instead of a broadcast)
+    must produce identical results to the broadcast path and the native
+    window."""
+    import random
+
+    from pyspark.sql.window import Window
+
+    from data_platform_spark.ops.global_order import grouped_running_sum
+
+    rng = random.Random(17)
+    rows = [
+        (i, f"g{rng.randint(0, 99)}", rng.randint(-30, 70))
+        for i in range(1_000)
+    ]
+    df = spark.createDataFrame(rows, "id: long, grp: string, v: long")
+    order = [F.desc("v"), F.asc("id")]
+    got = {
+        r.id: r.cum
+        for r in grouped_running_sum(
+            df, ["grp"], order, F.col("v"), "cum",
+            num_partitions=8, broadcast_offsets=False,
+        ).collect()
+    }
+    w = (
+        Window.partitionBy("grp")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        r.id: r.cum
+        for r in df.withColumn("cum", F.sum("v").over(w)).collect()
+    }
+    assert got == want
