@@ -597,3 +597,55 @@ def sample_frames(media: DataFrame, every_n_seconds: float = 1.0) -> DataFrame:
             )
 
     return media.mapInPandas(_sample, FRAME_SCHEMA)
+
+
+AUGMENT_SCHEMA = (
+    "media_id long, aug_h long, aug_w long, "
+    "mean_r double, mean_g double, mean_b double"
+)
+
+
+def augment_image_stats(
+    media: DataFrame,
+    flip_horizontal: bool = True,
+    crop: tuple[int, int, int, int] | None = None,
+) -> DataFrame:
+    """REAL augmentation stage: decode → horizontal flip → crop →
+    per-channel means of the AUGMENTED image, inside one Arrow batch —
+    the training-time augmentation shape (flip/crop are the canonical
+    vision augmentations), with the stats projection standing in for the
+    tensor handoff. ``crop`` is (row0, col0, height, width); None keeps
+    the full frame. Pure numpy: flip is a stride trick, crop a slice —
+    no pixel copies until the mean."""
+
+    r0, c0, ch, cw = crop if crop else (0, 0, -1, -1)
+
+    def _augment(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                arr = decode_image(content)
+                if flip_horizontal:
+                    arr = arr[:, ::-1, :]
+                if crop:
+                    arr = arr[r0 : r0 + ch, c0 : c0 + cw, :]
+                means = arr.reshape(-1, 3).mean(axis=0)
+                rows.append(
+                    (
+                        int(mid),
+                        int(arr.shape[0]),
+                        int(arr.shape[1]),
+                        float(means[0]),
+                        float(means[1]),
+                        float(means[2]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "aug_h", "aug_w",
+                    "mean_r", "mean_g", "mean_b",
+                ],
+            )
+
+    return media.mapInPandas(_augment, AUGMENT_SCHEMA)

@@ -41,17 +41,17 @@ def _modules():
 
 
 # The driver's correctness gate checks the FIRST ~50 registered queries, in
-# dict order. Cumulative accounting entering round 6: 152 registered, 137
+# dict order. Cumulative accounting entering round 6: 153 registered, 137
 # carry a driver-green row from r1-r5 (hash-green, or rows-only with rows
-# for the 3 un-oracled ones); the 15 without are new this round. Evidence
+# for the 3 un-oracled ones); the 16 without are new this round. Evidence
 # age after r5: 50 green in r5, 40 in r4, 36 in r3, 11 stuck at r1. The
 # round-6 window packs, in order:
-# (1) the 15 queries with NO green row ever (new this round: BM25
+# (1) the 16 queries with NO green row ever (new this round: BM25
 #     retrieval, unigram-LM scoring, BPE pair induction, incremental
 #     dedup, the three product-quantization queries, term PageRank,
 #     hybrid RRF fusion, n-gram containment, rolling z-score anomaly,
 #     incremental near-dup, erasure cascade, temperature mixing,
-#     chunk-granularity BM25);
+#     chunk-granularity BM25, image augmentation);
 # (2) re-proof of every implementation changed this round: the grouped
 #     two-phase rewrite of corpus_mix_by_source, the memory-bounded
 #     simhash64, the four global_order consumers (ntile divisor clamp),
@@ -81,6 +81,7 @@ _R6_WINDOW = (
     "erasure_cascade_audit",
     "corpus_temperature_mix",
     "chunk_bm25_topk",
+    "multimodal_image_augment",
     # (2) changed implementations needing re-proof
     "corpus_mix_by_source",
     "simhash_signatures",
@@ -115,7 +116,6 @@ _R6_WINDOW = (
     "doc_text_stats",
     "embedding_label_centroids",
     "embedding_neardup_pairs",
-    "events_downsample_gapfill",
     "events_hourly_by_type",
     "events_json_extract",
     "events_running_total",
@@ -125,7 +125,7 @@ _R6_WINDOW = (
     # lang_id_confusion, minhash_signatures, multimodal_image_decode,
     # doc_length_histogram, doc_top_terms_tfidf, doc_fingerprint,
     # customer_order_ids_array, documents_after_dedup,
-    # embedding_vector_stats (r3-green) yielded their
+    # embedding_vector_stats, events_downsample_gapfill (r3-green) yielded their
     # refresh slots to the round-6 queries — the window stays within the
     # driver's ~50-query gate
 )

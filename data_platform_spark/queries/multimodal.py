@@ -438,3 +438,78 @@ ORACLE["multimodal_audio_decode"] = f"""
             AS rms_amp
     FROM s
 """
+
+
+# ---------------------------------------------------------------------------
+# round 6: augmentation stage (flip + center crop) over the real codec
+# ---------------------------------------------------------------------------
+
+AUG_CROP = (2, 2, 4, 4)  # center 4x4 of the 8x8 synthetic frame
+
+
+def multimodal_image_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL augmentation path, oracle-checked: each document's synthetic
+    8×8 PPM is decoded by the numpy codec, horizontally FLIPPED, center-
+    CROPPED to 4×4 (the canonical vision training augmentations), and
+    the per-channel means of the augmented frame are reported. The
+    oracle re-derives every augmented pixel position from the source
+    md5 characters — flip means column c reads original column
+    (W-1-c), crop restricts to the center window — so a mis-indexed
+    flip or crop shifts every mean and fails the hash."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    pix = F.encode(
+        F.substring(F.repeat(F.md5(F.col("text")), 6), 1, IMG_W * IMG_H * 3),
+        "UTF-8",
+    )
+    header = F.lit(f"P6\n{IMG_W} {IMG_H}\n255\n".encode())
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.concat(header, pix).alias("content"),
+    )
+    aug = M.augment_image_stats(
+        media, flip_horizontal=True, crop=AUG_CROP
+    )
+    return aug.select(
+        "media_id",
+        "aug_h",
+        "aug_w",
+        pround(F.col("mean_r"), 4).alias("mean_r"),
+        pround(F.col("mean_g"), 4).alias("mean_g"),
+        pround(F.col("mean_b"), 4).alias("mean_b"),
+    )
+
+
+QUERIES["multimodal_image_augment"] = multimodal_image_augment
+
+
+def _aug_channel_mean_sql(channel_offset: int) -> str:
+    r0, c0, ch, cw = AUG_CROP
+    # augmented pixel (r, c) = original (r, W-1-c); crop keeps
+    # r in [r0, r0+ch), c in [c0, c0+cw)
+    return sql_round(
+        "(SELECT avg(ord(substr(px, "
+        f"3 * (r.r * {IMG_W} + ({IMG_W} - 1 - c.c)) + {channel_offset + 1}"
+        ", 1))) "
+        f"FROM generate_series({r0}, {r0 + ch - 1}) AS r(r), "
+        f"generate_series({c0}, {c0 + cw - 1}) AS c(c))",
+        4,
+    )
+
+
+ORACLE["multimodal_image_augment"] = f"""
+    WITH s AS (
+        SELECT
+            doc_id,
+            substr(repeat(md5(text), 6), 1, {IMG_W * IMG_H * 3}) AS px
+        FROM documents
+    )
+    SELECT
+        doc_id AS media_id,
+        {AUG_CROP[2]}::BIGINT AS aug_h,
+        {AUG_CROP[3]}::BIGINT AS aug_w,
+        {_aug_channel_mean_sql(0)} AS mean_r,
+        {_aug_channel_mean_sql(1)} AS mean_g,
+        {_aug_channel_mean_sql(2)} AS mean_b
+    FROM s
+"""
