@@ -915,3 +915,39 @@ def test_grouped_running_sum_shuffle_join_path(spark):
         for r in df.withColumn("cum", F.sum("v").over(w)).collect()
     }
     assert got == want
+
+
+import pytest as _pt
+
+
+@_pt.mark.parametrize(
+    "qname",
+    [
+        "bm25_topk",
+        "doc_unigram_logprob",
+        "term_pagerank_topk",
+        "corpus_mix_by_source",
+        "pq_adc_topk_vec0",
+        "hybrid_rrf_topk",
+    ],
+)
+def test_round6_queries_partitioning_invariant(spark, qname):
+    """The integer micro/nano-unit discipline's testable claim: these
+    queries return IDENTICAL rows under radically different shuffle
+    partitioning (3 vs the session default 32). A double-sum
+    implementation would drift in the last ulp across partitionings and
+    (eventually) flip a rounded value or a top-k boundary; the LONG-sum
+    layout cannot."""
+    from data_platform_spark.queries import all_queries
+
+    fn = all_queries()[qname]
+    sf = "/root/testdata/sf0.001"
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        few = sorted(tuple(r) for r in fn(spark, sf).collect())
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+        many = sorted(tuple(r) for r in fn(spark, sf).collect())
+        assert few == many and len(few) > 0
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
