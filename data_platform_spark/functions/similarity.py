@@ -530,36 +530,10 @@ def kmeans_fit(
 # ---------------------------------------------------------------------------
 
 
-def pq_dist_table(
-    emb: DataFrame,
-    n_sub: int = 4,
-    n_codes: int = 8,
-    dim: int = 64,
-    n_iter: int = 2,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+def _pq_vec_long(
+    emb: DataFrame, sub: int, id_col: str, vec_col: str
 ) -> DataFrame:
-    """Per-(vector, subspace, codeword) squared L2 distance in integer
-    micro-units — the shared core of PQ encode and ADC search.
-
-    Codebooks are TRAINED: per-subspace Lloyd rounds (fixed ``n_iter``,
-    the kmeans_fit convention — an index build, not a convergence chase)
-    from deterministic smallest-id seeds. Training matters: with raw
-    seed codebooks a far vector that quantizes onto the query's own
-    codeword reads as ADC distance 0 — measured recall 0 on planted
-    clusters; two Lloyd rounds spread the codewords over the data and
-    restore the ranking. Centroid values quantize to 4 dp per round and
-    distances to micro-unit LONGs, so every engine reproduces the build
-    bit-for-bit (same quantization discipline as kmeans_fit / ivf).
-
-    The codebook relation is n_sub*n_codes*sub_dim rows — metadata
-    scale, broadcast; each round is one assign + one mean,
-    localCheckpoint'd so plan depth stays constant.
-    """
-    from pyspark.sql.window import Window
-
-    sub = dim // n_sub
-    vec_long = emb.select(
+    return emb.select(
         id_col,
         F.posexplode(as_double(F.col(vec_col))).alias("pos", "x"),
     ).select(
@@ -568,6 +542,51 @@ def pq_dist_table(
         (F.col("pos") / sub).cast("int").alias("m"),
         "x",
     )
+
+
+def _pq_dist_against(
+    vec_long: DataFrame, cents: DataFrame, id_col: str
+) -> DataFrame:
+    return (
+        vec_long.join(F.broadcast(cents), "pos")
+        .groupBy(id_col, "m", "code")
+        .agg(
+            F.floor(
+                F.sum((F.col("x") - F.col("cb_val")) ** 2) * 1_000_000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("dist2_micro")
+        )
+    )
+
+
+def pq_train_codebook(
+    emb: DataFrame,
+    n_sub: int = 4,
+    n_codes: int = 8,
+    dim: int = 64,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train the PQ codebook: per-subspace Lloyd rounds (fixed n_iter,
+    the kmeans_fit convention) from deterministic smallest-id seeds.
+    Returns the (code, pos, cb_val) long layout — n_sub*n_codes*sub_dim
+    rows, metadata scale, persistable as the index's codebook half
+    (ops/ann_index.py). Centroid values quantize to 4 dp per round and
+    downstream distances to micro-unit LONGs, so any engine reproduces
+    the build bit-for-bit.
+
+    Training is load-bearing: with raw seed codebooks a far vector that
+    quantizes onto the query's own codeword reads as ADC distance 0 —
+    measured recall 0 on planted clusters; two Lloyd rounds restore it
+    (tests/test_ann_recall.py).
+    """
+    from pyspark.sql.window import Window
+
+    sub = dim // n_sub
+    vec_long = _pq_vec_long(emb, sub, id_col, vec_col)
     seeds = (
         emb.select(id_col).orderBy(id_col).limit(n_codes)
         .select(
@@ -580,27 +599,12 @@ def pq_dist_table(
         .select("code", "pos", pround(F.col("x"), 4).alias("cb_val"))
         .localCheckpoint()
     )
-
-    def dist_against(c: DataFrame) -> DataFrame:
-        return (
-            vec_long.join(F.broadcast(c), "pos")
-            .groupBy(id_col, "m", "code")
-            .agg(
-                F.floor(
-                    F.sum((F.col("x") - F.col("cb_val")) ** 2) * 1_000_000
-                    + F.lit(0.5)
-                )
-                .cast("long")
-                .alias("dist2_micro")
-            )
-        )
-
     w = Window.partitionBy(id_col, "m").orderBy(
         F.asc("dist2_micro"), F.asc("code")
     )
     for _ in range(n_iter):
         assign = (
-            dist_against(cents)
+            _pq_dist_against(vec_long, cents, id_col)
             .withColumn("__rk", F.row_number().over(w))
             .filter(F.col("__rk") == 1)
             .select(id_col, "m", "code")
@@ -611,7 +615,28 @@ def pq_dist_table(
             .agg(pround(F.avg("x"), 4).alias("cb_val"))
             .localCheckpoint()
         )
-    return dist_against(cents)
+    return cents
+
+
+def pq_dist_table(
+    emb: DataFrame,
+    n_sub: int = 4,
+    n_codes: int = 8,
+    dim: int = 64,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-(vector, subspace, codeword) squared L2 distance in integer
+    micro-units against the TRAINED codebook (pq_train_codebook) — the
+    shared core of PQ encode and ADC search."""
+    sub = dim // n_sub
+    cents = pq_train_codebook(
+        emb, n_sub, n_codes, dim, n_iter, id_col, vec_col
+    )
+    return _pq_dist_against(
+        _pq_vec_long(emb, sub, id_col, vec_col), cents, id_col
+    )
 
 
 def pq_encode(dist: DataFrame, id_col: str = "vec_id") -> DataFrame:

@@ -951,3 +951,41 @@ def test_round6_queries_partitioning_invariant(spark, qname):
         assert few == many and len(few) > 0
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved)
+
+
+def test_pq_persisted_index_matches_in_memory_search(spark, tmp_path):
+    """Build-once/search-many: the parquet-persisted PQ index (codebook
+    + codes) must return the same ADC top-k — ids AND micro-unit
+    distances — as the in-memory pipeline, while reading no
+    full-precision vectors at search time."""
+    from data_platform_spark.functions.similarity import (
+        pq_adc_shortlist,
+        pq_dist_table,
+    )
+    from data_platform_spark.ops.ann_index import (
+        build_pq_index,
+        pq_search_index,
+    )
+    from data_platform_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    path = str(tmp_path / "pq_index")
+    build_pq_index(emb, path)
+
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    got = [
+        (r.vec_id, r.adc_micro)
+        for r in pq_search_index(
+            spark, path, qvec, k=10, exclude_ids=[0]
+        ).collect()
+    ]
+    dist = pq_dist_table(emb)
+    want = [
+        (r.vec_id, r.adc_micro)
+        for r in pq_adc_shortlist(dist, 0, 10).collect()
+    ]
+    assert got == want and len(got) == 10
