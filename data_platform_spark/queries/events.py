@@ -933,3 +933,64 @@ ORACLE["events_anomaly_zscore"] = f"""
         coalesce(zscore >= {ZSCORE_CUT}, false) AS is_anomaly
     FROM scored
 """
+
+
+def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch vs last-touch attribution per purchase: the earliest
+    and the latest click by the same user at or before the purchase,
+    plus the last-touch gap in exact integer microseconds — the two canonical attribution
+    models side by side (marketing analytics' perennial A/B). Purchases
+    with no prior click keep NULL touches (left join) — the 'direct'
+    bucket.
+
+    Same interval-join layout as purchase_prior_click_counts: equi-join
+    on user_id carries the shuffle, the time predicate evaluates inside
+    each user's partition, min/max aggregate per purchase — cost bounded
+    by per-user activity, never n²."""
+    ev = load_table(spark, sf_dir, "events")
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .alias("p")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .select(F.col("user_id"), F.col("ts").alias("c_ts"))
+        .alias("c")
+    )
+    cond = (F.col("p.user_id") == F.col("c.user_id")) & (
+        F.col("c.c_ts") <= F.col("p.p_ts")
+    )
+    joined = p.join(c, cond, "left")
+    return joined.groupBy(
+        F.col("p.purchase_id").alias("purchase_id"),
+        F.col("p.user_id").alias("user_id"),
+        F.col("p.p_ts").alias("purchase_ts"),
+    ).agg(
+        F.min("c.c_ts").alias("first_touch_ts"),
+        F.max("c.c_ts").alias("last_touch_ts"),
+        (
+            F.unix_micros(F.col("p.p_ts")) - F.unix_micros(F.max("c.c_ts"))
+        ).alias("last_touch_gap_us"),
+    )
+
+
+QUERIES["purchase_attribution"] = purchase_attribution
+
+ORACLE["purchase_attribution"] = """
+    SELECT
+        p.event_id AS purchase_id,
+        p.user_id,
+        p.ts AS purchase_ts,
+        min(c.ts) AS first_touch_ts,
+        max(c.ts) AS last_touch_ts,
+        CAST(epoch_us(p.ts) - epoch_us(max(c.ts)) AS BIGINT) AS last_touch_gap_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND c.ts <= p.ts
+    GROUP BY p.event_id, p.user_id, p.ts
+"""
