@@ -1597,3 +1597,122 @@ def _chunk_bm25_oracle() -> str:
 
 
 ORACLE["chunk_bm25_topk"] = _chunk_bm25_oracle()
+
+
+# ---------------------------------------------------------------------------
+# classifier evaluation metrics: precision/recall/F1 of the lang-ID heuristic
+# ---------------------------------------------------------------------------
+
+
+def lang_id_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision / recall / F1 of the marker-based language-ID
+    heuristic against the labeled lang column — the evaluation layer on
+    top of lang_id_confusion (every data-quality classifier in a corpus
+    pipeline needs this scorecard). Three metadata-scale aggregates
+    (truth counts, prediction counts, diagonal counts) joined on the
+    class key; divisions guarded for classes never predicted. One scan,
+    three tiny shuffles."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    scored = docs.select(
+        "lang", X.predicted_lang(F.col("text")).alias("pred")
+    )
+    truth = scored.groupBy("lang").agg(F.count(F.lit(1)).alias("n_true"))
+    pred = scored.groupBy(F.col("pred").alias("lang")).agg(
+        F.count(F.lit(1)).alias("n_pred")
+    )
+    correct = (
+        scored.filter(F.col("lang") == F.col("pred"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_correct"))
+    )
+    j = (
+        truth.join(pred, "lang", "left")
+        .join(correct, "lang", "left")
+        .select(
+            "lang",
+            "n_true",
+            F.coalesce(F.col("n_pred"), F.lit(0)).alias("n_pred"),
+            F.coalesce(F.col("n_correct"), F.lit(0)).alias("n_correct"),
+        )
+    )
+    precision = F.when(
+        F.col("n_pred") > 0, F.col("n_correct") / F.col("n_pred")
+    ).otherwise(F.lit(0.0))
+    recall = F.col("n_correct") / F.col("n_true")
+    f1 = F.when(
+        (precision + recall) > 0,
+        2 * precision * recall / (precision + recall),
+    ).otherwise(F.lit(0.0))
+    return j.select(
+        "lang",
+        "n_true",
+        "n_pred",
+        "n_correct",
+        pround(precision, 4).alias("precision"),
+        pround(recall, 4).alias("recall"),
+        pround(f1, 4).alias("f1"),
+    )
+
+
+QUERIES["lang_id_metrics"] = lang_id_metrics
+
+
+def _lang_metrics_oracle() -> str:
+    score_cols = ",\n                ".join(
+        f"{_sql_marker_score(X.LANG_MARKERS[lang])} AS s_{lang}"
+        for lang in X.LANG_PRIORITY
+    )
+    max_expr = (
+        "greatest(" + ", ".join(f"s_{l}" for l in X.LANG_PRIORITY) + ")"
+    )
+    case_branches = "\n                ".join(
+        f"WHEN s_{lang} = {max_expr} THEN '{lang}'"
+        for lang in X.LANG_PRIORITY[:-1]
+    )
+    prec = "CASE WHEN n_pred > 0 THEN n_correct * 1.0 / n_pred ELSE 0.0 END"
+    rec = "n_correct * 1.0 / n_true"
+    f1 = (
+        f"CASE WHEN ({prec}) + ({rec}) > 0 "
+        f"THEN 2 * ({prec}) * ({rec}) / (({prec}) + ({rec})) ELSE 0.0 END"
+    )
+    return f"""
+        WITH scored AS (
+            SELECT lang,
+                CASE
+                {case_branches}
+                ELSE '{X.LANG_PRIORITY[-1]}'
+                END AS pred
+            FROM (
+                SELECT lang,
+                {score_cols}
+                FROM documents
+            )
+        ),
+        truth AS (
+            SELECT lang, count(*)::BIGINT AS n_true FROM scored GROUP BY lang
+        ),
+        pred AS (
+            SELECT pred AS lang, count(*)::BIGINT AS n_pred
+            FROM scored GROUP BY pred
+        ),
+        correct AS (
+            SELECT lang, count(*)::BIGINT AS n_correct
+            FROM scored WHERE lang = pred GROUP BY lang
+        ),
+        j AS (
+            SELECT t.lang, t.n_true,
+                   coalesce(p.n_pred, 0)::BIGINT AS n_pred,
+                   coalesce(c.n_correct, 0)::BIGINT AS n_correct
+            FROM truth t
+            LEFT JOIN pred p USING (lang)
+            LEFT JOIN correct c USING (lang)
+        )
+        SELECT lang, n_true, n_pred, n_correct,
+               {sql_round(prec, 4)} AS precision,
+               {sql_round(rec, 4)} AS recall,
+               {sql_round(f1, 4)} AS f1
+        FROM j
+    """
+
+
+ORACLE["lang_id_metrics"] = _lang_metrics_oracle()
