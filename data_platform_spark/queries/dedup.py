@@ -1133,3 +1133,76 @@ def _incr_neardup_oracle() -> str:
 
 
 ORACLE["incremental_neardup_new_batch"] = _incr_neardup_oracle()
+
+
+def neardup_embedding_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal validation: every verified TEXT near-dup pair joined
+    to both members' EMBEDDINGS (doc_id and vec_id share the id domain)
+    and scored by cosine — the consistency check between the lexical and
+    dense views of the corpus that a multimodal pipeline runs before
+    trusting either for dedup. Pairs where high shingle Jaccard meets
+    low embedding cosine flag modality drift (stale embeddings, wrong
+    joins). Two broadcast-scale joins on the pair ids; cosine is the
+    JVM zip_with/aggregate fold, 4-dp rounded."""
+    from data_platform_spark.functions import similarity as S
+    from data_platform_spark.queries._util import pround as _pround
+
+    pairs = neardup_pairs_lsh(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    ea = emb.select(
+        F.col("vec_id").alias("doc_a"), F.col("embedding").alias("emb_a")
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("doc_b"), F.col("embedding").alias("emb_b")
+    )
+    joined = pairs.join(ea, "doc_a").join(eb, "doc_b")
+    return joined.select(
+        "doc_a",
+        "doc_b",
+        "jaccard",
+        _pround(
+            S.cosine(S.as_double(F.col("emb_a")), S.as_double(F.col("emb_b"))),
+            4,
+        ).alias("cosine"),
+    )
+
+
+QUERIES["neardup_embedding_consistency"] = neardup_embedding_consistency
+
+_PAIR_COSINE_SQL = (
+    "list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) / "
+    "(sqrt(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[]))"
+    " * sqrt(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[])))"
+)
+
+ORACLE["neardup_embedding_consistency"] = f"""
+    WITH {_shingle_cte()},
+    {_sig_sql()},
+    {_bands_sql()},
+    sizes AS (
+        SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ),
+    common AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS n_common
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        GROUP BY c.doc_a, c.doc_b
+    ),
+    verified AS (
+        SELECT
+            doc_a,
+            doc_b,
+            {sql_round("n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common)", 4)} AS jaccard
+        FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE {sql_round("n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common)", 4)}
+              >= {JACCARD_THRESHOLD}
+    )
+    SELECT v.doc_a, v.doc_b, v.jaccard,
+           {sql_round(_PAIR_COSINE_SQL, 4)} AS cosine
+    FROM verified v
+    JOIN embeddings ea ON ea.vec_id = v.doc_a
+    JOIN embeddings eb ON eb.vec_id = v.doc_b
+"""

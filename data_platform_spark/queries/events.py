@@ -994,3 +994,47 @@ ORACLE["purchase_attribution"] = """
       ON p.user_id = c.user_id AND c.ts <= p.ts
     GROUP BY p.event_id, p.user_id, p.ts
 """
+
+
+def events_daily_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed data-quality monitor: per day — row count, null
+    rates of the nullable columns, distinct users, exact median value.
+    The observability table a 100 TB event pipeline materializes after
+    every load to catch upstream breakage (null spikes, volume drops,
+    cardinality shifts) before consumers do. One shuffle keyed by day;
+    every metric is an algebraic or sort-based aggregate within the
+    bucket."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    return ev.groupBy(day).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("user_id").alias("n_users"),
+        pround(
+            F.sum(F.col("value").isNull().cast("int"))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("null_value_rate"),
+        pround(
+            F.sum(F.col("props").isNull().cast("int"))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("null_props_rate"),
+        pround(F.expr("percentile(value, 0.5)"), 4).alias("median_value"),
+    )
+
+
+QUERIES["events_daily_quality"] = events_daily_quality
+
+ORACLE["events_daily_quality"] = f"""
+    SELECT
+        date_trunc('day', ts) AS day,
+        count(*)::BIGINT AS n_rows,
+        count(DISTINCT user_id)::BIGINT AS n_users,
+        {sql_round("sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*)", 6)}
+            AS null_value_rate,
+        {sql_round("sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*)", 6)}
+            AS null_props_rate,
+        {sql_round("median(value)", 4)} AS median_value
+    FROM events
+    GROUP BY 1
+"""
