@@ -37,8 +37,14 @@ class Warehouse:
 
     SCHEMAS = ("raw", "stg", "dwh", "datamart")
 
-    def __init__(self, root: str):
+    def __init__(self, root: str, retain_versions: int = 0):
         self.root = root
+        # snapshot retention: when > 0, every atomic swap KEEPS the
+        # replaced table directory as <table>.v<N> (monotonic), pruned to
+        # the newest ``retain_versions`` — time-travel for training-data
+        # reproducibility ("which corpus version trained run X"): the
+        # file-level analog of a table format's snapshot log.
+        self.retain_versions = retain_versions
         for s in self.SCHEMAS:
             os.makedirs(os.path.join(root, s), exist_ok=True)
         self.recover()
@@ -181,7 +187,41 @@ class Warehouse:
                 os.rename(final, old)
             os.rename(tmp, final)
             if had_old:
-                shutil.rmtree(old, ignore_errors=True)
+                if self.retain_versions > 0:
+                    nxt = max(self.versions(schema, table), default=0) + 1
+                    os.rename(old, f"{final}.v{nxt}")
+                    self._prune_versions(schema, table)
+                else:
+                    shutil.rmtree(old, ignore_errors=True)
+
+    def versions(self, schema: str, table: str) -> list[int]:
+        """Retained snapshot version numbers, oldest first."""
+        d = os.path.join(self.root, schema)
+        prefix = f"{table}.v"
+        out = []
+        for entry in os.listdir(d) if os.path.isdir(d) else []:
+            if entry.startswith(prefix) and entry[len(prefix):].isdigit():
+                out.append(int(entry[len(prefix):]))
+        return sorted(out)
+
+    def read_version(
+        self, spark: SparkSession, schema: str, table: str, version: int
+    ) -> DataFrame:
+        """Time-travel read of a retained snapshot."""
+        vpath = f"{self.path(schema, table)}.v{version}"
+        if not os.path.isdir(vpath):
+            raise FileNotFoundError(
+                f"no retained version {version} for {schema}.{table} "
+                f"(have {self.versions(schema, table)})"
+            )
+        return spark.read.option("mergeSchema", "true").parquet(vpath)
+
+    def _prune_versions(self, schema: str, table: str) -> None:
+        vs = self.versions(schema, table)
+        for v in vs[: max(0, len(vs) - self.retain_versions)]:
+            shutil.rmtree(
+                f"{self.path(schema, table)}.v{v}", ignore_errors=True
+            )
 
     def merge(
         self,

@@ -586,3 +586,54 @@ def test_merge_schema_evolution(spark, wh):
     out = wh.read(spark, "raw", "evo")
     assert "stray" not in out.columns
     assert {r.id for r in out.collect()} == {1, 2, 3, 4, 5, 6}
+
+
+def test_warehouse_snapshot_retention_and_time_travel(spark, tmp_path):
+    """retain_versions keeps the replaced table directory as a numbered
+    snapshot: three overwrites with retention 2 leave the current table
+    plus the two newest snapshots (oldest pruned), each time-travel
+    readable with its exact historical content; recovery scanning
+    ignores the .vN dirs."""
+    from data_platform_spark.pipeline import Warehouse
+
+    wh = Warehouse(str(tmp_path / "wh"), retain_versions=2)
+
+    def write_gen(gen: int):
+        df = spark.createDataFrame(
+            [(i, f"gen{gen}") for i in range(5)], "id int, v string"
+        )
+        wh.write(df, "dwh", "snap_t")
+
+    write_gen(1)
+    assert wh.versions("dwh", "snap_t") == []  # first write: nothing replaced
+    write_gen(2)
+    assert wh.versions("dwh", "snap_t") == [1]
+    write_gen(3)
+    assert wh.versions("dwh", "snap_t") == [1, 2]
+    write_gen(4)
+    # retention 2: v1 pruned, v2/v3 kept
+    assert wh.versions("dwh", "snap_t") == [2, 3]
+
+    assert (
+        wh.read(spark, "dwh", "snap_t").select("v").distinct().collect()[0][0]
+        == "gen4"
+    )
+    assert (
+        wh.read_version(spark, "dwh", "snap_t", 2)
+        .select("v").distinct().collect()[0][0]
+        == "gen2"
+    )
+    assert (
+        wh.read_version(spark, "dwh", "snap_t", 3)
+        .select("v").distinct().collect()[0][0]
+        == "gen3"
+    )
+    import pytest as _pt
+
+    with _pt.raises(FileNotFoundError, match="no retained version 1"):
+        wh.read_version(spark, "dwh", "snap_t", 1)
+
+    # recovery must not mistake snapshot dirs for crashed swaps
+    assert Warehouse(str(tmp_path / "wh"), retain_versions=2).versions(
+        "dwh", "snap_t"
+    ) == [2, 3]
