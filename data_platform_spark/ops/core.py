@@ -194,3 +194,36 @@ def with_sentinel_key(
     dimension also carries turns it into a plain equi-join.
     """
     return df.withColumn(key_col, F.coalesce(F.col(key_col), F.lit(sentinel)))
+
+
+def corpus_version_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    content_cols: list[str],
+) -> DataFrame:
+    """Content-hash diff between two corpus snapshots (pairs with the
+    warehouse's time-travel reads): per key, classify as ``added``,
+    ``removed``, ``changed`` or ``unchanged`` — the audit that answers
+    "what moved between the corpus that trained run A and run B".
+
+    One shuffle each side on the key (full-outer join of (key, hash)
+    projections — content never shuffles); classification is a per-row
+    CASE. Returns (key, status, old_hash, new_hash).
+    """
+    oh = old.select(
+        F.col(key),
+        F.md5(F.concat_ws("\x1f", *content_cols)).alias("old_hash"),
+    )
+    nh = new.select(
+        F.col(key),
+        F.md5(F.concat_ws("\x1f", *content_cols)).alias("new_hash"),
+    )
+    j = oh.join(nh, key, "full_outer")
+    status = (
+        F.when(F.col("old_hash").isNull(), F.lit("added"))
+        .when(F.col("new_hash").isNull(), F.lit("removed"))
+        .when(F.col("old_hash") != F.col("new_hash"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(key, status.alias("status"), "old_hash", "new_hash")

@@ -1716,3 +1716,76 @@ def _lang_metrics_oracle() -> str:
 
 
 ORACLE["lang_id_metrics"] = _lang_metrics_oracle()
+
+
+# ---------------------------------------------------------------------------
+# shard export: cut the corpus into token-balanced output shards
+# ---------------------------------------------------------------------------
+
+N_SHARDS = 8
+
+
+def corpus_shard_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced shard assignment — the EXPORT stage of a training
+    pipeline: documents in stable doc_id order are cut at every
+    ceil(total/N) token mark into N contiguous shards, so each output
+    shard (file group) carries a near-equal token load regardless of
+    document-length skew. The cumulative offset comes from the two-phase
+    global running sum; the total is a 1-row broadcast. Output is the
+    per-shard summary (docs, tokens) — the balance evidence. The full
+    assignment is the same frame before the final groupBy."""
+    from data_platform_spark.ops.global_order import global_running_sum
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    scored = docs.select(
+        "doc_id",
+        X.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    cum = global_running_sum(
+        scored, [F.asc("doc_id")], F.col("n_tokens"), "cum_tokens"
+    )
+    total = cum.agg(F.max("cum_tokens").alias("total_tokens"))
+    shard_size = F.ceil(F.col("total_tokens") / N_SHARDS)
+    assigned = cum.crossJoin(F.broadcast(total)).select(
+        "doc_id",
+        "n_tokens",
+        F.floor(
+            (F.col("cum_tokens") - F.col("n_tokens")) / shard_size
+        ).cast("long").alias("shard"),
+    )
+    return assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("shard_tokens"),
+    )
+
+
+QUERIES["corpus_shard_summary"] = corpus_shard_summary
+
+ORACLE["corpus_shard_summary"] = f"""
+    WITH scored AS (
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{X.TOKEN_REGEX}'))::BIGINT
+                   AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT *,
+               CAST(sum(n_tokens) OVER (
+                   ORDER BY doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_tokens
+        FROM scored
+    ),
+    total AS (SELECT max(cum_tokens) AS total_tokens FROM c),
+    assigned AS (
+        SELECT doc_id, n_tokens,
+               CAST(floor((cum_tokens - n_tokens) * 1.0 /
+                    ceil(t.total_tokens * 1.0 / {N_SHARDS})) AS BIGINT)
+                   AS shard
+        FROM c, total t
+    )
+    SELECT shard, count(*)::BIGINT AS n_docs,
+           sum(n_tokens)::BIGINT AS shard_tokens
+    FROM assigned
+    GROUP BY shard
+"""

@@ -637,3 +637,30 @@ def test_warehouse_snapshot_retention_and_time_travel(spark, tmp_path):
     assert Warehouse(str(tmp_path / "wh"), retain_versions=2).versions(
         "dwh", "snap_t"
     ) == [2, 3]
+
+
+def test_corpus_version_diff_classifies_all_transitions(spark, tmp_path):
+    """Snapshot diff over time-travel reads: write v1, overwrite with a
+    mutated corpus, diff the retained snapshot against the current table
+    — every transition class (added/removed/changed/unchanged) must come
+    out exactly."""
+    from data_platform_spark.ops.core import corpus_version_diff
+    from data_platform_spark.pipeline import Warehouse
+
+    wh = Warehouse(str(tmp_path / "wh"), retain_versions=1)
+    v1 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma")], "doc_id int, text string"
+    )
+    wh.write(v1, "dwh", "corpus")
+    v2 = spark.createDataFrame(
+        [(1, "alpha"), (2, "BETA2"), (4, "delta")], "doc_id int, text string"
+    )
+    wh.write(v2, "dwh", "corpus")
+
+    old = wh.read_version(spark, "dwh", "corpus", 1)
+    new = wh.read(spark, "dwh", "corpus")
+    got = {
+        r.doc_id: r.status
+        for r in corpus_version_diff(old, new, "doc_id", ["text"]).collect()
+    }
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
