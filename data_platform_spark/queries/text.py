@@ -1789,3 +1789,56 @@ ORACLE["corpus_shard_summary"] = f"""
     FROM assigned
     GROUP BY shard
 """
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling without replacement (Efraimidis–Spirakis keys)
+# ---------------------------------------------------------------------------
+
+WSAMPLE_K = 100
+WSAMPLE_EPS = 0.01  # weight floor: zero-quality docs stay sampleable
+
+
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, probability ∝ quality —
+    the Efraimidis–Spirakis one-pass construction: each doc draws the
+    deterministic content-hash uniform u and keeps key = u^(1/w); the
+    top-k keys ARE a weighted sample without replacement. The curation
+    primitive between take-the-best (budget sampling) and uniform
+    sampling: high-quality docs are favored but not guaranteed.
+
+    Fully distributed: one narrow pass computes keys, top-k is a
+    TakeOrdered — no shuffle beyond the final k-row gather. Keys round
+    to 6 dp (ties broken by doc_id) identically in the oracle."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    u = F.conv(F.substring(F.md5(F.col("text")), 1, 8), 16, 10).cast(
+        "long"
+    ) / F.lit(_HASH_MAX)
+    w = X.quality_score(F.col("text")) + F.lit(WSAMPLE_EPS)
+    key = pround(F.pow(u, 1.0 / w), 6)
+    scored = docs.select(
+        "doc_id",
+        X.quality_score(F.col("text")).alias("quality"),
+        key.alias("es_key"),
+    )
+    return scored.orderBy(F.desc("es_key"), F.asc("doc_id")).limit(WSAMPLE_K)
+
+
+QUERIES["quality_weighted_sample"] = quality_weighted_sample
+
+
+def _wsample_oracle() -> str:
+    u = f"(('0x' || substr(md5(text), 1, 8))::BIGINT / {_HASH_MAX})"
+    q = quality_sql()
+    return f"""
+        SELECT doc_id,
+               {q} AS quality,
+               {sql_round(f"pow({u}, 1.0 / (({q}) + {WSAMPLE_EPS}))", 6)}
+                   AS es_key
+        FROM documents
+        ORDER BY es_key DESC, doc_id ASC
+        LIMIT {WSAMPLE_K}
+    """
+
+
+ORACLE["quality_weighted_sample"] = _wsample_oracle()
