@@ -1038,3 +1038,79 @@ ORACLE["events_daily_quality"] = f"""
     FROM events
     GROUP BY 1
 """
+
+
+def user_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral entropy per user: the Shannon entropy of the user's
+    event-type TRANSITION distribution (prev→next pairs from the
+    time-ordered stream) — bots and scripted traffic collapse to
+    near-zero entropy, organic users don't; a standard abuse/quality
+    signal over event streams.
+
+    One shuffle on user_id (lag window), one groupBy for transition
+    counts, one for the per-user entropy. Each -p·ln(p) term quantizes
+    to micro-unit LONGs before the per-user sum (≤ k² terms), so the
+    aggregate is order-independent — the bm25 discipline."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    trans = (
+        ev.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("prev"),
+            F.col("event_type").alias("next"),
+        )
+        .filter(F.col("prev").isNotNull())
+    )
+    counts = trans.groupBy("user_id", "prev", "next").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = counts.groupBy("user_id").agg(
+        F.sum("n").alias("n_total"),
+        F.count(F.lit(1)).alias("n_transition_types"),
+    )
+    p = F.col("n") / F.col("n_total")
+    term_micro = F.floor(-p * F.log(p) * 1_000_000 + F.lit(0.5)).cast("long")
+    return (
+        counts.join(totals, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.first("n_total").alias("n_transitions"),
+            F.first("n_transition_types").alias("n_transition_types"),
+            F.sum(term_micro).alias("entropy_micro"),
+        )
+    )
+
+
+QUERIES["user_event_entropy"] = user_event_entropy
+
+ORACLE["user_event_entropy"] = """
+    WITH trans AS (
+        SELECT user_id, prev, event_type AS next
+        FROM (
+            SELECT user_id, event_type,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   ) AS prev
+            FROM events
+        )
+        WHERE prev IS NOT NULL
+    ),
+    counts AS (
+        SELECT user_id, prev, next, count(*)::BIGINT AS n
+        FROM trans GROUP BY user_id, prev, next
+    ),
+    totals AS (
+        SELECT user_id, sum(n)::BIGINT AS n_total,
+               count(*)::BIGINT AS n_transition_types
+        FROM counts GROUP BY user_id
+    )
+    SELECT
+        c.user_id,
+        t.n_total AS n_transitions,
+        t.n_transition_types,
+        sum(CAST(floor(
+            -(c.n * 1.0 / t.n_total) * ln(c.n * 1.0 / t.n_total)
+            * 1000000 + 0.5) AS BIGINT))::BIGINT AS entropy_micro
+    FROM counts c JOIN totals t USING (user_id)
+    GROUP BY c.user_id, t.n_total, t.n_transition_types
+"""

@@ -1842,3 +1842,75 @@ def _wsample_oracle() -> str:
 
 
 ORACLE["quality_weighted_sample"] = _wsample_oracle()
+
+
+# ---------------------------------------------------------------------------
+# per-source rank normalization (quantile-normalized quality)
+# ---------------------------------------------------------------------------
+
+
+def quality_percentile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-normalized quality WITHIN each source: a doc's percentile
+    among its own source's quality distribution — the normalization that
+    makes quality thresholds comparable across sources whose raw score
+    distributions differ (forum text vs books score on different
+    scales). Percentile = (row_number - 1) / (n_source - 1) under the
+    total order (quality, doc_id); singleton sources pin to 0.
+
+    Skew-safe by construction: the within-source rank rides
+    ops.global_order.grouped_running_sum (range partition over
+    (source, order) — a dominant source spans many partitions, never one
+    task), and per-source counts are a metadata-scale broadcast."""
+    from data_platform_spark.ops.global_order import grouped_running_sum
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    scored = docs.select(
+        "doc_id",
+        "source",
+        X.quality_score(F.col("text")).alias("quality"),
+    )
+    ranked = grouped_running_sum(
+        scored,
+        ["source"],
+        [F.asc("quality"), F.asc("doc_id")],
+        F.lit(1).cast("long"),
+        "rn",
+    )
+    counts = scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_source")
+    )
+    j = ranked.join(F.broadcast(counts), "source")
+    pct = F.when(
+        F.col("n_source") > 1,
+        (F.col("rn") - 1) / (F.col("n_source") - 1),
+    ).otherwise(F.lit(0.0))
+    return j.select(
+        "doc_id",
+        "source",
+        "quality",
+        pround(pct, 6).alias("quality_pct"),
+    )
+
+
+QUERIES["quality_percentile_by_source"] = quality_percentile_by_source
+
+ORACLE["quality_percentile_by_source"] = f"""
+    WITH scored AS (
+        SELECT doc_id, source, {{q}} AS quality
+        FROM documents
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (
+                   PARTITION BY source ORDER BY quality ASC, doc_id ASC
+               )::BIGINT AS rn,
+               count(*) OVER (PARTITION BY source)::BIGINT AS n_source
+        FROM scored
+    )
+    SELECT doc_id, source, quality,
+           {sql_round(
+               "CASE WHEN n_source > 1 "
+               "THEN (rn - 1) * 1.0 / (n_source - 1) ELSE 0.0 END", 6
+           )} AS quality_pct
+    FROM ranked
+""".replace("{q}", quality_sql())
