@@ -41,19 +41,20 @@ def _modules():
 
 
 # The driver's correctness gate checks the FIRST ~50 registered queries, in
-# dict order. Cumulative accounting entering round 6: 159 registered, 137
+# dict order. Cumulative accounting entering round 6: 161 registered, 137
 # carry a driver-green row from r1-r5 (hash-green, or rows-only with rows
-# for the 3 un-oracled ones); the 22 without are new this round. Evidence
+# for the 3 un-oracled ones); the 24 without are new this round. Evidence
 # age after r5: 50 green in r5, 40 in r4, 36 in r3, 11 stuck at r1. The
 # round-6 window packs, in order:
-# (1) the 22 queries with NO green row ever (new this round: BM25
+# (1) the 24 queries with NO green row ever (new this round: BM25
 #     retrieval, unigram-LM scoring, BPE pair induction, incremental
 #     dedup, the three product-quantization queries, term PageRank,
 #     hybrid RRF fusion, n-gram containment, rolling z-score anomaly,
 #     incremental near-dup, erasure cascade, temperature mixing,
 #     chunk-granularity BM25, image augmentation, attribution,
 #     lang-ID scorecard, cross-modal consistency, daily quality monitor,
-#     token-balanced sharding, ES weighted sampling);
+#     token-balanced sharding, ES weighted sampling, behavioral
+#     entropy, per-source rank normalization);
 # (2) re-proof of every implementation changed this round: the grouped
 #     two-phase rewrite of corpus_mix_by_source, the memory-bounded
 #     simhash64, the four global_order consumers (ntile divisor clamp),
@@ -90,6 +91,8 @@ _R6_WINDOW = (
     "events_daily_quality",
     "corpus_shard_summary",
     "quality_weighted_sample",
+    "user_event_entropy",
+    "quality_percentile_by_source",
     # (2) changed implementations needing re-proof
     "corpus_mix_by_source",
     "simhash_signatures",
@@ -116,21 +119,20 @@ _R6_WINDOW = (
     "q8_market_share",
     "rank_vs_dense_rank_orders",
     # (5) oldest r3-green rows
-    "dedup_exact_groups",
-    "doc_quality",
     "doc_text_stats",
     "events_hourly_by_type",
     "events_running_total",
     "events_session_window_builtin",
     "events_sliding_window_counts",
     "knn_within_buckets",
-    # 16 r3-green rows (lang_id_confusion, minhash_signatures,
+    # 18 r3-green rows (dedup_exact_groups, doc_quality,
+    # lang_id_confusion, minhash_signatures,
     # multimodal_image_decode, doc_length_histogram, doc_top_terms_tfidf,
     # doc_fingerprint, customer_order_ids_array, documents_after_dedup,
     # embedding_vector_stats, events_downsample_gapfill, bigram_top20,
     # cosine_topk_vec0, doc_lang_id, embedding_label_centroids,
     # embedding_neardup_pairs, events_json_extract) yielded their refresh
-    # slots to the 22 round-6 queries — first evidence beats refresh, and
+    # slots to the 24 round-6 queries — first evidence beats refresh, and
     # the window stays near the driver's ~50-query gate
 )
 
