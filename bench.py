@@ -73,18 +73,26 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
-        best = None
-        # best-of-N (default 3): the shared bench host shows ~1.6× run-to-
+        # median-of-N (default 3): the shared bench host shows ~1.6× run-to-
         # run spread on identical plans (PLANS.md round-5 adjudication of
-        # the r4 "regression"); per-query minima inside one process damp it
+        # the r4 "regression"); the per-query MEDIAN inside one process is
+        # robust to a single loaded run without the min's optimistic bias,
+        # so the reported artifact tracks what a rerun would actually see.
         runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+        samples: list[float] = []
         for _ in range(runs):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            elapsed = time.perf_counter() - t0
-            best = elapsed if best is None else min(best, elapsed)
-        timings[name] = round(best, 3)
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        mid = len(samples) // 2
+        median = (
+            samples[mid]
+            if len(samples) % 2 == 1
+            else (samples[mid - 1] + samples[mid]) / 2
+        )
+        timings[name] = round(median, 3)
 
     total = round(sum(timings.values()), 3)
     print(

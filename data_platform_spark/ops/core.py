@@ -210,14 +210,29 @@ def corpus_version_diff(
     One shuffle each side on the key (full-outer join of (key, hash)
     projections — content never shuffles); classification is a per-row
     CASE. Returns (key, status, old_hash, new_hash).
+
+    NULLs are hashed distinguishably: concat_ws silently DROPS null
+    arguments, so without the sentinel a column flipping NULL↔'' (or a
+    value sliding into an adjacent column across a NULL) would collide
+    to the same hash and a changed row would read 'unchanged'. Each
+    content column is coalesced to a sentinel that cannot appear in
+    real data (\\x00-prefixed) before concatenation.
     """
+
+    def _nn(c: str) -> Column:
+        return F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL"))
+
     oh = old.select(
         F.col(key),
-        F.md5(F.concat_ws("\x1f", *content_cols)).alias("old_hash"),
+        F.md5(F.concat_ws("\x1f", *[_nn(c) for c in content_cols])).alias(
+            "old_hash"
+        ),
     )
     nh = new.select(
         F.col(key),
-        F.md5(F.concat_ws("\x1f", *content_cols)).alias("new_hash"),
+        F.md5(F.concat_ws("\x1f", *[_nn(c) for c in content_cols])).alias(
+            "new_hash"
+        ),
     )
     j = oh.join(nh, key, "full_outer")
     status = (

@@ -83,10 +83,24 @@ class Warehouse:
                     shutil.rmtree(full, ignore_errors=True)
                     actions.append(f"swept {s}/{entry}")
                 elif ".old-" in entry:
-                    final = os.path.join(sdir, entry.split(".old-")[0])
+                    table = entry.split(".old-")[0]
+                    final = os.path.join(sdir, table)
                     if os.path.isdir(final):
-                        shutil.rmtree(full, ignore_errors=True)
-                        actions.append(f"removed completed-swap {s}/{entry}")
+                        if self.retain_versions > 0:
+                            # completed swap whose retention promotion was
+                            # interrupted: the .old-* IS the snapshot that
+                            # retention promised to keep — promote it to the
+                            # next .vN instead of dropping a version from
+                            # the history.
+                            nxt = max(self.versions(s, table), default=0) + 1
+                            os.rename(full, f"{final}.v{nxt}")
+                            self._prune_versions(s, table)
+                            actions.append(
+                                f"promoted completed-swap {s}/{entry} to v{nxt}"
+                            )
+                        else:
+                            shutil.rmtree(full, ignore_errors=True)
+                            actions.append(f"removed completed-swap {s}/{entry}")
                     else:
                         os.rename(full, final)
                         actions.append(f"rolled back {s}/{entry}")

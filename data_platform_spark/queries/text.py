@@ -1746,12 +1746,18 @@ def corpus_shard_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     total = cum.agg(F.max("cum_tokens").alias("total_tokens"))
     shard_size = F.ceil(F.col("total_tokens") / N_SHARDS)
+    # least-clamp: a trailing zero-token doc landing exactly on the total
+    # boundary (total divisible by N) would otherwise compute shard == N —
+    # a spurious (N+1)-th shard out of the intended 0..N-1 range.
     assigned = cum.crossJoin(F.broadcast(total)).select(
         "doc_id",
         "n_tokens",
-        F.floor(
-            (F.col("cum_tokens") - F.col("n_tokens")) / shard_size
-        ).cast("long").alias("shard"),
+        F.least(
+            F.floor(
+                (F.col("cum_tokens") - F.col("n_tokens")) / shard_size
+            ).cast("long"),
+            F.lit(N_SHARDS - 1).cast("long"),
+        ).alias("shard"),
     )
     return assigned.groupBy("shard").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -1779,8 +1785,9 @@ ORACLE["corpus_shard_summary"] = f"""
     total AS (SELECT max(cum_tokens) AS total_tokens FROM c),
     assigned AS (
         SELECT doc_id, n_tokens,
-               CAST(floor((cum_tokens - n_tokens) * 1.0 /
-                    ceil(t.total_tokens * 1.0 / {N_SHARDS})) AS BIGINT)
+               least(CAST(floor((cum_tokens - n_tokens) * 1.0 /
+                    ceil(t.total_tokens * 1.0 / {N_SHARDS})) AS BIGINT),
+                    CAST({N_SHARDS - 1} AS BIGINT))
                    AS shard
         FROM c, total t
     )

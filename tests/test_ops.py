@@ -989,3 +989,26 @@ def test_pq_persisted_index_matches_in_memory_search(spark, tmp_path):
         for r in pq_adc_shortlist(dist, 0, 10).collect()
     ]
     assert got == want and len(got) == 10
+
+
+def test_corpus_shard_summary_clamps_trailing_boundary_doc(spark, tmp_path):
+    """A trailing zero-token doc landing exactly on the total boundary
+    with total divisible by N_SHARDS computes floor((cum-n)/shard_size)
+    == N_SHARDS without the clamp — a spurious extra shard. The clamped
+    assignment must keep every shard index inside 0..N_SHARDS-1."""
+    from data_platform_spark.queries.text import N_SHARDS, corpus_shard_summary
+
+    # 2*N_SHARDS one-token docs (total = 16, shard_size = 2) plus a
+    # trailing ZERO-token doc at cum == total: unclamped shard would be 8.
+    rows = [(i, "tok", "en", "s", 3) for i in range(2 * N_SHARDS)]
+    rows.append((999, "", "en", "s", 0))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    out = corpus_shard_summary(spark, str(tmp_path)).collect()
+    shards = {r.shard for r in out}
+    assert shards <= set(range(N_SHARDS))
+    # the boundary doc joined the LAST shard, not a phantom ninth
+    last = {r.shard: r.n_docs for r in out}[N_SHARDS - 1]
+    assert last == 3  # two one-token docs + the zero-token straggler

@@ -664,3 +664,84 @@ def test_corpus_version_diff_classifies_all_transitions(spark, tmp_path):
         for r in corpus_version_diff(old, new, "doc_id", ["text"]).collect()
     }
     assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_corpus_version_diff_distinguishes_nulls(spark):
+    """concat_ws drops NULL args, so without a sentinel a NULL↔'' flip or
+    a value sliding between adjacent columns across a NULL hashes
+    identically and a changed row would read 'unchanged'. Both shapes
+    must classify as 'changed'; a truly identical NULL pattern stays
+    'unchanged'."""
+    from data_platform_spark.ops.core import corpus_version_diff
+
+    schema = "doc_id int, a string, b string"
+    old = spark.createDataFrame(
+        [
+            (1, None, "x"),   # NULL → ''  (same concat without sentinel)
+            (2, None, "v"),   # value slides a←b across the NULL
+            (3, None, "same"),
+        ],
+        schema,
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "", "x"),
+            (2, "v", None),
+            (3, None, "same"),
+        ],
+        schema,
+    )
+    got = {
+        r.doc_id: r.status
+        for r in corpus_version_diff(old, new, "doc_id", ["a", "b"]).collect()
+    }
+    assert got == {1: "changed", 2: "changed", 3: "unchanged"}
+
+
+def test_warehouse_recover_promotes_orphan_old_to_snapshot(spark, tmp_path):
+    """With retention on, a crash after rename(tmp, final) but before the
+    .old-* → .vN promotion must NOT garbage-collect the .old-* (that
+    silently drops a snapshot retention promised to keep): recovery
+    promotes it to the next version instead."""
+    import os
+
+    from data_platform_spark.pipeline import Warehouse
+
+    wh = Warehouse(str(tmp_path / "wh"), retain_versions=2)
+    wh.write(
+        spark.createDataFrame([(1, "gen1")], "id int, v string"),
+        "dwh",
+        "promo_t",
+    )
+    wh.write(
+        spark.createDataFrame([(1, "gen2")], "id int, v string"),
+        "dwh",
+        "promo_t",
+    )
+    assert wh.versions("dwh", "promo_t") == [1]
+    final = wh.path("dwh", "promo_t")
+
+    # simulate the crash window: v2 content sits in an orphaned .old-*
+    # while the final dir already holds gen3
+    os.rename(final, f"{final}.old-0badc0de")
+    wh.write(
+        spark.createDataFrame([(1, "gen3")], "id int, v string"),
+        "dwh",
+        "promo_t",
+    )
+    # the fresh write found no final dir (we renamed it away), so no new
+    # version was cut; the orphan still holds gen2's successor state
+    assert os.path.isdir(f"{final}.old-0badc0de")
+
+    wh2 = Warehouse(str(tmp_path / "wh"), retain_versions=2)
+    assert not os.path.isdir(f"{final}.old-0badc0de")
+    assert wh2.versions("dwh", "promo_t") == [1, 2]
+    assert (
+        wh2.read_version(spark, "dwh", "promo_t", 2)
+        .select("v").collect()[0][0]
+        == "gen2"
+    )
+    assert (
+        wh2.read(spark, "dwh", "promo_t").select("v").collect()[0][0]
+        == "gen3"
+    )
