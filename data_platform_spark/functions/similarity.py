@@ -626,14 +626,21 @@ def pq_dist_table(
     n_iter: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """Per-(vector, subspace, codeword) squared L2 distance in integer
     micro-units against the TRAINED codebook (pq_train_codebook) — the
-    shared core of PQ encode and ADC search."""
+    shared core of PQ encode and ADC search.
+
+    ``cents`` threads a PRE-TRAINED codebook through (the build-once
+    path, ops/ann_index.py): training — the expensive stage, n_iter full
+    Lloyd passes — then runs exactly once per index build instead of
+    once per derived relation."""
     sub = dim // n_sub
-    cents = pq_train_codebook(
-        emb, n_sub, n_codes, dim, n_iter, id_col, vec_col
-    )
+    if cents is None:
+        cents = pq_train_codebook(
+            emb, n_sub, n_codes, dim, n_iter, id_col, vec_col
+        )
     return _pq_dist_against(
         _pq_vec_long(emb, sub, id_col, vec_col), cents, id_col
     )

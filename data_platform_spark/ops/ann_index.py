@@ -43,14 +43,37 @@ def build_pq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> None:
-    """Train and persist the PQ index (codebook + codes) under ``path``."""
+    """Train and persist the PQ index (codebook + codes) under ``path``.
+
+    The codebook trains exactly ONCE: the trained centroids thread into
+    the codes derivation (``pq_dist_table(cents=...)``), so the
+    persisted halves are consistent by construction — not by hoping two
+    independent training runs reproduce bit-identically — and the most
+    expensive stage of the build (n_iter full Lloyd passes) isn't paid
+    twice. Build parameters land in a ``params/`` sidecar so a search
+    against the index can validate/derive them instead of silently
+    computing a wrong subspace mapping."""
     cents = pq_train_codebook(
         emb, n_sub, n_codes, dim, n_iter, id_col, vec_col
     )
     cents.write.mode("overwrite").parquet(f"{path}/codebook")
-    dist = pq_dist_table(emb, n_sub, n_codes, dim, n_iter, id_col, vec_col)
+    dist = pq_dist_table(
+        emb, n_sub, n_codes, dim, n_iter, id_col, vec_col, cents=cents
+    )
     codes = pq_encode(dist, id_col)
     codes.write.mode("overwrite").parquet(f"{path}/codes")
+    emb.sparkSession.createDataFrame(
+        [(n_sub, n_codes, dim, n_iter)],
+        "n_sub int, n_codes int, dim int, n_iter int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
+
+
+def read_pq_params(spark: SparkSession, path: str) -> dict[str, int]:
+    """The build-time parameter sidecar as a dict (n_sub, n_codes, dim,
+    n_iter). Indexes built before the sidecar existed raise — rebuilding
+    is cheaper than silently mis-searching."""
+    row = spark.read.parquet(f"{path}/params").collect()[0]
+    return {k: int(v) for k, v in row.asDict().items()}
 
 
 def pq_search_index(
@@ -58,8 +81,8 @@ def pq_search_index(
     path: str,
     query_vec: list[float],
     k: int = 10,
-    n_sub: int = 4,
-    dim: int = 64,
+    n_sub: int | None = None,
+    dim: int | None = None,
     exclude_ids: list[int] | None = None,
     id_col: str = "vec_id",
 ) -> DataFrame:
@@ -68,7 +91,25 @@ def pq_search_index(
     codebook relation alone (literal query array indexed by pos — a
     projection over metadata-scale rows), broadcasts, and joins the
     codes scan; the ADC distance is the usual order-independent LONG sum.
+
+    ``n_sub``/``dim`` default to the values persisted at build time
+    (``params/`` sidecar); passing explicit values that contradict the
+    sidecar raises instead of silently computing distances in a wrong
+    subspace mapping.
     """
+    params = read_pq_params(spark, path)
+    for name, given in (("n_sub", n_sub), ("dim", dim)):
+        if given is not None and given != params[name]:
+            raise ValueError(
+                f"index at {path} was built with {name}={params[name]}, "
+                f"search requested {name}={given}"
+            )
+    n_sub = params["n_sub"]
+    dim = params["dim"]
+    if len(query_vec) != dim:
+        raise ValueError(
+            f"query vector has {len(query_vec)} dims; index expects {dim}"
+        )
     sub = dim // n_sub
     codebook = spark.read.parquet(f"{path}/codebook")
     codes = spark.read.parquet(f"{path}/codes")

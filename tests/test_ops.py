@@ -1012,3 +1012,42 @@ def test_corpus_shard_summary_clamps_trailing_boundary_doc(spark, tmp_path):
     # the boundary doc joined the LAST shard, not a phantom ninth
     last = {r.shard: r.n_docs for r in out}[N_SHARDS - 1]
     assert last == 3  # two one-token docs + the zero-token straggler
+
+
+def test_build_pq_index_trains_once_and_validates_params(spark, tmp_path, monkeypatch):
+    """The index build must run Lloyd training exactly once (the trained
+    centroids thread into the codes derivation), persist the build
+    params sidecar, and a search with contradicting params must fail
+    loudly instead of silently mis-mapping subspaces."""
+    import pytest
+
+    import data_platform_spark.functions.similarity as S
+    import data_platform_spark.ops.ann_index as AI
+    from data_platform_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    path = str(tmp_path / "pq_index")
+
+    calls = {"n": 0}
+    real_train = S.pq_train_codebook
+
+    def counting_train(*args, **kwargs):
+        calls["n"] += 1
+        return real_train(*args, **kwargs)
+
+    monkeypatch.setattr(S, "pq_train_codebook", counting_train)
+    monkeypatch.setattr(AI, "pq_train_codebook", counting_train)
+    AI.build_pq_index(emb, path)
+    assert calls["n"] == 1
+
+    assert AI.read_pq_params(spark, path) == {
+        "n_sub": 4, "n_codes": 8, "dim": 64, "n_iter": 2
+    }
+    qvec = [0.0] * 64
+    # derived params: search works with no explicit n_sub/dim
+    assert AI.pq_search_index(spark, path, qvec, k=3).count() == 3
+    with pytest.raises(ValueError, match="built with n_sub=4"):
+        AI.pq_search_index(spark, path, qvec, k=3, n_sub=8)
+    with pytest.raises(ValueError, match="query vector has 16"):
+        AI.pq_search_index(spark, path, [0.0] * 16, k=3)
