@@ -149,22 +149,23 @@ def lsh_candidate_pairs(
     )
 
 
-def verified_jaccard(
-    doc_sh: DataFrame,
+def bipartite_verified_jaccard(
+    a_sh: DataFrame,
+    b_sh: DataFrame,
     candidates: DataFrame,
     id_col: str = "doc_id",
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Exact Jaccard over shingle sets, computed only for candidate pairs.
-
-    Input is the ARRAY layout (doc_id, sh_arr): two equi-joins attach each
-    side's shingle array to the pair, then common = size(array_intersect)
-    — one codegen'd row-op per pair instead of an exploded shingle join
-    (~|shingles| rows per pair). Shuffles only the candidate pairs and the
-    per-doc arrays, keyed by doc id.
-    """
-    a = doc_sh.select(F.col(id_col).alias("doc_a"), F.col("sh_arr").alias("sh_a"))
-    b = doc_sh.select(F.col(id_col).alias("doc_b"), F.col("sh_arr").alias("sh_b"))
+    """Exact Jaccard over candidate pairs whose two sides come from
+    DIFFERENT shingle relations — the incremental shape: ``a_sh`` is the
+    fresh batch's shingles, ``b_sh`` the standing corpus' (e.g. read
+    back from a persisted index, ops/neardup_index.py), so the standing
+    text is never re-shingled. Two equi-joins attach each side's array
+    to the pair, then common = size(array_intersect) — one codegen'd
+    row-op per pair. Shuffles only the candidate pairs and the per-doc
+    arrays, keyed by doc id."""
+    a = a_sh.select(F.col(id_col).alias("doc_a"), F.col("sh_arr").alias("sh_a"))
+    b = b_sh.select(F.col(id_col).alias("doc_b"), F.col("sh_arr").alias("sh_b"))
     paired = candidates.join(a, "doc_a").join(b, "doc_b")
     n_common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     n_a = F.size(F.col("sh_a"))
@@ -175,6 +176,20 @@ def verified_jaccard(
         pround(n_common / (n_a + n_b - n_common), 4).alias("jaccard"),
     )
     return ja.filter(F.col("jaccard") >= threshold)
+
+
+def verified_jaccard(
+    doc_sh: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard over shingle sets, computed only for candidate pairs
+    — the self-join case of bipartite_verified_jaccard (both sides drawn
+    from the same (doc_id, sh_arr) relation)."""
+    return bipartite_verified_jaccard(
+        doc_sh, doc_sh, candidates, id_col, threshold
+    )
 
 
 @pandas_udf(T.LongType())

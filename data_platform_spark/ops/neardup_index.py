@@ -1,0 +1,164 @@
+"""Persisted MinHash band index: build-once / search-many near-dup.
+
+Daily-crawl dedup is the most-run job in an LLM data pipeline: every new
+ingest batch is checked for near-duplicates against the standing corpus.
+The demonstration query (queries/dedup.py incremental_neardup_new_batch)
+recomputes signatures for the WHOLE corpus per call so its DuckDB oracle
+can verify the full derivation; at 100 TB that re-signaturing dwarfs the
+actual join. This module is the production path — the MinHash twin of
+the PQ index (ops/ann_index.py): the standing corpus is signatured ONCE
+at build time, and each batch search computes signatures only for the
+batch (O(batch), not O(corpus)).
+
+Persisted halves under ``path``:
+
+- ``bands/``    — one (doc_id, bk) row per (doc, LSH band): the narrow
+  relation the bipartite candidate join shuffles. At scale, bucket by
+  ``bk`` so batch probes co-locate without reshuffling the index.
+- ``shingles/`` — the (doc_id, sh_arr) shingle-set arrays used for exact
+  Jaccard verification of band candidates, so the standing corpus' TEXT
+  is never re-read or re-shingled at search time. Columnar-compressed;
+  read only to serve the verification join.
+- ``params/``   — (k, n_hashes, band_size) sidecar, validated on every
+  search/append: probing an index with different shingle width or band
+  geometry silently finds nothing, so mismatches raise instead.
+
+A search against the persisted index returns BIT-IDENTICAL verified
+pairs to the in-memory recompute pipeline (asserted in tests/test_ops.py
+against the oracled incremental_neardup_new_batch), because signatures,
+band keys and the 4-dp Jaccard rounding are the same expressions over
+the same shingle relation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_platform_spark.functions import dedup as D
+
+
+def build_band_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    n_hashes: int = D.N_MINHASH,
+    band_size: int = D.BAND_SIZE,
+) -> None:
+    """Shingle + signature the standing corpus once and persist the
+    (bands, shingles, params) index under ``path``. Bands derive from
+    the persisted shingle relation, so the two halves are consistent by
+    construction."""
+    spark = docs.sparkSession
+    D.shingle_array_df(docs, id_col, text_col, k).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/shingles")
+    doc_sh = spark.read.parquet(f"{path}/shingles")
+    sig = D.minhash_signatures(doc_sh, id_col, n_hashes)
+    D.band_long(sig, id_col, n_hashes, band_size).select(
+        F.col("_id").alias(id_col), "bk"
+    ).write.mode("overwrite").parquet(f"{path}/bands")
+    spark.createDataFrame(
+        [(k, n_hashes, band_size)], "k int, n_hashes int, band_size int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
+
+
+def read_band_params(spark: SparkSession, path: str) -> dict[str, int]:
+    """The build-time parameter sidecar as a dict (k, n_hashes,
+    band_size)."""
+    row = spark.read.parquet(f"{path}/params").collect()[0]
+    return {k: int(v) for k, v in row.asDict().items()}
+
+
+def append_to_band_index(
+    new_docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Fold a processed batch into the standing index (the second half
+    of the daily loop: search, keep the survivors, append them). Uses
+    the SIDECAR's shingle/band geometry — an append with different
+    parameters would silently poison the index, so they aren't
+    overridable here. O(batch) work: only the new docs are shingled and
+    signatured."""
+    spark = new_docs.sparkSession
+    p = read_band_params(spark, path)
+    new_sh = D.shingle_array_df(new_docs, id_col, text_col, p["k"])
+    new_sh.write.mode("append").parquet(f"{path}/shingles")
+    sig = D.minhash_signatures(new_sh, id_col, p["n_hashes"])
+    D.band_long(sig, id_col, p["n_hashes"], p["band_size"]).select(
+        F.col("_id").alias(id_col), "bk"
+    ).write.mode("append").parquet(f"{path}/bands")
+
+
+def neardup_search_index(
+    spark: SparkSession,
+    path: str,
+    new_docs: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Verified near-dup pairs (doc_a = batch doc, doc_b = standing doc,
+    jaccard) of a fresh batch against the PERSISTED index.
+
+    O(batch) fresh work: the batch alone is shingled and signatured; the
+    standing side contributes only its persisted (doc_id, bk) bands to
+    the bipartite candidate join and its persisted shingle arrays to the
+    exact-Jaccard verification — the standing corpus' text is never
+    touched. Caller guarantees batch ids are not already in the index
+    (otherwise a doc trivially matches itself)."""
+    p = read_band_params(spark, path)
+    new_sh = D.shingle_array_df(new_docs, id_col, text_col, p["k"])
+    sig = D.minhash_signatures(new_sh, id_col, p["n_hashes"])
+    new_bands = D.band_long(
+        sig, id_col, p["n_hashes"], p["band_size"]
+    ).select(F.col("_id").alias("doc_a"), "bk")
+    idx_bands = spark.read.parquet(f"{path}/bands").select(
+        F.col(id_col).alias("doc_b"), "bk"
+    )
+    cand = new_bands.join(idx_bands, "bk").select("doc_a", "doc_b").distinct()
+    idx_sh = spark.read.parquet(f"{path}/shingles")
+    return D.bipartite_verified_jaccard(
+        new_sh, idx_sh, cand, id_col, threshold
+    )
+
+
+def incremental_neardup_report(
+    spark: SparkSession,
+    path: str,
+    new_docs: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-batch-doc keep/drop report against the persisted index — the
+    same output contract as queries/dedup.py incremental_neardup_new_batch
+    (n_matches, best match's jaccard and id, keep flag), produced from
+    O(batch) fresh work. Best match folds through one max-struct
+    aggregate (max jaccard, min doc_b among ties); docs with no band
+    collision survive via the left join."""
+    verified = neardup_search_index(
+        spark, path, new_docs, threshold, id_col, text_col
+    )
+    best = F.max(
+        F.struct(F.col("jaccard").alias("j"), (-F.col("doc_b")).alias("nd"))
+    )
+    per_new = verified.groupBy("doc_a").agg(
+        F.count(F.lit(1)).alias("n_matches"), best.alias("best")
+    )
+    out = new_docs.select(id_col).join(
+        per_new.withColumnRenamed("doc_a", id_col), id_col, "left"
+    )
+    return out.select(
+        id_col,
+        F.coalesce(F.col("n_matches"), F.lit(0)).cast("long").alias(
+            "n_matches"
+        ),
+        F.col("best.j").alias("best_jaccard"),
+        (-F.col("best.nd")).cast("long").alias("best_match_doc"),
+        (F.coalesce(F.col("n_matches"), F.lit(0)) == 0).alias("keep"),
+    )

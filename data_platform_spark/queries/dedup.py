@@ -1011,12 +1011,15 @@ ORACLE["ngram_containment_pairs"] = f"""
 
 def incremental_neardup_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental NEAR-dup: every document of the new ingest batch
-    checked against the standing corpus' MinHash band index — the
-    companion to incremental_dedup_new_batch for the fuzzy case, and the
-    realistic daily-crawl shape at 100 TB: the standing side is a
-    persisted (doc_id, band_key) index, only the new batch's signatures
-    are computed fresh, and the candidate join is BIPARTITE (new x
-    existing on band key), never a corpus self-join.
+    checked against the standing corpus' MinHash bands — the companion
+    to incremental_dedup_new_batch for the fuzzy case. The candidate
+    join is BIPARTITE (new x existing on band key), never a corpus
+    self-join. NOTE: this gate-checked query recomputes the standing
+    side's signatures per call so the DuckDB oracle can verify the full
+    derivation; the production daily-crawl path is
+    ops/neardup_index.py — a PERSISTED (bands, shingles) index built
+    once, searched with O(batch) fresh work, returning bit-identical
+    results (equality asserted in tests/test_ops.py).
 
     Per new doc: how many standing docs it near-duplicates (verified
     shingle Jaccard >= threshold over band candidates), the best match's

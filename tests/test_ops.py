@@ -1051,3 +1051,97 @@ def test_build_pq_index_trains_once_and_validates_params(spark, tmp_path, monkey
         AI.pq_search_index(spark, path, qvec, k=3, n_sub=8)
     with pytest.raises(ValueError, match="query vector has 16"):
         AI.pq_search_index(spark, path, [0.0] * 16, k=3)
+
+
+def test_neardup_persisted_index_matches_recompute(spark, tmp_path):
+    """The persisted band index (build once over the standing corpus,
+    search with O(batch) fresh work) must return the EXACT report the
+    oracled full-recompute query produces — same matches, jaccards, keep
+    flags — and its search plan must read parquet ONLY from the index
+    (the standing corpus' text is never re-shingled: the batch arrives
+    as an in-memory frame, so any other parquet scan would be the
+    index's)."""
+    from data_platform_spark.ops.neardup_index import (
+        build_band_index,
+        incremental_neardup_report,
+        neardup_search_index,
+        read_band_params,
+    )
+    from data_platform_spark.queries.dedup import (
+        INCR_NEW_MOD,
+        JACCARD_THRESHOLD,
+        incremental_neardup_new_batch,
+    )
+    from data_platform_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    standing = docs.filter(F.col("doc_id") % INCR_NEW_MOD != 0)
+    path = str(tmp_path / "band_index")
+    build_band_index(standing, path)
+    assert read_band_params(spark, path) == {
+        "k": 3, "n_hashes": 8, "band_size": 2
+    }
+
+    # batch as an IN-MEMORY frame: the search can only reach standing
+    # data through the persisted index
+    batch_rows = docs.filter(F.col("doc_id") % INCR_NEW_MOD == 0).select(
+        "doc_id", "text"
+    ).collect()
+    new_docs = spark.createDataFrame(batch_rows, "doc_id long, text string")
+
+    got = sorted(
+        tuple(r)
+        for r in incremental_neardup_report(
+            spark, path, new_docs, threshold=JACCARD_THRESHOLD
+        ).collect()
+    )
+    want = sorted(
+        tuple(r) for r in incremental_neardup_new_batch(spark, sf).collect()
+    )
+    assert got == want and len(got) > 0
+
+    plan = neardup_search_index(
+        spark, path, new_docs, threshold=JACCARD_THRESHOLD
+    )._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    scanned = set(re.findall(r"file:[^\]\s,]*", plan))
+    assert scanned, "expected parquet scans in the search plan"
+    # (plan strings truncate long paths, so prefix-match the test dir —
+    # any standing-corpus read would surface as a /root/testdata scan)
+    assert all(s.startswith(f"file:{tmp_path}") for s in scanned), scanned
+
+
+def test_neardup_index_append_folds_batch_in(spark, tmp_path):
+    """The daily loop: search a batch, append it, and the NEXT search
+    must see the appended docs as standing candidates."""
+    from data_platform_spark.ops.neardup_index import (
+        append_to_band_index,
+        build_band_index,
+        neardup_search_index,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "idx")
+    build_band_index(base, path)
+
+    day1 = spark.createDataFrame(
+        [(100, "totally unrelated words here today okay")],
+        "doc_id long, text string",
+    )
+    assert (
+        neardup_search_index(spark, path, day1, threshold=0.2).count() == 0
+    )
+    append_to_band_index(day1, path)
+
+    # day-2 doc near-duplicates the day-1 doc (appended, not in the base)
+    day2 = spark.createDataFrame(
+        [(200, "totally unrelated words here today fine")],
+        "doc_id long, text string",
+    )
+    hits = neardup_search_index(spark, path, day2, threshold=0.2).collect()
+    assert [(r.doc_a, r.doc_b) for r in hits] == [(200, 100)]
