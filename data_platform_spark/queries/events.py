@@ -569,43 +569,20 @@ def purchase_prior_click_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     same user made in the preceding 10 minutes (last-touch attribution
     feature).
 
-    Equi-join on user_id carries the shuffle; the time-range predicate is
-    evaluated inside each matched user's partition, so cost is
-    Σ clicks(u)·purchases(u) per user — bounded by per-user activity, not
-    n². At 100 TB the refinement for hot users is a composite equi key
-    (user_id, coarse time bucket) with each purchase probing its own and
-    the previous bucket, which caps candidates per join key; the
-    single-key layout here is the correct default for human-scale event
-    streams (as-of joins use the same layout, ops/asof.py).
+    Layout (rewritten r7): a single ordered-window pass over the unioned
+    click/purchase stream — a RANGE frame of [-lookback, -1µs] over the
+    microsecond epoch counts click markers per purchase
+    (ops/attribution.py). The previous purchases×clicks interval join
+    materialized clicks(u)·purchases(u) rows inside each user key — a
+    quadratic blowup on exactly the bot-user shape the entropy query
+    exists to detect; the window frame is maintained incrementally, so a
+    hot user costs O(events). Verified identical by the oracle (the
+    join formulation) and a skewed-user stress test (tests/test_ops.py).
     """
+    from data_platform_spark.ops.attribution import prior_click_counts
+
     ev = load_table(spark, sf_dir, "events")
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("user_id"),
-            F.col("event_id").alias("purchase_id"),
-            F.col("ts").alias("p_ts"),
-        )
-        .alias("p")
-    )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .select(F.col("user_id"), F.col("ts").alias("c_ts"))
-        .alias("c")
-    )
-    cond = (
-        (F.col("p.user_id") == F.col("c.user_id"))
-        & (
-            F.col("c.c_ts")
-            >= F.col("p.p_ts") - F.expr(f"INTERVAL {RANGE_JOIN_MINUTES} MINUTES")
-        )
-        & (F.col("c.c_ts") < F.col("p.p_ts"))
-    )
-    return (
-        p.join(c, cond, "left")
-        .groupBy(F.col("p.purchase_id").alias("purchase_id"))
-        .agg(F.count(F.col("c.c_ts")).alias("n_prior_clicks"))
-    )
+    return prior_click_counts(ev, RANGE_JOIN_MINUTES)
 
 
 QUERIES["purchase_prior_click_counts"] = purchase_prior_click_counts
@@ -943,40 +920,19 @@ def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     with no prior click keep NULL touches (left join) — the 'direct'
     bucket.
 
-    Same interval-join layout as purchase_prior_click_counts: equi-join
-    on user_id carries the shuffle, the time predicate evaluates inside
-    each user's partition, min/max aggregate per purchase — cost bounded
-    by per-user activity, never n²."""
+    Layout (rewritten r7): one ordered-window pass over the unioned
+    click/purchase stream — running first/last click via
+    first/last(ignorenulls) over an unbounded-preceding user window,
+    rows emitted at purchases (ops/attribution.py; clicks sort before
+    purchases at an equal instant, preserving c_ts <= p_ts). The
+    previous purchases×clicks interval join materialized
+    clicks(u)·purchases(u) rows per user — quadratic on a heavy key;
+    the window pass is O(n log n) per user with zero pair
+    materialization. Oracle (the join formulation) unchanged."""
+    from data_platform_spark.ops.attribution import attribution_touches
+
     ev = load_table(spark, sf_dir, "events")
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("user_id"),
-            F.col("event_id").alias("purchase_id"),
-            F.col("ts").alias("p_ts"),
-        )
-        .alias("p")
-    )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .select(F.col("user_id"), F.col("ts").alias("c_ts"))
-        .alias("c")
-    )
-    cond = (F.col("p.user_id") == F.col("c.user_id")) & (
-        F.col("c.c_ts") <= F.col("p.p_ts")
-    )
-    joined = p.join(c, cond, "left")
-    return joined.groupBy(
-        F.col("p.purchase_id").alias("purchase_id"),
-        F.col("p.user_id").alias("user_id"),
-        F.col("p.p_ts").alias("purchase_ts"),
-    ).agg(
-        F.min("c.c_ts").alias("first_touch_ts"),
-        F.max("c.c_ts").alias("last_touch_ts"),
-        (
-            F.unix_micros(F.col("p.p_ts")) - F.unix_micros(F.max("c.c_ts"))
-        ).alias("last_touch_gap_us"),
-    )
+    return attribution_touches(ev)
 
 
 QUERIES["purchase_attribution"] = purchase_attribution

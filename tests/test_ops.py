@@ -1145,3 +1145,52 @@ def test_neardup_index_append_folds_batch_in(spark, tmp_path):
     )
     hits = neardup_search_index(spark, path, day2, threshold=0.2).collect()
     assert [(r.doc_a, r.doc_b) for r in hits] == [(200, 100)]
+
+
+def test_attribution_window_rewrite_handles_skewed_user(spark):
+    """One bot user, 10^5 clicks and 10^3 purchases: the old
+    purchases×clicks interval join would materialize ~5·10^7 pair rows
+    inside the single user key before aggregating. The window rewrite
+    must (a) contain NO join in its physical plan, (b) produce the
+    join-formulation's answers on this shape."""
+    from data_platform_spark.ops.attribution import (
+        attribution_touches,
+        prior_click_counts,
+    )
+
+    clicks = spark.range(100_000).select(
+        F.lit(1).alias("user_id"),
+        (F.col("id") * 2).alias("event_id"),
+        F.timestamp_micros(F.col("id") * 1_000_000).alias("ts"),
+        F.lit("click").alias("event_type"),
+    )
+    # purchase k at t = 100k+1 seconds — interleaved through the clicks;
+    # old-layout pair count = sum_k (100k+2) ≈ 5e7
+    purchases = spark.range(1_000).select(
+        F.lit(1).alias("user_id"),
+        (F.col("id") * 2 + 1).alias("event_id"),
+        F.timestamp_micros((F.col("id") * 100 + 1) * 1_000_000).alias("ts"),
+        F.lit("purchase").alias("event_type"),
+    )
+    ev = clicks.union(purchases)
+
+    touches = attribution_touches(ev)
+    counts = prior_click_counts(ev, 10)
+    for df in (touches, counts):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan, plan
+
+    t = {r.purchase_id: r for r in touches.collect()}
+    assert len(t) == 1_000
+    # purchase k=500: t=50001s; clicks at every integer second 0..99999,
+    # so one lands at EXACTLY the purchase instant — it must count
+    # (c_ts <= p_ts): last touch 50001s, gap 0
+    k = 500
+    row = t[k * 2 + 1]
+    assert row.first_touch_ts.timestamp() == 0.0
+    assert row.last_touch_ts.timestamp() == float(k * 100 + 1)
+    assert row.last_touch_gap_us == 0
+
+    c = {r.purchase_id: r.n_prior_clicks for r in counts.collect()}
+    assert c[k * 2 + 1] == 600          # full 10-minute window
+    assert c[1] == 1                    # k=0: t=1s, only the click at 0s
