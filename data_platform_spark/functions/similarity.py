@@ -456,12 +456,31 @@ def srp_banded_topk(
     return sim.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
 
 
+def training_sample(
+    emb: DataFrame, sample_mod: int | None, id_col: str
+) -> DataFrame:
+    """Deterministic content-hash training sample: vectors whose
+    ``pmod(xxhash64(id), sample_mod) == 0`` — roughly 1/sample_mod of
+    the corpus, stable across runs and engines, uncorrelated with
+    insertion order. ``None`` keeps the full corpus (the oracle-gated
+    demonstration path). At 100 TB index training MUST scan a sample:
+    Lloyd rounds over every vector cost more than the search they
+    accelerate."""
+    if sample_mod is None:
+        return emb
+    return emb.filter(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_mod)) == 0
+    )
+
+
 def kmeans_fit(
     emb: DataFrame,
     k: int = 8,
     n_iter: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sample_mod: int | None = None,
+    seed_by_hash: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Lloyd's k-means as an iterative composition of the IVF primitives
     — the UNSUPERVISED coarse-quantizer build (label_centroids needs
@@ -479,18 +498,34 @@ def kmeans_fit(
 
     Returns (centroids, assignment): the (label, pos, centroid_val) long
     layout ready for ``ivf_topk``-style search, and the final
-    (id, assigned_label, dist2) assignment.
+    (id, assigned_label, dist2) assignment (always over the FULL
+    corpus, even when training is sampled).
+
+    Production knobs (defaults preserve the oracle-gated build):
+    ``sample_mod`` trains seeds + Lloyd rounds on a deterministic
+    content-hash sample (training_sample) while the returned assignment
+    still covers every vector; ``seed_by_hash`` picks the k seeds by
+    smallest (xxhash64(id), id) instead of smallest id — smallest-id
+    seeding degenerates when ids correlate with insertion order or
+    clustering (all k seeds from one early cluster), hash order doesn't.
     """
     spark = emb.sparkSession
+    train = training_sample(emb, sample_mod, id_col)
+    seed_order = (
+        [F.asc(F.xxhash64(F.col(id_col))), F.asc(id_col)]
+        if seed_by_hash
+        else [F.asc(id_col)]
+    )
     seed_ids = [
-        r[0] for r in emb.select(id_col).orderBy(id_col).limit(k).collect()
+        r[0]
+        for r in train.select(id_col).orderBy(*seed_order).limit(k).collect()
     ]
     seed_map = spark.createDataFrame(
         [(int(v), i) for i, v in enumerate(seed_ids)],
         f"{id_col}: long, __km_cell: int",
     )
     cents = (
-        emb.join(F.broadcast(seed_map), id_col)
+        train.join(F.broadcast(seed_map), id_col)
         .select(
             "__km_cell",
             F.posexplode(as_double(F.col(vec_col))).alias("pos", "x"),
@@ -503,10 +538,10 @@ def kmeans_fit(
         .localCheckpoint()
     )
     for _ in range(n_iter):
-        assign = ivf_assign(emb, cents, id_col, vec_col)
+        assign = ivf_assign(train, cents, id_col, vec_col)
         # private name: the input frame may carry its own `label` column
         # (the embeddings table does)
-        joined = emb.join(
+        joined = train.join(
             assign.select(id_col, F.col("assigned_label").alias("__km_cell")),
             id_col,
         )
@@ -569,6 +604,8 @@ def pq_train_codebook(
     n_iter: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sample_mod: int | None = None,
+    seed_by_hash: bool = False,
 ) -> DataFrame:
     """Train the PQ codebook: per-subspace Lloyd rounds (fixed n_iter,
     the kmeans_fit convention) from deterministic smallest-id seeds.
@@ -582,16 +619,30 @@ def pq_train_codebook(
     quantizes onto the query's own codeword reads as ADC distance 0 —
     measured recall 0 on planted clusters; two Lloyd rounds restore it
     (tests/test_ann_recall.py).
+
+    ``sample_mod``/``seed_by_hash`` are the production training knobs
+    (see kmeans_fit): Lloyd rounds scan a deterministic content-hash
+    sample instead of the full corpus, and seeds draw by hash order
+    instead of smallest id. Encoding (pq_dist_table/pq_encode over the
+    returned codebook) still covers every vector.
     """
     from pyspark.sql.window import Window
 
     sub = dim // n_sub
-    vec_long = _pq_vec_long(emb, sub, id_col, vec_col)
+    train = training_sample(emb, sample_mod, id_col)
+    vec_long = _pq_vec_long(train, sub, id_col, vec_col)
+    seed_order = (
+        [F.asc(F.xxhash64(F.col(id_col))), F.asc(id_col)]
+        if seed_by_hash
+        else [F.asc(id_col)]
+    )
     seeds = (
-        emb.select(id_col).orderBy(id_col).limit(n_codes)
+        train.select(id_col).orderBy(*seed_order).limit(n_codes)
         .select(
             id_col,
-            (F.row_number().over(Window.orderBy(id_col)) - 1).alias("code"),
+            (F.row_number().over(Window.orderBy(*seed_order)) - 1).alias(
+                "code"
+            ),
         )
     )
     cents = (
@@ -627,6 +678,8 @@ def pq_dist_table(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cents: DataFrame | None = None,
+    sample_mod: int | None = None,
+    seed_by_hash: bool = False,
 ) -> DataFrame:
     """Per-(vector, subspace, codeword) squared L2 distance in integer
     micro-units against the TRAINED codebook (pq_train_codebook) — the
@@ -635,11 +688,14 @@ def pq_dist_table(
     ``cents`` threads a PRE-TRAINED codebook through (the build-once
     path, ops/ann_index.py): training — the expensive stage, n_iter full
     Lloyd passes — then runs exactly once per index build instead of
-    once per derived relation."""
+    once per derived relation. ``sample_mod``/``seed_by_hash`` forward
+    to training when no codebook is given; the distance table itself
+    always covers the full input."""
     sub = dim // n_sub
     if cents is None:
         cents = pq_train_codebook(
-            emb, n_sub, n_codes, dim, n_iter, id_col, vec_col
+            emb, n_sub, n_codes, dim, n_iter, id_col, vec_col,
+            sample_mod, seed_by_hash,
         )
     return _pq_dist_against(
         _pq_vec_long(emb, sub, id_col, vec_col), cents, id_col
@@ -695,14 +751,18 @@ def pq_rerank_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sample_mod: int | None = None,
+    seed_by_hash: bool = False,
 ) -> DataFrame:
     """Two-stage PQ search: ADC shortlist in the compressed domain, then
     EXACT L2 rerank of only the shortlist — the standard IVFPQ refine
     step. At scale the full-precision vectors are fetched for just
     ``shortlist`` ids (a semi-join on the id), so the expensive exact
-    math touches a constant-size candidate set."""
+    math touches a constant-size candidate set. Training knobs forward
+    to pq_train_codebook."""
     dist = pq_dist_table(
-        emb, n_sub, n_codes, dim, id_col=id_col, vec_col=vec_col
+        emb, n_sub, n_codes, dim, id_col=id_col, vec_col=vec_col,
+        sample_mod=sample_mod, seed_by_hash=seed_by_hash,
     )
     short = pq_adc_shortlist(dist, query_id, shortlist, id_col)
     qv = emb.filter(F.col(id_col) == query_id).select(

@@ -42,8 +42,14 @@ def build_pq_index(
     n_iter: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sample_mod: int | None = None,
+    seed_by_hash: bool = False,
 ) -> None:
     """Train and persist the PQ index (codebook + codes) under ``path``.
+    ``sample_mod``/``seed_by_hash`` are the 100 TB training posture
+    (hash-sampled Lloyd scans, hash-ordered seeds — see
+    functions.similarity.training_sample); encoding always covers the
+    full corpus.
 
     The codebook trains exactly ONCE: the trained centroids thread into
     the codes derivation (``pq_dist_table(cents=...)``), so the
@@ -54,7 +60,8 @@ def build_pq_index(
     against the index can validate/derive them instead of silently
     computing a wrong subspace mapping."""
     cents = pq_train_codebook(
-        emb, n_sub, n_codes, dim, n_iter, id_col, vec_col
+        emb, n_sub, n_codes, dim, n_iter, id_col, vec_col,
+        sample_mod, seed_by_hash,
     )
     cents.write.mode("overwrite").parquet(f"{path}/codebook")
     dist = pq_dist_table(

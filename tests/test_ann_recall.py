@@ -141,3 +141,60 @@ def test_pq_rerank_recall(spark, sigma):
         assert _recall(spark, df, got) >= 0.8
     finally:
         df.unpersist()
+
+
+@pytest.mark.parametrize("sigma", [0.02, 0.10])
+def test_pq_rerank_recall_sampled_training(spark, sigma):
+    """100 TB training posture: codebooks trained on a deterministic
+    hash sample (~half the corpus) from hash-ordered seeds must hold the
+    same recall gate — and the training stage must actually be bounded
+    by the sample (asserted on the sampled-training codebook's input)."""
+    from data_platform_spark.functions.similarity import (
+        pq_rerank_topk,
+        training_sample,
+    )
+
+    df = _planted(spark, sigma=sigma).persist()
+    try:
+        n_all = df.count()
+        n_train = training_sample(df, 2, "vec_id").count()
+        # the hash sample is a real subset, roughly half the corpus
+        assert 0.3 * n_all < n_train < 0.7 * n_all
+        got = {
+            r.vec_id
+            for r in pq_rerank_topk(
+                df, 0, k=K, shortlist=50, dim=DIM,
+                sample_mod=2, seed_by_hash=True,
+            ).collect()
+        }
+        assert _recall(spark, df, got) >= 0.8
+    finally:
+        df.unpersist()
+
+
+def test_kmeans_sampled_training_recall_and_full_assignment(spark):
+    """kmeans_fit with hash-sampled training + hash-ordered seeds: the
+    final assignment must still cover EVERY vector, and IVF search over
+    the sampled-training index must hold the recall gate on topical
+    clusters."""
+    from data_platform_spark.functions.similarity import (
+        ivf_topk_with_index,
+        kmeans_fit,
+    )
+
+    df = _planted(spark, sigma=0.10).persist()
+    try:
+        n_all = df.count()
+        cents, assign = kmeans_fit(
+            df, k=8, sample_mod=2, seed_by_hash=True
+        )
+        assert assign.count() == n_all  # sampled TRAINING, full assignment
+        got = {
+            r.vec_id
+            for r in ivf_topk_with_index(
+                df, cents, assign, 0, nprobe=2, k=K
+            ).collect()
+        }
+        assert _recall(spark, df, got) >= 0.8
+    finally:
+        df.unpersist()
