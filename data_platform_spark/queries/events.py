@@ -843,36 +843,15 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cross-engine determinism: mean and stddev are rounded to 4 dp FIRST,
     and the z-score (2 dp) and flag derive only from the rounded values
     — so the flag can flip only if a rounded baseline column itself
-    diverges (same acceptance class as value_correlation)."""
+    diverges (same acceptance class as value_correlation).
+
+    Core factored to ops/monitors.py (r7) so the streaming foreachBatch
+    monitor (streaming/monitors.py) computes definitionally the same
+    metric."""
+    from data_platform_spark.ops.monitors import rolling_zscore
+
     ev = load_table(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(F.asc("ts"), F.asc("event_id"))
-        .rowsBetween(-ZSCORE_LOOKBACK, -1)
-    )
-    base = ev.select(
-        "event_id",
-        "user_id",
-        "value",
-        F.count(F.lit(1)).over(w).alias("n_prior"),
-        pround(F.avg("value").over(w), 4).alias("base_mean"),
-        pround(F.stddev_samp("value").over(w), 4).alias("base_std"),
-    )
-    z = F.when(
-        (F.col("n_prior") >= ZSCORE_MIN_N) & (F.col("base_std") > 0),
-        pround(
-            F.abs(F.col("value") - F.col("base_mean")) / F.col("base_std"), 2
-        ),
-    )
-    return base.select(
-        "event_id",
-        "user_id",
-        "n_prior",
-        "base_mean",
-        "base_std",
-        z.alias("zscore"),
-        F.coalesce(z >= ZSCORE_CUT, F.lit(False)).alias("is_anomaly"),
-    )
+    return rolling_zscore(ev, ZSCORE_LOOKBACK, ZSCORE_MIN_N, ZSCORE_CUT)
 
 
 QUERIES["events_anomaly_zscore"] = events_anomaly_zscore
@@ -959,24 +938,15 @@ def events_daily_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     every load to catch upstream breakage (null spikes, volume drops,
     cardinality shifts) before consumers do. One shuffle keyed by day;
     every metric is an algebraic or sort-based aggregate within the
-    bucket."""
+    bucket.
+
+    Core factored to ops/monitors.py (r7) so the streaming foreachBatch
+    monitor (streaming/monitors.py) computes definitionally the same
+    metric."""
+    from data_platform_spark.ops.monitors import daily_quality_metrics
+
     ev = load_table(spark, sf_dir, "events")
-    day = F.date_trunc("day", F.col("ts")).alias("day")
-    return ev.groupBy(day).agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.count_distinct("user_id").alias("n_users"),
-        pround(
-            F.sum(F.col("value").isNull().cast("int"))
-            / F.count(F.lit(1)),
-            6,
-        ).alias("null_value_rate"),
-        pround(
-            F.sum(F.col("props").isNull().cast("int"))
-            / F.count(F.lit(1)),
-            6,
-        ).alias("null_props_rate"),
-        pround(F.expr("percentile(value, 0.5)"), 4).alias("median_value"),
-    )
+    return daily_quality_metrics(ev)
 
 
 QUERIES["events_daily_quality"] = events_daily_quality

@@ -496,3 +496,73 @@ def test_stream_rollup_sink_matches_batch_rollup(spark, events_dir, tmp_path):
         for r in wh.read(spark, "dwh", "ev_rollup").collect()
     }
     assert got2 == got
+
+
+def test_daily_quality_monitor_stream_equals_batch(spark, events_dir, tmp_path):
+    """foreachBatch quality monitor over 3 micro-batches: after the
+    stream drains, the monitor table must EQUAL the oracle-gated batch
+    query over the same events (same metric core, incremental
+    maintenance only recomputing touched days)."""
+    from data_platform_spark.pipeline import Warehouse
+    from data_platform_spark.queries.events import events_daily_quality
+    from data_platform_spark.streaming import read_events_stream
+    from data_platform_spark.streaming.monitors import (
+        daily_quality_monitor_sink,
+    )
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    q = daily_quality_monitor_sink(
+        read_events_stream(spark, events_dir, max_files_per_trigger=1),
+        wh,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+
+    got = sorted(
+        tuple(r)
+        for r in wh.read(spark, "dwh", "daily_quality")
+        .select("day", "n_rows", "n_users", "null_value_rate",
+                "null_props_rate", "median_value")
+        .collect()
+    )
+    want = sorted(tuple(r) for r in events_daily_quality(spark, SF).collect())
+    assert got == want and len(got) > 0
+
+
+def test_anomaly_monitor_stream_equals_batch(spark, events_dir, tmp_path):
+    """foreachBatch z-score monitor over 3 micro-batches: the final
+    monitor table must EQUAL the oracle-gated batch query — late
+    arrivals for a user shift the trailing baselines of that user's
+    later events, so per-batch recompute replaces the user's scores
+    wholesale."""
+    from data_platform_spark.pipeline import Warehouse
+    from data_platform_spark.queries.events import (
+        ZSCORE_CUT,
+        ZSCORE_LOOKBACK,
+        ZSCORE_MIN_N,
+        events_anomaly_zscore,
+    )
+    from data_platform_spark.streaming import read_events_stream
+    from data_platform_spark.streaming.monitors import anomaly_monitor_sink
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    q = anomaly_monitor_sink(
+        read_events_stream(spark, events_dir, max_files_per_trigger=1),
+        wh,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        lookback=ZSCORE_LOOKBACK,
+        min_n=ZSCORE_MIN_N,
+        cut=ZSCORE_CUT,
+    )
+    q.awaitTermination(180)
+
+    cols = ["event_id", "user_id", "n_prior", "base_mean", "base_std",
+            "zscore", "is_anomaly"]
+    got = sorted(
+        tuple(r)
+        for r in wh.read(spark, "dwh", "event_anomalies").select(*cols).collect()
+    )
+    want = sorted(
+        tuple(r) for r in events_anomaly_zscore(spark, SF).collect()
+    )
+    assert got == want and len(got) == 1000
