@@ -1470,15 +1470,10 @@ ORACLE["corpus_temperature_mix"] = f"""
 # ---------------------------------------------------------------------------
 
 
-def chunk_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 at CHUNK granularity — the actual RAG retrieval unit: the
-    corpus is first cut into overlapping windows (the doc_chunking
-    layer), then ranked by BM25 against the fixed term query, returning
-    (doc, chunk) hits. Composition of two proven layers: the chunk
-    explode feeds the postings build directly — chunks never
-    materialize outside the pipeline, so the scale cost stays one
-    narrow chunk pass + the postings-only shuffle. Same micro-unit
-    integer discipline as bm25_topk."""
+def _chunk_bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared lexical core of chunk_bm25_topk and chunk_hybrid_rrf_topk:
+    (doc_id, chunk_idx, score_micro) for every chunk containing a query
+    term."""
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
     words = F.split(F.col("text"), " ")
     starts = F.sequence(
@@ -1524,13 +1519,24 @@ def chunk_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
     )
     contrib_micro = F.floor(idf * norm * 1_000_000 + F.lit(0.5)).cast("long")
-    scored = (
+    return (
         tf.join(F.broadcast(df_tab), "term")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id", "chunk_idx")
         .agg(F.sum(contrib_micro).alias("score_micro"))
     )
-    return scored.orderBy(
+
+
+def chunk_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 at CHUNK granularity — the actual RAG retrieval unit: the
+    corpus is first cut into overlapping windows (the doc_chunking
+    layer), then ranked by BM25 against the fixed term query, returning
+    (doc, chunk) hits. Composition of two proven layers: the chunk
+    explode feeds the postings build directly — chunks never
+    materialize outside the pipeline, so the scale cost stays one
+    narrow chunk pass + the postings-only shuffle. Same micro-unit
+    integer discipline as bm25_topk."""
+    return _chunk_bm25_scored(spark, sf_dir).orderBy(
         F.desc("score_micro"), F.asc("doc_id"), F.asc("chunk_idx")
     ).limit(BM25_TOPK)
 
@@ -1597,6 +1603,137 @@ def _chunk_bm25_oracle() -> str:
 
 
 ORACLE["chunk_bm25_topk"] = _chunk_bm25_oracle()
+
+
+def chunk_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval at CHUNK granularity — what a RAG system
+    actually serves: the lexical leg ranks chunks by BM25 against the
+    fixed term query (shared core with chunk_bm25_topk), the dense leg
+    ranks DOCUMENTS by cosine against document 0's embedding (the
+    testdata embeds docs, not chunks — every chunk inherits its parent
+    doc's dense rank, the standard granularity bridge), and RRF fuses
+    them per chunk: 1/(60+rn_lex) + 1/(60+rn_dense(doc)). Candidates
+    are the lexically-matched chunks (a chunk with zero query terms has
+    no retrieval unit to serve); a doc outside the dense ranking
+    contributes only its lex term.
+
+    Scale shape: both ranks are global row numbers through the
+    two-phase ops.global_order layout; the dense leg is a broadcast
+    1-row query; attaching the doc-level rank to chunks is a broadcast
+    join of the metadata-scale rank relation. Same 6-dp fusion rounding
+    as hybrid_rrf_topk."""
+    from data_platform_spark.functions import similarity as S
+    from data_platform_spark.ops.global_order import global_row_number
+
+    lex_scored = _chunk_bm25_scored(spark, sf_dir).filter(
+        F.col("doc_id") != 0
+    )
+    lex = global_row_number(
+        lex_scored,
+        [F.desc("score_micro"), F.asc("doc_id"), F.asc("chunk_idx")],
+        "rn_lex",
+    ).select("doc_id", "chunk_idx", "rn_lex")
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"), spark)
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        S.as_double(F.col("embedding")).alias("q")
+    )
+    dense_scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            pround(
+                S.cosine(S.as_double(F.col("embedding")), F.col("q")), 4
+            ).alias("cosine"),
+        )
+    )
+    dense = global_row_number(
+        dense_scored, [F.desc("cosine"), F.asc("doc_id")], "rn_dense"
+    ).select("doc_id", "rn_dense")
+
+    fused = lex.join(F.broadcast(dense), "doc_id", "left").select(
+        "doc_id",
+        "chunk_idx",
+        "rn_lex",
+        "rn_dense",
+        pround(
+            1.0 / (F.lit(RRF_K) + F.col("rn_lex"))
+            + F.coalesce(
+                1.0 / (F.lit(RRF_K) + F.col("rn_dense")), F.lit(0.0)
+            ),
+            6,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(
+        F.desc("rrf"), F.asc("doc_id"), F.asc("chunk_idx")
+    ).limit(RRF_TOPK)
+
+
+QUERIES["chunk_hybrid_rrf_topk"] = chunk_hybrid_rrf_topk
+
+
+def _chunk_hybrid_oracle() -> str:
+    cos = (
+        "list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[]) / "
+        "(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))"
+        " * sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])))"
+    )
+    # lexical chunk CTEs come from the shared chunk-BM25 derivation:
+    # everything up to (excluding) its final SELECT, re-terminated with a
+    # comma so the fusion CTEs chain on
+    chunk_cte = (
+        _chunk_bm25_oracle()
+        .split("SELECT doc_id, chunk_idx, sum(c)::BIGINT")[0]
+        .rstrip()
+        + ","
+    )
+    return f"""
+        {chunk_cte}
+        lex_scored AS (
+            SELECT doc_id, chunk_idx, sum(c)::BIGINT AS score_micro
+            FROM contrib
+            WHERE doc_id != 0
+            GROUP BY doc_id, chunk_idx
+        ),
+        lex AS (
+            SELECT doc_id, chunk_idx,
+                   row_number() OVER (
+                       ORDER BY score_micro DESC, doc_id ASC, chunk_idx ASC
+                   )::BIGINT AS rn_lex
+            FROM lex_scored
+        ),
+        q AS (
+            SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+        ),
+        dense_scored AS (
+            SELECT e.vec_id AS doc_id, {sql_round(cos, 4)} AS cosine
+            FROM embeddings e, q
+            WHERE e.vec_id != 0
+        ),
+        dense AS (
+            SELECT doc_id,
+                   row_number() OVER (
+                       ORDER BY cosine DESC, doc_id ASC
+                   )::BIGINT AS rn_dense
+            FROM dense_scored
+        )
+        SELECT
+            l.doc_id,
+            l.chunk_idx,
+            l.rn_lex,
+            d.rn_dense,
+            {sql_round(
+                f"1.0 / ({RRF_K} + l.rn_lex)"
+                f" + coalesce(1.0 / ({RRF_K} + d.rn_dense), 0.0)", 6
+            )} AS rrf
+        FROM lex l LEFT JOIN dense d USING (doc_id)
+        ORDER BY rrf DESC, doc_id ASC, chunk_idx ASC
+        LIMIT {RRF_TOPK}
+    """
+
+
+ORACLE["chunk_hybrid_rrf_topk"] = _chunk_hybrid_oracle()
 
 
 # ---------------------------------------------------------------------------
