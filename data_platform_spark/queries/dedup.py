@@ -1209,3 +1209,206 @@ ORACLE["neardup_embedding_consistency"] = f"""
     JOIN embeddings ea ON ea.vec_id = v.doc_a
     JOIN embeddings eb ON eb.vec_id = v.doc_b
 """
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator calibration: estimated vs exact Jaccard per candidate
+# ---------------------------------------------------------------------------
+
+
+def minhash_estimate_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-audit of the MinHash estimator: for every LSH candidate pair,
+    the ESTIMATED Jaccard (fraction of the 8 minhash components that
+    agree — the unbiased MinHash estimate) next to the EXACT shingle
+    Jaccard, with the absolute error. The calibration evidence that the
+    signature width is adequate for the thresholds the dedup stack runs
+    at — every production near-dup deployment publishes this table
+    before trusting the bands.
+
+    Same diamond layout as neardup_pairs_lsh (shingles + signatures each
+    computed once, candidates from the band self-join); the estimate is
+    a codegen'd per-pair component comparison, no extra shuffle."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    doc_sh = D.shingle_array_df(docs).persist()
+    sig = D.minhash_signatures(doc_sh).persist()
+    cand = D.lsh_candidate_pairs(sig)
+    exact = D.verified_jaccard(doc_sh, cand, threshold=0.0)
+    n = D.N_MINHASH
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(n)],
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(n)],
+    )
+    matches = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(n)
+    )
+    est = pround(matches / F.lit(float(n)), 4)
+    paired = exact.join(a, "doc_a").join(b, "doc_b")
+    out = paired.select(
+        "doc_a",
+        "doc_b",
+        est.alias("est_jaccard"),
+        "jaccard",
+        pround(F.abs(est - F.col("jaccard")), 4).alias("abs_err"),
+    )
+    return out
+
+
+QUERIES["minhash_estimate_calibration"] = minhash_estimate_calibration
+
+
+def _calibration_oracle() -> str:
+    n = D.N_MINHASH
+    match_sum = " + ".join(
+        f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END" for i in range(n)
+    )
+    j = "n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common)"
+    return f"""
+        WITH {_shingle_cte()},
+        {_sig_sql()},
+        {_bands_sql()},
+        sizes AS (
+            SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+        ),
+        common AS (
+            SELECT c.doc_a, c.doc_b, count(*) AS n_common
+            FROM cand c
+            JOIN sh a ON a.doc_id = c.doc_a
+            JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+            GROUP BY c.doc_a, c.doc_b
+        ),
+        exact AS (
+            SELECT doc_a, doc_b, {sql_round(j, 4)} AS jaccard
+            FROM common
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+        ),
+        est AS (
+            SELECT e.doc_a, e.doc_b, e.jaccard,
+                   {sql_round(f"({match_sum}) * 1.0 / {n}", 4)} AS est_jaccard
+            FROM exact e
+            JOIN sig a ON a.doc_id = e.doc_a
+            JOIN sig b ON b.doc_id = e.doc_b
+        )
+        SELECT doc_a, doc_b, est_jaccard, jaccard,
+               {sql_round("abs(est_jaccard - jaccard)", 4)} AS abs_err
+        FROM est
+    """
+
+
+ORACLE["minhash_estimate_calibration"] = _calibration_oracle()
+
+
+# ---------------------------------------------------------------------------
+# end-to-end dedup decision report: one status row per document
+# ---------------------------------------------------------------------------
+
+
+def dedup_decision_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-document verdict a dedup pass publishes: every doc is
+    'exact_dup' (not the lowest-id member of its content-hash group,
+    ref = the keeper), 'near_dup' (an exact keeper with a verified
+    band-candidate partner of SMALLER id that is also an exact keeper —
+    the greedy lowest-id-wins rule, ref = the smallest such partner), or
+    'kept'. This is the human-auditable ledger behind
+    documents_after_dedup's surviving set.
+
+    Scale shape: one hash shuffle for the exact groups; the near stage
+    reuses the banded LSH layout restricted to keepers (both join sides
+    shrink before the quadratic-risk stage); the report itself is two
+    metadata-light joins, one row per doc."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    hashed = docs.select(
+        "doc_id", D.content_hash(F.col("text")).alias("h")
+    )
+    keep = hashed.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+    wk = hashed.join(keep, "h").select("doc_id", "keeper")
+    exact_dups = wk.filter(F.col("doc_id") != F.col("keeper")).select(
+        "doc_id",
+        F.lit("exact_dup").alias("status"),
+        F.col("keeper").cast("long").alias("ref_doc"),
+    )
+    keepers = wk.filter(F.col("doc_id") == F.col("keeper")).select("doc_id")
+    kdocs = docs.join(keepers, "doc_id", "left_semi")
+    doc_sh = D.shingle_array_df(kdocs).persist()
+    sig = D.minhash_signatures(doc_sh).persist()
+    cand = D.lsh_candidate_pairs(sig)
+    near = (
+        D.verified_jaccard(doc_sh, cand, threshold=JACCARD_THRESHOLD)
+        .groupBy("doc_b")
+        .agg(F.min("doc_a").alias("ref"))
+    )
+    keeper_rows = keepers.join(
+        near.withColumnRenamed("doc_b", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.when(F.col("ref").isNull(), F.lit("kept"))
+        .otherwise(F.lit("near_dup"))
+        .alias("status"),
+        F.col("ref").cast("long").alias("ref_doc"),
+    )
+    return exact_dups.unionByName(keeper_rows)
+
+
+QUERIES["dedup_decision_report"] = dedup_decision_report
+
+
+def _decision_oracle() -> str:
+    j = "n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common)"
+    return f"""
+        WITH hashed AS (
+            SELECT doc_id, md5(text) AS h FROM documents
+        ),
+        keep AS (
+            SELECT h, min(doc_id) AS keeper FROM hashed GROUP BY h
+        ),
+        wk AS (
+            SELECT doc_id, keeper FROM hashed JOIN keep USING (h)
+        ),
+        keepers AS (
+            SELECT doc_id FROM wk WHERE doc_id = keeper
+        ),
+        {_shingle_cte()},
+        {_sig_sql()},
+        {_bands_sql()},
+        candk AS (
+            SELECT c.doc_a, c.doc_b
+            FROM cand c
+            JOIN keepers ka ON ka.doc_id = c.doc_a
+            JOIN keepers kb ON kb.doc_id = c.doc_b
+        ),
+        sizes AS (
+            SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+        ),
+        common AS (
+            SELECT c.doc_a, c.doc_b, count(*) AS n_common
+            FROM candk c
+            JOIN sh a ON a.doc_id = c.doc_a
+            JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+            GROUP BY c.doc_a, c.doc_b
+        ),
+        verified AS (
+            SELECT doc_a, doc_b
+            FROM common
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE {sql_round(j, 4)} >= {JACCARD_THRESHOLD}
+        ),
+        near AS (
+            SELECT doc_b AS doc_id, min(doc_a) AS ref FROM verified
+            GROUP BY doc_b
+        )
+        SELECT doc_id, 'exact_dup' AS status, keeper::BIGINT AS ref_doc
+        FROM wk WHERE doc_id != keeper
+        UNION ALL
+        SELECT k.doc_id,
+               CASE WHEN n.ref IS NULL THEN 'kept' ELSE 'near_dup' END,
+               n.ref::BIGINT
+        FROM keepers k LEFT JOIN near n USING (doc_id)
+    """
+
+
+ORACLE["dedup_decision_report"] = _decision_oracle()

@@ -2058,3 +2058,227 @@ ORACLE["quality_percentile_by_source"] = f"""
            )} AS quality_pct
     FROM ranked
 """.replace("{q}", quality_sql())
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality-rule funnel: sequential rule rejection accounting
+# ---------------------------------------------------------------------------
+
+FUNNEL_MIN_WORDS = 20
+FUNNEL_MAX_WORDS = 90
+FUNNEL_MIN_AWL = 4.2     # mean word length bounds (symbol soup / spam)
+FUNNEL_MAX_AWL = 10.0
+FUNNEL_MAX_DUP_TG = 0.02  # duplicate-trigram fraction ceiling
+FUNNEL_MAX_STOP = 0.12    # stopword-ratio ceiling
+FUNNEL_STOPS = ("a", "the")
+
+
+def quality_rule_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based quality filter FUNNEL (the Gopher-rules shape): each
+    doc is tested against an ordered rule list — word-count bounds, mean
+    word length bounds, duplicate-trigram ceiling, stopword-ratio
+    ceiling — and the output accounts, per rule, how many docs the rule
+    rejected AMONG THE SURVIVORS of the earlier rules and how many
+    survive cumulatively. The report every curation pipeline publishes
+    with a corpus release ("N removed by rule R").
+
+    One narrow scan computes all flags (codegen'd array expressions, no
+    shuffle); the funnel is a single aggregate row unpivoted with
+    stack(). Every compared quantity rounds to 6 dp before the
+    threshold test, so the flag cannot flip across engines."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    ws = F.split(F.col("text"), " ")
+    n_w = F.size(ws)
+    awl = pround(
+        F.length(F.regexp_replace(F.col("text"), " ", "")) / n_w, 6
+    )
+    tg = F.expr(
+        "CASE WHEN size(split(text, ' ')) < 3 THEN array() "
+        "ELSE transform(sequence(0, size(split(text, ' ')) - 3), "
+        "i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1], "
+        "split(text, ' ')[i+2])) END"
+    )
+    dup_tg = pround(
+        F.lit(1.0) - F.size(F.array_distinct(tg)) / F.size(tg), 6
+    )
+    stop_ratio = pround(
+        F.size(F.filter(ws, lambda x: x.isin(*FUNNEL_STOPS))) / n_w, 6
+    )
+    flags = docs.select(
+        ((n_w >= FUNNEL_MIN_WORDS) & (n_w <= FUNNEL_MAX_WORDS)).alias("r1"),
+        ((awl >= FUNNEL_MIN_AWL) & (awl <= FUNNEL_MAX_AWL)).alias("r2"),
+        (dup_tg <= FUNNEL_MAX_DUP_TG).alias("r3"),
+        (stop_ratio <= FUNNEL_MAX_STOP).alias("r4"),
+    )
+    b = lambda c: c.cast("int")  # noqa: E731
+    agg = flags.agg(
+        F.sum(b(~F.col("r1"))).alias("f1"),
+        F.sum(b(F.col("r1"))).alias("s1"),
+        F.sum(b(F.col("r1") & ~F.col("r2"))).alias("f2"),
+        F.sum(b(F.col("r1") & F.col("r2"))).alias("s2"),
+        F.sum(b(F.col("r1") & F.col("r2") & ~F.col("r3"))).alias("f3"),
+        F.sum(b(F.col("r1") & F.col("r2") & F.col("r3"))).alias("s3"),
+        F.sum(
+            b(F.col("r1") & F.col("r2") & F.col("r3") & ~F.col("r4"))
+        ).alias("f4"),
+        F.sum(
+            b(F.col("r1") & F.col("r2") & F.col("r3") & F.col("r4"))
+        ).alias("s4"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(4, "
+            "'word_count', f1, s1, "
+            "'avg_word_len', f2, s2, "
+            "'dup_trigrams', f3, s3, "
+            "'stopword_ratio', f4, s4) AS (rule, n_rejected, n_surviving)"
+        )
+    ).select(
+        "rule",
+        F.col("n_rejected").cast("long").alias("n_rejected"),
+        F.col("n_surviving").cast("long").alias("n_surviving"),
+    )
+
+
+QUERIES["quality_rule_funnel"] = quality_rule_funnel
+
+
+def _funnel_oracle() -> str:
+    stops = ", ".join(f"'{s}'" for s in FUNNEL_STOPS)
+    awl = sql_round("length(replace(text, ' ', '')) * 1.0 / len(ws)", 6)
+    dup_tg = sql_round("1.0 - len(list_distinct(tg)) * 1.0 / len(tg)", 6)
+    stop_r = sql_round(
+        f"len(list_filter(ws, x -> x IN ({stops}))) * 1.0 / len(ws)", 6
+    )
+    return f"""
+        WITH w AS (
+            SELECT doc_id, text, string_split(text, ' ') AS ws
+            FROM documents
+        ),
+        t AS (
+            SELECT *,
+                   CASE WHEN len(ws) < 3 THEN []::VARCHAR[]
+                        ELSE list_transform(range(1, len(ws) - 1),
+                             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                   END AS tg
+            FROM w
+        ),
+        flags AS (
+            SELECT
+                len(ws) BETWEEN {FUNNEL_MIN_WORDS} AND {FUNNEL_MAX_WORDS}
+                    AS r1,
+                {awl} BETWEEN {FUNNEL_MIN_AWL} AND {FUNNEL_MAX_AWL} AS r2,
+                {dup_tg} <= {FUNNEL_MAX_DUP_TG} AS r3,
+                {stop_r} <= {FUNNEL_MAX_STOP} AS r4
+            FROM t
+        )
+        SELECT 'word_count' AS rule,
+               sum(CASE WHEN NOT r1 THEN 1 ELSE 0 END)::BIGINT AS n_rejected,
+               sum(CASE WHEN r1 THEN 1 ELSE 0 END)::BIGINT AS n_surviving
+        FROM flags
+        UNION ALL
+        SELECT 'avg_word_len',
+               sum(CASE WHEN r1 AND NOT r2 THEN 1 ELSE 0 END)::BIGINT,
+               sum(CASE WHEN r1 AND r2 THEN 1 ELSE 0 END)::BIGINT
+        FROM flags
+        UNION ALL
+        SELECT 'dup_trigrams',
+               sum(CASE WHEN r1 AND r2 AND NOT r3 THEN 1 ELSE 0 END)::BIGINT,
+               sum(CASE WHEN r1 AND r2 AND r3 THEN 1 ELSE 0 END)::BIGINT
+        FROM flags
+        UNION ALL
+        SELECT 'stopword_ratio',
+               sum(CASE WHEN r1 AND r2 AND r3 AND NOT r4 THEN 1 ELSE 0 END)::BIGINT,
+               sum(CASE WHEN r1 AND r2 AND r3 AND r4 THEN 1 ELSE 0 END)::BIGINT
+        FROM flags
+    """
+
+
+ORACLE["quality_rule_funnel"] = _funnel_oracle()
+
+
+# ---------------------------------------------------------------------------
+# vocabulary drift between corpus halves (ingest-batch monitoring)
+# ---------------------------------------------------------------------------
+
+DRIFT_TOPK = 20
+
+
+def corpus_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary drift between two corpus slices (even vs odd doc_id —
+    the stand-in for yesterday's vs today's ingest): add-1-smoothed
+    unigram probabilities on each side over the shared vocabulary, top-k
+    terms by absolute probability shift. The monitor that catches a
+    scraper suddenly pulling a different site mix before the tokenizer
+    or the loss curve does.
+
+    One token explode → one groupBy(term) with conditional partial sums
+    (both sides in a single shuffle); totals and vocabulary size are a
+    1-row broadcast. Probabilities round to 6 dp before differencing,
+    delta re-rounds — bit-identical cross-engine."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    toks = docs.select(
+        (F.col("doc_id") % 2 == 0).alias("is_a"),
+        F.explode(F.split(F.col("text"), " ")).alias("term"),
+    )
+    counts = toks.groupBy("term").agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(~F.col("is_a"), 1).otherwise(0)).alias("n_b"),
+    )
+    totals = counts.agg(
+        F.sum("n_a").alias("tot_a"),
+        F.sum("n_b").alias("tot_b"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    p_a = pround(
+        (F.col("n_a") + 1) / (F.col("tot_a") + F.col("v")), 6
+    )
+    p_b = pround(
+        (F.col("n_b") + 1) / (F.col("tot_b") + F.col("v")), 6
+    )
+    scored = counts.crossJoin(F.broadcast(totals)).select(
+        "term",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        p_a.alias("p_a"),
+        p_b.alias("p_b"),
+    )
+    delta = pround(F.abs(F.col("p_a") - F.col("p_b")), 6)
+    return (
+        scored.withColumn("delta", delta)
+        .orderBy(F.desc("delta"), F.asc("term"))
+        .limit(DRIFT_TOPK)
+    )
+
+
+QUERIES["corpus_vocab_drift"] = corpus_vocab_drift
+
+ORACLE["corpus_vocab_drift"] = f"""
+    WITH toks AS (
+        SELECT doc_id % 2 = 0 AS is_a, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    counts AS (
+        SELECT term,
+               sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS n_a,
+               sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS n_b
+        FROM toks GROUP BY term
+    ),
+    totals AS (
+        SELECT sum(n_a) AS tot_a, sum(n_b) AS tot_b, count(*) AS v
+        FROM counts
+    ),
+    scored AS (
+        SELECT term,
+               n_a::BIGINT AS n_a,
+               n_b::BIGINT AS n_b,
+               {sql_round("(n_a + 1) * 1.0 / (t.tot_a + t.v)", 6)} AS p_a,
+               {sql_round("(n_b + 1) * 1.0 / (t.tot_b + t.v)", 6)} AS p_b
+        FROM counts, totals t
+    )
+    SELECT term, n_a, n_b, p_a, p_b,
+           {sql_round("abs(p_a - p_b)", 6)} AS delta
+    FROM scored
+    ORDER BY delta DESC, term ASC
+    LIMIT {DRIFT_TOPK}
+"""
