@@ -75,6 +75,36 @@ def build_pq_index(
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
 
 
+def append_to_pq_index(
+    new_emb: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Fold a new vector batch into the persisted index — the second
+    half of the daily loop (search, keep, append), the PQ twin of
+    ops/neardup_index.append_to_band_index. The batch is encoded against
+    the EXISTING codebook (no retraining — the codebook is the index's
+    contract; periodic rebuilds are a separate maintenance op) and its
+    codes append to ``codes/``. O(batch) work; parameters come from the
+    sidecar so a mismatched-geometry append cannot poison the index.
+    Caller guarantees batch ids are not already indexed."""
+    spark = new_emb.sparkSession
+    p = read_pq_params(spark, path)
+    codebook = spark.read.parquet(f"{path}/codebook")
+    dist = pq_dist_table(
+        new_emb,
+        p["n_sub"],
+        p["n_codes"],
+        p["dim"],
+        p["n_iter"],
+        id_col,
+        vec_col,
+        cents=codebook,
+    )
+    pq_encode(dist, id_col).write.mode("append").parquet(f"{path}/codes")
+
+
 def read_pq_params(spark: SparkSession, path: str) -> dict[str, int]:
     """The build-time parameter sidecar as a dict (n_sub, n_codes, dim,
     n_iter). Indexes built before the sidecar existed raise — rebuilding

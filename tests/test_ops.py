@@ -1194,3 +1194,54 @@ def test_attribution_window_rewrite_handles_skewed_user(spark):
     c = {r.purchase_id: r.n_prior_clicks for r in counts.collect()}
     assert c[k * 2 + 1] == 600          # full 10-minute window
     assert c[1] == 1                    # k=0: t=1s, only the click at 0s
+
+
+def test_pq_index_append_encodes_against_existing_codebook(spark, tmp_path):
+    """The daily ANN loop: append a new vector batch to a built index.
+    Appended codes must derive from the EXISTING codebook (no retrain),
+    so a search over the appended index equals ADC over (original
+    codebook, all vectors encoded against it)."""
+    from data_platform_spark.functions.similarity import (
+        pq_dist_table,
+        pq_encode,
+    )
+    from data_platform_spark.ops.ann_index import (
+        append_to_pq_index,
+        build_pq_index,
+        pq_search_index,
+    )
+    from data_platform_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    batch = emb.filter(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "pq_idx")
+    build_pq_index(base, path)
+    append_to_pq_index(batch, path)
+
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    got = [
+        (r.vec_id, r.adc_micro)
+        for r in pq_search_index(
+            spark, path, qvec, k=10, exclude_ids=[0]
+        ).collect()
+    ]
+
+    # expected: every vector encoded against the BASE-trained codebook
+    codebook = spark.read.parquet(f"{path}/codebook")
+    dist = pq_dist_table(emb, cents=codebook)
+    codes = pq_encode(dist)
+    assert codes.count() == emb.count() * 4  # one row per (vec, subspace)
+    want_codes = sorted(tuple(r) for r in codes.collect())
+    have_codes = sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{path}/codes")
+        .select("vec_id", "m", "code")
+        .collect()
+    )
+    assert have_codes == want_codes
+    assert len(got) == 10
