@@ -101,16 +101,31 @@ def neardup_search_index(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    standing_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Verified near-dup pairs (doc_a = batch doc, doc_b = standing doc,
     jaccard) of a fresh batch against the PERSISTED index.
 
-    O(batch) fresh work: the batch alone is shingled and signatured; the
-    standing side contributes only its persisted (doc_id, bk) bands to
-    the bipartite candidate join and its persisted shingle arrays to the
-    exact-Jaccard verification — the standing corpus' text is never
-    touched. Caller guarantees batch ids are not already in the index
-    (otherwise a doc trivially matches itself)."""
+    O(batch) fresh signature work: the batch alone is shingled and
+    signatured; the standing side contributes only its persisted
+    (doc_id, bk) bands to the bipartite candidate join. For the
+    exact-Jaccard verification of band candidates the standing side's
+    shingle ARRAYS are needed; two sources, distinct IO profiles:
+
+    - default: the persisted ``shingles/`` half — the standing text is
+      never touched, but the verification join scans the shingle table
+      (O(corpus) IO unless it's bucketed/clustered by doc_id; measured
+      at parity with recompute on short local docs,
+      scripts/measure_neardup_index_speedup.py);
+    - ``standing_docs`` given: re-shingle ONLY the candidate standing
+      docs (semi-join on the candidate doc_b set first) — O(candidates)
+      CPU, and the text read prunes to candidate ids when the docs
+      table is clustered/Z-ordered on doc_id (ops/layout.py). The right
+      choice at 100 TB, where scanning the full shingle table per batch
+      is the cost the index exists to avoid.
+
+    Caller guarantees batch ids are not already in the index (otherwise
+    a doc trivially matches itself)."""
     p = read_band_params(spark, path)
     new_sh = D.shingle_array_df(new_docs, id_col, text_col, p["k"])
     sig = D.minhash_signatures(new_sh, id_col, p["n_hashes"])
@@ -121,7 +136,16 @@ def neardup_search_index(
         F.col(id_col).alias("doc_b"), "bk"
     )
     cand = new_bands.join(idx_bands, "bk").select("doc_a", "doc_b").distinct()
-    idx_sh = spark.read.parquet(f"{path}/shingles")
+    if standing_docs is not None:
+        cand_b = cand.select(F.col("doc_b").alias(id_col)).distinct()
+        idx_sh = D.shingle_array_df(
+            standing_docs.join(cand_b, id_col, "left_semi"),
+            id_col,
+            text_col,
+            p["k"],
+        )
+    else:
+        idx_sh = spark.read.parquet(f"{path}/shingles")
     return D.bipartite_verified_jaccard(
         new_sh, idx_sh, cand, id_col, threshold
     )
@@ -134,6 +158,7 @@ def incremental_neardup_report(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    standing_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Per-batch-doc keep/drop report against the persisted index — the
     same output contract as queries/dedup.py incremental_neardup_new_batch
@@ -142,7 +167,7 @@ def incremental_neardup_report(
     aggregate (max jaccard, min doc_b among ties); docs with no band
     collision survive via the left join."""
     verified = neardup_search_index(
-        spark, path, new_docs, threshold, id_col, text_col
+        spark, path, new_docs, threshold, id_col, text_col, standing_docs
     )
     best = F.max(
         F.struct(F.col("jaccard").alias("j"), (-F.col("doc_b")).alias("nd"))

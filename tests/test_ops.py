@@ -1245,3 +1245,42 @@ def test_pq_index_append_encodes_against_existing_codebook(spark, tmp_path):
     )
     assert have_codes == want_codes
     assert len(got) == 10
+
+
+def test_neardup_index_candidates_only_verification_identical(spark, tmp_path):
+    """The candidates-only verification source (re-shingle just the
+    candidate standing docs from a provided docs frame) must return
+    results identical to verifying from the persisted shingle table."""
+    from data_platform_spark.ops.neardup_index import (
+        build_band_index,
+        incremental_neardup_report,
+    )
+    from data_platform_spark.queries.dedup import (
+        INCR_NEW_MOD,
+        JACCARD_THRESHOLD,
+    )
+    from data_platform_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    standing = docs.filter(F.col("doc_id") % INCR_NEW_MOD != 0)
+    batch = docs.filter(F.col("doc_id") % INCR_NEW_MOD == 0).select(
+        "doc_id", "text"
+    )
+    path = str(tmp_path / "idx")
+    build_band_index(standing, path)
+
+    from_index = sorted(
+        tuple(r)
+        for r in incremental_neardup_report(
+            spark, path, batch, threshold=JACCARD_THRESHOLD
+        ).collect()
+    )
+    from_docs = sorted(
+        tuple(r)
+        for r in incremental_neardup_report(
+            spark, path, batch, threshold=JACCARD_THRESHOLD,
+            standing_docs=standing,
+        ).collect()
+    )
+    assert from_docs == from_index and len(from_docs) > 0
