@@ -1040,3 +1040,55 @@ ORACLE["user_event_entropy"] = """
     FROM counts c JOIN totals t USING (user_id)
     GROUP BY c.user_id, t.n_total, t.n_transition_types
 """
+
+
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level behavioral transition matrix: P(next | prev) over
+    every user's time-ordered event stream — the model behind
+    user_event_entropy's per-user score, published as the monitoring
+    artifact itself (a shifted matrix means changed product behavior or
+    new automation). One lag window keyed by user, one global
+    groupBy(prev, next) with map-side combine, one broadcast of the
+    per-prev totals; output is k² rows (metadata scale)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    trans = ev.select(
+        "user_id",
+        F.lag("event_type").over(w).alias("prev"),
+        F.col("event_type").alias("next"),
+    ).filter(F.col("prev").isNotNull())
+    counts = trans.groupBy("prev", "next").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = counts.groupBy("prev").agg(F.sum("n").alias("n_prev"))
+    return counts.join(F.broadcast(totals), "prev").select(
+        "prev",
+        "next",
+        F.col("n").cast("long").alias("n"),
+        pround(F.col("n") / F.col("n_prev"), 6).alias("p"),
+    )
+
+
+QUERIES["event_transition_matrix"] = event_transition_matrix
+
+ORACLE["event_transition_matrix"] = f"""
+    WITH trans AS (
+        SELECT
+            lag(event_type) OVER (
+                PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+            ) AS prev,
+            event_type AS next
+        FROM events
+    ),
+    counts AS (
+        SELECT prev, next, count(*) AS n
+        FROM trans WHERE prev IS NOT NULL
+        GROUP BY prev, next
+    ),
+    totals AS (
+        SELECT prev, sum(n) AS n_prev FROM counts GROUP BY prev
+    )
+    SELECT c.prev, c.next, c.n::BIGINT AS n,
+           {sql_round("c.n * 1.0 / t.n_prev", 6)} AS p
+    FROM counts c JOIN totals t USING (prev)
+"""

@@ -2449,3 +2449,48 @@ ORACLE["erasure_cascade_audit"] = f"""
            (SELECT count(*) FROM lineitem
             WHERE l_orderkey IN (SELECT o_orderkey FROM dead_orders))
 """
+
+
+def orders_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: the monthly revenue series with
+    its lagged value and relative growth rate — the reporting dual of
+    monthly_order_calendar (levels) that every finance dashboard
+    actually plots (deltas). Aggregate first (months are metadata
+    scale), THEN the lag window over the tiny series — the two-stage
+    shape that never runs a global window over raw facts."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    ).agg(pround(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = Window.orderBy(F.asc("month"))
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month",
+        "revenue",
+        prev.alias("prev_revenue"),
+        F.when(
+            prev.isNotNull() & (prev > 0),
+            pround((F.col("revenue") - prev) / prev, 6),
+        ).alias("growth"),
+    )
+
+
+QUERIES["orders_revenue_growth"] = orders_revenue_growth
+
+ORACLE["orders_revenue_growth"] = f"""
+    WITH monthly AS (
+        SELECT date_trunc('month', o_orderdate) AS month,
+               {sql_round("sum(o_totalprice)", 2)} AS revenue
+        FROM orders GROUP BY 1
+    ),
+    lagged AS (
+        SELECT month, revenue,
+               lag(revenue) OVER (ORDER BY month ASC) AS prev_revenue
+        FROM monthly
+    )
+    SELECT month, revenue, prev_revenue,
+           CASE WHEN prev_revenue IS NOT NULL AND prev_revenue > 0
+                THEN {sql_round("(revenue - prev_revenue) / prev_revenue", 6)}
+           END AS growth
+    FROM lagged
+"""

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_platform_spark.functions import similarity as S
-from data_platform_spark.queries._util import fan_out, sql_round
+from data_platform_spark.queries._util import fan_out, pround, sql_round
 from data_platform_spark.sources.tables import load_table
 
 QUERY_VEC_ID = 0
@@ -1044,4 +1044,85 @@ ORACLE["pq_rerank_topk_vec0"] = f"""
     GROUP BY v.vec_id
     ORDER BY d2_micro ASC, vec_id ASC
     LIMIT {TOP_K}
+"""
+
+
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-side drift monitor: per label, the L2 distance between the
+    class centroid computed from the even-vec_id half and from the odd
+    half (the stand-in for yesterday's vs today's embedding batch) —
+    the companion to corpus_vocab_drift for the vector modality. An
+    embedding-model version bump or an upstream feature change moves
+    these centroids; monitoring catches it before ANN recall quietly
+    degrades.
+
+    One posexplode + groupBy(label, pos, half) with map-side combine
+    (centroids quantize to 4 dp, the label_centroids discipline), a
+    self-join of two metadata-scale centroid relations, and a per-label
+    sum of squared deltas in micro-units — order-independent LONGs."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"), spark)
+    half = (F.col("vec_id") % 2 == 0).alias("is_a")
+    cents = (
+        emb.select("label", half, F.posexplode(
+            F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        ).alias("pos", "x"))
+        .groupBy("label", "is_a", "pos")
+        .agg(pround(F.avg("x"), 4).alias("c"))
+    )
+    a = cents.filter(F.col("is_a")).select(
+        "label", "pos", F.col("c").alias("c_a")
+    )
+    b = cents.filter(~F.col("is_a")).select(
+        "label", "pos", F.col("c").alias("c_b")
+    )
+    terms = a.join(b, ["label", "pos"]).select(
+        "label",
+        F.floor(
+            (F.col("c_a") - F.col("c_b")) * (F.col("c_a") - F.col("c_b"))
+            * 1_000_000 + F.lit(0.5)
+        ).cast("long").alias("d2_micro"),
+    )
+    counts = emb.groupBy("label").agg(
+        F.sum(half.cast("int")).alias("n_a"),
+        F.sum((~(F.col("vec_id") % 2 == 0)).cast("int")).alias("n_b"),
+    )
+    return (
+        terms.groupBy("label")
+        .agg(F.sum("d2_micro").alias("drift2_micro"))
+        .join(counts, "label")
+        .select(
+            "label",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            "drift2_micro",
+        )
+    )
+
+
+QUERIES["embedding_centroid_drift"] = embedding_centroid_drift
+
+ORACLE["embedding_centroid_drift"] = f"""
+    WITH cents AS (
+        SELECT label, vec_id % 2 = 0 AS is_a, i - 1 AS pos,
+               {sql_round("avg(embedding[i]::DOUBLE)", 4)} AS c
+        FROM embeddings, generate_series(1, {DIM}) AS t(i)
+        GROUP BY label, is_a, pos
+    ),
+    terms AS (
+        SELECT a.label,
+               CAST(floor((a.c - b.c) * (a.c - b.c) * 1000000 + 0.5)
+                    AS BIGINT) AS d2_micro
+        FROM (SELECT * FROM cents WHERE is_a) a
+        JOIN (SELECT * FROM cents WHERE NOT is_a) b
+          ON a.label = b.label AND a.pos = b.pos
+    ),
+    counts AS (
+        SELECT label,
+               sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+               sum(CASE WHEN vec_id % 2 = 0 THEN 0 ELSE 1 END)::BIGINT AS n_b
+        FROM embeddings GROUP BY label
+    )
+    SELECT t.label, c.n_a, c.n_b, sum(t.d2_micro)::BIGINT AS drift2_micro
+    FROM terms t JOIN counts c USING (label)
+    GROUP BY t.label, c.n_a, c.n_b
 """

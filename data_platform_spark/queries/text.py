@@ -2282,3 +2282,128 @@ ORACLE["corpus_vocab_drift"] = f"""
     ORDER BY delta DESC, term ASC
     LIMIT {DRIFT_TOPK}
 """
+
+
+# ---------------------------------------------------------------------------
+# term co-occurrence PMI: collocation mining over the document corpus
+# ---------------------------------------------------------------------------
+
+PMI_MIN_PAIR_DOCS = 20  # support floor: pairs seen in fewer docs are noise
+PMI_TOPK = 20
+
+
+def term_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top document-level term pairs by pointwise
+    mutual information — PMI = ln(p(a,b) / (p(a)·p(b))) with document
+    frequencies as the probability estimates and a support floor
+    (pairs co-occurring in < PMI_MIN_PAIR_DOCS docs are excluded; raw
+    PMI famously explodes on rare pairs). The phrase-discovery /
+    tokenizer-hinting primitive.
+
+    Scale shape: the pair space is generated per document from its
+    DISTINCT term set (array self-pairing inside codegen, a<b dedup),
+    so the explode is bounded by (distinct terms/doc)² — never corpus²;
+    the groupBy(a, b) aggregate map-side combines; df and totals
+    broadcast. At web scale the standard refinement caps the per-doc
+    term set by document frequency first (drop ubiquitous terms), which
+    shrinks the quadratic factor — the support floor here plays that
+    role at test scale."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    terms = F.array_distinct(F.split(F.col("text"), " "))
+    base = docs.select("doc_id", terms.alias("ts"))
+    n_docs = base.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    df_tab = base.select(
+        "doc_id", F.explode("ts").alias("term")
+    ).groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    pairs = base.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        F.col("ts"),
+                        lambda a: F.transform(
+                            F.col("ts"), lambda b: F.struct(
+                                a.alias("a"), b.alias("b")
+                            )
+                        ),
+                    )
+                ),
+                lambda p: p["a"] < p["b"],
+            )
+        ).alias("p"),
+    ).select(F.col("p.a").alias("term_a"), F.col("p.b").alias("term_b"))
+    pair_df = pairs.groupBy("term_a", "term_b").agg(
+        F.count(F.lit(1)).alias("n_ab")
+    ).filter(F.col("n_ab") >= PMI_MIN_PAIR_DOCS)
+    joined = (
+        pair_df.join(
+            F.broadcast(df_tab.withColumnRenamed("term", "term_a")
+                        .withColumnRenamed("df", "df_a")),
+            "term_a",
+        )
+        .join(
+            F.broadcast(df_tab.withColumnRenamed("term", "term_b")
+                        .withColumnRenamed("df", "df_b")),
+            "term_b",
+        )
+        .crossJoin(F.broadcast(n_docs))
+    )
+    pmi = pround(
+        F.log(
+            (F.col("n_ab") / F.col("n"))
+            / ((F.col("df_a") / F.col("n")) * (F.col("df_b") / F.col("n")))
+        ),
+        6,
+    )
+    return joined.select(
+        "term_a",
+        "term_b",
+        F.col("n_ab").cast("long").alias("n_ab"),
+        F.col("df_a").cast("long").alias("df_a"),
+        F.col("df_b").cast("long").alias("df_b"),
+        pmi.alias("pmi"),
+    ).orderBy(
+        F.desc("pmi"), F.asc("term_a"), F.asc("term_b")
+    ).limit(PMI_TOPK)
+
+
+QUERIES["term_cooccurrence_pmi"] = term_cooccurrence_pmi
+
+ORACLE["term_cooccurrence_pmi"] = f"""
+    WITH base AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts
+        FROM documents
+    ),
+    n_docs AS (SELECT count(*)::DOUBLE AS n FROM base),
+    df_tab AS (
+        SELECT term, count(*) AS df
+        FROM (SELECT doc_id, unnest(ts) AS term FROM base)
+        GROUP BY term
+    ),
+    pairs AS (
+        SELECT a.term_a, b.term_b
+        FROM (SELECT doc_id, unnest(ts) AS term_a FROM base) a
+        JOIN (SELECT doc_id, unnest(ts) AS term_b FROM base) b
+          ON a.doc_id = b.doc_id AND a.term_a < b.term_b
+    ),
+    pair_df AS (
+        SELECT term_a, term_b, count(*) AS n_ab
+        FROM pairs GROUP BY term_a, term_b
+        HAVING count(*) >= {PMI_MIN_PAIR_DOCS}
+    )
+    SELECT
+        p.term_a, p.term_b,
+        p.n_ab::BIGINT AS n_ab,
+        da.df::BIGINT AS df_a,
+        db.df::BIGINT AS df_b,
+        {sql_round(
+            "ln((p.n_ab / n.n) / ((da.df / n.n) * (db.df / n.n)))", 6
+        )} AS pmi
+    FROM pair_df p
+    JOIN df_tab da ON da.term = p.term_a
+    JOIN df_tab db ON db.term = p.term_b
+    CROSS JOIN n_docs n
+    ORDER BY pmi DESC, term_a ASC, term_b ASC
+    LIMIT {PMI_TOPK}
+"""

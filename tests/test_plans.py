@@ -97,6 +97,8 @@ _BOUNDED_GLOBAL_WINDOW_OK = {
     "fact_fk_orphans",
     # lag over a year-grained aggregate: rows bounded by the calendar
     "orders_by_year",
+    # lag over a month-grained aggregate: rows bounded by the calendar
+    "orders_revenue_growth",
 }
 
 _EMPTY_PARTITION_WINDOW = re.compile(
