@@ -1412,3 +1412,215 @@ def _decision_oracle() -> str:
 
 
 ORACLE["dedup_decision_report"] = _decision_oracle()
+
+
+# ---------------------------------------------------------------------------
+# end-to-end curation pipeline summary: the corpus-release stage report
+# ---------------------------------------------------------------------------
+
+
+def curation_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The headline LLM-curation composition, as the stage report every
+    corpus release ships: raw corpus → quality-rule filter (the
+    quality_rule_funnel rules) → exact dedup (lowest-id keeper per
+    content hash among survivors) → near dedup (greedy lowest-id-wins
+    over verified LSH pairs among the remaining docs). One row per
+    stage with surviving doc and token counts — the numbers that
+    headline a dataset card.
+
+    Scale shape: each stage shrinks its successor's input — the
+    quality flags are one narrow codegen'd scan, the hash groupBy is
+    one shuffle over survivors only, and the quadratic-risk band join
+    runs over quality-passing exact keepers, the smallest set. Every
+    compared quantity rounds before thresholding (funnel discipline)."""
+    from data_platform_spark.functions import text as X
+    from data_platform_spark.queries.text import (
+        FUNNEL_MAX_AWL,
+        FUNNEL_MAX_DUP_TG,
+        FUNNEL_MAX_STOP,
+        FUNNEL_MAX_WORDS,
+        FUNNEL_MIN_AWL,
+        FUNNEL_MIN_WORDS,
+        FUNNEL_STOPS,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    ws = F.split(F.col("text"), " ")
+    n_w = F.size(ws)
+    awl = pround(
+        F.length(F.regexp_replace(F.col("text"), " ", "")) / n_w, 6
+    )
+    tg = F.expr(
+        "CASE WHEN size(split(text, ' ')) < 3 THEN array() "
+        "ELSE transform(sequence(0, size(split(text, ' ')) - 3), "
+        "i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1], "
+        "split(text, ' ')[i+2])) END"
+    )
+    dup_tg = pround(
+        F.lit(1.0) - F.size(F.array_distinct(tg)) / F.size(tg), 6
+    )
+    stop_ratio = pround(
+        F.size(F.filter(ws, lambda x: x.isin(*FUNNEL_STOPS))) / n_w, 6
+    )
+    passes = (
+        (n_w >= FUNNEL_MIN_WORDS)
+        & (n_w <= FUNNEL_MAX_WORDS)
+        & (awl >= FUNNEL_MIN_AWL)
+        & (awl <= FUNNEL_MAX_AWL)
+        & (dup_tg <= FUNNEL_MAX_DUP_TG)
+        & (stop_ratio <= FUNNEL_MAX_STOP)
+    )
+    scored = docs.select(
+        "doc_id",
+        "text",
+        X.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        passes.alias("ok"),
+    ).persist()
+    quality = scored.filter(F.col("ok"))
+
+    hashed = quality.select(
+        "doc_id", "text", "n_tokens", D.content_hash(F.col("text")).alias("h")
+    )
+    keep = hashed.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+    exact = (
+        hashed.join(keep, "h")
+        .filter(F.col("doc_id") == F.col("keeper"))
+        .select("doc_id", "text", "n_tokens")
+        .persist()
+    )
+
+    doc_sh = D.shingle_array_df(exact).persist()
+    sig = D.minhash_signatures(doc_sh)
+    cand = D.lsh_candidate_pairs(sig)
+    removed = (
+        D.verified_jaccard(doc_sh, cand, threshold=JACCARD_THRESHOLD)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    final = exact.join(removed, "doc_id", "left_anti")
+
+    def stage(idx: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(idx).alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias(
+                "total_tokens"
+            ),
+        )
+
+    return (
+        stage(0, "raw", scored)
+        .unionByName(stage(1, "quality", quality))
+        .unionByName(stage(2, "exact_dedup", exact))
+        .unionByName(stage(3, "near_dedup", final))
+    )
+
+
+QUERIES["curation_pipeline_summary"] = curation_pipeline_summary
+
+
+def _curation_oracle() -> str:
+    from data_platform_spark.functions import text as X
+    from data_platform_spark.queries.text import (
+        FUNNEL_MAX_AWL,
+        FUNNEL_MAX_DUP_TG,
+        FUNNEL_MAX_STOP,
+        FUNNEL_MAX_WORDS,
+        FUNNEL_MIN_AWL,
+        FUNNEL_MIN_WORDS,
+        FUNNEL_STOPS,
+    )
+
+    stops = ", ".join(f"'{s}'" for s in FUNNEL_STOPS)
+    awl = sql_round("length(replace(text, ' ', '')) * 1.0 / len(ws)", 6)
+    dup_tg = sql_round("1.0 - len(list_distinct(tg)) * 1.0 / len(tg)", 6)
+    stop_r = sql_round(
+        f"len(list_filter(ws, x -> x IN ({stops}))) * 1.0 / len(ws)", 6
+    )
+    j = "n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common)"
+    return f"""
+        WITH w0 AS (
+            SELECT doc_id, text, string_split(text, ' ') AS ws,
+                   len(regexp_extract_all(text, '{X.TOKEN_REGEX}'))::BIGINT
+                       AS n_tokens
+            FROM documents
+        ),
+        t0 AS (
+            SELECT *,
+                   CASE WHEN len(ws) < 3 THEN []::VARCHAR[]
+                        ELSE list_transform(range(1, len(ws) - 1),
+                             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                   END AS tg
+            FROM w0
+        ),
+        scored AS (
+            SELECT doc_id, text, n_tokens,
+                   len(ws) BETWEEN {FUNNEL_MIN_WORDS} AND {FUNNEL_MAX_WORDS}
+                   AND {awl} BETWEEN {FUNNEL_MIN_AWL} AND {FUNNEL_MAX_AWL}
+                   AND {dup_tg} <= {FUNNEL_MAX_DUP_TG}
+                   AND {stop_r} <= {FUNNEL_MAX_STOP} AS ok
+            FROM t0
+        ),
+        quality AS (SELECT * FROM scored WHERE ok),
+        keep AS (
+            SELECT md5(text) AS h, min(doc_id) AS keeper
+            FROM quality GROUP BY 1
+        ),
+        exact AS (
+            SELECT q.doc_id, q.text, q.n_tokens
+            FROM quality q JOIN keep k
+              ON md5(q.text) = k.h AND q.doc_id = k.keeper
+        ),
+        words AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM exact
+        ),
+        idx AS (
+            SELECT doc_id, w,
+                   unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i
+            FROM words
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+            FROM idx
+        ),
+        {_sig_sql()},
+        {_bands_sql()},
+        sizes AS (
+            SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+        ),
+        common AS (
+            SELECT c.doc_a, c.doc_b, count(*) AS n_common
+            FROM cand c
+            JOIN sh a ON a.doc_id = c.doc_a
+            JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+            GROUP BY c.doc_a, c.doc_b
+        ),
+        removed AS (
+            SELECT DISTINCT doc_b AS doc_id
+            FROM common
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE {sql_round(j, 4)} >= {JACCARD_THRESHOLD}
+        ),
+        final AS (
+            SELECT * FROM exact
+            WHERE doc_id NOT IN (SELECT doc_id FROM removed)
+        )
+        SELECT 0 AS stage_idx, 'raw' AS stage,
+               count(*)::BIGINT AS n_docs,
+               coalesce(sum(n_tokens), 0)::BIGINT AS total_tokens
+        FROM scored
+        UNION ALL
+        SELECT 1, 'quality', count(*)::BIGINT,
+               coalesce(sum(n_tokens), 0)::BIGINT FROM quality
+        UNION ALL
+        SELECT 2, 'exact_dedup', count(*)::BIGINT,
+               coalesce(sum(n_tokens), 0)::BIGINT FROM exact
+        UNION ALL
+        SELECT 3, 'near_dedup', count(*)::BIGINT,
+               coalesce(sum(n_tokens), 0)::BIGINT FROM final
+    """
+
+
+ORACLE["curation_pipeline_summary"] = _curation_oracle()
