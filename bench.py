@@ -26,7 +26,9 @@ from data_platform_spark.session import get_spark  # noqa: E402
 # sessionization, dedup/LSH, text, similarity; plus (round 6) one per
 # round-5 operator family so regressions in the new surface show up
 # round-over-round: gap-fill spine, chunking, two-phase sequence packing,
-# k-means IVF ANN, FK-integrity audit.
+# k-means IVF ANN, FK-integrity audit; plus (round 7) the retrieval stack
+# (BM25 + hybrid RRF), the window-rewritten attribution, and the
+# dedup decision ledger.
 HEADLINE = [
     "q1_pricing_summary",
     "q3_top_revenue_orders",
@@ -46,6 +48,10 @@ HEADLINE = [
     "corpus_pack_sequences",
     "kmeans_ivf_topk_vec0",
     "tpch_fk_orphans",
+    "bm25_topk",
+    "hybrid_rrf_topk",
+    "purchase_attribution",
+    "dedup_decision_report",
 ]
 
 

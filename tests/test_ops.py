@@ -1284,3 +1284,39 @@ def test_neardup_index_candidates_only_verification_identical(spark, tmp_path):
         ).collect()
     )
     assert from_docs == from_index and len(from_docs) > 0
+
+
+@_pt.mark.parametrize(
+    "qname",
+    [
+        "chunk_hybrid_rrf_topk",
+        "quality_rule_funnel",
+        "corpus_vocab_drift",
+        "minhash_estimate_calibration",
+        "dedup_decision_report",
+        "term_cooccurrence_pmi",
+        "embedding_centroid_drift",
+        "event_transition_matrix",
+        "curation_pipeline_summary",
+        "purchase_attribution",
+        "purchase_prior_click_counts",
+    ],
+)
+def test_round7_queries_partitioning_invariant(spark, qname):
+    """Every round-7 query (and the rewritten attribution family) must
+    return identical results under different physical parallelism —
+    shuffle-partition count must never leak into values (global ranks,
+    funnel counts, window frames)."""
+    from data_platform_spark.queries import all_queries
+
+    fn = all_queries()[qname]
+    sf = "/root/testdata/sf0.001"
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        few = sorted(tuple(r) for r in fn(spark, sf).collect())
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+        many = sorted(tuple(r) for r in fn(spark, sf).collect())
+        assert few == many and len(few) > 0
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
