@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -91,14 +92,7 @@ def main() -> None:
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
-        samples.sort()
-        mid = len(samples) // 2
-        median = (
-            samples[mid]
-            if len(samples) % 2 == 1
-            else (samples[mid - 1] + samples[mid]) / 2
-        )
-        timings[name] = round(median, 3)
+        timings[name] = round(statistics.median(samples), 3)
 
     total = round(sum(timings.values()), 3)
     print(

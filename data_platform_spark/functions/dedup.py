@@ -192,6 +192,36 @@ def verified_jaccard(
     )
 
 
+def neardup_report(
+    verified: DataFrame, new_ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-batch-doc keep/drop report from verified (doc_a, doc_b,
+    jaccard) pairs: match count, best match (max jaccard, min doc_b
+    among ties — one max-struct aggregate, no window), keep flag. Docs
+    with no verified match survive via the left join against
+    ``new_ids`` (one id row per batch doc). Shared by the oracle-gated
+    incremental query and the persisted-index production path, so the
+    two stay identical by construction."""
+    best = F.max(
+        F.struct(F.col("jaccard").alias("j"), (-F.col("doc_b")).alias("nd"))
+    )
+    per_new = verified.groupBy("doc_a").agg(
+        F.count(F.lit(1)).alias("n_matches"), best.alias("best")
+    )
+    out = new_ids.join(
+        per_new.withColumnRenamed("doc_a", id_col), id_col, "left"
+    )
+    return out.select(
+        id_col,
+        F.coalesce(F.col("n_matches"), F.lit(0)).cast("long").alias(
+            "n_matches"
+        ),
+        F.col("best.j").alias("best_jaccard"),
+        (-F.col("best.nd")).cast("long").alias("best_match_doc"),
+        (F.coalesce(F.col("n_matches"), F.lit(0)) == 0).alias("keep"),
+    )
+
+
 @pandas_udf(T.LongType())
 def simhash64(texts: pd.Series) -> pd.Series:
     """64-bit SimHash over word tokens, numpy-vectorized per Arrow batch.

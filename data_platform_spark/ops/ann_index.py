@@ -91,6 +91,17 @@ def append_to_pq_index(
     Caller guarantees batch ids are not already indexed."""
     spark = new_emb.sparkSession
     p = read_pq_params(spark, path)
+    # geometry check is distributed and cheap (limit-1 probe): a
+    # wrong-dimension batch would encode into a subset of the subspaces
+    # and spuriously rank at the top of every later ADC search.
+    bad = (
+        new_emb.filter(F.size(F.col(vec_col)) != p["dim"]).limit(1).count()
+    )
+    if bad:
+        raise ValueError(
+            f"index at {path} expects {p['dim']}-dim vectors; the batch "
+            "contains a different dimensionality"
+        )
     codebook = spark.read.parquet(f"{path}/codebook")
     dist = pq_dist_table(
         new_emb,

@@ -32,6 +32,8 @@ the same shingle relation.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -77,21 +79,52 @@ def append_to_band_index(
     path: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    batch_id: str | None = None,
 ) -> None:
     """Fold a processed batch into the standing index (the second half
     of the daily loop: search, keep the survivors, append them). Uses
     the SIDECAR's shingle/band geometry — an append with different
     parameters would silently poison the index, so they aren't
     overridable here. O(batch) work: only the new docs are shingled and
-    signatured."""
+    signatured.
+
+    Crash safety: both halves are staged to a temp dir, then their
+    files move into the live index under DETERMINISTIC
+    ``<batch_id>-N.parquet`` names — a move is skipped if its target
+    already exists, so a crashed append re-run with the same
+    ``batch_id`` completes exactly the missing files and can never
+    duplicate rows (the failure the naive double ``mode("append")``
+    had: a retry after a partial append double-counted every match
+    against the re-appended docs). Callers SHOULD pass a stable
+    batch_id (e.g. the ingest date); without one a random id is used
+    and a retry after a crash is NOT safe."""
+    import shutil
+    import uuid
+
     spark = new_docs.sparkSession
     p = read_band_params(spark, path)
+    bid = batch_id if batch_id is not None else uuid.uuid4().hex[:12]
+    stage = f"{path}/.append-stage-{bid}"
+    # one file per half: a retry re-stages, and mixing two attempts'
+    # different row splits would corrupt the index — with a single
+    # complete file per half, "target exists" means "half fully
+    # appended". Batch-sized data, so the coalesce is cheap.
     new_sh = D.shingle_array_df(new_docs, id_col, text_col, p["k"])
-    new_sh.write.mode("append").parquet(f"{path}/shingles")
+    new_sh.coalesce(1).write.mode("overwrite").parquet(f"{stage}/shingles")
     sig = D.minhash_signatures(new_sh, id_col, p["n_hashes"])
     D.band_long(sig, id_col, p["n_hashes"], p["band_size"]).select(
         F.col("_id").alias(id_col), "bk"
-    ).write.mode("append").parquet(f"{path}/bands")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{stage}/bands")
+    for half in ("shingles", "bands"):
+        src_dir = f"{stage}/{half}"
+        files = sorted(
+            f for f in os.listdir(src_dir) if f.endswith(".parquet")
+        )
+        for i, f in enumerate(files):
+            dst = f"{path}/{half}/{bid}-{i}.parquet"
+            if not os.path.exists(dst):
+                os.rename(f"{src_dir}/{f}", dst)
+    shutil.rmtree(stage, ignore_errors=True)
 
 
 def neardup_search_index(
@@ -138,6 +171,21 @@ def neardup_search_index(
     cand = new_bands.join(idx_bands, "bk").select("doc_a", "doc_b").distinct()
     if standing_docs is not None:
         cand_b = cand.select(F.col("doc_b").alias(id_col)).distinct()
+        # coverage check: a candidate doc_b missing from standing_docs
+        # would otherwise vanish in the verification inner join and its
+        # duplicates would be reported keep=true — fail loudly instead.
+        # Bounded by the candidate-id set (a limit-1 probe).
+        missing = (
+            cand_b.join(standing_docs.select(id_col), id_col, "left_anti")
+            .limit(1)
+            .count()
+        )
+        if missing:
+            raise ValueError(
+                "standing_docs does not cover every candidate standing "
+                "doc (did an appended batch get left out?); pass the "
+                "full standing corpus or use the persisted shingles"
+            )
         idx_sh = D.shingle_array_df(
             standing_docs.join(cand_b, id_col, "left_semi"),
             id_col,
@@ -169,21 +217,4 @@ def incremental_neardup_report(
     verified = neardup_search_index(
         spark, path, new_docs, threshold, id_col, text_col, standing_docs
     )
-    best = F.max(
-        F.struct(F.col("jaccard").alias("j"), (-F.col("doc_b")).alias("nd"))
-    )
-    per_new = verified.groupBy("doc_a").agg(
-        F.count(F.lit(1)).alias("n_matches"), best.alias("best")
-    )
-    out = new_docs.select(id_col).join(
-        per_new.withColumnRenamed("doc_a", id_col), id_col, "left"
-    )
-    return out.select(
-        id_col,
-        F.coalesce(F.col("n_matches"), F.lit(0)).cast("long").alias(
-            "n_matches"
-        ),
-        F.col("best.j").alias("best_jaccard"),
-        (-F.col("best.nd")).cast("long").alias("best_match_doc"),
-        (F.coalesce(F.col("n_matches"), F.lit(0)) == 0).alias("keep"),
-    )
+    return D.neardup_report(verified, new_docs.select(id_col), id_col)

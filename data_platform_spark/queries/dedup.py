@@ -1042,31 +1042,10 @@ def incremental_neardup_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame
         .distinct()
     )
     verified = D.verified_jaccard(doc_sh, cand, threshold=JACCARD_THRESHOLD)
-    # best match = (max jaccard, min doc_b among ties) via one max-struct
-    # aggregate — no window, single map-side-combining shuffle
-    best = F.max(
-        F.struct(
-            F.col("jaccard").alias("j"), (-F.col("doc_b")).alias("nd")
-        )
-    )
-    per_new = verified.groupBy("doc_a").agg(
-        F.count(F.lit(1)).alias("n_matches"), best.alias("best")
-    )
     new_docs = docs.filter(F.col("doc_id") % INCR_NEW_MOD == 0).select(
         "doc_id"
     )
-    out = new_docs.join(
-        per_new.withColumnRenamed("doc_a", "doc_id"), "doc_id", "left"
-    )
-    return out.select(
-        "doc_id",
-        F.coalesce(F.col("n_matches"), F.lit(0)).cast("long").alias(
-            "n_matches"
-        ),
-        F.col("best.j").alias("best_jaccard"),
-        (-F.col("best.nd")).cast("long").alias("best_match_doc"),
-        (F.coalesce(F.col("n_matches"), F.lit(0)) == 0).alias("keep"),
-    )
+    return D.neardup_report(verified, new_docs)
 
 
 QUERIES["incremental_neardup_new_batch"] = incremental_neardup_new_batch
@@ -1434,42 +1413,11 @@ def curation_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs over quality-passing exact keepers, the smallest set. Every
     compared quantity rounds before thresholding (funnel discipline)."""
     from data_platform_spark.functions import text as X
-    from data_platform_spark.queries.text import (
-        FUNNEL_MAX_AWL,
-        FUNNEL_MAX_DUP_TG,
-        FUNNEL_MAX_STOP,
-        FUNNEL_MAX_WORDS,
-        FUNNEL_MIN_AWL,
-        FUNNEL_MIN_WORDS,
-        FUNNEL_STOPS,
-    )
+    from data_platform_spark.queries.text import quality_rule_flag_cols
 
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
-    ws = F.split(F.col("text"), " ")
-    n_w = F.size(ws)
-    awl = pround(
-        F.length(F.regexp_replace(F.col("text"), " ", "")) / n_w, 6
-    )
-    tg = F.expr(
-        "CASE WHEN size(split(text, ' ')) < 3 THEN array() "
-        "ELSE transform(sequence(0, size(split(text, ' ')) - 3), "
-        "i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1], "
-        "split(text, ' ')[i+2])) END"
-    )
-    dup_tg = pround(
-        F.lit(1.0) - F.size(F.array_distinct(tg)) / F.size(tg), 6
-    )
-    stop_ratio = pround(
-        F.size(F.filter(ws, lambda x: x.isin(*FUNNEL_STOPS))) / n_w, 6
-    )
-    passes = (
-        (n_w >= FUNNEL_MIN_WORDS)
-        & (n_w <= FUNNEL_MAX_WORDS)
-        & (awl >= FUNNEL_MIN_AWL)
-        & (awl <= FUNNEL_MAX_AWL)
-        & (dup_tg <= FUNNEL_MAX_DUP_TG)
-        & (stop_ratio <= FUNNEL_MAX_STOP)
-    )
+    r1, r2, r3, r4 = quality_rule_flag_cols()
+    passes = r1 & r2 & r3 & r4
     scored = docs.select(
         "doc_id",
         "text",
@@ -1522,22 +1470,9 @@ QUERIES["curation_pipeline_summary"] = curation_pipeline_summary
 
 def _curation_oracle() -> str:
     from data_platform_spark.functions import text as X
-    from data_platform_spark.queries.text import (
-        FUNNEL_MAX_AWL,
-        FUNNEL_MAX_DUP_TG,
-        FUNNEL_MAX_STOP,
-        FUNNEL_MAX_WORDS,
-        FUNNEL_MIN_AWL,
-        FUNNEL_MIN_WORDS,
-        FUNNEL_STOPS,
-    )
+    from data_platform_spark.queries.text import _funnel_flag_sql
 
-    stops = ", ".join(f"'{s}'" for s in FUNNEL_STOPS)
-    awl = sql_round("length(replace(text, ' ', '')) * 1.0 / len(ws)", 6)
-    dup_tg = sql_round("1.0 - len(list_distinct(tg)) * 1.0 / len(tg)", 6)
-    stop_r = sql_round(
-        f"len(list_filter(ws, x -> x IN ({stops}))) * 1.0 / len(ws)", 6
-    )
+    r1, r2, r3, r4 = _funnel_flag_sql()
     j = "n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common)"
     return f"""
         WITH w0 AS (
@@ -1556,10 +1491,7 @@ def _curation_oracle() -> str:
         ),
         scored AS (
             SELECT doc_id, text, n_tokens,
-                   len(ws) BETWEEN {FUNNEL_MIN_WORDS} AND {FUNNEL_MAX_WORDS}
-                   AND {awl} BETWEEN {FUNNEL_MIN_AWL} AND {FUNNEL_MAX_AWL}
-                   AND {dup_tg} <= {FUNNEL_MAX_DUP_TG}
-                   AND {stop_r} <= {FUNNEL_MAX_STOP} AS ok
+                   {r1} AND {r2} AND {r3} AND {r4} AS ok
             FROM t0
         ),
         quality AS (SELECT * FROM scored WHERE ok),

@@ -1064,7 +1064,7 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     half = (F.col("vec_id") % 2 == 0).alias("is_a")
     cents = (
         emb.select("label", half, F.posexplode(
-            F.transform(F.col("embedding"), lambda x: x.cast("double"))
+            S.as_double(F.col("embedding"))
         ).alias("pos", "x"))
         .groupBy("label", "is_a", "pos")
         .agg(pround(F.avg("x"), 4).alias("c"))

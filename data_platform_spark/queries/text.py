@@ -1544,7 +1544,10 @@ def chunk_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["chunk_bm25_topk"] = chunk_bm25_topk
 
 
-def _chunk_bm25_oracle() -> str:
+def _chunk_bm25_ctes() -> str:
+    """The shared chunk-BM25 CTE chain (through ``contrib``), used by
+    both the chunk-BM25 oracle and the chunk-hybrid oracle — no textual
+    splicing between the two."""
     terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
     return f"""
         WITH w AS (
@@ -1593,7 +1596,12 @@ def _chunk_bm25_oracle() -> str:
                        * (1 - {BM25_B} + {BM25_B} * tf.dl / s.avgdl))
                     * 1000000 + 0.5) AS BIGINT) AS c
             FROM tf JOIN df_tab d USING (term) CROSS JOIN stats s
-        )
+        )"""
+
+
+def _chunk_bm25_oracle() -> str:
+    return f"""
+        {_chunk_bm25_ctes()}
         SELECT doc_id, chunk_idx, sum(c)::BIGINT AS score_micro
         FROM contrib
         GROUP BY doc_id, chunk_idx
@@ -1679,17 +1687,9 @@ def _chunk_hybrid_oracle() -> str:
         "(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))"
         " * sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])))"
     )
-    # lexical chunk CTEs come from the shared chunk-BM25 derivation:
-    # everything up to (excluding) its final SELECT, re-terminated with a
-    # comma so the fusion CTEs chain on
-    chunk_cte = (
-        _chunk_bm25_oracle()
-        .split("SELECT doc_id, chunk_idx, sum(c)::BIGINT")[0]
-        .rstrip()
-        + ","
-    )
+    # lexical chunk CTEs come from the shared chunk-BM25 derivation
     return f"""
-        {chunk_cte}
+        {_chunk_bm25_ctes()},
         lex_scored AS (
             SELECT doc_id, chunk_idx, sum(c)::BIGINT AS score_micro
             FROM contrib
@@ -2073,20 +2073,12 @@ FUNNEL_MAX_STOP = 0.12    # stopword-ratio ceiling
 FUNNEL_STOPS = ("a", "the")
 
 
-def quality_rule_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rule-based quality filter FUNNEL (the Gopher-rules shape): each
-    doc is tested against an ordered rule list — word-count bounds, mean
-    word length bounds, duplicate-trigram ceiling, stopword-ratio
-    ceiling — and the output accounts, per rule, how many docs the rule
-    rejected AMONG THE SURVIVORS of the earlier rules and how many
-    survive cumulatively. The report every curation pipeline publishes
-    with a corpus release ("N removed by rule R").
-
-    One narrow scan computes all flags (codegen'd array expressions, no
-    shuffle); the funnel is a single aggregate row unpivoted with
-    stack(). Every compared quantity rounds to 6 dp before the
-    threshold test, so the flag cannot flip across engines."""
-    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+def quality_rule_flag_cols():
+    """The four funnel rule flags as boolean expressions over a ``text``
+    column — the single source of truth shared by quality_rule_funnel
+    and curation_pipeline_summary (``_funnel_flag_sql`` is the oracle
+    twin). Every compared quantity rounds to 6 dp before the threshold
+    test, so a flag cannot flip across engines."""
     ws = F.split(F.col("text"), " ")
     n_w = F.size(ws)
     awl = pround(
@@ -2104,11 +2096,47 @@ def quality_rule_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop_ratio = pround(
         F.size(F.filter(ws, lambda x: x.isin(*FUNNEL_STOPS))) / n_w, 6
     )
+    return (
+        (n_w >= FUNNEL_MIN_WORDS) & (n_w <= FUNNEL_MAX_WORDS),
+        (awl >= FUNNEL_MIN_AWL) & (awl <= FUNNEL_MAX_AWL),
+        dup_tg <= FUNNEL_MAX_DUP_TG,
+        stop_ratio <= FUNNEL_MAX_STOP,
+    )
+
+
+def _funnel_flag_sql() -> tuple[str, str, str, str]:
+    """Oracle twins of quality_rule_flag_cols, phrased over CTE columns
+    ``ws`` (word array), ``tg`` (trigram array) and ``text``."""
+    stops = ", ".join(f"'{s}'" for s in FUNNEL_STOPS)
+    awl = sql_round("length(replace(text, ' ', '')) * 1.0 / len(ws)", 6)
+    dup_tg = sql_round("1.0 - len(list_distinct(tg)) * 1.0 / len(tg)", 6)
+    stop_r = sql_round(
+        f"len(list_filter(ws, x -> x IN ({stops}))) * 1.0 / len(ws)", 6
+    )
+    return (
+        f"len(ws) BETWEEN {FUNNEL_MIN_WORDS} AND {FUNNEL_MAX_WORDS}",
+        f"{awl} BETWEEN {FUNNEL_MIN_AWL} AND {FUNNEL_MAX_AWL}",
+        f"{dup_tg} <= {FUNNEL_MAX_DUP_TG}",
+        f"{stop_r} <= {FUNNEL_MAX_STOP}",
+    )
+
+
+def quality_rule_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based quality filter FUNNEL (the Gopher-rules shape): each
+    doc is tested against an ordered rule list — word-count bounds, mean
+    word length bounds, duplicate-trigram ceiling, stopword-ratio
+    ceiling — and the output accounts, per rule, how many docs the rule
+    rejected AMONG THE SURVIVORS of the earlier rules and how many
+    survive cumulatively. The report every curation pipeline publishes
+    with a corpus release ("N removed by rule R").
+
+    One narrow scan computes all flags (codegen'd array expressions, no
+    shuffle); the funnel is a single aggregate row unpivoted with
+    stack()."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    r1, r2, r3, r4 = quality_rule_flag_cols()
     flags = docs.select(
-        ((n_w >= FUNNEL_MIN_WORDS) & (n_w <= FUNNEL_MAX_WORDS)).alias("r1"),
-        ((awl >= FUNNEL_MIN_AWL) & (awl <= FUNNEL_MAX_AWL)).alias("r2"),
-        (dup_tg <= FUNNEL_MAX_DUP_TG).alias("r3"),
-        (stop_ratio <= FUNNEL_MAX_STOP).alias("r4"),
+        r1.alias("r1"), r2.alias("r2"), r3.alias("r3"), r4.alias("r4")
     )
     b = lambda c: c.cast("int")  # noqa: E731
     agg = flags.agg(
@@ -2144,12 +2172,7 @@ QUERIES["quality_rule_funnel"] = quality_rule_funnel
 
 
 def _funnel_oracle() -> str:
-    stops = ", ".join(f"'{s}'" for s in FUNNEL_STOPS)
-    awl = sql_round("length(replace(text, ' ', '')) * 1.0 / len(ws)", 6)
-    dup_tg = sql_round("1.0 - len(list_distinct(tg)) * 1.0 / len(tg)", 6)
-    stop_r = sql_round(
-        f"len(list_filter(ws, x -> x IN ({stops}))) * 1.0 / len(ws)", 6
-    )
+    r1, r2, r3, r4 = _funnel_flag_sql()
     return f"""
         WITH w AS (
             SELECT doc_id, text, string_split(text, ' ') AS ws
@@ -2165,11 +2188,10 @@ def _funnel_oracle() -> str:
         ),
         flags AS (
             SELECT
-                len(ws) BETWEEN {FUNNEL_MIN_WORDS} AND {FUNNEL_MAX_WORDS}
-                    AS r1,
-                {awl} BETWEEN {FUNNEL_MIN_AWL} AND {FUNNEL_MAX_AWL} AS r2,
-                {dup_tg} <= {FUNNEL_MAX_DUP_TG} AS r3,
-                {stop_r} <= {FUNNEL_MAX_STOP} AS r4
+                {r1} AS r1,
+                {r2} AS r2,
+                {r3} AS r3,
+                {r4} AS r4
             FROM t
         )
         SELECT 'word_count' AS rule,

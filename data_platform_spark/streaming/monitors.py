@@ -39,7 +39,16 @@ def _merge_batch(
 ) -> DataFrame:
     """Fold a micro-batch into the day-partitioned events table
     (newest-wins on ts per event_id) and return the batch with its
-    derived day column."""
+    derived day column.
+
+    Contract (inherited from Warehouse.merge's stable-partition rule):
+    an event's EVENT TIME is immutable per event_id — at-least-once
+    replays re-deliver the same payload, which newest-wins absorbs. A
+    producer that MUTATES ts across a day boundary for an existing
+    event_id would leave the stale row in the old day partition (merge
+    rewrites only the batch's partitions) and the old day's quality row
+    would not be recomputed; such corrections must go through a
+    full-table rewrite, the same as any date-partitioned warehouse."""
     batch = batch_df.withColumn("day", F.to_date(F.date_trunc("day", "ts")))
     wh.merge(
         batch.sparkSession,

@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import tempfile
 import time
@@ -54,12 +55,6 @@ from data_platform_spark.queries.dedup import (  # noqa: E402
 )
 from data_platform_spark.session import get_spark  # noqa: E402
 from data_platform_spark.sources.tables import load_table  # noqa: E402
-
-
-def _median(xs: list[float]) -> float:
-    xs = sorted(xs)
-    mid = len(xs) // 2
-    return xs[mid] if len(xs) % 2 else (xs[mid - 1] + xs[mid]) / 2
 
 
 def main() -> None:
@@ -110,9 +105,9 @@ def main() -> None:
         # one equality check outside the timed loop
         assert df1.count() == df2.count() == df3.count()
 
-    rec_med = _median(recompute)
-    idx_med = _median(indexed)
-    cand_med = _median(cand_only)
+    rec_med = statistics.median(recompute)
+    idx_med = statistics.median(indexed)
+    cand_med = statistics.median(cand_only)
     print(
         f"| {os.path.basename(sf_dir.rstrip('/'))} | corpus {n_corpus} / "
         f"batch {n_batch} | build {build_s:.2f}s (once) | "

@@ -1320,3 +1320,94 @@ def test_round7_queries_partitioning_invariant(spark, qname):
         assert few == many and len(few) > 0
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved)
+
+
+def test_neardup_index_append_is_idempotent_with_batch_id(spark, tmp_path):
+    """A retried append with the same batch_id must be a no-op (the
+    crash-recovery contract: deterministic file names make each half's
+    move idempotent), so match counts can never double-count."""
+    import os
+
+    from data_platform_spark.ops.neardup_index import (
+        append_to_band_index,
+        build_band_index,
+        incremental_neardup_report,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "idx")
+    build_band_index(base, path)
+
+    day1 = spark.createDataFrame(
+        [(100, "totally unrelated words here today okay")],
+        "doc_id long, text string",
+    )
+    append_to_band_index(day1, path, batch_id="2026-08-14")
+    files_after_first = sorted(os.listdir(f"{path}/bands"))
+    append_to_band_index(day1, path, batch_id="2026-08-14")  # retry
+    assert sorted(os.listdir(f"{path}/bands")) == files_after_first
+
+    probe = spark.createDataFrame(
+        [(200, "totally unrelated words here today fine")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in incremental_neardup_report(
+            spark, path, probe, threshold=0.2
+        ).collect()
+    }
+    assert rows[200].n_matches == 1  # no double-count from the retry
+
+
+def test_pq_append_rejects_wrong_dimensionality(spark, tmp_path):
+    """A batch with a different vector dimensionality must raise instead
+    of silently encoding into a subset of the subspaces (which would
+    spuriously top-rank those vectors in every later search)."""
+    import pytest
+
+    from data_platform_spark.ops.ann_index import (
+        append_to_pq_index,
+        build_pq_index,
+    )
+    from data_platform_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    path = str(tmp_path / "pq")
+    build_pq_index(emb.filter(F.col("vec_id") % 2 == 0), path)
+    short = spark.createDataFrame(
+        [(999999, [0.0] * 32)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="expects 64-dim"):
+        append_to_pq_index(short, path)
+
+
+def test_neardup_search_rejects_incomplete_standing_docs(spark, tmp_path):
+    """The candidates-only verification source must fail loudly when the
+    provided standing_docs is missing a candidate doc — a silent inner-
+    join drop would report that doc's duplicates as keep=true."""
+    import pytest
+
+    from data_platform_spark.ops.neardup_index import (
+        build_band_index,
+        neardup_search_index,
+    )
+
+    standing = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "idx")
+    build_band_index(standing, path)
+    batch = spark.createDataFrame(
+        [(2, "alpha beta gamma delta epsilon eta")],
+        "doc_id long, text string",
+    )
+    empty_standing = standing.filter(F.col("doc_id") < 0)
+    with pytest.raises(ValueError, match="does not cover"):
+        neardup_search_index(
+            spark, path, batch, threshold=0.2, standing_docs=empty_standing
+        )
