@@ -566,3 +566,69 @@ def test_anomaly_monitor_stream_equals_batch(spark, events_dir, tmp_path):
         tuple(r) for r in events_anomaly_zscore(spark, SF).collect()
     )
     assert got == want and len(got) == 1000
+
+
+def test_neardup_stream_sink_daily_loop(spark, tmp_path):
+    """The crawler loop end-to-end over 2 micro-batches: batch-1 docs
+    seed the index (all kept), a batch-2 near-duplicate of a batch-1
+    doc is flagged against the GROWN index, an intra-batch duplicate
+    resolves lowest-id-wins, and novel docs keep."""
+    import json
+    import os
+
+    from data_platform_spark.ops.neardup_index import build_band_index
+    from data_platform_spark.pipeline import Warehouse
+    from data_platform_spark.streaming.dedup import neardup_stream_sink
+
+    src = str(tmp_path / "docs_stream")
+    os.makedirs(src)
+    batch1 = [
+        {"doc_id": 1, "text": "alpha beta gamma delta epsilon zeta"},
+        {"doc_id": 2, "text": "one two three four five six seven"},
+    ]
+    batch2 = [
+        # near-dup of doc 1 (one word changed)
+        {"doc_id": 10, "text": "alpha beta gamma delta epsilon eta"},
+        # novel
+        {"doc_id": 11, "text": "completely different content right here"},
+        # intra-batch pair: 12 kept (lower id), 13 dropped
+        {"doc_id": 12, "text": "red orange yellow green blue indigo violet"},
+        {"doc_id": 13, "text": "red orange yellow green blue indigo pink"},
+    ]
+    for i, rows in enumerate([batch1, batch2]):
+        with open(f"{src}/b{i}.json", "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    index_path = str(tmp_path / "band_idx")
+    # seed an EMPTY index (schema-bearing) so the first search has a
+    # standing side to probe
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    build_band_index(empty, index_path)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = neardup_stream_sink(
+        stream, wh, index_path,
+        checkpoint_dir=str(tmp_path / "ckpt"), threshold=0.2,
+    )
+    q.awaitTermination(180)
+
+    dec = {
+        r.doc_id: r
+        for r in wh.read(spark, "dwh", "neardup_decisions").collect()
+    }
+    assert dec[1].keep and dec[2].keep            # batch 1 seeds
+    assert not dec[10].keep and dec[10].best_match_doc == 1
+    assert dec[11].keep                           # novel
+    assert dec[12].keep and 13 not in dec         # intra-batch: 13 dropped
+    # the index grew by exactly the survivors: 1, 2, 11, 12
+    idx_ids = {
+        r.doc_id
+        for r in spark.read.parquet(f"{index_path}/shingles").collect()
+    }
+    assert idx_ids == {1, 2, 11, 12}
