@@ -599,6 +599,10 @@ def test_neardup_stream_sink_daily_loop(spark, tmp_path):
         with open(f"{src}/b{i}.json", "w") as f:
             for r in rows:
                 f.write(json.dumps(r) + "\n")
+        # the file source orders by MODIFICATION TIME; files written in
+        # the same clock tick would process in arbitrary order and
+        # batch 2 could seed the index before batch 1 — pin the order
+        os.utime(f"{src}/b{i}.json", (1_000_000 + i, 1_000_000 + i))
 
     wh = Warehouse(str(tmp_path / "wh"))
     index_path = str(tmp_path / "band_idx")
