@@ -236,8 +236,33 @@ def events_user_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["events_user_ema"] = events_user_ema
-# no oracle: sequential recurrence is not SQL-expressible; unit test
-# checks against a pure-Python reference.
+
+# Oracle (added r7): the sequential recurrence IS SQL-expressible via a
+# recursive CTE walking rn → rn+1 per user — the same y_t = 0.3·x_t +
+# 0.7·y_{t-1} literals and operation order as the pure-Python reference.
+# pandas' ewm(adjust=False) trajectory agrees with that recurrence at
+# the 4-dp output rounding (verified hash-identical at sf0.001/0.01/0.1
+# — 600k events — before registering); recursion depth = max events per
+# user, metadata scale for the oracle's corpus.
+ORACLE["events_user_ema"] = """
+    WITH RECURSIVE ordered AS (
+        SELECT user_id, event_id, value,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ) AS rn
+        FROM events
+    ),
+    ema AS (
+        SELECT user_id, event_id, rn, value AS s
+        FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT o.user_id, o.event_id, o.rn, 0.3 * o.value + 0.7 * e.s
+        FROM ordered o JOIN ema e
+          ON o.user_id = e.user_id AND o.rn = e.rn + 1
+    )
+    SELECT user_id, event_id, floor(s * 10000 + 0.5) / 10000 AS ema
+    FROM ema
+"""
 
 
 def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
