@@ -93,6 +93,9 @@ _R7_WINDOW = (
     "embedding_centroid_drift",
     "event_transition_matrix",
     "orders_revenue_growth",
+    "user_cadence_stats",
+    "neardup_degree_histogram",
+    "source_token_percentiles",
     # newly ORACLED this round (was rows-only): recursive-CTE EMA oracle
     "events_user_ema",
     # (2) changed implementations needing re-proof
@@ -134,10 +137,8 @@ _R7_WINDOW = (
     "cosine_topk_vec0",
     "doc_lang_id",
     "embedding_label_centroids",
-    "embedding_neardup_pairs",
-    "events_json_extract",
-    "chunk_dedup_stats",
-    # (ngram_jaccard_pairs, simhash32_signatures, stratified_sample_docs
+    # (embedding_neardup_pairs, events_json_extract, chunk_dedup_stats,
+    # ngram_jaccard_pairs, simhash32_signatures, stratified_sample_docs
     # yielded their refresh slots to keep the window at the driver's
     # 50-row gate; all r3-green and unchanged)
 )

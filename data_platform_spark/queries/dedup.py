@@ -1556,3 +1556,80 @@ def _curation_oracle() -> str:
 
 
 ORACLE["curation_pipeline_summary"] = _curation_oracle()
+
+
+def neardup_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup graph degree distribution: how many docs have exactly d
+    verified near-duplicates — the shape summary behind cluster sizing
+    (a heavy-tailed degree histogram means template/boilerplate
+    families; a flat one means pairwise noise). Degrees from the union
+    of both pair endpoints; docs with no pairs report degree 0 via the
+    anti-join bucket."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    doc_sh = D.shingle_array_df(docs).persist()
+    sig = D.minhash_signatures(doc_sh).persist()
+    cand = D.lsh_candidate_pairs(sig)
+    pairs = D.verified_jaccard(doc_sh, cand, threshold=JACCARD_THRESHOLD)
+    ends = pairs.select(F.col("doc_a").alias("doc_id")).unionAll(
+        pairs.select(F.col("doc_b").alias("doc_id"))
+    )
+    degrees = ends.groupBy("doc_id").agg(F.count(F.lit(1)).alias("degree"))
+    zero = (
+        docs.select("doc_id")
+        .join(degrees.select("doc_id"), "doc_id", "left_anti")
+        .select("doc_id", F.lit(0).alias("degree"))
+    )
+    return (
+        degrees.unionByName(zero)
+        .groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(F.col("degree").cast("long").alias("degree"), "n_docs")
+    )
+
+
+QUERIES["neardup_degree_histogram"] = neardup_degree_histogram
+
+
+def _degree_histogram_oracle() -> str:
+    j = "n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common)"
+    return f"""
+        WITH {_shingle_cte()},
+        {_sig_sql()},
+        {_bands_sql()},
+        sizes AS (
+            SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+        ),
+        common AS (
+            SELECT c.doc_a, c.doc_b, count(*) AS n_common
+            FROM cand c
+            JOIN sh a ON a.doc_id = c.doc_a
+            JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+            GROUP BY c.doc_a, c.doc_b
+        ),
+        verified AS (
+            SELECT doc_a, doc_b
+            FROM common
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE {sql_round(j, 4)} >= {JACCARD_THRESHOLD}
+        ),
+        ends AS (
+            SELECT doc_a AS doc_id FROM verified
+            UNION ALL
+            SELECT doc_b FROM verified
+        ),
+        degrees AS (
+            SELECT doc_id, count(*) AS degree FROM ends GROUP BY doc_id
+        ),
+        all_degrees AS (
+            SELECT degree FROM degrees
+            UNION ALL
+            SELECT 0 AS degree FROM documents d
+            WHERE d.doc_id NOT IN (SELECT doc_id FROM degrees)
+        )
+        SELECT degree::BIGINT AS degree, count(*)::BIGINT AS n_docs
+        FROM all_degrees GROUP BY degree
+    """
+
+
+ORACLE["neardup_degree_histogram"] = _degree_histogram_oracle()

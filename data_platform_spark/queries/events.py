@@ -1117,3 +1117,74 @@ ORACLE["event_transition_matrix"] = f"""
            {sql_round("c.n * 1.0 / t.n_prev", 6)} AS p
     FROM counts c JOIN totals t USING (prev)
 """
+
+
+CADENCE_MIN_EVENTS = 3  # need >= 2 gaps for a variance
+
+
+def user_cadence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event cadence per user: median/mean/max gap and the Fano
+    factor (variance/mean) of gaps — scripted traffic fires on a timer
+    (variance ~ 0), organic users are bursty; the timing-domain
+    companion to user_event_entropy's transition-domain signal. One lag
+    window keyed by user, one groupBy; all statistics round before any
+    ratio, so the result is engine-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    us = F.unix_micros(F.col("ts"))
+    gaps = ev.select(
+        "user_id", (us - F.lag(us).over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    agg = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        pround(F.expr("percentile(gap_us, 0.5)") / 1e6, 4).alias(
+            "median_gap_s"
+        ),
+        pround(F.avg("gap_us") / 1e6, 4).alias("mean_gap_s"),
+        (F.max("gap_us") / F.lit(1_000_000)).alias("max_gap_s"),
+        pround(F.var_samp(F.col("gap_us") / 1e6), 4).alias("var_gap_s2"),
+    )
+    out = agg.filter(F.col("n_gaps") >= CADENCE_MIN_EVENTS - 1)
+    fano = F.when(
+        F.col("mean_gap_s") > 0,
+        pround(F.col("var_gap_s2") / F.col("mean_gap_s"), 4),
+    )
+    return out.select(
+        "user_id",
+        F.col("n_gaps").cast("long").alias("n_gaps"),
+        "median_gap_s",
+        "mean_gap_s",
+        "max_gap_s",
+        "var_gap_s2",
+        fano.alias("fano_factor"),
+    )
+
+
+QUERIES["user_cadence_stats"] = user_cadence_stats
+
+ORACLE["user_cadence_stats"] = f"""
+    WITH gaps AS (
+        SELECT user_id,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ) AS gap_us
+        FROM events
+    ),
+    agg AS (
+        SELECT user_id,
+               count(*)::BIGINT AS n_gaps,
+               {sql_round("median(gap_us) / 1e6", 4)} AS median_gap_s,
+               {sql_round("avg(gap_us) / 1e6", 4)} AS mean_gap_s,
+               max(gap_us) / 1000000 AS max_gap_s,
+               {sql_round("var_samp(gap_us / 1e6)", 4)} AS var_gap_s2
+        FROM gaps WHERE gap_us IS NOT NULL
+        GROUP BY user_id
+    )
+    SELECT user_id, n_gaps, median_gap_s, mean_gap_s, max_gap_s,
+           var_gap_s2,
+           CASE WHEN mean_gap_s > 0
+                THEN {sql_round("var_gap_s2 / mean_gap_s", 4)}
+           END AS fano_factor
+    FROM agg
+    WHERE n_gaps >= {CADENCE_MIN_EVENTS - 1}
+"""

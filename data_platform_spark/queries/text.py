@@ -2429,3 +2429,43 @@ ORACLE["term_cooccurrence_pmi"] = f"""
     ORDER BY pmi DESC, term_a ASC, term_b ASC
     LIMIT {PMI_TOPK}
 """
+
+
+def source_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-length distribution: exact p50/p90/p99 token
+    counts plus doc and token totals — the dataset-card table readers
+    check first (a source whose p99 collapses after a scraper change is
+    the classic silent regression). Exact interpolated percentiles
+    within each source group (sort-based aggregate inside the bucket;
+    sources are a bounded domain, so the shuffle is narrow)."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    scored = docs.select(
+        "source", X.token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        pround(F.expr("percentile(n_tokens, 0.5)"), 4).alias("p50_tokens"),
+        pround(F.expr("percentile(n_tokens, 0.9)"), 4).alias("p90_tokens"),
+        pround(F.expr("percentile(n_tokens, 0.99)"), 4).alias("p99_tokens"),
+    )
+
+
+QUERIES["source_token_percentiles"] = source_token_percentiles
+
+ORACLE["source_token_percentiles"] = f"""
+    WITH scored AS (
+        SELECT source,
+               len(regexp_extract_all(text, '{X.TOKEN_REGEX}'))::BIGINT
+                   AS n_tokens
+        FROM documents
+    )
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           sum(n_tokens)::BIGINT AS total_tokens,
+           {sql_round("quantile_cont(n_tokens, 0.5)", 4)} AS p50_tokens,
+           {sql_round("quantile_cont(n_tokens, 0.9)", 4)} AS p90_tokens,
+           {sql_round("quantile_cont(n_tokens, 0.99)", 4)} AS p99_tokens
+    FROM scored
+    GROUP BY source
+"""
