@@ -1300,6 +1300,10 @@ def test_neardup_index_candidates_only_verification_identical(spark, tmp_path):
         "curation_pipeline_summary",
         "purchase_attribution",
         "purchase_prior_click_counts",
+        "user_cadence_stats",
+        "neardup_degree_histogram",
+        "source_token_percentiles",
+        "events_user_ema",
     ],
 )
 def test_round7_queries_partitioning_invariant(spark, qname):
