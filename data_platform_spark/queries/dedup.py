@@ -1633,3 +1633,68 @@ def _degree_histogram_oracle() -> str:
 
 
 ORACLE["neardup_degree_histogram"] = _degree_histogram_oracle()
+
+
+def dedup_savings_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which sources are most duplicated: the dedup_decision_report cut
+    by the doc's source — docs and tokens removed (exact + near) per
+    source with removal rates. The dataset-card companion table that
+    tells a curation team WHERE the duplication comes from (a mirrored
+    site shows up as one source with a 90% removal rate). Reuses the
+    decision ledger's derivation; one extra broadcast-friendly join to
+    attach source + token counts, one groupBy(source)."""
+    from data_platform_spark.functions import text as X
+
+    report = dedup_decision_report(spark, sf_dir)
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark).select(
+        "doc_id",
+        "source",
+        X.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    joined = report.join(docs, "doc_id")
+    removed = (~F.col("status").eqNullSafe("kept")).cast("int")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(removed).cast("long").alias("n_removed"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum(F.col("n_tokens") * removed).cast("long").alias(
+            "tokens_removed"
+        ),
+        pround(F.sum(removed) / F.count(F.lit(1)), 6).alias("removal_rate"),
+    )
+
+
+QUERIES["dedup_savings_by_source"] = dedup_savings_by_source
+
+
+def _savings_oracle() -> str:
+    from data_platform_spark.functions import text as X
+
+    decision = _decision_oracle()
+    return f"""
+        WITH decision AS (
+            {decision}
+        ),
+        enriched AS (
+            SELECT d.doc_id, d.status, doc.source,
+                   len(regexp_extract_all(doc.text, '{X.TOKEN_REGEX}'))::BIGINT
+                       AS n_tokens
+            FROM decision d JOIN documents doc USING (doc_id)
+        )
+        SELECT source,
+               count(*)::BIGINT AS n_docs,
+               sum(CASE WHEN status != 'kept' THEN 1 ELSE 0 END)::BIGINT
+                   AS n_removed,
+               sum(n_tokens)::BIGINT AS total_tokens,
+               sum(CASE WHEN status != 'kept' THEN n_tokens ELSE 0 END)::BIGINT
+                   AS tokens_removed,
+               {sql_round(
+                   "sum(CASE WHEN status != 'kept' THEN 1 ELSE 0 END)"
+                   " * 1.0 / count(*)", 6
+               )} AS removal_rate
+        FROM enriched
+        GROUP BY source
+    """
+
+
+ORACLE["dedup_savings_by_source"] = _savings_oracle()

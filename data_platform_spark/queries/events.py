@@ -1188,3 +1188,45 @@ ORACLE["user_cadence_stats"] = f"""
     FROM agg
     WHERE n_gaps >= {CADENCE_MIN_EVENTS - 1}
 """
+
+
+def events_dow_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic heatmap: event volume and value by (day-of-week, hour) —
+    the seasonality profile monitoring dashboards draw, and the baseline
+    anomaly detectors compare against (Tuesday-3am spikes are bots,
+    Friday-8pm spikes are users). One groupBy over a 7x24-bounded key
+    domain — pure map-side combine. The average folds through
+    micro-unit LONG sums (per-row 4-dp quantization first): a raw
+    double avg is summation-ORDER dependent in the last ulp, which
+    flips the rounded value on grid-adjacent cells across engines."""
+    ev = load_table(spark, sf_dir, "events")
+    v_micro = F.floor(F.col("value") * 10_000 + F.lit(0.5)).cast("long")
+    return ev.groupBy(
+        F.dayofweek(F.col("ts")).cast("int").alias("dow"),
+        F.hour(F.col("ts")).cast("int").alias("hour"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        pround(
+            F.sum(v_micro) / F.lit(10_000.0) / F.count("value"), 4
+        ).alias("avg_value"),
+    )
+
+
+QUERIES["events_dow_hour_profile"] = events_dow_hour_profile
+
+# Spark dayofweek: Sunday=1..Saturday=7; DuckDB dayofweek: Sunday=0 —
+# shift by one for parity.
+ORACLE["events_dow_hour_profile"] = f"""
+    SELECT
+        (dayofweek(ts) + 1)::INT AS dow,
+        hour(ts)::INT AS hour,
+        count(*)::BIGINT AS n_events,
+        count(DISTINCT user_id)::BIGINT AS n_users,
+        {sql_round(
+            "sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) / 10000.0"
+            " / count(value)", 4
+        )} AS avg_value
+    FROM events
+    GROUP BY 1, 2
+"""
