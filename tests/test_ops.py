@@ -1304,6 +1304,8 @@ def test_neardup_index_candidates_only_verification_identical(spark, tmp_path):
         "neardup_degree_histogram",
         "source_token_percentiles",
         "events_user_ema",
+        "dedup_savings_by_source",
+        "events_dow_hour_profile",
     ],
 )
 def test_round7_queries_partitioning_invariant(spark, qname):
