@@ -2494,3 +2494,87 @@ ORACLE["orders_revenue_growth"] = f"""
            END AS growth
     FROM lagged
 """
+
+
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic warehouse scoring: each ordering
+    customer ranked on Recency (latest order date), Frequency (order
+    count) and Monetary (total spend), cut into quartiles per
+    dimension (1 = best), combined into the 3-digit segment code.
+
+    Deterministic quartiles WITHOUT ntile (whose tie behavior is
+    partition-sensitive): each dimension gets a GLOBAL row number
+    through the two-phase ops.global_order layout (range partition +
+    broadcast offsets — no single-partition window), then quartile =
+    floor((rank-1)·4 / n) + 1 over the broadcast customer count; ties
+    broken by custkey, identically in the oracle."""
+    from data_platform_spark.ops.global_order import global_row_number
+
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("n_orders"),
+        pround(F.sum("o_totalprice"), 2).alias("total_spend"),
+    )
+    n = per_cust.agg(F.count(F.lit(1)).cast("long").alias("n_cust"))
+    ranked = per_cust
+    for col_name, rank_name in [
+        ("last_order", "r_rank"),
+        ("n_orders", "f_rank"),
+        ("total_spend", "m_rank"),
+    ]:
+        ranked = global_row_number(
+            ranked,
+            [F.desc(col_name), F.asc("o_custkey")],
+            rank_name,
+        )
+    quart = lambda rank: (  # noqa: E731
+        F.floor((F.col(rank) - 1) * 4 / F.col("n_cust")) + 1
+    ).cast("int")
+    return ranked.crossJoin(F.broadcast(n)).select(
+        "o_custkey",
+        "last_order",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        "total_spend",
+        quart("r_rank").alias("r_q"),
+        quart("f_rank").alias("f_q"),
+        quart("m_rank").alias("m_q"),
+        (
+            quart("r_rank") * 100 + quart("f_rank") * 10 + quart("m_rank")
+        ).cast("int").alias("rfm_code"),
+    )
+
+
+QUERIES["customer_rfm_segments"] = customer_rfm_segments
+
+ORACLE["customer_rfm_segments"] = f"""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               max(o_orderdate) AS last_order,
+               count(*)::BIGINT AS n_orders,
+               {sql_round("sum(o_totalprice)", 2)} AS total_spend
+        FROM orders GROUP BY o_custkey
+    ),
+    n AS (SELECT count(*)::BIGINT AS n_cust FROM per_cust),
+    ranked AS (
+        SELECT *,
+            row_number() OVER (
+                ORDER BY last_order DESC, o_custkey ASC
+            )::BIGINT AS r_rank,
+            row_number() OVER (
+                ORDER BY n_orders DESC, o_custkey ASC
+            )::BIGINT AS f_rank,
+            row_number() OVER (
+                ORDER BY total_spend DESC, o_custkey ASC
+            )::BIGINT AS m_rank
+        FROM per_cust
+    )
+    SELECT o_custkey, last_order, n_orders, total_spend,
+           (floor((r_rank - 1) * 4 / n.n_cust) + 1)::INT AS r_q,
+           (floor((f_rank - 1) * 4 / n.n_cust) + 1)::INT AS f_q,
+           (floor((m_rank - 1) * 4 / n.n_cust) + 1)::INT AS m_q,
+           ((floor((r_rank - 1) * 4 / n.n_cust) + 1) * 100
+            + (floor((f_rank - 1) * 4 / n.n_cust) + 1) * 10
+            + (floor((m_rank - 1) * 4 / n.n_cust) + 1))::INT AS rfm_code
+    FROM ranked, n
+"""

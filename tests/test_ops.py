@@ -1306,6 +1306,7 @@ def test_neardup_index_candidates_only_verification_identical(spark, tmp_path):
         "events_user_ema",
         "dedup_savings_by_source",
         "events_dow_hour_profile",
+        "customer_rfm_segments",
     ],
 )
 def test_round7_queries_partitioning_invariant(spark, qname):
