@@ -99,6 +99,7 @@ _R7_WINDOW = (
     "dedup_savings_by_source",
     "events_dow_hour_profile",
     "customer_rfm_segments",
+    "session_quality_by_day",
     # newly ORACLED this round (was rows-only): recursive-CTE EMA oracle
     "events_user_ema",
     # (2) changed implementations needing re-proof
@@ -136,8 +137,7 @@ _R7_WINDOW = (
     "customer_order_ids_array",
     "embedding_vector_stats",
     "events_downsample_gapfill",
-    "bigram_top20",
-    # (cosine_topk_vec0, doc_lang_id, embedding_label_centroids,
+    # (bigram_top20, cosine_topk_vec0, doc_lang_id, embedding_label_centroids,
     # embedding_neardup_pairs, events_json_extract, chunk_dedup_stats,
     # ngram_jaccard_pairs, simhash32_signatures, stratified_sample_docs
     # yielded their refresh slots to keep the window at the driver's

@@ -1230,3 +1230,85 @@ ORACLE["events_dow_hour_profile"] = f"""
     FROM events
     GROUP BY 1, 2
 """
+
+
+def session_quality_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day session quality rollup: session count, bounce rate
+    (share of single-event sessions), exact median session duration and
+    mean events per session — the product-analytics daily the
+    sessionize layer exists to feed. Composes the proven lag+cumsum
+    sessionization; the rollup is one groupBy keyed by day with
+    sort-based median inside the bucket. Rates and means round before
+    comparison; duration is exact integer seconds."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ms = F.unix_millis(F.col("ts"))
+    new_session = (
+        F.when(ms - F.lag(ms).over(w) > F.lit(SESSION_GAP_MS), 1)
+        .otherwise(0)
+    )
+    sessions = (
+        ev.withColumn("is_new", new_session)
+        .withColumn("session_id", F.sum("is_new").over(wcum) + 1)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                (F.unix_millis(F.max("ts")) - F.unix_millis(F.min("ts")))
+                / F.lit(1000)
+            ).alias("duration_s"),
+        )
+    )
+    day = F.date_trunc("day", F.col("session_start")).alias("day")
+    return sessions.groupBy(day).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        pround(
+            F.sum((F.col("n_events") == 1).cast("int"))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("bounce_rate"),
+        pround(F.expr("percentile(duration_s, 0.5)"), 4).alias(
+            "median_duration_s"
+        ),
+        pround(F.avg("n_events"), 4).alias("avg_events"),
+    )
+
+
+QUERIES["session_quality_by_day"] = session_quality_by_day
+
+ORACLE["session_quality_by_day"] = f"""
+    WITH flagged AS (
+        SELECT user_id, event_id, ts,
+            CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > {SESSION_GAP_MS}
+                 THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, event_id, ts,
+            CAST(sum(is_new) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) + 1 AS BIGINT) AS session_id
+        FROM flagged
+    ),
+    sessions AS (
+        SELECT user_id, session_id,
+               min(ts) AS session_start,
+               count(*)::BIGINT AS n_events,
+               (epoch_ms(max(ts)) - epoch_ms(min(ts))) / 1000 AS duration_s
+        FROM numbered GROUP BY user_id, session_id
+    )
+    SELECT date_trunc('day', session_start) AS day,
+           count(*)::BIGINT AS n_sessions,
+           {sql_round(
+               "sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1.0"
+               " / count(*)", 6
+           )} AS bounce_rate,
+           {sql_round("median(duration_s)", 4)} AS median_duration_s,
+           {sql_round("avg(n_events)", 4)} AS avg_events
+    FROM sessions
+    GROUP BY 1
+"""

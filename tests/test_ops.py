@@ -1307,6 +1307,7 @@ def test_neardup_index_candidates_only_verification_identical(spark, tmp_path):
         "dedup_savings_by_source",
         "events_dow_hour_profile",
         "customer_rfm_segments",
+        "session_quality_by_day",
     ],
 )
 def test_round7_queries_partitioning_invariant(spark, qname):
