@@ -22,10 +22,17 @@ from data_platform_spark.queries._util import pround
 def daily_quality_metrics(ev: DataFrame) -> DataFrame:
     """Per-day data-quality rollup: row count, distinct users, null
     rates of the nullable columns, exact median value. One shuffle
-    keyed by day; every metric is an algebraic or sort-based aggregate
-    within the bucket."""
-    day = F.date_trunc("day", F.col("ts")).alias("day")
-    return ev.groupBy(day).agg(
+    keyed by day for the algebraic aggregates; the exact median runs
+    through the two-phase grouped-percentile layout
+    (ops.global_order.grouped_percentile) — a day of events is
+    unbounded, and the native ``percentile()`` aggregate would buffer
+    the entire day's values in a single task (VERDICT r7 #1). The
+    median frame LEFT-joins back on day so an all-null day keeps its
+    row with a NULL median, exactly as the aggregate behaved."""
+    from data_platform_spark.ops.global_order import grouped_percentile
+
+    dayed = ev.withColumn("day", F.date_trunc("day", F.col("ts")))
+    base = dayed.groupBy("day").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count_distinct("user_id").alias("n_users"),
         pround(
@@ -36,7 +43,15 @@ def daily_quality_metrics(ev: DataFrame) -> DataFrame:
             F.sum(F.col("props").isNull().cast("int")) / F.count(F.lit(1)),
             6,
         ).alias("null_props_rate"),
-        pround(F.expr("percentile(value, 0.5)"), 4).alias("median_value"),
+    )
+    med = grouped_percentile(dayed, ["day"], "value", {"p50": 0.5})
+    return base.join(med, on="day", how="left").select(
+        "day",
+        "n_rows",
+        "n_users",
+        "null_value_rate",
+        "null_props_rate",
+        pround(F.col("p50"), 4).alias("median_value"),
     )
 
 

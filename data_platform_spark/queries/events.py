@@ -1237,9 +1237,14 @@ def session_quality_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     (share of single-event sessions), exact median session duration and
     mean events per session — the product-analytics daily the
     sessionize layer exists to feed. Composes the proven lag+cumsum
-    sessionization; the rollup is one groupBy keyed by day with
-    sort-based median inside the bucket. Rates and means round before
-    comparison; duration is exact integer seconds."""
+    sessionization; the rollup is one groupBy keyed by day, and the
+    exact median duration comes from the two-phase grouped-percentile
+    layout (a day of sessions is unbounded — the native percentile()
+    aggregate would buffer the whole day in one task, VERDICT r7 #1).
+    Rates and means round before comparison; duration is exact integer
+    seconds."""
+    from data_platform_spark.ops.global_order import grouped_percentile
+
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1261,18 +1266,25 @@ def session_quality_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("duration_s"),
         )
     )
-    day = F.date_trunc("day", F.col("session_start")).alias("day")
-    return sessions.groupBy(day).agg(
+    daily = sessions.withColumn(
+        "day", F.date_trunc("day", F.col("session_start"))
+    )
+    base = daily.groupBy("day").agg(
         F.count(F.lit(1)).alias("n_sessions"),
         pround(
             F.sum((F.col("n_events") == 1).cast("int"))
             / F.count(F.lit(1)),
             6,
         ).alias("bounce_rate"),
-        pround(F.expr("percentile(duration_s, 0.5)"), 4).alias(
-            "median_duration_s"
-        ),
         pround(F.avg("n_events"), 4).alias("avg_events"),
+    )
+    med = grouped_percentile(daily, ["day"], "duration_s", {"p50": 0.5})
+    return base.join(med, on="day", how="left").select(
+        "day",
+        "n_sessions",
+        "bounce_rate",
+        pround(F.col("p50"), 4).alias("median_duration_s"),
+        "avg_events",
     )
 
 

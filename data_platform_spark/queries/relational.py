@@ -1048,14 +1048,32 @@ ORACLE.update(
 
 def order_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregate surface: exact median / p90 (linear
-    interpolation), sample stddev, min/max per order status."""
+    interpolation), sample stddev, min/max per order status.
+
+    The status DOMAIN is 3 values but each status group is a third of
+    the fact table — the native exact ``percentile()`` aggregate
+    buffers a whole group in one task (VERDICT r7 #1), so the
+    percentiles run through the two-phase grouped layout
+    (ops.global_order.grouped_percentile) and join back onto the
+    algebraic aggregates."""
+    from data_platform_spark.ops.global_order import grouped_percentile
+
     orders = load_table(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderstatus").agg(
-        pround(F.expr("percentile(o_totalprice, 0.5)")).alias("median_price"),
-        pround(F.expr("percentile(o_totalprice, 0.9)")).alias("p90_price"),
+    base = orders.groupBy("o_orderstatus").agg(
         pround(F.stddev_samp("o_totalprice")).alias("stddev_price"),
         pround(F.min("o_totalprice")).alias("min_price"),
         pround(F.max("o_totalprice")).alias("max_price"),
+    )
+    pct = grouped_percentile(
+        orders, ["o_orderstatus"], "o_totalprice", {"p50": 0.5, "p90": 0.9}
+    )
+    return base.join(pct, on="o_orderstatus", how="left").select(
+        "o_orderstatus",
+        pround(F.col("p50")).alias("median_price"),
+        pround(F.col("p90")).alias("p90_price"),
+        "stddev_price",
+        "min_price",
+        "max_price",
     )
 
 

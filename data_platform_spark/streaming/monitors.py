@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from data_platform_spark.cache import release_caches
 from data_platform_spark.ops.monitors import (
     daily_quality_metrics,
     rolling_zscore,
@@ -107,9 +108,17 @@ def daily_quality_monitor_sink(
             .filter(F.col("day").isin(touched))
             .select(*EVENT_COLS)
         )
-        _upsert_monitor_rows(
-            wh, schema, quality_table, daily_quality_metrics(ev), ["day"]
-        )
+        try:
+            _upsert_monitor_rows(
+                wh, schema, quality_table, daily_quality_metrics(ev), ["day"]
+            )
+        finally:
+            # The metric core scope-persists its rank relation; the NEXT
+            # batch reads the same table path with MORE files, and a
+            # plan-equal persist would silently reuse this batch's stale
+            # cache (the cross-batch variant of the flattering-cache trap,
+            # PLANS.md r7). Each batch drains its caches on the way out.
+            release_caches()
 
     return (
         stream_df.writeStream.foreachBatch(_apply)
@@ -147,13 +156,16 @@ def anomaly_monitor_sink(
             .join(touched_users, "user_id", "left_semi")
             .select(*EVENT_COLS)
         )
-        _upsert_monitor_rows(
-            wh,
-            schema,
-            anomaly_table,
-            rolling_zscore(ev, lookback, min_n, cut),
-            ["user_id"],
-        )
+        try:
+            _upsert_monitor_rows(
+                wh,
+                schema,
+                anomaly_table,
+                rolling_zscore(ev, lookback, min_n, cut),
+                ["user_id"],
+            )
+        finally:
+            release_caches()  # same cross-batch stale-cache guard as above
 
     return (
         stream_df.writeStream.foreachBatch(_apply)

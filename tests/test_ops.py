@@ -654,6 +654,96 @@ def test_grouped_running_sum_spreads_dominant_group(spark):
     assert {r.id: r.cum for r in out} == want
 
 
+def test_grouped_percentile_matches_native_aggregate(spark):
+    """grouped_percentile must reproduce Spark's exact percentile()
+    aggregate bit-for-bit: interpolated interior points, the p=0/p=1
+    endpoints, heavy ties, singleton groups, and null handling (nulls
+    ignored; an all-null group has NO row — callers left-join)."""
+    import random
+
+    from data_platform_spark.ops.global_order import grouped_percentile
+
+    rng = random.Random(11)
+    rows = []
+    for g, n in [("single", 1), ("tiny", 4), ("mid", 61), ("big", 700)]:
+        rows += [(g, rng.uniform(-100.0, 100.0)) for _ in range(n)]
+    rows += [("ties", 5.0)] * 17 + [("ties", 9.0)] * 5
+    rows += [("hasnull", 1.0), ("hasnull", None), ("hasnull", 3.0)]
+    rows += [("allnull", None), ("allnull", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    ps = {"p0": 0.0, "p25": 0.25, "p50": 0.5, "p90": 0.9, "p100": 1.0}
+    got = {
+        r["g"]: r.asDict()
+        for r in grouped_percentile(df, ["g"], "v", ps).collect()
+    }
+    want = {
+        r["g"]: r.asDict()
+        for r in df.groupBy("g")
+        .agg(*[F.expr(f"percentile(v, {p})").alias(k) for k, p in ps.items()])
+        .collect()
+    }
+    assert "allnull" not in got  # no non-null values -> no row
+    for g, exp in want.items():
+        if g == "allnull":
+            assert all(exp[k] is None for k in ps)
+            continue
+        for k in ps:
+            assert got[g][k] == exp[k], (g, k, got[g][k], exp[k])
+
+
+def test_grouped_percentile_spreads_dominant_group(spark):
+    """The reason the op exists (VERDICT r7 #1): one source holding
+    ~90% of the corpus must NOT funnel through a single percentile
+    buffer. The rank phase has to spread the dominant group across >1
+    range partition while the result stays exactly the native
+    aggregate's."""
+    import random
+
+    from data_platform_spark.ops.global_order import grouped_percentile
+
+    rng = random.Random(13)
+    rows = [
+        (
+            "dominant" if i % 10 != 0 else f"small{i % 40}",
+            rng.uniform(0.0, 1000.0),
+        )
+        for i in range(20_000)
+    ]
+    df = spark.createDataFrame(rows, "src string, v double")
+    ps = {"p50": 0.5, "p99": 0.99}
+    out = {
+        r["src"]: r.asDict()
+        for r in grouped_percentile(
+            df, ["src"], "v", ps, num_partitions=16, pid_out="n_pids"
+        ).collect()
+    }
+    assert out["dominant"]["n_pids"] > 1, (
+        "dominant group confined to one rank partition — the layout "
+        "degenerated to a single-task percentile buffer"
+    )
+    want = {
+        r["src"]: r.asDict()
+        for r in df.groupBy("src")
+        .agg(*[F.expr(f"percentile(v, {p})").alias(k) for k, p in ps.items()])
+        .collect()
+    }
+    for g, exp in want.items():
+        for k in ps:
+            assert out[g][k] == exp[k], (g, k)
+
+
+def test_grouped_percentile_rejects_bad_ps(spark):
+    import pytest as _pytest
+
+    from data_platform_spark.ops.global_order import grouped_percentile
+
+    df = spark.createDataFrame([("a", 1.0)], "g string, v double")
+    with _pytest.raises(ValueError):
+        grouped_percentile(df, ["g"], "v", {})
+    with _pytest.raises(ValueError):
+        grouped_percentile(df, ["g"], "v", {"p": 1.5})
+
+
 def _sql_cache_empty(spark) -> bool:
     # The SQL CacheManager is where DataFrame.persist registers an
     # InMemoryRelation — the exact structure the lazy mode leaks into.
