@@ -3,11 +3,28 @@
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+   "scaling": {...}}
 
-Each query is fully materialized (count + a cheap checksum collect via
-``collect()`` on the aggregated frame would skew results, so we use
-``df.write.format("noop")`` — executes the complete plan, discards rows).
+Each query is fully materialized with ``df.write.format("noop")`` —
+executes the complete plan, discards rows (``collect()`` would add
+driver transfer; ``count()`` lets Catalyst skip most of a report
+pipeline, PLANS.md r7 measurement-honesty note). After every
+materialization the scope-registered caches are RELEASED
+(data_platform_spark.cache.release_caches), so a later identical-plan
+run re-persists fresh instead of being silently served from the earlier
+run's cache — the timings measure computation, not cache hits.
+
+Scaling section (VERDICT r7 item 8): the per-SF evidence that used to
+live only in PLANS.md now rides the artifact of record. The main SF's
+corpus is replicated x$SPARK_GRAFT_SCALE_MULT (default 4, 0 disables)
+via scripts/make_scale.scale_tables into the gitignored .scale/ dir,
+every headline query runs once there, and the artifact carries the
+per-query wall-clock ratio next to the data multiple — sublinear-to-
+linear ratios are the local proxy for the 100 TB posture. The scale
+pass has a wall-clock budget (SPARK_GRAFT_SCALE_BUDGET_S, default 240s);
+queries skipped by the budget are listed in the artifact, never silently
+dropped.
 """
 
 from __future__ import annotations
@@ -20,6 +37,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from data_platform_spark.cache import release_caches  # noqa: E402
 from data_platform_spark.queries import all_queries  # noqa: E402
 from data_platform_spark.session import get_spark  # noqa: E402
 
@@ -57,6 +75,60 @@ HEADLINE = [
 
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"
+_REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def _materialize(queries, name, spark, sf_dir) -> float:
+    """One timed end-to-end run: build, noop-write, release caches."""
+    t0 = time.perf_counter()
+    try:
+        queries[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    finally:
+        release_caches()
+    return time.perf_counter() - t0
+
+
+def _scaling_section(spark, queries, base_timings: dict[str, float]):
+    """Run each headline query once on a replicated x-MULT corpus and
+    report per-query wall-clock ratios vs the main-SF medians."""
+    mult = int(os.environ.get("SPARK_GRAFT_SCALE_MULT", "4"))
+    if mult <= 1:
+        return None
+    budget = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET_S", "240"))
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    tag = src.rstrip("/").split("/")[-1]
+    scale_dir = os.path.join(_REPO, ".scale", f"bench-x{mult}-{tag}")
+    if not os.path.isdir(os.path.join(scale_dir, "lineitem.parquet")):
+        from scripts.make_scale import scale_tables
+
+        scale_tables(spark, src, scale_dir, mult, quiet=True)
+    t_start = time.perf_counter()
+    ratios: dict[str, float] = {}
+    timings: dict[str, float] = {}
+    skipped: list[str] = []
+    for name in HEADLINE:
+        if time.perf_counter() - t_start > budget:
+            skipped.append(name)
+            continue
+        dt = _materialize(queries, name, spark, scale_dir)
+        timings[name] = round(dt, 3)
+        base = base_timings.get(name)
+        if base and base > 0:
+            ratios[name] = round(dt / base, 2)
+    done = [r for r in ratios.values()]
+    return {
+        "data_mult": mult,
+        "wall_clock": round(sum(timings.values()), 3),
+        "queries": timings,
+        "time_ratio": ratios,
+        "median_time_ratio": (
+            round(statistics.median(done), 2) if done else None
+        ),
+        "budget_s": budget,
+        "skipped_over_budget": skipped,
+    }
 
 
 def main() -> None:
@@ -71,41 +143,40 @@ def main() -> None:
     warm_dir = WARMUP_SF_DIR if os.path.isdir(WARMUP_SF_DIR) else sf_dir
     for name in HEADLINE:
         try:
-            queries[name](spark, warm_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
+            _materialize(queries, name, spark, warm_dir)
         except Exception:
             pass  # warmup is best-effort; the timed run surfaces real errors
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        fn = queries[name]
         # median-of-N (default 3): the shared bench host shows ~1.6× run-to-
         # run spread on identical plans (PLANS.md round-5 adjudication of
         # the r4 "regression"); the per-query MEDIAN inside one process is
         # robust to a single loaded run without the min's optimistic bias,
         # so the reported artifact tracks what a rerun would actually see.
         runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-        samples: list[float] = []
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            samples.append(time.perf_counter() - t0)
+        samples = [
+            _materialize(queries, name, spark, sf_dir) for _ in range(runs)
+        ]
         timings[name] = round(statistics.median(samples), 3)
 
+    scaling = None
+    try:
+        scaling = _scaling_section(spark, queries, timings)
+    except Exception as e:  # scaling evidence must never sink the artifact
+        scaling = {"err": f"{type(e).__name__}: {e}"}
+
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_suite_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if scaling is not None:
+        out["scaling"] = scaling
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_platform_spark.cache import scoped_persist
 from data_platform_spark.functions import dedup as D
 from data_platform_spark.queries._util import fan_out, pround, sql_round
 from data_platform_spark.sources.tables import load_table
@@ -46,8 +47,8 @@ def neardup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dominates runtime. persist() materializes each exactly once; both
     # relations are per-doc rows (no text beyond shingles), far smaller
     # than the corpus at any scale.
-    doc_sh = D.shingle_array_df(docs).persist()
-    sig = D.minhash_signatures(doc_sh).persist()
+    doc_sh = D.shingle_array_df(docs).transform(scoped_persist)
+    sig = D.minhash_signatures(doc_sh).transform(scoped_persist)
     cand = D.lsh_candidate_pairs(sig)
     return D.verified_jaccard(doc_sh, cand, threshold=JACCARD_THRESHOLD)
 
@@ -195,8 +196,8 @@ def documents_after_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("doc_id")
     ).select("doc_id")
 
-    doc_sh = D.shingle_array_df(docs).persist()
-    sig = D.minhash_signatures(doc_sh).persist()
+    doc_sh = D.shingle_array_df(docs).transform(scoped_persist)
+    sig = D.minhash_signatures(doc_sh).transform(scoped_persist)
     cand = D.lsh_candidate_pairs(sig)
     near = D.verified_jaccard(doc_sh, cand, threshold=JACCARD_THRESHOLD)
     near_losers = near.select(F.col("doc_b").alias("doc_id")).distinct()
@@ -238,8 +239,8 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH pair graph (iterative min-label propagation; the oracle computes
     the same fixpoint with a recursive CTE)."""
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
-    doc_sh = D.shingle_array_df(docs).persist()
-    sig = D.minhash_signatures(doc_sh).persist()
+    doc_sh = D.shingle_array_df(docs).transform(scoped_persist)
+    sig = D.minhash_signatures(doc_sh).transform(scoped_persist)
     cand = D.lsh_candidate_pairs(sig)
     pairs = D.verified_jaccard(doc_sh, cand, threshold=JACCARD_THRESHOLD)
     return D.connected_components(pairs.select("doc_a", "doc_b"))
@@ -293,13 +294,13 @@ def neardup_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     closing-edge semi-join — each triangle counted exactly once. Shuffle
     keys are the edge endpoints; no adjacency materialization."""
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
-    doc_sh = D.shingle_array_df(docs).persist()
-    sig = D.minhash_signatures(doc_sh).persist()
+    doc_sh = D.shingle_array_df(docs).transform(scoped_persist)
+    sig = D.minhash_signatures(doc_sh).transform(scoped_persist)
     cand = D.lsh_candidate_pairs(sig)
     edges = (
         D.verified_jaccard(doc_sh, cand, threshold=JACCARD_THRESHOLD)
         .select("doc_a", "doc_b")
-        .persist()
+        .transform(scoped_persist)
     )
     ab = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     bc = edges.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
@@ -381,7 +382,7 @@ def embedding_neardup_pairs_at(
         S.srp_signature_np(F.col("embedding"), planes, EMB_DIM).alias(
             "bucket"
         ),
-    ).persist()
+    ).transform(scoped_persist)
     a = ids.select("bucket", F.col("vec_id").alias("src"))
     b = ids.select("bucket", F.col("vec_id").alias("dst"))
     pairs = a.join(b, "bucket").filter(F.col("src") < F.col("dst")).select(
@@ -482,7 +483,7 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both sides of the band self-join read the signatures: persist so the
     # tokenize+hash+32-vote aggregation runs once (same diamond-reuse
     # rationale as neardup_pairs_lsh); 2 longs per doc, tiny at any scale
-    sig = D.simhash32_df(docs).persist()
+    sig = D.simhash32_df(docs).transform(scoped_persist)
     return D.simhash_band_pairs(sig, hamming_max=SIMHASH_HAMMING_MAX)
 
 
@@ -587,7 +588,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical capped index, so the gate checks algorithm parity.
     """
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
-    doc_sh = D.shingle_array_df(docs).persist()
+    doc_sh = D.shingle_array_df(docs).transform(scoped_persist)
     postings = (
         doc_sh.select("doc_id", F.explode("sh_arr").alias("shingle"))
         .groupBy("shingle")
@@ -921,7 +922,7 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     expansion, then one codegen'd array_intersect per candidate —
     reported when EITHER direction clears the threshold."""
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
-    doc_sh = D.shingle_array_df(docs).persist()
+    doc_sh = D.shingle_array_df(docs).transform(scoped_persist)
     postings = (
         doc_sh.select("doc_id", F.explode("sh_arr").alias("shingle"))
         .groupBy("shingle")
@@ -1026,8 +1027,8 @@ def incremental_neardup_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame
     Jaccard and id, and the keep decision. Docs with no band collision
     survive with zero matches (left join keeps them)."""
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
-    doc_sh = D.shingle_array_df(docs).persist()
-    sig = D.minhash_signatures(doc_sh).persist()
+    doc_sh = D.shingle_array_df(docs).transform(scoped_persist)
+    sig = D.minhash_signatures(doc_sh).transform(scoped_persist)
     long = D.band_long(sig)
     new_ids = F.col("_id") % INCR_NEW_MOD == 0
     new_bands = long.filter(new_ids).select(
@@ -1208,8 +1209,8 @@ def minhash_estimate_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed once, candidates from the band self-join); the estimate is
     a codegen'd per-pair component comparison, no extra shuffle."""
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
-    doc_sh = D.shingle_array_df(docs).persist()
-    sig = D.minhash_signatures(doc_sh).persist()
+    doc_sh = D.shingle_array_df(docs).transform(scoped_persist)
+    sig = D.minhash_signatures(doc_sh).transform(scoped_persist)
     cand = D.lsh_candidate_pairs(sig)
     exact = D.verified_jaccard(doc_sh, cand, threshold=0.0)
     n = D.N_MINHASH
@@ -1312,8 +1313,8 @@ def dedup_decision_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     keepers = wk.filter(F.col("doc_id") == F.col("keeper")).select("doc_id")
     kdocs = docs.join(keepers, "doc_id", "left_semi")
-    doc_sh = D.shingle_array_df(kdocs).persist()
-    sig = D.minhash_signatures(doc_sh).persist()
+    doc_sh = D.shingle_array_df(kdocs).transform(scoped_persist)
+    sig = D.minhash_signatures(doc_sh).transform(scoped_persist)
     cand = D.lsh_candidate_pairs(sig)
     near = (
         D.verified_jaccard(doc_sh, cand, threshold=JACCARD_THRESHOLD)
@@ -1423,7 +1424,7 @@ def curation_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         X.token_count(F.col("text")).cast("long").alias("n_tokens"),
         passes.alias("ok"),
-    ).persist()
+    ).transform(scoped_persist)
     quality = scored.filter(F.col("ok"))
 
     hashed = quality.select(
@@ -1434,10 +1435,10 @@ def curation_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         hashed.join(keep, "h")
         .filter(F.col("doc_id") == F.col("keeper"))
         .select("doc_id", "text", "n_tokens")
-        .persist()
+        .transform(scoped_persist)
     )
 
-    doc_sh = D.shingle_array_df(exact).persist()
+    doc_sh = D.shingle_array_df(exact).transform(scoped_persist)
     sig = D.minhash_signatures(doc_sh)
     cand = D.lsh_candidate_pairs(sig)
     removed = (
@@ -1566,8 +1567,8 @@ def neardup_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     of both pair endpoints; docs with no pairs report degree 0 via the
     anti-join bucket."""
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
-    doc_sh = D.shingle_array_df(docs).persist()
-    sig = D.minhash_signatures(doc_sh).persist()
+    doc_sh = D.shingle_array_df(docs).transform(scoped_persist)
+    sig = D.minhash_signatures(doc_sh).transform(scoped_persist)
     cand = D.lsh_candidate_pairs(sig)
     pairs = D.verified_jaccard(doc_sh, cand, threshold=JACCARD_THRESHOLD)
     ends = pairs.select(F.col("doc_a").alias("doc_id")).unionAll(

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_platform_spark.cache import scoped_persist
 from data_platform_spark.functions import similarity as S
 from data_platform_spark.queries._util import fan_out, pround, sql_round
 from data_platform_spark.sources.tables import load_table
@@ -302,7 +303,7 @@ def knn_within_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids = emb.select(
         "vec_id",
         S.srp_signature_np(F.col("embedding"), N_PLANES, DIM).alias("bucket"),
-    ).persist()
+    ).transform(scoped_persist)
     a = ids.select("bucket", F.col("vec_id").alias("src"))
     b = ids.select("bucket", F.col("vec_id").alias("dst"))
     pairs = a.join(b, "bucket").filter(F.col("src") != F.col("dst")).select(

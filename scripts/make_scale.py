@@ -9,6 +9,10 @@ replica token appended so the corpus does not degenerate into pure
 exact-duplicate groups; embeddings perturb one coordinate per replica.
 
 Usage: python scripts/make_scale.py [N] (default 10 -> ~sf1)
+
+``scale_tables`` is importable — bench.py uses it to materialize the
+upward-scaling corpus for the per-SF ratio section of the bench artifact
+(VERDICT r7 item 8).
 """
 
 from __future__ import annotations
@@ -18,9 +22,8 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import functions as F
+from pyspark.sql import SparkSession, functions as F
 
-from data_platform_spark.session import get_spark
 from data_platform_spark.sources.tables import load_table
 
 SRC = "/root/testdata/sf0.1"
@@ -44,20 +47,19 @@ KEYMAP = {
 SMALL = ["region", "nation"]  # bounded dims: copied once, not replicated
 
 
-def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    OUT = out_dir(sys.argv[2] if len(sys.argv) > 2 else f"sf{n // 10}")
-    spark = get_spark(app_name="make-scale")
-    os.makedirs(OUT, exist_ok=True)
-
+def scale_tables(
+    spark: SparkSession, src: str, out: str, n: int, quiet: bool = False
+) -> None:
+    """Replicate every table of ``src`` xN into ``out`` with
+    integrity-preserving key remapping (see module docstring)."""
+    os.makedirs(out, exist_ok=True)
     for t in SMALL:
-        load_table(spark, SRC, t).write.mode("overwrite").parquet(
-            os.path.join(OUT, f"{t}.parquet")
+        load_table(spark, src, t).write.mode("overwrite").parquet(
+            os.path.join(out, f"{t}.parquet")
         )
-
     replicas = spark.range(n).select(F.col("id").cast("int").alias("_rep"))
     for t, keys in KEYMAP.items():
-        df = load_table(spark, SRC, t).crossJoin(F.broadcast(replicas))
+        df = load_table(spark, src, t).crossJoin(F.broadcast(replicas))
         for k in keys:
             ktype = dict(df.dtypes)[k]
             df = df.withColumn(k, (F.col(k) * n + F.col("_rep")).cast(ktype))
@@ -79,9 +81,19 @@ def main() -> None:
                 ),
             )
         df.drop("_rep").write.mode("overwrite").parquet(
-            os.path.join(OUT, f"{t}.parquet")
+            os.path.join(out, f"{t}.parquet")
         )
-        print(f"wrote {t} x{n}")
+        if not quiet:
+            print(f"wrote {t} x{n}")
+
+
+def main() -> None:
+    from data_platform_spark.session import get_spark
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    OUT = out_dir(sys.argv[2] if len(sys.argv) > 2 else f"sf{n // 10}")
+    spark = get_spark(app_name="make-scale")
+    scale_tables(spark, SRC, OUT, n)
     spark.stop()
     print(f"done -> {OUT}")
 
