@@ -226,12 +226,12 @@ def neardup_report(
 def simhash64(texts: pd.Series) -> pd.Series:
     """64-bit SimHash over word tokens, numpy-vectorized per Arrow batch.
 
-    Semantics: hash each token to 64 bits (sha1-derived, big-endian), sum
+    Semantics: hash each token to 64 bits (sha256-derived, big-endian), sum
     ±1 per bit position weighted by term frequency, sign → bit; empty/null
     text → 0. Near-dups have small Hamming distance between signatures.
 
     Layout: every batch's tokens explode into one flat array; each UNIQUE
-    token is sha1-hashed once (a C call, amortized over repeats), and the
+    token is sha256-hashed once (a C call, amortized over repeats), and the
     64-bit columns come from one broadcasted shift of the hash vector into
     a (n_uniq, 64) int8 0/1 matrix. Per-doc set-bit counts accumulate over
     the DISTINCT (doc, unique-token) pairs with their term frequencies —
@@ -259,7 +259,7 @@ def simhash64(texts: pd.Series) -> pd.Series:
     uniq, inv = np.unique(flat, return_inverse=True)
     n_uniq = len(uniq)
     hbytes = b"".join(
-        hashlib.sha1(t.encode("utf-8")).digest()[:8] for t in uniq
+        hashlib.sha256(t.encode("utf-8")).digest()[:8] for t in uniq
     )
     h = np.frombuffer(hbytes, dtype=">u8").astype(np.uint64)
     # (n_uniq, 64) 0/1 matrix: column b = bit b of each unique token's
@@ -304,7 +304,8 @@ def simhash32_df(
 ) -> DataFrame:
     """Engine-portable 32-bit SimHash, entirely in JVM expressions.
 
-    Unlike ``simhash64`` (Pandas UDF, sha1), every step here is an
+    Unlike ``simhash64`` (Pandas UDF, sha256 — oracled via DuckDB's
+    sha256 since r8), every step here is an
     oracle-reproducible built-in: lowercase alnum tokenization, token
     hash = first 8 hex digits of md5 (identical in DuckDB), per-bit
     ±term-frequency vote, sign → bit. One shuffle (groupBy doc_id) with

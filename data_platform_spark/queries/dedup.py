@@ -54,7 +54,11 @@ def neardup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash 64-bit signatures (deterministic; rows-only driver check)."""
+    """SimHash 64-bit signatures. The per-term hash is sha256 (first 8
+    bytes, big-endian) precisely so the derivation is DuckDB-expressible
+    — the r7 sha1 variant was the registry's only avoidable rows-only
+    check (VERDICT r7 item 4); the bit-matrix vote layout in
+    functions.dedup.simhash64 is unchanged."""
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
     return docs.select("doc_id", D.simhash64(F.col("text")).alias("simhash"))
 
@@ -170,8 +174,52 @@ def _build_oracle() -> dict[str, str]:
             WHERE {sql_round("n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common)", 4)}
                   >= {JACCARD_THRESHOLD}
         """,
-        # simhash_signatures: intentionally no oracle (Pandas-UDF bit
-        # packing; driver records rows-only check)
+        # simhash64's per-term hash is the first 8 bytes of sha256
+        # (big-endian uint64); the oracle extracts bit b from hex nibble
+        # 16 - b//4 (bit b%4 within it) — pure integer ops, no
+        # hex-to-uint64 cast needed. The HUGEINT pack wraps to two's-
+        # complement BIGINT exactly as numpy's uint64 view does; empty/
+        # NULL text maps to signature 0 on both sides.
+        "simhash_signatures": """
+            WITH toks AS (
+                SELECT doc_id, unnest(str_split(text, ' ')) AS tok
+                FROM documents WHERE text IS NOT NULL AND text <> ''
+            ),
+            tf AS (
+                SELECT doc_id, tok, count(*)::BIGINT AS c
+                FROM toks GROUP BY doc_id, tok
+            ),
+            lens AS (
+                SELECT doc_id, count(*)::BIGINT AS n
+                FROM toks GROUP BY doc_id
+            ),
+            bits AS (
+                SELECT doc_id, c, b,
+                       ((strpos('0123456789abcdef',
+                                substr(sha256(tok), 16 - (b // 4), 1)) - 1)
+                        >> (b % 4)) & 1 AS bit
+                FROM tf CROSS JOIN (SELECT unnest(range(64)) AS b) bb
+            ),
+            votes AS (
+                SELECT doc_id, b, sum(c * bit) AS setc
+                FROM bits GROUP BY doc_id, b
+            ),
+            packed AS (
+                SELECT v.doc_id,
+                       sum(CASE WHEN 2 * v.setc > l.n
+                                THEN (1::HUGEINT << v.b)
+                                ELSE 0::HUGEINT END) AS p
+                FROM votes v JOIN lens l USING (doc_id)
+                GROUP BY v.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(
+                       (CASE WHEN p >= 9223372036854775808::HUGEINT
+                             THEN p - 18446744073709551616::HUGEINT
+                             ELSE p END)::BIGINT,
+                       0) AS simhash
+            FROM documents d LEFT JOIN packed USING (doc_id)
+        """,
     }
 
 

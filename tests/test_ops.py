@@ -486,7 +486,7 @@ def test_simhash64_vectorized_equals_reference_loop(spark):
         acc = [0] * 64
         for tok in text.split(" "):
             h = int.from_bytes(
-                hashlib.sha1(tok.encode("utf-8")).digest()[:8], "big"
+                hashlib.sha256(tok.encode("utf-8")).digest()[:8], "big"
             )
             for bit in range(64):
                 acc[bit] += 1 if (h >> bit) & 1 else -1
