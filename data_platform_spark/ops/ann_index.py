@@ -23,6 +23,9 @@ results to the in-memory pipeline (asserted in tests/test_ops.py).
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -30,7 +33,25 @@ from data_platform_spark.functions.similarity import (
     pq_dist_table,
     pq_encode,
     pq_train_codebook,
+    training_sample,
 )
+
+
+def _mean_distortion_micro(dist: DataFrame, id_col: str) -> int:
+    """Mean per-(vector, subspace) quantization error in micro-units:
+    min over codewords of the squared subspace distance, averaged over
+    every (id, m) cell. THE maintenance signal for a trained quantizer —
+    appended batches that drift away from the codebook's training
+    distribution quantize badly, distortion rises, and ADC distances
+    stop discriminating (recall decays silently). One narrow aggregate
+    over the distance relation; the collect is a single scalar."""
+    row = (
+        dist.groupBy(id_col, "m")
+        .agg(F.min("dist2_micro").alias("__d"))
+        .agg(F.floor(F.avg("__d") + F.lit(0.5)).cast("long").alias("v"))
+        .collect()[0]
+    )
+    return int(row["v"])
 
 
 def build_pq_index(
@@ -66,12 +87,22 @@ def build_pq_index(
     cents.write.mode("overwrite").parquet(f"{path}/codebook")
     dist = pq_dist_table(
         emb, n_sub, n_codes, dim, n_iter, id_col, vec_col, cents=cents
-    )
-    codes = pq_encode(dist, id_col)
-    codes.write.mode("overwrite").parquet(f"{path}/codes")
+    ).persist()
+    try:
+        codes = pq_encode(dist, id_col)
+        codes.write.mode("overwrite").parquet(f"{path}/codes")
+        # Baseline quantization distortion of the corpus the codebook was
+        # trained for — the drift reference rebuild_if_drifted compares
+        # against. Derived from the SAME distance relation the encode
+        # used (persisted above), so the baseline costs one extra narrow
+        # aggregate, not a second distance pass.
+        base = _mean_distortion_micro(dist, id_col)
+    finally:
+        dist.unpersist()
     emb.sparkSession.createDataFrame(
-        [(n_sub, n_codes, dim, n_iter)],
-        "n_sub int, n_codes int, dim int, n_iter int",
+        [(n_sub, n_codes, dim, n_iter, base)],
+        "n_sub int, n_codes int, dim int, n_iter int, "
+        "base_distortion_micro long",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
 
 
@@ -185,3 +216,149 @@ def pq_search_index(
         .agg(F.sum("q_dist2_micro").alias("adc_micro"))
     )
     return adc.orderBy(F.asc("adc_micro"), F.asc(id_col)).limit(k)
+
+
+def pq_index_distortion(
+    emb: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_mod: int | None = None,
+) -> int:
+    """Mean quantization distortion (micro-units) of ``emb`` under the
+    PERSISTED codebook — the drift signal. ``sample_mod`` bounds the
+    scan to the deterministic ``pmod(xxhash64(id), S) = 0`` sample (the
+    100 TB posture: the check costs O(corpus/S), same discipline as
+    sampled training); the codebook relation is metadata scale."""
+    spark = emb.sparkSession
+    p = read_pq_params(spark, path)
+    codebook = spark.read.parquet(f"{path}/codebook")
+    probe = training_sample(emb, sample_mod, id_col)
+    dist = pq_dist_table(
+        probe,
+        p["n_sub"],
+        p["n_codes"],
+        p["dim"],
+        p["n_iter"],
+        id_col,
+        vec_col,
+        cents=codebook,
+    )
+    return _mean_distortion_micro(dist, id_col)
+
+
+def rebuild_if_drifted(
+    emb: DataFrame,
+    path: str,
+    threshold: float = 1.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_mod: int | None = None,
+    seed_by_hash: bool = False,
+) -> dict:
+    """The index-maintenance leg appends were missing (VERDICT r7 item
+    2): a codebook trained once degrades silently as appended batches
+    drift — every new vector still encodes to SOME codeword, ADC
+    distances just stop meaning anything, and recall decays with no
+    error anywhere. This op closes the loop:
+
+    1. evaluate the drift signal — current mean quantization distortion
+       of ``emb`` (the full current corpus: standing + appended) against
+       the persisted codebook, vs the ``base_distortion_micro`` recorded
+       in the params sidecar at build time;
+    2. ``current <= threshold * base`` → return without training
+       (provably: the skip path never touches pq_train_codebook —
+       monkeypatch-counted in tests);
+    3. otherwise retrain on the CURRENT corpus into a staged sibling
+       dir and atomically swap it in (the Warehouse swap discipline:
+       stage fully, rename old aside, rename stage in, drop old —
+       ``recover_pq_index`` heals the one crash window between the two
+       renames). Search handles held open against the old dir keep
+       reading their snapshot; new searches see the new index.
+
+    Returns ``{"rebuilt": bool, "base_micro": int, "current_micro": int,
+    "ratio": float}``. ``emb`` must be the corpus the index covers —
+    the caller owns that contract, same as append.
+
+    Only the PQ index needs this: the MinHash band index has no trained
+    component (hash geometry never drifts — its calibration query,
+    minhash_estimate_calibration, monitors estimator ERROR, which is
+    band-geometry-driven, not data-driven).
+    """
+    spark = emb.sparkSession
+    base = read_pq_params(spark, path).get("base_distortion_micro")
+    if base is None:
+        raise ValueError(
+            f"index at {path} predates the distortion baseline sidecar; "
+            "rebuild it once with build_pq_index to enable drift checks"
+        )
+    current = pq_index_distortion(emb, path, id_col, vec_col, sample_mod)
+    ratio = current / base if base > 0 else float("inf")
+    if base > 0 and current <= threshold * base:
+        return {
+            "rebuilt": False,
+            "base_micro": base,
+            "current_micro": current,
+            "ratio": round(ratio, 4),
+        }
+    p = read_pq_params(spark, path)
+    stage = f"{path}.rebuild-stage"
+    old = f"{path}.old-rebuild"
+    shutil.rmtree(stage, ignore_errors=True)  # droppings of a failed build
+    build_pq_index(
+        emb,
+        stage,
+        p["n_sub"],
+        p["n_codes"],
+        p["dim"],
+        p["n_iter"],
+        id_col,
+        vec_col,
+        sample_mod,
+        seed_by_hash,
+    )
+    # marker: the stage is COMPLETE — recover_pq_index promotes a marked
+    # stage, discards an unmarked one
+    with open(f"{stage}/_COMPLETE", "w") as f:
+        f.write("ok")
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(stage, path)  # crash between these two renames -> recover
+    shutil.rmtree(old, ignore_errors=True)
+    os.remove(f"{path}/_COMPLETE")
+    return {
+        "rebuilt": True,
+        "base_micro": base,
+        "current_micro": current,
+        "ratio": round(ratio, 4),
+    }
+
+
+def recover_pq_index(path: str) -> str:
+    """Heal an interrupted rebuild swap. Cases:
+
+    - live index present → drop any leftover stage/old droppings;
+    - live index missing, COMPLETE stage present → promote the stage
+      (the rebuild had fully built; finishing the swap loses nothing);
+    - live index missing, old present → restore the old index (the
+      rebuild is simply retried later).
+
+    Returns a one-line description of the action taken."""
+    stage = f"{path}.rebuild-stage"
+    old = f"{path}.old-rebuild"
+    if os.path.isdir(path):
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+        return "live index intact; removed droppings"
+    if os.path.isdir(stage) and os.path.exists(f"{stage}/_COMPLETE"):
+        os.rename(stage, path)
+        os.remove(f"{path}/_COMPLETE")
+        shutil.rmtree(old, ignore_errors=True)
+        return "promoted completed rebuild stage"
+    if os.path.isdir(old):
+        shutil.rmtree(stage, ignore_errors=True)
+        os.rename(old, path)
+        return "restored pre-rebuild index"
+    raise FileNotFoundError(
+        f"no index, stage, or old dir at {path} — nothing to recover"
+    )

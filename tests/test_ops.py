@@ -1131,9 +1131,12 @@ def test_build_pq_index_trains_once_and_validates_params(spark, tmp_path, monkey
     AI.build_pq_index(emb, path)
     assert calls["n"] == 1
 
-    assert AI.read_pq_params(spark, path) == {
-        "n_sub": 4, "n_codes": 8, "dim": 64, "n_iter": 2
-    }
+    params = AI.read_pq_params(spark, path)
+    assert {
+        k: params[k] for k in ("n_sub", "n_codes", "dim", "n_iter")
+    } == {"n_sub": 4, "n_codes": 8, "dim": 64, "n_iter": 2}
+    # the drift baseline rides the sidecar since r8
+    assert params["base_distortion_micro"] > 0
     qvec = [0.0] * 64
     # derived params: search works with no explicit n_sub/dim
     assert AI.pq_search_index(spark, path, qvec, k=3).count() == 3
@@ -1509,3 +1512,201 @@ def test_neardup_search_rejects_incomplete_standing_docs(spark, tmp_path):
         neardup_search_index(
             spark, path, batch, threshold=0.2, standing_docs=empty_standing
         )
+
+
+# ---------------------------------------------------------------------------
+# drift-triggered PQ index rebuild (VERDICT r7 item 2)
+# ---------------------------------------------------------------------------
+
+
+def _pq_planted(rng, centers, per, sigma, start_id, label0):
+    import numpy as np
+
+    rows, vid = [], start_id
+    for ci, c in enumerate(centers):
+        for _ in range(per):
+            v = c + sigma * rng.normal(size=64)
+            v /= np.linalg.norm(v)
+            rows.append((vid, label0 + ci, [float(x) for x in v]))
+            vid += 1
+    return rows
+
+
+def _pq_drift_fixture(spark):
+    """Region-A planted clusters (the 4-cluster build corpus, ids
+    0-159) and region-B clusters (8 drifted clusters, ids 1000-1319) —
+    disjoint sphere centers from one seeded generator, the
+    test_ann_recall discipline. 8 B-clusters against the A-trained
+    8-codes/subspace codebook is the regime where drifted ADC can't
+    separate the new clusters but a rebuilt codebook can (measured
+    drifted recall 0.55 / rebuilt 1.00 at this seed)."""
+    import numpy as np
+
+    rng = np.random.default_rng(6)
+    ca = rng.normal(size=(4, 64))
+    ca /= np.linalg.norm(ca, axis=1, keepdims=True)
+    cb = rng.normal(size=(8, 64))
+    cb /= np.linalg.norm(cb, axis=1, keepdims=True)
+    initial = _pq_planted(rng, ca, 40, 0.10, 0, 0)
+    drifted = _pq_planted(rng, cb, 40, 0.10, 1000, 100)
+    schema = "vec_id: long, label: long, embedding: array<double>"
+    return (
+        spark.createDataFrame(initial, schema),
+        spark.createDataFrame(drifted, schema),
+        spark.createDataFrame(initial + drifted, schema),
+        {r[0]: r[2] for r in initial + drifted},
+    )
+
+
+def test_rebuild_if_drifted_restores_recall(spark, tmp_path):
+    """The maintenance loop end-to-end: a codebook trained on region A
+    degrades once region-B batches are appended (shortlist recall for a
+    B query falls BELOW the 0.8 gate), the distortion signal crosses the
+    threshold, rebuild retrains on the current corpus and atomically
+    swaps — recall is restored above the gate, and an immediate second
+    call reports no drift."""
+    from data_platform_spark.functions.similarity import cosine_topk
+    from data_platform_spark.ops.ann_index import (
+        append_to_pq_index,
+        build_pq_index,
+        pq_search_index,
+        rebuild_if_drifted,
+    )
+
+    df_a, df_b, df_all, vecs = _pq_drift_fixture(spark)
+    path = str(tmp_path / "pq_index")
+    build_pq_index(df_a, path)
+    append_to_pq_index(df_b, path)
+
+    # queries from the LAST drifted cluster (high ids, so ADC ties broken
+    # by id can't accidentally favor the right cluster)
+    qids = [1280, 1293, 1306, 1319]
+    truths = {}
+    for qid in qids:
+        qv = df_all.filter(F.col("vec_id") == qid).select(
+            F.col("embedding").alias("q")
+        )
+        truths[qid] = {
+            r.vec_id
+            for r in cosine_topk(df_all, qv, k=10, exclude_ids=[qid]).collect()
+        }
+
+    def mean_shortlist_recall() -> float:
+        # production contract: ADC shortlist-50 from the index, exact
+        # rerank outside — recall of the final top-10 is bounded by how
+        # much of the truth set the shortlist retains
+        tot = 0.0
+        for qid in qids:
+            sl = {
+                r.vec_id
+                for r in pq_search_index(
+                    spark, path, vecs[qid], k=50, exclude_ids=[qid]
+                ).collect()
+            }
+            tot += len(sl & truths[qid]) / 10
+        return tot / len(qids)
+
+    degraded = mean_shortlist_recall()
+    assert degraded < 0.8, f"drift did not degrade recall ({degraded})"
+
+    res = rebuild_if_drifted(df_all, path, threshold=1.5)
+    assert res["rebuilt"] is True and res["ratio"] > 1.5
+    restored = mean_shortlist_recall()
+    assert restored >= 0.8, f"rebuild did not restore recall ({restored})"
+
+    res2 = rebuild_if_drifted(df_all, path, threshold=1.5)
+    assert res2["rebuilt"] is False and res2["ratio"] <= 1.5
+
+
+def test_rebuild_no_drift_provably_skips_training(spark, tmp_path, monkeypatch):
+    """Appending batches from the SAME distribution must not trigger a
+    rebuild — and the skip path must provably never reach the trainer
+    (monkeypatched to raise, the strongest form of call-counting)."""
+    from data_platform_spark.ops.ann_index import (
+        append_to_pq_index,
+        build_pq_index,
+        rebuild_if_drifted,
+    )
+    import data_platform_spark.ops.ann_index as AI
+
+    df_a, _, _, _ = _pq_drift_fixture(spark)
+    same_dist = df_a.withColumn("vec_id", F.col("vec_id") + 5000)
+    path = str(tmp_path / "pq_index")
+    build_pq_index(df_a, path)
+    append_to_pq_index(same_dist, path)
+
+    def boom(*a, **k):
+        raise AssertionError("trainer reached on the no-drift path")
+
+    monkeypatch.setattr(AI, "pq_train_codebook", boom)
+    res = rebuild_if_drifted(
+        df_a.unionByName(same_dist), path, threshold=1.5
+    )
+    assert res["rebuilt"] is False
+    assert res["ratio"] <= 1.5
+
+
+def test_recover_pq_index_heals_both_crash_windows(spark, tmp_path):
+    """The swap's two crash states must both recover: a COMPLETE stage
+    with the live dir already renamed away promotes the stage; an
+    incomplete stage restores the old index. Either way a search works
+    afterwards."""
+    import os
+    import shutil
+
+    import pytest
+
+    from data_platform_spark.ops.ann_index import (
+        build_pq_index,
+        pq_search_index,
+        recover_pq_index,
+    )
+
+    df_a, _, _, vecs = _pq_drift_fixture(spark)
+    path = str(tmp_path / "pq_index")
+    build_pq_index(df_a, path)
+
+    # window 1: crash between the two renames, stage complete
+    shutil.copytree(path, f"{path}.rebuild-stage")
+    open(f"{path}.rebuild-stage/_COMPLETE", "w").write("ok")
+    os.rename(path, f"{path}.old-rebuild")
+    assert "promoted" in recover_pq_index(path)
+    assert not os.path.exists(f"{path}.old-rebuild")
+    assert pq_search_index(spark, path, vecs[0], k=3).count() == 3
+
+    # window 2: crash mid-stage-build (no marker) after old was renamed
+    shutil.copytree(path, f"{path}.rebuild-stage")
+    os.rename(path, f"{path}.old-rebuild")
+    assert "restored" in recover_pq_index(path)
+    assert not os.path.exists(f"{path}.rebuild-stage")
+    assert pq_search_index(spark, path, vecs[0], k=3).count() == 3
+
+    # live index intact: droppings are swept, index untouched
+    os.makedirs(f"{path}.rebuild-stage")
+    assert "intact" in recover_pq_index(path)
+    assert pq_search_index(spark, path, vecs[0], k=3).count() == 3
+
+    shutil.rmtree(path)
+    with pytest.raises(FileNotFoundError):
+        recover_pq_index(path)
+
+
+def test_rebuild_requires_distortion_baseline(spark, tmp_path):
+    """An index whose params sidecar predates the baseline column must
+    refuse the drift check instead of comparing against garbage."""
+    import pytest
+
+    from data_platform_spark.ops.ann_index import (
+        build_pq_index,
+        rebuild_if_drifted,
+    )
+
+    df_a, _, _, _ = _pq_drift_fixture(spark)
+    path = str(tmp_path / "pq_index")
+    build_pq_index(df_a, path)
+    # strip the baseline column, emulating a pre-r8 index
+    spark.createDataFrame(
+        [(4, 8, 64, 2)], "n_sub int, n_codes int, dim int, n_iter int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
+    with pytest.raises(ValueError, match="predates the distortion baseline"):
+        rebuild_if_drifted(df_a, path)
