@@ -17,11 +17,18 @@ Persisted halves under ``path``:
   ``bk`` so batch probes co-locate without reshuffling the index.
 - ``shingles/`` — the (doc_id, sh_arr) shingle-set arrays used for exact
   Jaccard verification of band candidates, so the standing corpus' TEXT
-  is never re-read or re-shingled at search time. Columnar-compressed;
-  read only to serve the verification join.
-- ``params/``   — (k, n_hashes, band_size) sidecar, validated on every
-  search/append: probing an index with different shingle width or band
-  geometry silently finds nothing, so mismatches raise instead.
+  is never re-read or re-shingled at search time. Written PARTITIONED by
+  ``sbk = pmod(xxhash64(doc_id), n_shingle_buckets)`` (since r8): a
+  search collects the candidate ids' bucket values (bounded by the
+  bucket count, metadata scale) and the verification scan
+  partition-prunes to those directories — shingle-read IO is bounded by
+  the candidate set's buckets, not the corpus, on the DEFAULT path
+  (VERDICT r7 item 5; previously only the ``standing_docs``
+  candidates-only variant had that property).
+- ``params/``   — (k, n_hashes, band_size, n_shingle_buckets) sidecar,
+  validated on every search/append: probing an index with different
+  shingle width or band geometry silently finds nothing, so mismatches
+  raise instead.
 
 A search against the persisted index returns BIT-IDENTICAL verified
 pairs to the in-memory recompute pipeline (asserted in tests/test_ops.py
@@ -40,6 +47,13 @@ from pyspark.sql import functions as F
 from data_platform_spark.functions import dedup as D
 
 
+SHINGLE_BUCKETS = 64
+
+
+def _sbk(id_col: str, n_buckets: int):
+    return F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets)).cast("int")
+
+
 def build_band_index(
     docs: DataFrame,
     path: str,
@@ -48,22 +62,30 @@ def build_band_index(
     k: int = 3,
     n_hashes: int = D.N_MINHASH,
     band_size: int = D.BAND_SIZE,
+    n_shingle_buckets: int = SHINGLE_BUCKETS,
 ) -> None:
     """Shingle + signature the standing corpus once and persist the
     (bands, shingles, params) index under ``path``. Bands derive from
     the persisted shingle relation, so the two halves are consistent by
-    construction."""
+    construction. Shingles land partitioned by the doc-id hash bucket
+    so searches prune the verification scan to candidate buckets."""
     spark = docs.sparkSession
-    D.shingle_array_df(docs, id_col, text_col, k).write.mode(
-        "overwrite"
-    ).parquet(f"{path}/shingles")
-    doc_sh = spark.read.parquet(f"{path}/shingles")
+    sh = D.shingle_array_df(docs, id_col, text_col, k).withColumn(
+        "sbk", _sbk(id_col, n_shingle_buckets)
+    )
+    sh.write.partitionBy("sbk").mode("overwrite").parquet(f"{path}/shingles")
+    # explicit schema: a partitioned write of an EMPTY corpus (the
+    # stream-sink seed) produces no data files, so inference would fail
+    doc_sh = (
+        spark.read.schema(sh.schema).parquet(f"{path}/shingles").drop("sbk")
+    )
     sig = D.minhash_signatures(doc_sh, id_col, n_hashes)
     D.band_long(sig, id_col, n_hashes, band_size).select(
         F.col("_id").alias(id_col), "bk"
     ).write.mode("overwrite").parquet(f"{path}/bands")
     spark.createDataFrame(
-        [(k, n_hashes, band_size)], "k int, n_hashes int, band_size int"
+        [(k, n_hashes, band_size, n_shingle_buckets)],
+        "k int, n_hashes int, band_size int, n_shingle_buckets int",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
 
 
@@ -105,25 +127,45 @@ def append_to_band_index(
     p = read_band_params(spark, path)
     bid = batch_id if batch_id is not None else uuid.uuid4().hex[:12]
     stage = f"{path}/.append-stage-{bid}"
-    # one file per half: a retry re-stages, and mixing two attempts'
-    # different row splits would corrupt the index — with a single
-    # complete file per half, "target exists" means "half fully
-    # appended". Batch-sized data, so the coalesce is cheap.
+    # one file per half (per shingle bucket for a partitioned index): a
+    # retry re-stages, and mixing two attempts' different row splits
+    # would corrupt the index — with a single complete file per
+    # destination, "target exists" means "fully appended there". The
+    # per-bucket content is a deterministic function of the batch
+    # (bucket = pmod(xxhash64(id))), so bucket-granular completion
+    # across a retry composes the exact same index. Batch-sized data,
+    # so the coalesce is cheap.
     new_sh = D.shingle_array_df(new_docs, id_col, text_col, p["k"])
-    new_sh.coalesce(1).write.mode("overwrite").parquet(f"{stage}/shingles")
+    nb = p.get("n_shingle_buckets")
+    if nb:
+        new_sh.withColumn("sbk", _sbk(id_col, nb)).coalesce(
+            1
+        ).write.partitionBy("sbk").mode("overwrite").parquet(
+            f"{stage}/shingles"
+        )
+    else:  # pre-bucketing index layout: flat shingle files
+        new_sh.coalesce(1).write.mode("overwrite").parquet(
+            f"{stage}/shingles"
+        )
     sig = D.minhash_signatures(new_sh, id_col, p["n_hashes"])
     D.band_long(sig, id_col, p["n_hashes"], p["band_size"]).select(
         F.col("_id").alias(id_col), "bk"
     ).coalesce(1).write.mode("overwrite").parquet(f"{stage}/bands")
     for half in ("shingles", "bands"):
         src_dir = f"{stage}/{half}"
-        files = sorted(
-            f for f in os.listdir(src_dir) if f.endswith(".parquet")
-        )
-        for i, f in enumerate(files):
-            dst = f"{path}/{half}/{bid}-{i}.parquet"
-            if not os.path.exists(dst):
-                os.rename(f"{src_dir}/{f}", dst)
+        for root, _dirs, files in os.walk(src_dir):
+            rel = os.path.relpath(root, src_dir)
+            parquets = sorted(f for f in files if f.endswith(".parquet"))
+            for i, f in enumerate(parquets):
+                dst_dir = (
+                    f"{path}/{half}"
+                    if rel == "."
+                    else f"{path}/{half}/{rel}"
+                )
+                os.makedirs(dst_dir, exist_ok=True)
+                dst = f"{dst_dir}/{bid}-{i}.parquet"
+                if not os.path.exists(dst):
+                    os.rename(os.path.join(root, f), dst)
     shutil.rmtree(stage, ignore_errors=True)
 
 
@@ -145,20 +187,24 @@ def neardup_search_index(
     exact-Jaccard verification of band candidates the standing side's
     shingle ARRAYS are needed; two sources, distinct IO profiles:
 
-    - default: the persisted ``shingles/`` half — the standing text is
-      never touched, but the verification join scans the shingle table
-      (O(corpus) IO unless it's bucketed/clustered by doc_id; measured
-      at parity with recompute on short local docs,
-      scripts/measure_neardup_index_speedup.py);
+    - default: the persisted ``shingles/`` half, PARTITION-PRUNED to the
+      candidate ids' hash buckets (the candidate set's distinct sbk
+      values — bounded by n_shingle_buckets — collect and push into the
+      scan as a partition filter): shingle-read IO is bounded by the
+      candidates' buckets, not the corpus. An index built before the
+      bucketed layout (no n_shingle_buckets in params) falls back to
+      the full shingle scan;
     - ``standing_docs`` given: re-shingle ONLY the candidate standing
       docs (semi-join on the candidate doc_b set first) — O(candidates)
       CPU, and the text read prunes to candidate ids when the docs
-      table is clustered/Z-ordered on doc_id (ops/layout.py). The right
-      choice at 100 TB, where scanning the full shingle table per batch
-      is the cost the index exists to avoid.
+      table is clustered/Z-ordered on doc_id (ops/layout.py). Still the
+      sharpest path when the docs table is id-clustered (prunes to ids,
+      not buckets).
 
     Caller guarantees batch ids are not already in the index (otherwise
     a doc trivially matches itself)."""
+    from data_platform_spark.cache import scoped_persist
+
     p = read_band_params(spark, path)
     new_sh = D.shingle_array_df(new_docs, id_col, text_col, p["k"])
     sig = D.minhash_signatures(new_sh, id_col, p["n_hashes"])
@@ -169,6 +215,34 @@ def neardup_search_index(
         F.col(id_col).alias("doc_b"), "bk"
     )
     cand = new_bands.join(idx_bands, "bk").select("doc_a", "doc_b").distinct()
+    nb = p.get("n_shingle_buckets")
+    if standing_docs is None and nb:
+        # candidate pairs feed both the bucket collect and the
+        # verification join — persist so the band join runs once
+        cand = scoped_persist(cand)
+        buckets = [
+            r[0]
+            for r in cand.select(
+                _sbk("doc_b", nb).alias("b")
+            ).distinct().collect()
+        ]
+        from pyspark.sql import types as T
+
+        sh_schema = T.StructType(
+            new_sh.schema.fields + [T.StructField("sbk", T.IntegerType())]
+        )
+        # explicit schema: an empty (seed) index has no data files to
+        # infer from, and the batch-side shingle frame defines the
+        # contract anyway
+        sh_scan = spark.read.schema(sh_schema).parquet(f"{path}/shingles")
+        if buckets:
+            sh_scan = sh_scan.filter(F.col("sbk").isin(buckets))
+        else:
+            sh_scan = sh_scan.filter(F.lit(False))
+        idx_sh = sh_scan.drop("sbk")
+        return D.bipartite_verified_jaccard(
+            new_sh, idx_sh, cand, id_col, threshold
+        )
     if standing_docs is not None:
         cand_b = cand.select(F.col("doc_b").alias(id_col)).distinct()
         # coverage check: a candidate doc_b missing from standing_docs

@@ -1173,7 +1173,7 @@ def test_neardup_persisted_index_matches_recompute(spark, tmp_path):
     path = str(tmp_path / "band_index")
     build_band_index(standing, path)
     assert read_band_params(spark, path) == {
-        "k": 3, "n_hashes": 8, "band_size": 2
+        "k": 3, "n_hashes": 8, "band_size": 2, "n_shingle_buckets": 64
     }
 
     # batch as an IN-MEMORY frame: the search can only reach standing
@@ -1710,3 +1710,55 @@ def test_rebuild_requires_distortion_baseline(spark, tmp_path):
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
     with pytest.raises(ValueError, match="predates the distortion baseline"):
         rebuild_if_drifted(df_a, path)
+
+
+def test_neardup_bucketed_shingles_prune_to_candidate_buckets(spark, tmp_path):
+    """VERDICT r7 item 5: the DEFAULT search path must bound its
+    shingle-read IO by the candidate set, not the corpus. The index
+    writes shingles partitioned by the doc-id hash bucket; a search
+    collects the candidate buckets and the executed plan's shingle scan
+    must carry a PartitionFilters entry selecting only those — while the
+    verified pairs stay bit-identical to the candidates-only variant
+    (which re-shingles candidate standing docs from text)."""
+    import os
+    import re
+
+    from data_platform_spark.ops.neardup_index import (
+        build_band_index,
+        neardup_search_index,
+    )
+    from data_platform_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    standing = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0).limit(8)
+    path = str(tmp_path / "band_index")
+    build_band_index(standing, path)
+    # the physical layout is one directory per hash bucket
+    bucket_dirs = [
+        d for d in os.listdir(f"{path}/shingles") if d.startswith("sbk=")
+    ]
+    assert len(bucket_dirs) > 8
+
+    res = neardup_search_index(spark, path, batch, threshold=0.2)
+    rows = sorted(tuple(r) for r in res.collect())
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    sbk_filters = [
+        f
+        for f in re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+        if "sbk" in f
+    ]
+    assert sbk_filters, "shingle scan lost its partition filter"
+    # the filter selects specific bucket values (= or IN), and far fewer
+    # than the full bucket count — IO is candidate-bounded
+    picked = set(re.findall(r"(?:= |IN \()(\d+)", sbk_filters[0]))
+    assert 0 < len(picked) <= 8 < len(bucket_dirs)
+
+    want = sorted(
+        tuple(r)
+        for r in neardup_search_index(
+            spark, path, batch, threshold=0.2, standing_docs=standing
+        ).collect()
+    )
+    assert rows == want and len(rows) > 0
