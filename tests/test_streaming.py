@@ -636,3 +636,77 @@ def test_neardup_stream_sink_daily_loop(spark, tmp_path):
         for r in spark.read.parquet(f"{index_path}/shingles").collect()
     }
     assert idx_ids == {1, 2, 11, 12}
+
+
+def test_daily_quality_monitor_absorbs_late_day_update(spark, tmp_path):
+    """Late-data contract (VERDICT r7 item 7), pinned: a NEW event
+    arriving after its day was already published must UPDATE that day's
+    monitor row — the day comes from the batch itself, so it lands in
+    the touched set and the pruned recompute replaces the stale row.
+    (The one unhandled shape remains a ts MUTATION of an existing
+    event_id across a day boundary — the event-time-immutability
+    contract documented in streaming/monitors._merge_batch.)"""
+    import json
+    import os
+
+    from data_platform_spark.ops.monitors import daily_quality_metrics
+    from data_platform_spark.pipeline import Warehouse
+    from data_platform_spark.streaming import read_events_stream
+    from data_platform_spark.streaming.monitors import (
+        daily_quality_monitor_sink,
+    )
+
+    src = str(tmp_path / "late_stream")
+    os.makedirs(src)
+    batch1 = [
+        {"event_id": 1, "ts": "2024-03-01T10:00:00", "user_id": 1,
+         "event_type": "view", "value": 10.0, "props": None},
+        {"event_id": 2, "ts": "2024-03-01T11:00:00", "user_id": 2,
+         "event_type": "view", "value": 30.0, "props": "{}"},
+        {"event_id": 3, "ts": "2024-03-02T09:00:00", "user_id": 1,
+         "event_type": "buy", "value": 5.0, "props": None},
+    ]
+    batch2 = [
+        # LATE: a new event for the already-published 03-01 (moves that
+        # day's median from 20.0 to 30.0 and n_rows from 2 to 3)
+        {"event_id": 4, "ts": "2024-03-01T23:00:00", "user_id": 3,
+         "event_type": "view", "value": 50.0, "props": None},
+        {"event_id": 5, "ts": "2024-03-03T08:00:00", "user_id": 2,
+         "event_type": "view", "value": 7.0, "props": None},
+    ]
+    for i, rows in enumerate([batch1, batch2]):
+        with open(f"{src}/b{i}.json", "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        os.utime(f"{src}/b{i}.json", (1_000_000 + i, 1_000_000 + i))
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    q = daily_quality_monitor_sink(
+        read_events_stream(spark, src, max_files_per_trigger=1),
+        wh,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    got = {
+        str(r["day"]): (r["n_rows"], r["median_value"])
+        for r in wh.read(spark, "dwh", "daily_quality").collect()
+    }
+    # the late event re-published day 1: 3 rows, median 30.0 (not the
+    # batch-1 snapshot of 2 rows / 20.0)
+    assert got["2024-03-01 00:00:00"] == (3, 30.0)
+    assert len(got) == 3
+
+    # and the final table equals the batch metric over the full source
+    ev = (
+        spark.read.schema(
+            "event_id LONG, ts TIMESTAMP, user_id LONG, "
+            "event_type STRING, value DOUBLE, props STRING"
+        )
+        .json(src)
+    )
+    want = {
+        str(r["day"]): (r["n_rows"], r["median_value"])
+        for r in daily_quality_metrics(ev).collect()
+    }
+    assert got == want
