@@ -1747,3 +1747,73 @@ def _savings_oracle() -> str:
 
 
 ORACLE["dedup_savings_by_source"] = _savings_oracle()
+
+
+COST_CURVE_THRESHOLDS = [0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]
+
+
+def corpus_dedup_cost_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-sweep dedup cost curve: verified near-dup pair count
+    and docs-removed count (the higher-id side, the documents_after_dedup
+    removal rule) at each Jaccard threshold — the dataset-card table
+    that answers "how much corpus does each threshold cost?" BEFORE
+    committing to one. Pairs are verified ONCE at the lowest threshold;
+    the sweep is a literal-array explode over the already-rounded
+    jaccard (no recomputation per threshold). Thresholds below the band
+    geometry's recall floor (~0.4 for 4 bands x 2 hashes) count only
+    band-caught pairs — the same estimate every LSH pipeline reports."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    doc_sh = D.shingle_array_df(docs).transform(scoped_persist)
+    sig = D.minhash_signatures(doc_sh).transform(scoped_persist)
+    cand = D.lsh_candidate_pairs(sig)
+    edges = D.verified_jaccard(
+        doc_sh, cand, threshold=min(COST_CURVE_THRESHOLDS)
+    )
+    ts = F.array(*[F.lit(t) for t in COST_CURVE_THRESHOLDS])
+    swept = edges.select(
+        "doc_b", "jaccard", F.explode(ts).alias("threshold")
+    ).filter(F.col("jaccard") >= F.col("threshold"))
+    return swept.groupBy("threshold").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.count_distinct("doc_b").alias("n_docs_removed"),
+    )
+
+
+QUERIES["corpus_dedup_cost_curve"] = corpus_dedup_cost_curve
+
+_CURVE_TS = ", ".join(str(t) for t in COST_CURVE_THRESHOLDS)
+
+ORACLE["corpus_dedup_cost_curve"] = f"""
+    WITH {_shingle_cte()},
+    {_sig_sql()},
+    {_bands_sql()},
+    sizes AS (
+        SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ),
+    common AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS n_common
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        GROUP BY c.doc_a, c.doc_b
+    ),
+    edges AS (
+        SELECT doc_b,
+               {sql_round(
+                   "n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common)", 4
+               )} AS jaccard
+        FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE {sql_round(
+            "n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common)", 4
+        )} >= {min(COST_CURVE_THRESHOLDS)}
+    )
+    SELECT t.threshold,
+           count(*)::BIGINT AS n_pairs,
+           count(DISTINCT e.doc_b)::BIGINT AS n_docs_removed
+    FROM edges e
+    JOIN (SELECT unnest([{_CURVE_TS}]) AS threshold) t
+      ON e.jaccard >= t.threshold
+    GROUP BY t.threshold
+"""

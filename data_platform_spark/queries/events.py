@@ -1324,3 +1324,119 @@ ORACLE["session_quality_by_day"] = f"""
     FROM sessions
     GROUP BY 1
 """
+
+
+def events_weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day active users per observed day (WAU) next to the
+    day's own DAU — the engagement ratio product dashboards track.
+
+    Distinct-over-sliding-window is the classic distributed trap: a
+    naive per-day window union re-reads the events table 7 times, and a
+    count_distinct over a RANGE frame is unsupported/unbounded. The
+    scale shape here: collapse events to distinct (user, day) presence
+    FIRST (one shuffle, bounded by users×days, far smaller than
+    events), fan each presence row out to the ≤7 window-days it serves
+    (a 7-literal explode, no join), and distinct-count per window day.
+    Only observed days are reported (join back on the presence days)."""
+    ev = load_table(spark, sf_dir, "events")
+    presence = ev.select(
+        F.to_date(F.col("ts")).alias("d"), "user_id"
+    ).distinct()
+    offsets = F.array(*[F.lit(i) for i in range(7)])
+    expanded = presence.select(
+        "user_id",
+        F.explode(offsets).alias("i"),
+        F.date_add(F.col("d"), F.col("i")).alias("wd"),
+    ).select("user_id", "wd").distinct()
+    wau = expanded.groupBy("wd").agg(
+        F.count(F.lit(1)).alias("wau")
+    )
+    dau = presence.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    return (
+        dau.join(wau, dau.d == wau.wd)
+        .select(
+            F.col("d").alias("day"),
+            "dau",
+            "wau",
+            pround(F.col("dau") / F.col("wau"), 6).alias("dau_wau_ratio"),
+        )
+    )
+
+
+QUERIES["events_weekly_active_users"] = events_weekly_active_users
+
+ORACLE["events_weekly_active_users"] = f"""
+    WITH presence AS (
+        SELECT DISTINCT ts::DATE AS d, user_id FROM events
+    ),
+    expanded AS (
+        SELECT DISTINCT user_id, d + (i::INT) AS wd
+        FROM presence CROSS JOIN (SELECT unnest(range(7)) AS i) o
+    ),
+    wau AS (
+        SELECT wd, count(*)::BIGINT AS wau FROM expanded GROUP BY wd
+    ),
+    dau AS (
+        SELECT d, count(*)::BIGINT AS dau FROM presence GROUP BY d
+    )
+    SELECT dau.d AS day, dau.dau, wau.wau,
+           {sql_round("dau.dau * 1.0 / wau.wau", 6)} AS dau_wau_ratio
+    FROM dau JOIN wau ON wau.wd = dau.d
+"""
+
+
+def events_interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide inter-event gap distribution on a log10 scale: the
+    traffic-microstructure histogram (sub-second bursts vs hour-scale
+    lulls) that complements user_cadence_stats' per-user view. One lag
+    window keyed by user, then a groupBy over a ~10-value bounded bucket
+    domain — pure map-side combine; gaps are exact integer micros and
+    the bucket is floor(log10(gap_s)) clamped at [-3, 6] (zero gaps —
+    same-micro events — get their own -999 bucket)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    us = F.unix_micros(F.col("ts"))
+    gaps = ev.select(
+        (us - F.lag(us).over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    gap_s = F.col("gap_us") / F.lit(1_000_000.0)
+    bucket = (
+        F.when(F.col("gap_us") == 0, F.lit(-999))
+        .otherwise(
+            F.greatest(
+                F.lit(-3),
+                F.least(F.lit(6), F.floor(F.log10(gap_s)).cast("int")),
+            )
+        )
+        .cast("int")
+    )
+    return gaps.groupBy(bucket.alias("log10_bucket")).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        pround(F.avg(gap_s), 4).alias("mean_gap_s"),
+    )
+
+
+QUERIES["events_interarrival_histogram"] = events_interarrival_histogram
+
+ORACLE["events_interarrival_histogram"] = f"""
+    WITH gaps AS (
+        SELECT epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ) AS gap_us
+        FROM events
+    ),
+    bucketed AS (
+        SELECT gap_us,
+               gap_us / 1000000.0 AS gap_s,
+               CASE WHEN gap_us = 0 THEN -999
+                    ELSE greatest(-3, least(6,
+                        floor(log10(gap_us / 1000000.0))::INT))
+               END::INT AS log10_bucket
+        FROM gaps WHERE gap_us IS NOT NULL
+    )
+    SELECT log10_bucket,
+           count(*)::BIGINT AS n_gaps,
+           {sql_round("avg(gap_s)", 4)} AS mean_gap_s
+    FROM bucketed
+    GROUP BY log10_bucket
+"""

@@ -2596,3 +2596,151 @@ ORACLE["customer_rfm_segments"] = f"""
             + (floor((m_rank - 1) * 4 / n.n_cust) + 1))::INT AS rfm_code
     FROM ranked, n
 """
+
+
+def order_value_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier profile per order priority: exact p25/p75
+    through the two-phase grouped-percentile layout (a priority class is
+    an unbounded slice of the fact table — the native percentile()
+    aggregate would buffer it whole, the r8 plan guard rejects it), IQR
+    fences at 1.5×, and the order count outside each fence. Fences
+    derive ONLY from the 2-dp-rounded quartiles, so the flag compares
+    identically across engines; the rate rounds at 6 dp."""
+    from data_platform_spark.ops.global_order import grouped_percentile
+
+    orders = load_table(spark, sf_dir, "orders")
+    pct = grouped_percentile(
+        orders, ["o_orderpriority"], "o_totalprice", {"p25": 0.25, "p75": 0.75}
+    ).select(
+        "o_orderpriority",
+        pround(F.col("p25")).alias("p25_price"),
+        pround(F.col("p75")).alias("p75_price"),
+    )
+    j = orders.join(F.broadcast(pct), "o_orderpriority")
+    iqr = F.col("p75_price") - F.col("p25_price")
+    hi = F.col("p75_price") + 1.5 * iqr
+    lo = F.col("p25_price") - 1.5 * iqr
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.max("p25_price").alias("p25_price"),
+        F.max("p75_price").alias("p75_price"),
+        F.sum((F.col("o_totalprice") > hi).cast("int")).alias("n_high"),
+        F.sum((F.col("o_totalprice") < lo).cast("int")).alias("n_low"),
+        pround(
+            F.sum(
+                ((F.col("o_totalprice") > hi) | (F.col("o_totalprice") < lo))
+                .cast("int")
+            )
+            / F.count(F.lit(1)),
+            6,
+        ).alias("outlier_rate"),
+    )
+
+
+QUERIES["order_value_iqr_outliers"] = order_value_iqr_outliers
+
+ORACLE["order_value_iqr_outliers"] = f"""
+    WITH pct AS (
+        SELECT o_orderpriority,
+               {sql_round("quantile_cont(o_totalprice, 0.25)", 2)} AS p25_price,
+               {sql_round("quantile_cont(o_totalprice, 0.75)", 2)} AS p75_price
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderpriority,
+           count(*)::BIGINT AS n_orders,
+           max(p.p25_price) AS p25_price,
+           max(p.p75_price) AS p75_price,
+           CAST(sum(CASE WHEN o.o_totalprice >
+                    p.p75_price + 1.5 * (p.p75_price - p.p25_price)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+           CAST(sum(CASE WHEN o.o_totalprice <
+                    p.p25_price - 1.5 * (p.p75_price - p.p25_price)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+           {sql_round(
+               "sum(CASE WHEN o.o_totalprice >"
+               " p.p75_price + 1.5 * (p.p75_price - p.p25_price)"
+               " OR o.o_totalprice <"
+               " p.p25_price - 1.5 * (p.p75_price - p.p25_price)"
+               " THEN 1 ELSE 0 END) * 1.0 / count(*)", 6
+           )} AS outlier_rate
+    FROM orders o JOIN pct p USING (o_orderpriority)
+    GROUP BY o.o_orderpriority
+"""
+
+
+def customer_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value matrix: customers grouped by first-order
+    month, cumulative revenue per (cohort, months-since-first-order)
+    and LTV per customer — the retention economics table every growth
+    dashboard draws. Aggregate-first: revenue folds to cent-exact LONGs
+    per (cohort, month) BEFORE the cumulative window (summation-order
+    independence), and the running sum's window partitions by cohort
+    over a calendar-bounded month series — never raw orders."""
+    orders = load_table(spark, sf_dir, "orders")
+    month = F.date_trunc("month", F.col("o_orderdate"))
+    first = orders.groupBy("o_custkey").agg(
+        F.min(month).alias("cohort")
+    )
+    sizes = first.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    rev = (
+        orders.join(first, "o_custkey")
+        .groupBy("cohort", month.alias("month"))
+        .agg(F.sum(cents).alias("rev_cents"))
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = rev.withColumn("cum_cents", F.sum("rev_cents").over(w))
+    return cum.join(F.broadcast(sizes), "cohort").select(
+        "cohort",
+        (F.months_between(F.col("month"), F.col("cohort")))
+        .cast("int")
+        .alias("month_n"),
+        "n_customers",
+        (F.col("cum_cents") / F.lit(100.0)).alias("cum_revenue"),
+        pround(F.col("cum_cents") / F.lit(100.0) / F.col("n_customers"), 4)
+        .alias("ltv_per_customer"),
+    )
+
+
+QUERIES["customer_cohort_ltv"] = customer_cohort_ltv
+
+ORACLE["customer_cohort_ltv"] = f"""
+    WITH first AS (
+        SELECT o_custkey,
+               min(date_trunc('month', o_orderdate)) AS cohort
+        FROM orders GROUP BY o_custkey
+    ),
+    sizes AS (
+        SELECT cohort, count(*)::BIGINT AS n_customers
+        FROM first GROUP BY cohort
+    ),
+    rev AS (
+        SELECT f.cohort,
+               date_trunc('month', o.o_orderdate) AS month,
+               sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS rev_cents
+        FROM orders o JOIN first f USING (o_custkey)
+        GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT cohort, month,
+               sum(rev_cents) OVER (
+                   PARTITION BY cohort ORDER BY month
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum_cents
+        FROM rev
+    )
+    SELECT c.cohort,
+           date_diff('month', c.cohort, c.month)::INT AS month_n,
+           s.n_customers,
+           c.cum_cents / 100.0 AS cum_revenue,
+           {sql_round("c.cum_cents / 100.0 / s.n_customers", 4)}
+               AS ltv_per_customer
+    FROM cum c JOIN sizes s USING (cohort)
+"""

@@ -1127,3 +1127,42 @@ ORACLE["embedding_centroid_drift"] = f"""
     FROM terms t JOIN counts c USING (label)
     GROUP BY t.label, c.n_a, c.n_b
 """
+
+
+def pq_subspace_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-subspace quantization distortion: mean and max of each
+    vector's min-over-codewords squared distance (micro-units) — the
+    ORACLED form of the drift signal ops/ann_index.rebuild_if_drifted
+    gates on (its params-sidecar baseline is the all-subspace mean of
+    exactly this quantity). A subspace whose mean distortion runs away
+    from the others has a stale or undersized codebook; watching the
+    per-m split localizes WHICH dimensions drifted. One narrow
+    aggregate over the distance relation."""
+    dist = _pq_dist_table(spark, sf_dir)
+    per_cell = dist.groupBy("vec_id", "m").agg(
+        F.min("dist2_micro").alias("d")
+    )
+    return per_cell.groupBy("m").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.floor(F.avg("d") + F.lit(0.5)).cast("long").alias(
+            "mean_distortion_micro"
+        ),
+        F.max("d").alias("max_distortion_micro"),
+    )
+
+
+QUERIES["pq_subspace_distortion"] = pq_subspace_distortion
+
+ORACLE["pq_subspace_distortion"] = f"""
+    WITH {_pq_ctes()},
+    per_cell AS (
+        SELECT vec_id, m, min(dist2_micro) AS d
+        FROM dist GROUP BY vec_id, m
+    )
+    SELECT m,
+           count(*)::BIGINT AS n_vectors,
+           CAST(floor(avg(d) + 0.5) AS BIGINT) AS mean_distortion_micro,
+           max(d)::BIGINT AS max_distortion_micro
+    FROM per_cell
+    GROUP BY m
+"""

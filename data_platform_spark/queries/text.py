@@ -2485,3 +2485,122 @@ ORACLE["source_token_percentiles"] = f"""
     FROM scored
     GROUP BY source
 """
+
+
+BURSTINESS_MIN_DF = 3
+BURSTINESS_TOPK = 25
+
+
+def term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Church-Gale burstiness: mean occurrences per CONTAINING doc
+    (tf/df) for terms above a document-frequency floor, top-k. A bursty
+    term (high tf/df) concentrates in few docs — boilerplate, code, or
+    topical jargon — while function words spread evenly (tf/df ≈ tf/N);
+    the signal complements IDF for template detection in crawl data.
+    Two shuffles (term totals + distinct-doc counts folded in ONE
+    groupBy over (doc, term) partial counts), then a global top-k
+    (TakeOrdered, no full sort)."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    terms = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    per_doc = terms.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf_doc")
+    )
+    stats = per_doc.groupBy("term").agg(
+        F.sum("tf_doc").cast("long").alias("tf"),
+        F.count(F.lit(1)).cast("long").alias("df"),
+    )
+    out = stats.filter(F.col("df") >= BURSTINESS_MIN_DF).select(
+        "term",
+        "tf",
+        "df",
+        pround(F.col("tf") / F.col("df"), 6).alias("burstiness"),
+    )
+    return out.orderBy(
+        F.desc("burstiness"), F.asc("term")
+    ).limit(BURSTINESS_TOPK)
+
+
+QUERIES["term_burstiness"] = term_burstiness
+
+ORACLE["term_burstiness"] = f"""
+    WITH per_doc AS (
+        SELECT doc_id, term, count(*)::BIGINT AS tf_doc
+        FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents
+        )
+        GROUP BY doc_id, term
+    ),
+    stats AS (
+        SELECT term,
+               sum(tf_doc)::BIGINT AS tf,
+               count(*)::BIGINT AS df
+        FROM per_doc GROUP BY term
+    )
+    SELECT term, tf, df,
+           {sql_round("tf * 1.0 / df", 6)} AS burstiness
+    FROM stats
+    WHERE df >= {BURSTINESS_MIN_DF}
+    ORDER BY burstiness DESC, term ASC
+    LIMIT {BURSTINESS_TOPK}
+"""
+
+
+SENT_REGEX = "[.!?]+"
+ALNUM_REGEX = "[A-Za-z0-9]"
+
+
+def doc_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Automated Readability Index — the cheap quality signal
+    corpus filters cut on before any model-based scoring: ARI =
+    4.71·(chars/words) + 0.5·(words/sentences) − 21.43 over alnum chars,
+    regex tokens and terminator-run sentence counts. Pure projection
+    (regexp counts, no shuffle at all until the sink); NULL where a doc
+    has no words or no sentence terminator (score undefined, filters
+    treat as reject)."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    n_chars = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(ALNUM_REGEX), 0)
+    ).cast("long")
+    n_words = X.token_count(F.col("text")).cast("long")
+    n_sents = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(SENT_REGEX), 0)
+    ).cast("long")
+    ari = (
+        F.lit(4.71) * (n_chars / n_words)
+        + F.lit(0.5) * (n_words / n_sents)
+        - F.lit(21.43)
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_alnum_chars"),
+        n_words.alias("n_words"),
+        n_sents.alias("n_sentences"),
+        F.when((n_words > 0) & (n_sents > 0), pround(ari, 4)).alias("ari"),
+    )
+
+
+QUERIES["doc_readability_scores"] = doc_readability_scores
+
+ORACLE["doc_readability_scores"] = f"""
+    WITH base AS (
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{ALNUM_REGEX}'))::BIGINT
+                   AS n_alnum_chars,
+               len(regexp_extract_all(text, '{X.TOKEN_REGEX}'))::BIGINT
+                   AS n_words,
+               len(regexp_extract_all(text, '{SENT_REGEX}'))::BIGINT
+                   AS n_sentences
+        FROM documents
+    )
+    SELECT doc_id, n_alnum_chars, n_words, n_sentences,
+           CASE WHEN n_words > 0 AND n_sentences > 0 THEN
+               {sql_round(
+                   "4.71 * (n_alnum_chars * 1.0 / n_words)"
+                   " + 0.5 * (n_words * 1.0 / n_sentences) - 21.43", 4
+               )}
+           END AS ari
+    FROM base
+"""
