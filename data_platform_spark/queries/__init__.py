@@ -41,24 +41,25 @@ def _modules():
 
 
 # The driver's correctness gate checks the FIRST ~50 registered queries, in
-# dict order. Cumulative accounting entering round 7: 171 registered (168
-# oracled); after r6 every query registered through r6 carries a
-# driver-green row (r6 closed the books: 49 hash + 1 rows-only in the r6
-# window, older rounds cover the rest). The round-7 window packs, in order:
-# (1) the 10 queries with NO green row ever (new this round: chunk-level
-#     hybrid RRF, quality-rule funnel, vocabulary drift, MinHash
-#     calibration, dedup decision ledger, curation pipeline summary,
-#     term-PMI collocations, embedding centroid drift, event transition
-#     matrix, MoM revenue growth);
-# (2) re-proof of every implementation changed this round: the
-#     window-rewritten attribution family, the monitor-core refactor
-#     (daily quality, z-score anomaly), the shard-index clamp, the
-#     chunk-BM25 scoring factor-out + hybrid, the PQ/k-means
-#     training-knob threading (5 queries), and the whole
-#     verified-jaccard family after the bipartite refactor;
+# dict order. Cumulative accounting entering round 8: 186 registered (185
+# oracled — the floor: approx_stats_sketches exposes engine-specific
+# sketch internals); every query registered through r7 carries a
+# driver-green row. The round-8 window packs, in order:
+# (1) never driver-green: the 8 queries new this round (IQR outlier
+#     fences, cohort LTV, weekly active users, term burstiness,
+#     readability, dedup cost curve, PQ subspace distortion, gap
+#     histogram) plus simhash_signatures, rows-only until the sha256
+#     re-key gave it an oracle;
+# (2) re-proof of every implementation changed this round: the four
+#     grouped-percentile rewires (source percentiles, session quality,
+#     daily quality, order price stats) + the allowlisted cadence stats
+#     and the monitor-sharing z-score; the whole persist-sweep family in
+#     dedup/similarity (scoped_persist is behavior-identical, but the
+#     sweep touched every LSH-family query body); and the global_order
+#     consumers after its cache-registry change;
 # (3) canaries (loader / flagship); then
-# (4) the stalest green rows (r3/r4 evidence that yielded slots in r6),
-#     rotated in to refresh them.
+# (4) the stalest green rows (r3-green evidence that yielded its refresh
+#     slots in r7), rotated in.
 # --- round-6 window rationale (kept for history) ---
 # (1) the 24 queries with NO green row ever (new in r6: BM25
 #     retrieval, unigram-LM scoring, BPE pair induction, incremental
@@ -81,78 +82,77 @@ def _modules():
 #     evidence in the registry;
 # (5) the 24 oldest r3-green rows, rotated in to refresh them.
 # Everything else (green in r4/r5 and unchanged) follows, oracled first.
-_R7_WINDOW = (
+_R8_WINDOW = (
     # (1) never driver-green — new this round
-    "chunk_hybrid_rrf_topk",
-    "quality_rule_funnel",
-    "corpus_vocab_drift",
-    "minhash_estimate_calibration",
-    "dedup_decision_report",
-    "curation_pipeline_summary",
-    "term_cooccurrence_pmi",
-    "embedding_centroid_drift",
-    "event_transition_matrix",
-    "orders_revenue_growth",
-    "user_cadence_stats",
-    "neardup_degree_histogram",
-    "source_token_percentiles",
-    "dedup_savings_by_source",
-    "events_dow_hour_profile",
-    "customer_rfm_segments",
-    "session_quality_by_day",
-    # newly ORACLED this round (was rows-only): recursive-CTE EMA oracle
-    "events_user_ema",
+    "order_value_iqr_outliers",
+    "customer_cohort_ltv",
+    "events_weekly_active_users",
+    "term_burstiness",
+    "doc_readability_scores",
+    "corpus_dedup_cost_curve",
+    "pq_subspace_distortion",
+    "events_interarrival_histogram",
+    # newly ORACLED this round (was rows-only): sha256-keyed simhash
+    "simhash_signatures",
     # (2) changed implementations needing re-proof
-    "purchase_attribution",
-    "purchase_prior_click_counts",
+    # grouped-percentile rewires + the allowlisted native-percentile site
+    "source_token_percentiles",
+    "session_quality_by_day",
     "events_daily_quality",
+    "order_price_stats",
+    "user_cadence_stats",
     "events_anomaly_zscore",
-    "corpus_shard_summary",
-    "chunk_bm25_topk",
-    "hybrid_rrf_topk",
-    "pq_code_histogram",
-    "pq_adc_topk_vec0",
-    "pq_rerank_topk_vec0",
-    "kmeans_cell_profile",
-    "kmeans_ivf_topk_vec0",
-    "incremental_neardup_new_batch",
+    # persist-sweep (scoped_persist) touched every LSH-family query body
     "neardup_pairs_lsh",
     "documents_after_dedup",
     "neardup_keep_best",
     "neardup_components",
     "neardup_triangle_count",
     "neardup_embedding_consistency",
+    "simhash_neardup_pairs",
+    "incremental_neardup_new_batch",
+    "dedup_decision_report",
+    "curation_pipeline_summary",
+    "minhash_estimate_calibration",
+    "neardup_degree_histogram",
+    "dedup_savings_by_source",
+    "ngram_containment_pairs",
+    "knn_within_buckets",
+    "srp_bucket_histogram",
+    # global_order consumers after its cache-registry change
+    "customer_rfm_segments",
+    "bm25_topk",
+    "hybrid_rrf_topk",
+    "corpus_pack_sequences",
+    "corpus_mix_by_source",
     # (3) canaries (loader / flagship)
     "events_sessionize",
     "q1_pricing_summary",
-    # (4) stalest green rows (r3/r4 evidence that yielded slots in r6)
-    "dedup_exact_groups",
-    "doc_quality",
-    "lang_id_confusion",
-    "minhash_signatures",
-    "multimodal_image_decode",
-    "doc_length_histogram",
-    "doc_top_terms_tfidf",
-    "doc_fingerprint",
-    "customer_order_ids_array",
-    "embedding_vector_stats",
-    "events_downsample_gapfill",
-    # (bigram_top20, cosine_topk_vec0, doc_lang_id, embedding_label_centroids,
-    # embedding_neardup_pairs, events_json_extract, chunk_dedup_stats,
-    # ngram_jaccard_pairs, simhash32_signatures, stratified_sample_docs
-    # yielded their refresh slots to keep the window at the driver's
-    # 50-row gate; all r3-green, unchanged, and re-proven green in this
-    # round's FULL-registry sweep at sf0.01 regardless)
+    # (4) stalest green rows (r3-green; yielded their refresh slots in r7)
+    "bigram_top20",
+    "cosine_topk_vec0",
+    "doc_lang_id",
+    "embedding_label_centroids",
+    "embedding_neardup_pairs",
+    "events_json_extract",
+    "chunk_dedup_stats",
+    "ngram_jaccard_pairs",
+    "simhash32_signatures",
+    "stratified_sample_docs",
+    "term_idf",
+    "term_zipf_ranks",
+    # (token_stats_by_lang yielded its refresh slot to keep the window at
+    # the driver's 50-row gate; r3-green, unchanged)
 )
 
 
 def _ordered_names(merged: dict, oracles: dict) -> list[str]:
-    unknown = set(_R7_WINDOW) - merged.keys()
+    unknown = set(_R8_WINDOW) - merged.keys()
     if unknown:
         # Fail fast: a stale/misspelled window entry would otherwise
         # silently lose its gate slot (this masked a missing query in r4).
         raise ValueError(f"window names not in registry: {sorted(unknown)}")
-    order: list[str] = list(_R7_WINDOW)
+    order: list[str] = list(_R8_WINDOW)
     seen = set(order)
     # remainder: r3/r4-proven rows, oracled before rows-only
     rest = [n for n in merged if n not in seen]
