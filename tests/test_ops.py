@@ -1644,6 +1644,12 @@ def test_rebuild_no_drift_provably_skips_training(spark, tmp_path, monkeypatch):
     )
     assert res["rebuilt"] is False
     assert res["ratio"] <= 1.5
+    # the 100 TB posture: the drift CHECK itself scans only the hash
+    # sample — same verdict, bounded read
+    res_sampled = rebuild_if_drifted(
+        df_a.unionByName(same_dist), path, threshold=1.5, sample_mod=2
+    )
+    assert res_sampled["rebuilt"] is False
 
 
 def test_recover_pq_index_heals_both_crash_windows(spark, tmp_path):
@@ -1762,3 +1768,33 @@ def test_neardup_bucketed_shingles_prune_to_candidate_buckets(spark, tmp_path):
         ).collect()
     )
     assert rows == want and len(rows) > 0
+
+
+def test_grouped_percentile_shuffle_join_offsets_path(spark):
+    """High-cardinality-group posture: broadcast_offsets=False routes
+    the offsets and counts through shuffle joins on the keys the data
+    is already ranged by — results must stay exactly the native
+    aggregate's."""
+    import random
+
+    from data_platform_spark.ops.global_order import grouped_percentile
+
+    rng = random.Random(17)
+    rows = [
+        (f"u{i % 211}", rng.uniform(0, 100)) for i in range(8_000)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    ps = {"p50": 0.5, "p95": 0.95}
+    got = {
+        r["g"]: (r["p50"], r["p95"])
+        for r in grouped_percentile(
+            df, ["g"], "v", ps, broadcast_offsets=False
+        ).collect()
+    }
+    want = {
+        r["g"]: (r["p50"], r["p95"])
+        for r in df.groupBy("g")
+        .agg(*[F.expr(f"percentile(v, {p})").alias(k) for k, p in ps.items()])
+        .collect()
+    }
+    assert got == want
