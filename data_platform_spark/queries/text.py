@@ -949,8 +949,15 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("dl").alias("avgdl"),
     )
     postings = base.select(
-        "doc_id", "dl", F.explode("ws").alias("term")
-    ).filter(F.col("term").isin(BM25_QUERY_TERMS))
+        # filter INSIDE the array before the generator: explode emits only
+        # matching postings instead of the full token stream (the
+        # corpus-sized generate was the leg's dominant cost)
+        "doc_id",
+        "dl",
+        F.explode(
+            F.filter(F.col("ws"), lambda t: t.isin(*BM25_QUERY_TERMS))
+        ).alias("term"),
+    )
     tf = postings.groupBy("doc_id", "dl", "term").agg(
         F.count(F.lit(1)).cast("double").alias("tf")
     )
@@ -1211,8 +1218,15 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("dl").alias("avgdl"),
     )
     postings = base.select(
-        "doc_id", "dl", F.explode("ws").alias("term")
-    ).filter(F.col("term").isin(BM25_QUERY_TERMS))
+        # filter INSIDE the array before the generator: explode emits only
+        # matching postings instead of the full token stream (the
+        # corpus-sized generate was the leg's dominant cost)
+        "doc_id",
+        "dl",
+        F.explode(
+            F.filter(F.col("ws"), lambda t: t.isin(*BM25_QUERY_TERMS))
+        ).alias("term"),
+    )
     tf = postings.groupBy("doc_id", "dl", "term").agg(
         F.count(F.lit(1)).cast("double").alias("tf")
     )
@@ -1499,8 +1513,14 @@ def _chunk_bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("dl").alias("avgdl"),
     )
     postings = base.select(
-        "doc_id", "chunk_idx", "dl", F.explode("ws").alias("term")
-    ).filter(F.col("term").isin(BM25_QUERY_TERMS))
+        # same explode-after-array-filter shape as bm25_topk
+        "doc_id",
+        "chunk_idx",
+        "dl",
+        F.explode(
+            F.filter(F.col("ws"), lambda t: t.isin(*BM25_QUERY_TERMS))
+        ).alias("term"),
+    )
     tf = postings.groupBy("doc_id", "chunk_idx", "dl", "term").agg(
         F.count(F.lit(1)).cast("double").alias("tf")
     )
