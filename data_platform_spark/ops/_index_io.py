@@ -1,0 +1,89 @@
+"""Shared filesystem discipline for persisted index maintenance.
+
+Two primitives both index families (MinHash bands, PQ, IVF) rely on:
+
+- :func:`move_staged_files` — the crash-safe idempotent append: a batch
+  is fully staged first, then every staged parquet file moves into the
+  live index under a DETERMINISTIC ``<batch_id>-N`` name (preserving
+  partition subdirectories); a move is skipped when its target exists,
+  so a retried append completes exactly the missing files and can never
+  duplicate rows — provided each destination's staged content is a pure
+  function of the batch (single file per destination, enforced by the
+  callers' ``coalesce(1)``).
+- :func:`swap_in_stage` / :func:`recover_index_dir` — the atomic
+  rebuild swap: a fully-built stage (carrying a ``_COMPLETE`` marker)
+  replaces the live dir via rename-old-aside → rename-stage-in;
+  recovery promotes a COMPLETE stage or restores the old dir, healing
+  the one crash window between the renames.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+STAGE_SUFFIX = ".rebuild-stage"
+OLD_SUFFIX = ".old-rebuild"
+COMPLETE_MARKER = "_COMPLETE"
+
+
+def move_staged_files(stage_half: str, live_half: str, batch_id: str) -> None:
+    """Move every ``*.parquet`` under ``stage_half`` (recursing into
+    partition subdirs) to ``live_half`` under ``<batch_id>-N`` names,
+    skipping targets that already exist (retry idempotence)."""
+    for root, _dirs, files in os.walk(stage_half):
+        rel = os.path.relpath(root, stage_half)
+        parquets = sorted(f for f in files if f.endswith(".parquet"))
+        for i, f in enumerate(parquets):
+            dst_dir = live_half if rel == "." else os.path.join(live_half, rel)
+            os.makedirs(dst_dir, exist_ok=True)
+            dst = os.path.join(dst_dir, f"{batch_id}-{i}.parquet")
+            if not os.path.exists(dst):
+                os.rename(os.path.join(root, f), dst)
+
+
+def swap_in_stage(path: str) -> None:
+    """Atomically replace the live index at ``path`` with its COMPLETE
+    stage sibling. The stage must already carry the marker."""
+    stage = path + STAGE_SUFFIX
+    old = path + OLD_SUFFIX
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(stage, path)  # crash between renames -> recover_index_dir
+    shutil.rmtree(old, ignore_errors=True)
+    os.remove(os.path.join(path, COMPLETE_MARKER))
+
+
+def mark_stage_complete(path: str) -> None:
+    with open(os.path.join(path + STAGE_SUFFIX, COMPLETE_MARKER), "w") as f:
+        f.write("ok")
+
+
+def recover_index_dir(path: str) -> str:
+    """Heal an interrupted rebuild swap of any index dir. Cases:
+
+    - live index present → drop any leftover stage/old droppings;
+    - live missing, COMPLETE stage present → promote the stage;
+    - live missing, old present → restore the old index.
+
+    Returns a one-line description of the action taken."""
+    stage = path + STAGE_SUFFIX
+    old = path + OLD_SUFFIX
+    if os.path.isdir(path):
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+        return "live index intact; removed droppings"
+    if os.path.isdir(stage) and os.path.exists(
+        os.path.join(stage, COMPLETE_MARKER)
+    ):
+        os.rename(stage, path)
+        os.remove(os.path.join(path, COMPLETE_MARKER))
+        shutil.rmtree(old, ignore_errors=True)
+        return "promoted completed rebuild stage"
+    if os.path.isdir(old):
+        shutil.rmtree(stage, ignore_errors=True)
+        os.rename(old, path)
+        return "restored pre-rebuild index"
+    raise FileNotFoundError(
+        f"no index, stage, or old dir at {path} — nothing to recover"
+    )

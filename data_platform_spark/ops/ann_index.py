@@ -23,7 +23,6 @@ results to the in-memory pipeline (asserted in tests/test_ops.py).
 
 from __future__ import annotations
 
-import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
@@ -35,6 +34,7 @@ from data_platform_spark.functions.similarity import (
     pq_train_codebook,
     training_sample,
 )
+from data_platform_spark.ops import _index_io as IO
 
 
 def _mean_distortion_micro(dist: DataFrame, id_col: str) -> int:
@@ -302,8 +302,7 @@ def rebuild_if_drifted(
             "ratio": round(ratio, 4),
         }
     p = read_pq_params(spark, path)
-    stage = f"{path}.rebuild-stage"
-    old = f"{path}.old-rebuild"
+    stage = f"{path}{IO.STAGE_SUFFIX}"
     shutil.rmtree(stage, ignore_errors=True)  # droppings of a failed build
     build_pq_index(
         emb,
@@ -317,15 +316,8 @@ def rebuild_if_drifted(
         sample_mod,
         seed_by_hash,
     )
-    # marker: the stage is COMPLETE — recover_pq_index promotes a marked
-    # stage, discards an unmarked one
-    with open(f"{stage}/_COMPLETE", "w") as f:
-        f.write("ok")
-    shutil.rmtree(old, ignore_errors=True)
-    os.rename(path, old)
-    os.rename(stage, path)  # crash between these two renames -> recover
-    shutil.rmtree(old, ignore_errors=True)
-    os.remove(f"{path}/_COMPLETE")
+    IO.mark_stage_complete(path)
+    IO.swap_in_stage(path)
     return {
         "rebuilt": True,
         "base_micro": base,
@@ -335,30 +327,263 @@ def rebuild_if_drifted(
 
 
 def recover_pq_index(path: str) -> str:
-    """Heal an interrupted rebuild swap. Cases:
+    """Heal an interrupted rebuild swap — see
+    ops/_index_io.recover_index_dir (promote a COMPLETE stage, else
+    restore the old index, else sweep droppings)."""
+    return IO.recover_index_dir(path)
 
-    - live index present → drop any leftover stage/old droppings;
-    - live index missing, COMPLETE stage present → promote the stage
-      (the rebuild had fully built; finishing the swap loses nothing);
-    - live index missing, old present → restore the old index (the
-      rebuild is simply retried later).
 
-    Returns a one-line description of the action taken."""
-    stage = f"{path}.rebuild-stage"
-    old = f"{path}.old-rebuild"
-    if os.path.isdir(path):
-        shutil.rmtree(stage, ignore_errors=True)
-        shutil.rmtree(old, ignore_errors=True)
-        return "live index intact; removed droppings"
-    if os.path.isdir(stage) and os.path.exists(f"{stage}/_COMPLETE"):
-        os.rename(stage, path)
-        os.remove(f"{path}/_COMPLETE")
-        shutil.rmtree(old, ignore_errors=True)
-        return "promoted completed rebuild stage"
-    if os.path.isdir(old):
-        shutil.rmtree(stage, ignore_errors=True)
-        os.rename(old, path)
-        return "restored pre-rebuild index"
-    raise FileNotFoundError(
-        f"no index, stage, or old dir at {path} — nothing to recover"
+# ---------------------------------------------------------------------------
+# persisted IVF index (round 8): the production leg of the k-means IVF
+# queries, symmetric with the PQ index above. kmeans_ivf_topk_vec0
+# retrains per call BY DESIGN so its DuckDB oracle verifies the full
+# build; a deployment builds once, searches many, appends batches, and
+# rebuilds on drift — this family.
+# ---------------------------------------------------------------------------
+
+
+def build_ivf_index(
+    emb: DataFrame,
+    path: str,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_mod: int | None = None,
+    seed_by_hash: bool = False,
+) -> None:
+    """Train k-means centroids (functions.similarity.kmeans_fit — the
+    sampled/hash-seeded knobs are the 100 TB training posture) and
+    persist under ``path``:
+
+    - ``centroids/`` — the (label, pos, centroid_val) long layout,
+      metadata scale;
+    - ``vectors/``   — the full-precision vectors PARTITIONED BY their
+      assigned cell, so a search's nprobe cells prune to nprobe
+      directories natively (the same partition-pruning discipline as
+      the band index's bucketed shingles);
+    - ``params/``    — (k, n_iter, dim, base_distortion_micro): the
+      geometry contract plus the drift baseline (mean squared distance
+      to the assigned centroid, micro-units).
+    """
+    from data_platform_spark.functions.similarity import kmeans_fit
+
+    spark = emb.sparkSession
+    dim = emb.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()[0][
+        "d"
+    ]
+    cents, assign = kmeans_fit(
+        emb, k, n_iter, id_col, vec_col, sample_mod, seed_by_hash
     )
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    cells = assign.select(
+        id_col, F.col("assigned_label").alias("cell"), "dist2"
+    )
+    emb.join(cells.select(id_col, "cell"), id_col).write.partitionBy(
+        "cell"
+    ).mode("overwrite").parquet(f"{path}/vectors")
+    base = int(
+        cells.agg(
+            F.floor(F.avg(F.col("dist2") * 1_000_000) + F.lit(0.5))
+            .cast("long")
+            .alias("v")
+        ).collect()[0]["v"]
+    )
+    spark.createDataFrame(
+        [(k, n_iter, int(dim), base)],
+        "k int, n_iter int, dim int, base_distortion_micro long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
+
+
+def read_ivf_params(spark: SparkSession, path: str) -> dict[str, int]:
+    row = spark.read.parquet(f"{path}/params").collect()[0]
+    return {k: int(v) for k, v in row.asDict().items()}
+
+
+def _query_cell_dists(codebook: DataFrame, query_vec: list[float]) -> DataFrame:
+    """Per-cell squared L2 of a literal query against the centroid
+    relation — metadata scale, same 6-dp quantization and (dist2,
+    label) ordering as functions.similarity.ivf_assign, so the probe
+    set matches the in-memory search bit-for-bit."""
+    from data_platform_spark.queries._util import pround
+
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qx = F.element_at(q, F.col("pos") + 1).cast("double")
+    return codebook.groupBy("label").agg(
+        pround(
+            F.sum((qx - F.col("centroid_val")) * (qx - F.col("centroid_val"))),
+            6,
+        ).alias("dist2")
+    )
+
+
+def ivf_search_index(
+    spark: SparkSession,
+    path: str,
+    query_vec: list[float],
+    nprobe: int = 2,
+    k: int = 10,
+    exclude_ids: list[int] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact-rerank IVF search from the PERSISTED index: the query
+    coarse-quantizes against ``centroids/`` (metadata scale), the
+    nprobe nearest cell labels collect (≤ nprobe values) and push into
+    the ``vectors/`` scan as a PARTITION FILTER — vector IO is bounded
+    by the probed cells, not the corpus — and the exact cosine top-k
+    runs over only those cells' vectors. Bit-identical to
+    functions.similarity.ivf_topk_with_index over the same build
+    (asserted in tests)."""
+    from data_platform_spark.functions.similarity import cosine_topk
+
+    p = read_ivf_params(spark, path)
+    if len(query_vec) != p["dim"]:
+        raise ValueError(
+            f"query vector has {len(query_vec)} dims; index expects "
+            f"{p['dim']}"
+        )
+    codebook = spark.read.parquet(f"{path}/centroids")
+    probe = [
+        r["label"]
+        for r in _query_cell_dists(codebook, query_vec)
+        .orderBy(F.asc("dist2"), F.asc("label"))
+        .limit(nprobe)
+        .collect()
+    ]
+    scan = spark.read.parquet(f"{path}/vectors")
+    scan = (
+        scan.filter(F.col("cell").isin(probe))
+        if probe
+        else scan.filter(F.lit(False))
+    ).drop("cell")
+    qv = spark.range(1).select(
+        F.array(*[F.lit(float(x)) for x in query_vec]).alias("q")
+    )
+    return cosine_topk(
+        scan, qv, k=k, id_col=id_col, vec_col=vec_col,
+        exclude_ids=exclude_ids,
+    )
+
+
+def append_to_ivf_index(
+    new_emb: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    batch_id: str | None = None,
+) -> None:
+    """Fold a new vector batch into the persisted index: assign against
+    the EXISTING centroids (no retraining — the centroid set is the
+    index's contract; rebuild_ivf_if_drifted is the maintenance leg)
+    and append each vector into its cell partition under deterministic
+    ``<batch_id>-N`` names (staged write + idempotent move, the shared
+    ops/_index_io discipline — a retried partial append completes
+    exactly the missing cells). O(batch) work; a wrong-dimension batch
+    raises before any write. Caller guarantees batch ids are not
+    already indexed."""
+    import shutil
+    import uuid
+
+    from data_platform_spark.functions.similarity import ivf_assign
+
+    spark = new_emb.sparkSession
+    p = read_ivf_params(spark, path)
+    bad = (
+        new_emb.filter(F.size(F.col(vec_col)) != p["dim"]).limit(1).count()
+    )
+    if bad:
+        raise ValueError(
+            f"index at {path} expects {p['dim']}-dim vectors; the batch "
+            "contains a different dimensionality"
+        )
+    codebook = spark.read.parquet(f"{path}/centroids")
+    assign = ivf_assign(new_emb, codebook, id_col, vec_col)
+    bid = batch_id if batch_id is not None else uuid.uuid4().hex[:12]
+    stage = f"{path}/.append-stage-{bid}"
+    new_emb.join(
+        assign.select(id_col, F.col("assigned_label").alias("cell")), id_col
+    ).coalesce(1).write.partitionBy("cell").mode("overwrite").parquet(
+        f"{stage}/vectors"
+    )
+    IO.move_staged_files(f"{stage}/vectors", f"{path}/vectors", bid)
+    shutil.rmtree(stage, ignore_errors=True)
+
+
+def ivf_index_distortion(
+    emb: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_mod: int | None = None,
+) -> int:
+    """Mean squared distance (micro-units) of ``emb`` to its nearest
+    persisted centroid — the IVF drift signal (cells stop representing
+    the data ⇒ probes stop finding true neighbors). ``sample_mod``
+    bounds the scan to the deterministic hash sample."""
+    from data_platform_spark.functions.similarity import ivf_assign
+
+    spark = emb.sparkSession
+    codebook = spark.read.parquet(f"{path}/centroids")
+    probe = training_sample(emb, sample_mod, id_col)
+    assign = ivf_assign(probe, codebook, id_col, vec_col)
+    row = assign.agg(
+        F.floor(F.avg(F.col("dist2") * 1_000_000) + F.lit(0.5))
+        .cast("long")
+        .alias("v")
+    ).collect()[0]
+    return int(row["v"])
+
+
+def rebuild_ivf_if_drifted(
+    emb: DataFrame,
+    path: str,
+    threshold: float = 1.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_mod: int | None = None,
+    seed_by_hash: bool = False,
+) -> dict:
+    """The IVF twin of rebuild_if_drifted: evaluate the assignment
+    distortion of the CURRENT corpus against the sidecar baseline, skip
+    (provably — the skip path never reaches kmeans_fit) under the
+    threshold, else retrain on the current corpus into a staged sibling
+    and atomically swap (recover via recover_ivf_index)."""
+    import shutil
+
+    spark = emb.sparkSession
+    p = read_ivf_params(spark, path)
+    base = p.get("base_distortion_micro")
+    if base is None:
+        raise ValueError(
+            f"index at {path} predates the distortion baseline sidecar; "
+            "rebuild it once with build_ivf_index to enable drift checks"
+        )
+    current = ivf_index_distortion(emb, path, id_col, vec_col, sample_mod)
+    ratio = current / base if base > 0 else float("inf")
+    if base > 0 and current <= threshold * base:
+        return {
+            "rebuilt": False,
+            "base_micro": base,
+            "current_micro": current,
+            "ratio": round(ratio, 4),
+        }
+    stage = f"{path}{IO.STAGE_SUFFIX}"
+    shutil.rmtree(stage, ignore_errors=True)
+    build_ivf_index(
+        emb, stage, p["k"], p["n_iter"], id_col, vec_col,
+        sample_mod, seed_by_hash,
+    )
+    IO.mark_stage_complete(path)
+    IO.swap_in_stage(path)
+    return {
+        "rebuilt": True,
+        "base_micro": base,
+        "current_micro": current,
+        "ratio": round(ratio, 4),
+    }
+
+
+def recover_ivf_index(path: str) -> str:
+    """Heal an interrupted IVF rebuild swap (ops/_index_io)."""
+    return IO.recover_index_dir(path)

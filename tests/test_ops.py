@@ -1798,3 +1798,162 @@ def test_grouped_percentile_shuffle_join_offsets_path(spark):
         .collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# persisted IVF index (round 8): build / pruned search / append / rebuild
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_persisted_index_matches_in_memory_and_prunes(spark, tmp_path):
+    """ivf_search_index over the persisted layout must return the EXACT
+    rows ivf_topk_with_index computes in memory over the same k-means
+    build, and the executed plan's vector scan must carry a partition
+    filter on the assigned cell (vector IO bounded by the nprobe probed
+    cells, not the corpus)."""
+    import re
+
+    from data_platform_spark.functions.similarity import (
+        ivf_topk_with_index,
+        kmeans_fit,
+    )
+    from data_platform_spark.ops.ann_index import (
+        build_ivf_index,
+        ivf_search_index,
+        read_ivf_params,
+    )
+
+    df_a, _, _, vecs = _pq_drift_fixture(spark)
+    path = str(tmp_path / "ivf_index")
+    build_ivf_index(df_a, path, k=8)
+    p = read_ivf_params(spark, path)
+    assert p["k"] == 8 and p["dim"] == 64 and p["base_distortion_micro"] > 0
+
+    cents, assign = kmeans_fit(df_a, k=8)
+    want = [
+        (r.vec_id, r.cosine)
+        for r in ivf_topk_with_index(
+            df_a, cents, assign, 5, nprobe=2, k=10
+        ).collect()
+    ]
+    res = ivf_search_index(
+        spark, path, vecs[5], nprobe=2, k=10, exclude_ids=[5]
+    )
+    got = [(r.vec_id, r.cosine) for r in res.collect()]
+    assert got == want and len(got) == 10
+
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    cell_filters = [
+        f
+        for f in re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+        if "cell" in f
+    ]
+    assert cell_filters and "IN (" in cell_filters[0]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="query vector has 16"):
+        ivf_search_index(spark, path, [0.0] * 16)
+
+
+def test_ivf_index_append_is_idempotent_and_dim_guarded(spark, tmp_path):
+    """Appends assign against the EXISTING centroids, land per-cell
+    under deterministic batch names (a same-batch_id retry adds zero
+    rows), and a wrong-dimension batch raises before any write."""
+    import pytest as _pytest
+
+    from data_platform_spark.ops.ann_index import (
+        append_to_ivf_index,
+        build_ivf_index,
+        ivf_search_index,
+    )
+
+    df_a, _, _, vecs = _pq_drift_fixture(spark)
+    path = str(tmp_path / "ivf_index")
+    build_ivf_index(df_a, path, k=8)
+
+    batch = df_a.withColumn("vec_id", F.col("vec_id") + 5000)
+    append_to_ivf_index(batch, path, batch_id="day1")
+    n1 = spark.read.parquet(f"{path}/vectors").count()
+    append_to_ivf_index(batch, path, batch_id="day1")  # replay
+    assert spark.read.parquet(f"{path}/vectors").count() == n1 == 320
+
+    # the appended twin of vector 7 must now top its own neighborhood
+    got = {
+        r.vec_id
+        for r in ivf_search_index(
+            spark, path, vecs[7], nprobe=2, k=2, exclude_ids=[7]
+        ).collect()
+    }
+    assert 5007 in got
+
+    bad = spark.createDataFrame(
+        [(9000, 0, [0.0] * 16)],
+        "vec_id: long, label: long, embedding: array<double>",
+    )
+    with _pytest.raises(ValueError, match="expects 64-dim"):
+        append_to_ivf_index(bad, path)
+
+
+def test_rebuild_ivf_if_drifted_restores_recall(spark, tmp_path):
+    """The IVF maintenance loop: drifted appends leave every centroid in
+    the old region, so probes stop covering the new clusters (mean
+    recall 0.40 < the 0.8 gate); the distortion signal crosses the
+    threshold, the rebuild retrains on the current corpus and swaps,
+    recall returns to 1.0, and an immediate second call skips —
+    provably, the skip path never reaches kmeans_fit."""
+    import data_platform_spark.ops.ann_index as AI
+    from data_platform_spark.functions.similarity import cosine_topk
+    from data_platform_spark.ops.ann_index import (
+        append_to_ivf_index,
+        build_ivf_index,
+        ivf_search_index,
+        rebuild_ivf_if_drifted,
+    )
+
+    df_a, df_b, df_all, vecs = _pq_drift_fixture(spark)
+    path = str(tmp_path / "ivf_index")
+    build_ivf_index(df_a, path, k=8)
+    append_to_ivf_index(df_b, path)
+
+    qids = [1280, 1293, 1306, 1319]  # last drifted cluster
+    truths = {}
+    for qid in qids:
+        qv = df_all.filter(F.col("vec_id") == qid).select(
+            F.col("embedding").alias("q")
+        )
+        truths[qid] = {
+            r.vec_id
+            for r in cosine_topk(df_all, qv, k=10, exclude_ids=[qid]).collect()
+        }
+
+    def mean_recall() -> float:
+        tot = 0.0
+        for qid in qids:
+            got = {
+                r.vec_id
+                for r in ivf_search_index(
+                    spark, path, vecs[qid], nprobe=2, k=10, exclude_ids=[qid]
+                ).collect()
+            }
+            tot += len(got & truths[qid]) / 10
+        return tot / len(qids)
+
+    degraded = mean_recall()
+    assert degraded < 0.8, f"drift did not degrade recall ({degraded})"
+    res = rebuild_ivf_if_drifted(df_all, path, threshold=1.5)
+    assert res["rebuilt"] is True and res["ratio"] > 1.5
+    restored = mean_recall()
+    assert restored >= 0.8, f"rebuild did not restore recall ({restored})"
+
+    def boom(*a, **k):
+        raise AssertionError("trainer reached on the no-drift path")
+
+    # the skip path must return BEFORE any build machinery runs
+    real_build = AI.build_ivf_index
+    try:
+        AI.build_ivf_index = boom
+        res2 = rebuild_ivf_if_drifted(df_all, path, threshold=1.5)
+    finally:
+        AI.build_ivf_index = real_build
+    assert res2["rebuilt"] is False and res2["ratio"] <= 1.5
