@@ -23,6 +23,7 @@ results to the in-memory pipeline (asserted in tests/test_ops.py).
 
 from __future__ import annotations
 
+import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
@@ -480,14 +481,27 @@ def append_to_ivf_index(
     ``<batch_id>-N`` names (staged write + idempotent move, the shared
     ops/_index_io discipline — a retried partial append completes
     exactly the missing cells). O(batch) work; a wrong-dimension batch
-    raises before any write. Caller guarantees batch ids are not
-    already indexed."""
+    raises before any write.
+
+    Replay safety across REBUILDS: a rebuild rewrites ``vectors/`` under
+    fresh file names, so the deterministic-name skip alone cannot absorb
+    a batch re-delivered after one (its targets no longer exist). A
+    ``batches/<batch_id>`` marker, written after the move and PRESERVED
+    by rebuild_ivf_if_drifted, records that the batch's rows are in the
+    index (the rebuilt corpus includes them by construction) — a marked
+    batch_id returns immediately. Caller guarantees batch ids are
+    unique per actual batch."""
+    import os
     import shutil
     import uuid
 
     from data_platform_spark.functions.similarity import ivf_assign
 
     spark = new_emb.sparkSession
+    if batch_id is not None and os.path.exists(
+        f"{path}/batches/{batch_id}"
+    ):
+        return  # replayed batch: already folded in (possibly pre-rebuild)
     p = read_ivf_params(spark, path)
     bad = (
         new_emb.filter(F.size(F.col(vec_col)) != p["dim"]).limit(1).count()
@@ -508,6 +522,10 @@ def append_to_ivf_index(
     )
     IO.move_staged_files(f"{stage}/vectors", f"{path}/vectors", bid)
     shutil.rmtree(stage, ignore_errors=True)
+    if batch_id is not None:
+        os.makedirs(f"{path}/batches", exist_ok=True)
+        with open(f"{path}/batches/{batch_id}", "w") as f:
+            f.write("ok")
 
 
 def ivf_index_distortion(
@@ -574,6 +592,10 @@ def rebuild_ivf_if_drifted(
         emb, stage, p["k"], p["n_iter"], id_col, vec_col,
         sample_mod, seed_by_hash,
     )
+    # the rebuilt corpus includes every appended batch by construction;
+    # carrying the markers forward keeps replayed appends no-ops
+    if os.path.isdir(f"{path}/batches"):
+        shutil.copytree(f"{path}/batches", f"{stage}/batches")
     IO.mark_stage_complete(path)
     IO.swap_in_stage(path)
     return {

@@ -1,0 +1,126 @@
+"""Streaming embedding ingest with self-maintaining ANN index.
+
+The batch pieces exist separately — the persisted IVF index
+(ops/ann_index.py: build / partition-pruned search / append) and the
+drift-triggered rebuild — this module wires them into the shape an
+embedding pipeline actually runs: vector batches land in micro-batches,
+each batch folds into the standing index O(batch) (assigned against the
+EXISTING centroids), and after each fold the drift signal is evaluated
+against the indexed corpus; a batch that pushes mean assignment
+distortion past the threshold triggers a retrain + atomic swap, so the
+index never degrades silently between manual maintenance windows
+(the failure mode VERDICT r7 item 2 named).
+
+Effectively-once: the index append uses deterministic
+``stream-<batch_id>`` file names (a replayed foreachBatch re-moves only
+missing files — zero duplicate rows), the rebuild swap is atomic with
+crash recovery (ops/_index_io), and the per-batch maintenance ledger
+upserts on batch_id, so replays cannot double-report.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_platform_spark.ops.ann_index import (
+    append_to_ivf_index,
+    read_ivf_params,
+    rebuild_ivf_if_drifted,
+)
+from data_platform_spark.pipeline import Warehouse
+
+EMBEDDINGS_STREAM_SCHEMA = (
+    "vec_id LONG, label LONG, embedding ARRAY<DOUBLE>"
+)
+
+
+def read_embeddings_stream(
+    spark: SparkSession,
+    source_dir: str,
+    fmt: str = "json",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Directory stream of dropped embedding files (declared schema,
+    never inferred) — the vector twin of read_events_stream."""
+    reader = spark.readStream.schema(EMBEDDINGS_STREAM_SCHEMA).format(fmt)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(source_dir)
+
+
+def indexed_corpus(spark: SparkSession, index_path: str) -> DataFrame:
+    """The full-precision vectors the index currently covers — read back
+    from the index's own cell-partitioned ``vectors/`` half (id, label,
+    embedding; the cell column dropped). This is what the drift check
+    evaluates, so maintenance needs no side-channel copy of the
+    corpus."""
+    return spark.read.parquet(f"{index_path}/vectors").drop("cell")
+
+
+def ann_ingest_sink(
+    stream_emb: DataFrame,
+    wh: Warehouse,
+    index_path: str,
+    checkpoint_dir: str,
+    drift_threshold: float = 1.5,
+    sample_mod: int | None = None,
+    schema: str = "dwh",
+    ledger_table: str = "ann_index_maintenance",
+):
+    """foreachBatch sink over an embedding stream (vec_id, label,
+    embedding): fold each micro-batch into the persisted IVF index,
+    evaluate drift over the indexed corpus, rebuild + swap when the
+    threshold is crossed, and record one ledger row per batch
+    (batch_id, n_vectors, rebuilt, base/current distortion, ratio).
+    ``sample_mod`` bounds the drift-check scan (the 100 TB posture)."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.select("vec_id", "label", "embedding")
+        if batch.limit(1).count() == 0:
+            return
+        append_to_ivf_index(batch, index_path, batch_id=f"stream-{batch_id}")
+        res = rebuild_ivf_if_drifted(
+            indexed_corpus(spark, index_path),
+            index_path,
+            threshold=drift_threshold,
+            sample_mod=sample_mod,
+        )
+        n = batch.count()
+        row = spark.createDataFrame(
+            [
+                (
+                    int(batch_id),
+                    int(n),
+                    bool(res["rebuilt"]),
+                    int(res["base_micro"]),
+                    int(res["current_micro"]),
+                    float(res["ratio"]),
+                )
+            ],
+            "batch_id long, n_vectors long, rebuilt boolean, "
+            "base_micro long, current_micro long, ratio double",
+        )
+        existing = wh.read(spark, schema, ledger_table)
+        if existing is None:
+            wh.write(row, schema, ledger_table)
+        else:
+            kept = existing.filter(F.col("batch_id") != int(batch_id))
+            wh.write(kept.unionByName(row), schema, ledger_table)
+
+    return (
+        stream_emb.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+__all__ = [
+    "EMBEDDINGS_STREAM_SCHEMA",
+    "ann_ingest_sink",
+    "indexed_corpus",
+    "read_embeddings_stream",
+    "read_ivf_params",
+]

@@ -710,3 +710,120 @@ def test_daily_quality_monitor_absorbs_late_day_update(spark, tmp_path):
         for r in daily_quality_metrics(ev).collect()
     }
     assert got == want
+
+
+def test_ann_ingest_sink_appends_and_rebuilds_on_drift(spark, tmp_path):
+    """The embedding pipeline's daily loop end-to-end: batch 0 (same
+    distribution) folds in with NO rebuild, batch 1 (drifted region)
+    crosses the distortion threshold and triggers the retrain + atomic
+    swap INSIDE the stream — after the drain a drifted-region query
+    finds its true neighbors through the maintained index, and a full
+    replay with a fresh checkpoint adds zero duplicate vectors."""
+    import json
+    import os
+
+    import numpy as np
+
+    from data_platform_spark.functions.similarity import cosine_topk
+    from data_platform_spark.ops.ann_index import (
+        build_ivf_index,
+        ivf_search_index,
+    )
+    from data_platform_spark.pipeline import Warehouse
+    from data_platform_spark.streaming.ann import (
+        ann_ingest_sink,
+        indexed_corpus,
+        read_embeddings_stream,
+    )
+
+    rng = np.random.default_rng(6)
+    ca = rng.normal(size=(4, 64))
+    ca /= np.linalg.norm(ca, axis=1, keepdims=True)
+    cb = rng.normal(size=(8, 64))
+    cb /= np.linalg.norm(cb, axis=1, keepdims=True)
+
+    def planted(centers, per, sigma, start_id, label0):
+        rows, vid = [], start_id
+        for ci, c in enumerate(centers):
+            for _ in range(per):
+                v = c + sigma * rng.normal(size=64)
+                v /= np.linalg.norm(v)
+                rows.append((vid, label0 + ci, [float(x) for x in v]))
+                vid += 1
+        return rows
+
+    initial = planted(ca, 40, 0.10, 0, 0)            # ids 0-159
+    same = planted(ca[:2], 40, 0.10, 5000, 0)        # ids 5000-5079
+    drifted = planted(cb, 40, 0.10, 1000, 100)       # ids 1000-1319
+
+    index_path = str(tmp_path / "ivf_index")
+    build_ivf_index(
+        spark.createDataFrame(
+            initial, "vec_id: long, label: long, embedding: array<double>"
+        ),
+        index_path,
+        k=8,
+    )
+
+    src = str(tmp_path / "emb_stream")
+    os.makedirs(src)
+    for i, rows in enumerate([same, drifted]):
+        with open(f"{src}/b{i}.json", "w") as f:
+            for vid, lab, vec in rows:
+                f.write(
+                    json.dumps(
+                        {"vec_id": vid, "label": lab, "embedding": vec}
+                    )
+                    + "\n"
+                )
+        os.utime(f"{src}/b{i}.json", (1_000_000 + i, 1_000_000 + i))
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    q = ann_ingest_sink(
+        read_embeddings_stream(spark, src, max_files_per_trigger=1),
+        wh,
+        index_path,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        drift_threshold=1.5,
+    )
+    q.awaitTermination(180)
+
+    ledger = {
+        r["batch_id"]: (r["rebuilt"], r["ratio"])
+        for r in wh.read(spark, "dwh", "ann_index_maintenance").collect()
+    }
+    assert ledger[0][0] is False and ledger[0][1] <= 1.5
+    assert ledger[1][0] is True and ledger[1][1] > 1.5
+
+    corpus = indexed_corpus(spark, index_path)
+    assert corpus.count() == 160 + 80 + 320
+
+    # a drifted-region query finds its true neighbors via the rebuilt index
+    vecs = {r[0]: r[2] for r in initial + same + drifted}
+    qid = 1300
+    qv = corpus.filter(F.col("vec_id") == qid).select(
+        F.col("embedding").alias("q")
+    )
+    truth = {
+        r.vec_id
+        for r in cosine_topk(corpus, qv, k=10, exclude_ids=[qid]).collect()
+    }
+    got = {
+        r.vec_id
+        for r in ivf_search_index(
+            spark, index_path, vecs[qid], nprobe=2, k=10, exclude_ids=[qid]
+        ).collect()
+    }
+    assert len(got & truth) / 10 >= 0.8
+
+    # replay from a fresh checkpoint: deterministic batch names absorb
+    # the re-delivery — zero duplicate vectors
+    q2 = ann_ingest_sink(
+        read_embeddings_stream(spark, src, max_files_per_trigger=1),
+        wh,
+        index_path,
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+        drift_threshold=1.5,
+    )
+    q2.awaitTermination(180)
+    assert indexed_corpus(spark, index_path).count() == 160 + 80 + 320
