@@ -112,16 +112,32 @@ def append_to_pq_index(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    batch_id: str | None = None,
 ) -> None:
     """Fold a new vector batch into the persisted index — the second
     half of the daily loop (search, keep, append), the PQ twin of
     ops/neardup_index.append_to_band_index. The batch is encoded against
     the EXISTING codebook (no retraining — the codebook is the index's
-    contract; periodic rebuilds are a separate maintenance op) and its
-    codes append to ``codes/``. O(batch) work; parameters come from the
+    contract; rebuild_if_drifted is the maintenance leg) and its codes
+    append to ``codes/``. O(batch) work; parameters come from the
     sidecar so a mismatched-geometry append cannot poison the index.
-    Caller guarantees batch ids are not already indexed."""
+
+    Replay safety (since r8, same discipline as append_to_ivf_index):
+    with a ``batch_id``, codes stage first and move in under
+    deterministic ``<batch_id>-N`` names — a retried partial append
+    completes exactly the missing files — and a ``batches/<batch_id>``
+    marker (preserved across rebuild_if_drifted's swap, whose rebuilt
+    codes include the batch by construction) makes a post-rebuild
+    replay a no-op. Without a batch_id the append is a plain
+    non-idempotent write and the caller owns replay protection."""
+    import shutil
+    import uuid
+
     spark = new_emb.sparkSession
+    if batch_id is not None and os.path.exists(
+        f"{path}/batches/{batch_id}"
+    ):
+        return  # replayed batch: already folded in (possibly pre-rebuild)
     p = read_pq_params(spark, path)
     # geometry check is distributed and cheap (limit-1 probe): a
     # wrong-dimension batch would encode into a subset of the subspaces
@@ -145,7 +161,18 @@ def append_to_pq_index(
         vec_col,
         cents=codebook,
     )
-    pq_encode(dist, id_col).write.mode("append").parquet(f"{path}/codes")
+    codes = pq_encode(dist, id_col)
+    if batch_id is None:
+        codes.write.mode("append").parquet(f"{path}/codes")
+        return
+    bid = batch_id
+    stage = f"{path}/.append-stage-{bid}"
+    codes.coalesce(1).write.mode("overwrite").parquet(f"{stage}/codes")
+    IO.move_staged_files(f"{stage}/codes", f"{path}/codes", bid)
+    shutil.rmtree(stage, ignore_errors=True)
+    os.makedirs(f"{path}/batches", exist_ok=True)
+    with open(f"{path}/batches/{bid}", "w") as f:
+        f.write("ok")
 
 
 def read_pq_params(spark: SparkSession, path: str) -> dict[str, int]:
@@ -317,6 +344,10 @@ def rebuild_if_drifted(
         sample_mod,
         seed_by_hash,
     )
+    # the rebuilt codes include every appended batch by construction;
+    # carrying the markers forward keeps replayed appends no-ops
+    if os.path.isdir(f"{path}/batches"):
+        shutil.copytree(f"{path}/batches", f"{stage}/batches")
     IO.mark_stage_complete(path)
     IO.swap_in_stage(path)
     return {

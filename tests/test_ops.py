@@ -1957,3 +1957,36 @@ def test_rebuild_ivf_if_drifted_restores_recall(spark, tmp_path):
     finally:
         AI.build_ivf_index = real_build
     assert res2["rebuilt"] is False and res2["ratio"] <= 1.5
+
+
+def test_pq_index_append_idempotent_across_rebuild(spark, tmp_path):
+    """PQ appends with a batch_id are replay-safe BOTH ways: a plain
+    retry adds zero code rows (deterministic staged names), and a
+    replay AFTER a rebuild — whose rewritten codes no longer carry the
+    batch's file names — is absorbed by the batches/ marker the swap
+    preserves."""
+    from data_platform_spark.ops.ann_index import (
+        append_to_pq_index,
+        build_pq_index,
+        rebuild_if_drifted,
+    )
+
+    df_a, df_b, df_all, _ = _pq_drift_fixture(spark)
+    path = str(tmp_path / "pq_index")
+    build_pq_index(df_a, path)
+    n0 = spark.read.parquet(f"{path}/codes").count()
+
+    append_to_pq_index(df_b, path, batch_id="day1")
+    n1 = spark.read.parquet(f"{path}/codes").count()
+    assert n1 == n0 + 320 * 4  # 4 subspace rows per vector
+
+    append_to_pq_index(df_b, path, batch_id="day1")  # plain retry
+    assert spark.read.parquet(f"{path}/codes").count() == n1
+
+    res = rebuild_if_drifted(df_all, path, threshold=1.5)
+    assert res["rebuilt"] is True
+    n2 = spark.read.parquet(f"{path}/codes").count()
+    assert n2 == (160 + 320) * 4
+
+    append_to_pq_index(df_b, path, batch_id="day1")  # post-rebuild replay
+    assert spark.read.parquet(f"{path}/codes").count() == n2
