@@ -1440,3 +1440,42 @@ ORACLE["events_interarrival_histogram"] = f"""
     FROM bucketed
     GROUP BY log10_bucket
 """
+
+
+def events_user_daily_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-sequence corpus: each (user, day)'s events as one
+    ordered event-type string — the "documents" a behavioral LM or
+    next-action model trains on, derived straight from the event log.
+    One groupBy over (user, day); the ordering folds INSIDE the
+    aggregate (sort_array over (ts, event_id, type) structs, then a
+    projection of the type field) so no window pass precedes the
+    shuffle and ties break deterministically on event_id."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.to_date(F.col("ts")).alias("day")
+    ordered = F.sort_array(
+        F.collect_list(
+            F.struct(
+                F.col("ts"), F.col("event_id"), F.col("event_type")
+            )
+        )
+    )
+    seq = F.array_join(
+        F.transform(ordered, lambda s: s["event_type"]), ">"
+    )
+    return ev.groupBy("user_id", day).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        seq.alias("sequence"),
+    )
+
+
+QUERIES["events_user_daily_sequences"] = events_user_daily_sequences
+
+ORACLE["events_user_daily_sequences"] = """
+    SELECT user_id,
+           ts::DATE AS day,
+           count(*)::BIGINT AS n_events,
+           string_agg(event_type, '>' ORDER BY ts ASC, event_id ASC)
+               AS sequence
+    FROM events
+    GROUP BY user_id, ts::DATE
+"""

@@ -2744,3 +2744,102 @@ ORACLE["customer_cohort_ltv"] = f"""
                AS ltv_per_customer
     FROM cum c JOIN sizes s USING (cohort)
 """
+
+
+PARETO_BUCKETS = 10
+
+
+def customer_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration (Pareto) curve: customers ranked by total
+    spend, cut into deciles, each decile's share and CUMULATIVE share of
+    total revenue — the 80/20 table every revenue dashboard opens with.
+    Per-customer spend folds to cent-exact LONGs; the decile assignment
+    comes from a GLOBAL rank through the two-phase ops.global_order
+    layout (no single-partition window over customers), and the
+    cumulative share is a lag-free running sum over the 10-row decile
+    aggregate — the aggregate-first discipline end to end."""
+    from data_platform_spark.ops.global_order import (
+        global_row_number,
+        ntile_from_row_number,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(cents).alias("spend_cents")
+    )
+    n = per_cust.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cust"),
+        F.sum("spend_cents").alias("total_cents"),
+    )
+    ranked = global_row_number(
+        per_cust, [F.desc("spend_cents"), F.asc("o_custkey")], "rn"
+    )
+    deciled = ranked.crossJoin(F.broadcast(n)).select(
+        ntile_from_row_number(
+            F.col("rn"), F.col("n_cust"), PARETO_BUCKETS
+        ).alias("decile"),
+        "spend_cents",
+        "total_cents",
+    )
+    agg = deciled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("spend_cents").alias("rev_cents"),
+        F.max("total_cents").alias("total_cents"),
+    )
+    w = (
+        Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # the running sum is over the 10-row decile aggregate (bucket count
+    # is a constant) — allowlisted bounded global window
+    return agg.select(
+        "decile",
+        "n_customers",
+        (F.col("rev_cents") / F.lit(100.0)).alias("revenue"),
+        pround(F.col("rev_cents") / F.col("total_cents"), 6).alias(
+            "rev_share"
+        ),
+        pround(
+            F.sum("rev_cents").over(w) / F.col("total_cents"), 6
+        ).alias("cum_rev_share"),
+    )
+
+
+QUERIES["customer_revenue_pareto"] = customer_revenue_pareto
+
+ORACLE["customer_revenue_pareto"] = f"""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS spend_cents
+        FROM orders GROUP BY o_custkey
+    ),
+    n AS (
+        SELECT count(*)::BIGINT AS n_cust,
+               sum(spend_cents)::BIGINT AS total_cents
+        FROM per_cust
+    ),
+    ranked AS (
+        SELECT spend_cents,
+               ntile({PARETO_BUCKETS}) OVER (
+                   ORDER BY spend_cents DESC, o_custkey ASC
+               )::INT AS decile
+        FROM per_cust
+    ),
+    agg AS (
+        SELECT decile,
+               count(*)::BIGINT AS n_customers,
+               sum(spend_cents)::BIGINT AS rev_cents
+        FROM ranked GROUP BY decile
+    )
+    SELECT a.decile, a.n_customers,
+           a.rev_cents / 100.0 AS revenue,
+           {sql_round("a.rev_cents * 1.0 / n.total_cents", 6)} AS rev_share,
+           {sql_round(
+               "sum(a.rev_cents) OVER (ORDER BY a.decile"
+               " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+               " * 1.0 / n.total_cents", 6
+           )} AS cum_rev_share
+    FROM agg a CROSS JOIN n
+"""
