@@ -47,7 +47,8 @@ from data_platform_spark.session import get_spark  # noqa: E402
 # round-over-round: gap-fill spine, chunking, two-phase sequence packing,
 # k-means IVF ANN, FK-integrity audit; plus (round 7) the retrieval stack
 # (BM25 + hybrid RRF), the window-rewritten attribution, and the
-# dedup decision ledger.
+# dedup decision ledger; plus (round 8) the grouped-percentile family
+# (IQR outliers) and the sliding-distinct family (weekly active users).
 HEADLINE = [
     "q1_pricing_summary",
     "q3_top_revenue_orders",
@@ -71,6 +72,8 @@ HEADLINE = [
     "hybrid_rrf_topk",
     "purchase_attribution",
     "dedup_decision_report",
+    "order_value_iqr_outliers",
+    "events_weekly_active_users",
 ]
 
 
