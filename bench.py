@@ -103,10 +103,20 @@ def _scaling_section(spark, queries, base_timings: dict[str, float]):
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     tag = src.rstrip("/").split("/")[-1]
     scale_dir = os.path.join(_REPO, ".scale", f"bench-x{mult}-{tag}")
-    if not os.path.isdir(os.path.join(scale_dir, "lineitem.parquet")):
+    # completeness marker, written only after EVERY table landed: probing
+    # a single table would let an interrupted build permanently poison
+    # the scaling section (lineitem exists, events missing -> every run
+    # errors and none self-heals)
+    marker = os.path.join(scale_dir, "_COMPLETE")
+    if not os.path.exists(marker):
+        import shutil
+
         from scripts.make_scale import scale_tables
 
+        shutil.rmtree(scale_dir, ignore_errors=True)
         scale_tables(spark, src, scale_dir, mult, quiet=True)
+        with open(marker, "w") as f:
+            f.write("ok")
     t_start = time.perf_counter()
     ratios: dict[str, float] = {}
     timings: dict[str, float] = {}

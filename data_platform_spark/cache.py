@@ -13,11 +13,15 @@ Convention:
 
 - query code calls :func:`scoped_persist` instead of ``DataFrame.persist``
   — same behavior, plus the handle lands in a module registry;
-- whoever MATERIALIZES the query result (bench.py after its noop write,
-  a pipeline after its sink write, tests via the ``spark`` fixture's
-  cleanup) calls :func:`release_caches` — every registered block is
-  unpersisted and the registry empties, so the next identical plan
-  persists fresh instead of warning/reusing.
+- whoever MATERIALIZES the query result (bench.py after each timed run,
+  every foreachBatch sink at the end of each micro-batch) calls
+  :func:`release_caches` — every registered block is unpersisted and
+  the registry empties, so the next identical plan persists fresh
+  instead of warning/reusing. The pytest suite deliberately does NOT
+  release between tests: its inputs are immutable parquet fixtures, so
+  cross-test plan-equal reuse is semantically safe and faster — the
+  trap this registry exists for is reuse across MUTATED state (a grown
+  table path between micro-batches) or across timed runs.
 
 Short-lived sessions that never call :func:`release_caches` are exactly
 as before (LRU eviction) — the registry holds plain references and adds

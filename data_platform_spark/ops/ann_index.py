@@ -52,6 +52,11 @@ def _mean_distortion_micro(dist: DataFrame, id_col: str) -> int:
         .agg(F.floor(F.avg("__d") + F.lit(0.5)).cast("long").alias("v"))
         .collect()[0]
     )
+    if row["v"] is None:
+        raise ValueError(
+            "distortion sample is empty — corpus has no vectors (or "
+            "sample_mod is too large for it); cannot evaluate drift"
+        )
     return int(row["v"])
 
 
@@ -130,8 +135,6 @@ def append_to_pq_index(
     codes include the batch by construction) makes a post-rebuild
     replay a no-op. Without a batch_id the append is a plain
     non-idempotent write and the caller owns replay protection."""
-    import shutil
-    import uuid
 
     spark = new_emb.sparkSession
     if batch_id is not None and os.path.exists(
@@ -522,8 +525,6 @@ def append_to_ivf_index(
     index (the rebuilt corpus includes them by construction) — a marked
     batch_id returns immediately. Caller guarantees batch ids are
     unique per actual batch."""
-    import os
-    import shutil
     import uuid
 
     from data_platform_spark.functions.similarity import ivf_assign
@@ -581,6 +582,11 @@ def ivf_index_distortion(
         .cast("long")
         .alias("v")
     ).collect()[0]
+    if row["v"] is None:
+        raise ValueError(
+            "distortion sample is empty — corpus has no vectors (or "
+            "sample_mod is too large for it); cannot evaluate drift"
+        )
     return int(row["v"])
 
 
@@ -598,7 +604,6 @@ def rebuild_ivf_if_drifted(
     (provably — the skip path never reaches kmeans_fit) under the
     threshold, else retrain on the current corpus into a staged sibling
     and atomically swap (recover via recover_ivf_index)."""
-    import shutil
 
     spark = emb.sparkSession
     p = read_ivf_params(spark, path)

@@ -31,6 +31,12 @@ def daily_quality_metrics(ev: DataFrame) -> DataFrame:
     row with a NULL median, exactly as the aggregate behaved."""
     from data_platform_spark.ops.global_order import grouped_percentile
 
+    # the base rollup and the median's rank phase each scan ev once;
+    # deliberately NOT persisted — the common input is the (pruned)
+    # events read itself, and pinning an O(table) relation to save one
+    # scan-bound pass is the wrong trade at 100 TB (contrast
+    # session_quality_by_day, whose shared base is the much smaller
+    # derived sessions relation and IS persisted)
     dayed = ev.withColumn("day", F.date_trunc("day", F.col("ts")))
     base = dayed.groupBy("day").agg(
         F.count(F.lit(1)).alias("n_rows"),

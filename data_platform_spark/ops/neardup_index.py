@@ -39,12 +39,11 @@ the same shingle relation.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_platform_spark.functions import dedup as D
+from data_platform_spark.ops import _index_io as IO
 
 
 SHINGLE_BUCKETS = 64
@@ -152,20 +151,7 @@ def append_to_band_index(
         F.col("_id").alias(id_col), "bk"
     ).coalesce(1).write.mode("overwrite").parquet(f"{stage}/bands")
     for half in ("shingles", "bands"):
-        src_dir = f"{stage}/{half}"
-        for root, _dirs, files in os.walk(src_dir):
-            rel = os.path.relpath(root, src_dir)
-            parquets = sorted(f for f in files if f.endswith(".parquet"))
-            for i, f in enumerate(parquets):
-                dst_dir = (
-                    f"{path}/{half}"
-                    if rel == "."
-                    else f"{path}/{half}/{rel}"
-                )
-                os.makedirs(dst_dir, exist_ok=True)
-                dst = f"{dst_dir}/{bid}-{i}.parquet"
-                if not os.path.exists(dst):
-                    os.rename(os.path.join(root, f), dst)
+        IO.move_staged_files(f"{stage}/{half}", f"{path}/{half}", bid)
     shutil.rmtree(stage, ignore_errors=True)
 
 

@@ -1266,8 +1266,15 @@ def session_quality_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("duration_s"),
         )
     )
-    daily = sessions.withColumn(
-        "day", F.date_trunc("day", F.col("session_start"))
+    from data_platform_spark.cache import scoped_persist
+
+    # the sessions relation (one row per session, far smaller than
+    # events) feeds BOTH the base rollup and the percentile rank phase —
+    # persist so the two-window sessionization pipeline runs once
+    daily = scoped_persist(
+        sessions.withColumn(
+            "day", F.date_trunc("day", F.col("session_start"))
+        )
     )
     base = daily.groupBy("day").agg(
         F.count(F.lit(1)).alias("n_sessions"),

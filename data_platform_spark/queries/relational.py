@@ -1059,6 +1059,10 @@ def order_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_platform_spark.ops.global_order import grouped_percentile
 
     orders = load_table(spark, sf_dir, "orders")
+    # base agg and percentile rank phase each scan orders once — the
+    # shared input is the raw (column-pruned) scan itself, so no persist
+    # (pinning O(table) to save a scan-bound pass is the wrong trade;
+    # see ops/monitors.daily_quality_metrics for the same call)
     base = orders.groupBy("o_orderstatus").agg(
         pround(F.stddev_samp("o_totalprice")).alias("stddev_price"),
         pround(F.min("o_totalprice")).alias("min_price"),

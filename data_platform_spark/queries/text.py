@@ -2466,9 +2466,17 @@ def source_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     buffer."""
     from data_platform_spark.ops.global_order import grouped_percentile
 
+    from data_platform_spark.cache import scoped_persist
+
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
-    scored = docs.select(
-        "source", X.token_count(F.col("text")).cast("long").alias("n_tokens")
+    # (source, n_tokens) is two narrow columns per doc and feeds BOTH
+    # the totals and the percentile rank phase — persist so the token
+    # regex (the expensive per-row stage) runs once
+    scored = scoped_persist(
+        docs.select(
+            "source",
+            X.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        )
     )
     base = scored.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -21,7 +21,6 @@ upserts on batch_id, so replays cannot double-report.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from data_platform_spark.ops.ann_index import (
     append_to_ivf_index,
@@ -102,12 +101,9 @@ def ann_ingest_sink(
             "batch_id long, n_vectors long, rebuilt boolean, "
             "base_micro long, current_micro long, ratio double",
         )
-        existing = wh.read(spark, schema, ledger_table)
-        if existing is None:
-            wh.write(row, schema, ledger_table)
-        else:
-            kept = existing.filter(F.col("batch_id") != int(batch_id))
-            wh.write(kept.unionByName(row), schema, ledger_table)
+        from data_platform_spark.streaming.monitors import upsert_keyed_rows
+
+        upsert_keyed_rows(wh, schema, ledger_table, row, ["batch_id"])
 
     return (
         stream_emb.writeStream.foreachBatch(_apply)

@@ -47,8 +47,19 @@ def neardup_stream_sink(
     only the winning copy is scored against the standing corpus."""
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        from data_platform_spark.cache import release_caches
+
         spark = batch_df.sparkSession
         batch = batch_df.select("doc_id", "text")
+        try:
+            _apply_inner(spark, batch, batch_id)
+        finally:
+            # the index search scope-persists its candidate relation;
+            # each batch drains its caches on the way out (the monitor
+            # sinks' convention — cache.py)
+            release_caches()
+
+    def _apply_inner(spark, batch: DataFrame, batch_id: int) -> None:
         # intra-batch near-dups: lowest-id-wins among verified pairs
         # WITHIN the batch (the standing index can't see them yet)
         doc_sh = D.shingle_array_df(batch)
@@ -65,14 +76,9 @@ def neardup_stream_sink(
         report = incremental_neardup_report(
             spark, index_path, batch_dedup, threshold=threshold
         )
-        existing = wh.read(spark, schema, decisions_table)
-        if existing is None:
-            wh.write(report, schema, decisions_table)
-        else:
-            kept = existing.join(
-                report.select("doc_id"), "doc_id", "left_anti"
-            )
-            wh.write(kept.unionByName(report), schema, decisions_table)
+        from data_platform_spark.streaming.monitors import upsert_keyed_rows
+
+        upsert_keyed_rows(wh, schema, decisions_table, report, ["doc_id"])
 
         survivors = batch_dedup.join(
             report.filter(F.col("keep")).select("doc_id"), "doc_id"

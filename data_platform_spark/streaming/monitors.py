@@ -63,17 +63,20 @@ def _merge_batch(
     return batch
 
 
-def _upsert_monitor_rows(
+def upsert_keyed_rows(
     wh: Warehouse,
     schema: str,
     table: str,
     fresh: DataFrame,
     key_cols: list[str],
 ) -> None:
-    """Replace the monitor table's rows for the recomputed keys with the
-    fresh metrics (anti-join out, union in). Monitor tables are
-    metadata-scale (one row per day / per scored event of touched
-    users), so the atomic-swap write is the right cost."""
+    """Replace a table's rows for the fresh keys (anti-join out, union
+    in) — the shared upsert discipline of every foreachBatch ledger and
+    monitor table (quality/anomaly monitors here, the near-dup decision
+    ledger in streaming/dedup.py, the ANN maintenance ledger in
+    streaming/ann.py). These tables are metadata-scale (one row per
+    day / touched user / batch / scored doc), so the atomic-swap write
+    is the right cost."""
     spark = fresh.sparkSession
     existing = wh.read(spark, schema, table)
     if existing is None:
@@ -83,6 +86,9 @@ def _upsert_monitor_rows(
         fresh.select(*key_cols).distinct(), key_cols, "left_anti"
     )
     wh.write(kept.unionByName(fresh), schema, table)
+
+
+_upsert_monitor_rows = upsert_keyed_rows  # internal call sites below
 
 
 def daily_quality_monitor_sink(
