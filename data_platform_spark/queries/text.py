@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_platform_spark.functions import retrieval as R
 from data_platform_spark.functions import text as X
 from data_platform_spark.queries._util import fan_out, pround, sql_round
 from data_platform_spark.sources.tables import load_table
@@ -918,15 +919,18 @@ ORACLE["corpus_pack_sequences"] = f"""
 # ---------------------------------------------------------------------------
 
 BM25_QUERY_TERMS = ["spark", "join", "window"]
-BM25_K1 = 1.2
-BM25_B = 0.75
+BM25_K1 = R.BM25_K1
+BM25_B = R.BM25_B
 BM25_TOPK = 20
 
 
 def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 keyword retrieval: top-k documents for a fixed term query —
     the lexical-retrieval half of a RAG stack (Okapi BM25: per-term IDF
-    x saturating TF with document-length normalization).
+    x saturating TF with document-length normalization). The scoring
+    math lives in functions/retrieval.py, shared verbatim with the
+    hybrid/chunk legs, the batch form, and the persisted lexical index
+    (ops/lexical_index.py).
 
     Distributed shape: explode → filter to query terms (so the shuffled
     relation is only the matching postings, not the corpus) → tf counts;
@@ -938,54 +942,12 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Top-k via sort+limit = TakeOrdered, no global sort materialized.
     """
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
-    ws = F.split(F.col("text"), " ")
-    base = docs.select(
-        "doc_id", ws.alias("ws"), F.size(ws).cast("double").alias("dl")
-    )
-    stats = base.agg(
-        F.count(F.lit(1)).cast("double").alias("n_docs"),
-        # dl values are small integers: the double sum inside avg is
-        # exact, hence order-independent
-        F.avg("dl").alias("avgdl"),
-    )
-    postings = base.select(
-        # filter INSIDE the array before the generator: explode emits only
-        # matching postings instead of the full token stream (the
-        # corpus-sized generate was the leg's dominant cost)
-        "doc_id",
-        "dl",
-        F.explode(
-            F.filter(F.col("ws"), lambda t: t.isin(*BM25_QUERY_TERMS))
-        ).alias("term"),
-    )
-    tf = postings.groupBy("doc_id", "dl", "term").agg(
-        F.count(F.lit(1)).cast("double").alias("tf")
-    )
-    df_tab = (
-        postings.select("doc_id", "term")
-        .distinct()
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).cast("double").alias("df"))
-    )
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
-    norm = (F.col("tf") * (BM25_K1 + 1)) / (
-        F.col("tf")
-        + BM25_K1
-        * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
-    )
-    contrib_micro = F.floor(idf * norm * 1_000_000 + F.lit(0.5)).cast("long")
-    scored = (
-        tf.join(F.broadcast(df_tab), "term")
-        .crossJoin(F.broadcast(stats))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(contrib_micro).alias("score_micro"),
-            F.count(F.lit(1)).alias("n_matched_terms"),
-        )
-    )
+    base = R.token_base(docs, ["doc_id"])
+    stats = R.corpus_stats(base)
+    matched = R.matched_postings(base, BM25_QUERY_TERMS, ["doc_id"])
+    tf = R.tf_table(matched, ["doc_id"])
+    df_tab = R.df_table(matched, ["doc_id"])
+    scored = R.score_tf(tf, df_tab, stats, ["doc_id"])
     return scored.orderBy(
         F.desc("score_micro"), F.asc("doc_id")
     ).limit(BM25_TOPK)
@@ -1207,51 +1169,19 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_platform_spark.functions import similarity as S
     from data_platform_spark.ops.global_order import global_row_number
 
-    # lexical leg: BM25 contributions, micro-units (same math as bm25_topk)
+    # lexical leg: BM25 contributions, micro-units (the shared
+    # functions/retrieval.py math — same expressions as bm25_topk)
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
-    ws = F.split(F.col("text"), " ")
-    base = docs.select(
-        "doc_id", ws.alias("ws"), F.size(ws).cast("double").alias("dl")
-    )
-    stats = base.agg(
-        F.count(F.lit(1)).cast("double").alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
-    )
-    postings = base.select(
-        # filter INSIDE the array before the generator: explode emits only
-        # matching postings instead of the full token stream (the
-        # corpus-sized generate was the leg's dominant cost)
-        "doc_id",
-        "dl",
-        F.explode(
-            F.filter(F.col("ws"), lambda t: t.isin(*BM25_QUERY_TERMS))
-        ).alias("term"),
-    )
-    tf = postings.groupBy("doc_id", "dl", "term").agg(
-        F.count(F.lit(1)).cast("double").alias("tf")
-    )
-    df_tab = (
-        postings.select("doc_id", "term")
-        .distinct()
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).cast("double").alias("df"))
-    )
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
-    norm = (F.col("tf") * (BM25_K1 + 1)) / (
-        F.col("tf")
-        + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
-    )
-    contrib_micro = F.floor(idf * norm * 1_000_000 + F.lit(0.5)).cast("long")
-    lex_scored = (
-        tf.join(F.broadcast(df_tab), "term")
-        .crossJoin(F.broadcast(stats))
-        .groupBy("doc_id")
-        .agg(F.sum(contrib_micro).alias("score_micro"))
-        .filter(F.col("doc_id") != 0)  # doc 0 is the dense query
-    )
+    base = R.token_base(docs, ["doc_id"])
+    stats = R.corpus_stats(base)
+    matched = R.matched_postings(base, BM25_QUERY_TERMS, ["doc_id"])
+    lex_scored = R.score_tf(
+        R.tf_table(matched, ["doc_id"]),
+        R.df_table(matched, ["doc_id"]),
+        stats,
+        ["doc_id"],
+        with_match_count=False,
+    ).filter(F.col("doc_id") != 0)  # doc 0 is the dense query
     lex = global_row_number(
         lex_scored, [F.desc("score_micro"), F.asc("doc_id")], "rn_lex"
     ).select("doc_id", "rn_lex")
@@ -1502,48 +1432,23 @@ def _chunk_bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.slice(F.col("w"), F.col("start"), CHUNK_WORDS).alias("chunk"),
     )
+    # the chunk id is the (doc_id, chunk_idx) pair — the shared
+    # functions/retrieval.py math is id-shape-agnostic
     base = chunks.select(
         "doc_id",
         "chunk_idx",
         F.col("chunk").alias("ws"),
         F.size("chunk").cast("double").alias("dl"),
     )
-    stats = base.agg(
-        F.count(F.lit(1)).cast("double").alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
-    )
-    postings = base.select(
-        # same explode-after-array-filter shape as bm25_topk
-        "doc_id",
-        "chunk_idx",
-        "dl",
-        F.explode(
-            F.filter(F.col("ws"), lambda t: t.isin(*BM25_QUERY_TERMS))
-        ).alias("term"),
-    )
-    tf = postings.groupBy("doc_id", "chunk_idx", "dl", "term").agg(
-        F.count(F.lit(1)).cast("double").alias("tf")
-    )
-    df_tab = (
-        postings.select("doc_id", "chunk_idx", "term")
-        .distinct()
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).cast("double").alias("df"))
-    )
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
-    norm = (F.col("tf") * (BM25_K1 + 1)) / (
-        F.col("tf")
-        + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
-    )
-    contrib_micro = F.floor(idf * norm * 1_000_000 + F.lit(0.5)).cast("long")
-    return (
-        tf.join(F.broadcast(df_tab), "term")
-        .crossJoin(F.broadcast(stats))
-        .groupBy("doc_id", "chunk_idx")
-        .agg(F.sum(contrib_micro).alias("score_micro"))
+    ids = ["doc_id", "chunk_idx"]
+    stats = R.corpus_stats(base)
+    matched = R.matched_postings(base, BM25_QUERY_TERMS, ids)
+    return R.score_tf(
+        R.tf_table(matched, ids),
+        R.df_table(matched, ids),
+        stats,
+        ids,
+        with_match_count=False,
     )
 
 

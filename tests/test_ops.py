@@ -1990,3 +1990,199 @@ def test_pq_index_append_idempotent_across_rebuild(spark, tmp_path):
 
     append_to_pq_index(df_b, path, batch_id="day1")  # post-rebuild replay
     assert spark.read.parquet(f"{path}/codes").count() == n2
+
+
+# ---------------------------------------------------------------------------
+# persisted lexical (BM25) index — ops/lexical_index.py
+# ---------------------------------------------------------------------------
+
+
+def test_lexical_index_search_matches_bm25_topk(spark, tmp_path):
+    """A search against the persisted postings index must return the
+    EXACT rows of the oracled in-memory bm25_topk (same functions/
+    retrieval.py math by construction), its scan must partition-prune
+    to the query terms' hash buckets, and it must read parquet ONLY
+    from the index (the corpus text is never re-tokenized)."""
+    import re
+
+    from data_platform_spark.ops.lexical_index import (
+        build_lexical_index,
+        bm25_search_index,
+        read_lexical_params,
+    )
+    from data_platform_spark.queries.text import BM25_QUERY_TERMS, bm25_topk
+    from data_platform_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    path = str(tmp_path / "lex_index")
+    build_lexical_index(docs, path)
+    p = read_lexical_params(spark, path)
+    assert (p["n_term_buckets"], p["id_col"], p["id_type"]) == (
+        64,
+        "doc_id",
+        "bigint",
+    )
+
+    got = bm25_search_index(spark, path, BM25_QUERY_TERMS, topk=20)
+    want = bm25_topk(spark, sf)
+    g = [tuple(r) for r in got.collect()]
+    w = [tuple(r) for r in want.collect()]
+    assert g == w and len(g) == 20
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[[^\]]*tbk[^\]]*IN \(([^)]*)\)", plan)
+    assert m, plan
+    assert len(m.group(1).split(",")) <= len(BM25_QUERY_TERMS)
+    scanned = set(re.findall(r"file:[^\]\s,]*", plan))
+    assert scanned and all(
+        s.startswith(f"file:{tmp_path}") for s in scanned
+    ), scanned
+
+
+def test_lexical_index_append_equals_full_rebuild(spark, tmp_path):
+    """Daily-loop contract: build on part of the corpus + append the
+    rest must serve searches BIT-IDENTICAL to one full build (postings
+    are exact — unlike the trained indexes there is no drift leg), with
+    the stats ledger summing across batch rows."""
+    from data_platform_spark.ops.lexical_index import (
+        append_to_lexical_index,
+        build_lexical_index,
+        bm25_search_index,
+    )
+    from data_platform_spark.queries.text import BM25_QUERY_TERMS
+    from data_platform_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    standing = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+
+    incr = str(tmp_path / "incr")
+    build_lexical_index(standing, incr)
+    append_to_lexical_index(batch, incr, batch_id="day1")
+
+    full = str(tmp_path / "full")
+    build_lexical_index(docs, full)
+
+    g = [
+        tuple(r)
+        for r in bm25_search_index(
+            spark, incr, BM25_QUERY_TERMS, topk=20
+        ).collect()
+    ]
+    w = [
+        tuple(r)
+        for r in bm25_search_index(
+            spark, full, BM25_QUERY_TERMS, topk=20
+        ).collect()
+    ]
+    assert g == w and len(g) == 20
+    # the ledger carries one row per build/append
+    assert spark.read.parquet(f"{incr}/stats").count() == 2
+
+
+def test_lexical_index_append_is_idempotent_with_batch_id(spark, tmp_path):
+    """A retried append with the same batch_id must be a no-op
+    (deterministic staged file names), so term frequencies and document
+    counts can never double."""
+    import os
+
+    from data_platform_spark.ops.lexical_index import (
+        append_to_lexical_index,
+        build_lexical_index,
+        bm25_search_index,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "beta gamma")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "idx")
+    build_lexical_index(base, path)
+
+    day1 = spark.createDataFrame(
+        [(100, "alpha omega omega")], "doc_id long, text string"
+    )
+    append_to_lexical_index(day1, path, batch_id="2026-08-14")
+    stats_files = sorted(os.listdir(f"{path}/stats"))
+    want = [tuple(r) for r in bm25_search_index(
+        spark, path, ["alpha", "omega"], topk=10
+    ).collect()]
+    append_to_lexical_index(day1, path, batch_id="2026-08-14")  # retry
+    assert sorted(os.listdir(f"{path}/stats")) == stats_files
+    got = [tuple(r) for r in bm25_search_index(
+        spark, path, ["alpha", "omega"], topk=10
+    ).collect()]
+    assert got == want
+    # doc 100 matched both terms exactly once each in the ranking
+    assert [r[0] for r in got][0] == 100
+
+
+def test_lexical_index_empty_seed_then_append(spark, tmp_path):
+    """The stream-sink bootstrap: a build over an EMPTY corpus must
+    produce a searchable (0-hit) index whose first append brings it
+    live — partitioned writes of empty frames produce no data files,
+    so every read path must carry an explicit schema."""
+    from data_platform_spark.ops.lexical_index import (
+        append_to_lexical_index,
+        build_lexical_index,
+        bm25_search_index,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    path = str(tmp_path / "idx")
+    build_lexical_index(empty, path)
+    assert (
+        bm25_search_index(spark, path, ["alpha"], topk=5).count() == 0
+    )
+
+    append_to_lexical_index(
+        spark.createDataFrame(
+            [(7, "alpha beta")], "doc_id long, text string"
+        ),
+        path,
+        batch_id="b0",
+    )
+    rows = bm25_search_index(spark, path, ["alpha"], topk=5).collect()
+    assert [r.doc_id for r in rows] == [7]
+
+
+def test_lexical_batch_search_matches_per_query_searches(spark, tmp_path):
+    """The one-pass workload search must rank every query exactly as a
+    dedicated single-query search would (same pruned postings, same
+    df/stats), with per-query top-k through the grouped two-phase rank."""
+    from data_platform_spark.ops.lexical_index import (
+        bm25_batch_search_index,
+        bm25_search_index,
+        build_lexical_index,
+    )
+    from data_platform_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    path = str(tmp_path / "idx")
+    build_lexical_index(docs, path)
+
+    workload = {
+        "q_spark": ["spark", "join"],
+        "q_window": ["window"],
+        "q_mixed": ["join", "window", "table"],
+    }
+    qt = spark.createDataFrame(
+        [(q, t) for q, terms in workload.items() for t in terms],
+        "query_id string, term string",
+    )
+    got = bm25_batch_search_index(spark, path, qt, topk=7)
+    by_query = {}
+    for r in got.collect():
+        by_query.setdefault(r.query_id, []).append(r)
+    for q, terms in workload.items():
+        rows = sorted(by_query[q], key=lambda r: r.rn)
+        assert [r.rn for r in rows] == list(range(1, len(rows) + 1))
+        want = bm25_search_index(spark, path, terms, topk=7).collect()
+        assert [
+            (r.doc_id, r.score_micro, r.n_matched_terms) for r in rows
+        ] == [
+            (r.doc_id, r.score_micro, r.n_matched_terms) for r in want
+        ]
