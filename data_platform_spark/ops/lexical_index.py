@@ -199,11 +199,15 @@ def _matched_from_index(
         .drop("tbk")
     )
     ledger = spark.read.schema(_stats_schema()).parquet(f"{path}/stats")
+    # try_divide: an empty seed index legitimately sums to n_docs = 0
+    # (the documented bootstrap path) and 0/0 raises under ANSI mode.
+    # A NULL avgdl is harmless — an empty index matches zero postings,
+    # so the scoring join it feeds is empty.
     stats = ledger.agg(
         F.sum("n_docs").cast("double").alias("n_docs"),
-        (
-            F.sum("sum_dl").cast("double")
-            / F.sum("n_docs").cast("double")
+        F.try_divide(
+            F.sum("sum_dl").cast("double"),
+            F.sum("n_docs").cast("double"),
         ).alias("avgdl"),
     )
     return matched, stats, p
