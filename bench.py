@@ -2,9 +2,16 @@
 """Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
-   "scaling": {...}}
+Prints the FULL JSON blob first, then a compact one-line summary LAST
+(VERDICT r8 "What's wrong" #3: the driver's tail capture beheaded the
+r8 single-line artifact, losing the headline value — the artifact of
+record must survive its own transport, so the last line is a compact
+summary guaranteed to fit any reasonable tail window):
+
+  {"metric": ..., "value": N, ..., "queries": {...}, "scaling": {...},
+   "scaling_x10_dedup": {...}}               # full blob, line 1
+  {"metric": ..., "value": N, "unit": "sec", "sf": ...,
+   "median_time_ratio": ..., "queries": {...}}  # compact, LAST line
 
 Each query is fully materialized with ``df.write.format("noop")`` —
 executes the complete plan, discards rows (``collect()`` would add
@@ -93,22 +100,49 @@ def _materialize(queries, name, spark, sf_dir) -> float:
     return time.perf_counter() - t0
 
 
-def _scaling_section(spark, queries, base_timings: dict[str, float]):
-    """Run each headline query once on a replicated x-MULT corpus and
-    report per-query wall-clock ratios vs the main-SF medians."""
-    mult = int(os.environ.get("SPARK_GRAFT_SCALE_MULT", "4"))
-    if mult <= 1:
-        return None
-    budget = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET_S", "240"))
-    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+# The LSH family's cost grows with pair density, not scan volume —
+# superlinear by nature. A dedicated x10 pass characterizes that term in
+# the artifact instead of leaving it extrapolated from x4 (VERDICT r8
+# item 8).
+DEDUP_FAMILY = [
+    "dedup_exact_groups",
+    "neardup_pairs_lsh",
+    "dedup_decision_report",
+]
+
+
+def _scale_fingerprint(src: str) -> str:
+    """Version stamp for a cached replicated corpus: a hash over the
+    generator's source bytes and the source tables' (name, size, mtime)
+    listing. A change to either invalidates the cache — the advisor's
+    stale-corpus trap (a later make_scale.py edit silently reusing a
+    corpus the generator no longer produces)."""
+    import hashlib
+
+    h = hashlib.sha256()
+    with open(os.path.join(_REPO, "scripts", "make_scale.py"), "rb") as f:
+        h.update(f.read())
+    for name in sorted(os.listdir(src)):
+        st = os.stat(os.path.join(src, name))
+        h.update(f"{name}:{st.st_size}:{st.st_mtime_ns}".encode())
+    return h.hexdigest()[:16]
+
+
+def _scale_corpus(spark, src: str, mult: int) -> str:
+    """Materialize (or reuse) the x-mult replicated corpus. The
+    completeness marker is written only after EVERY table landed —
+    probing a single table would let an interrupted build permanently
+    poison the scaling section — and carries the generator fingerprint,
+    so a stale cache rebuilds instead of silently serving old data."""
     tag = src.rstrip("/").split("/")[-1]
     scale_dir = os.path.join(_REPO, ".scale", f"bench-x{mult}-{tag}")
-    # completeness marker, written only after EVERY table landed: probing
-    # a single table would let an interrupted build permanently poison
-    # the scaling section (lineitem exists, events missing -> every run
-    # errors and none self-heals)
     marker = os.path.join(scale_dir, "_COMPLETE")
-    if not os.path.exists(marker):
+    fp = _scale_fingerprint(src)
+    current = None
+    if os.path.exists(marker):
+        with open(marker) as f:
+            current = f.read().strip()
+    if current != fp:
         import shutil
 
         from scripts.make_scale import scale_tables
@@ -116,12 +150,30 @@ def _scaling_section(spark, queries, base_timings: dict[str, float]):
         shutil.rmtree(scale_dir, ignore_errors=True)
         scale_tables(spark, src, scale_dir, mult, quiet=True)
         with open(marker, "w") as f:
-            f.write("ok")
+            f.write(fp)
+    return scale_dir
+
+
+def _scaling_section(
+    spark,
+    queries,
+    base_timings: dict[str, float],
+    mult: int,
+    budget: float,
+    names: list[str],
+):
+    """Run each named query once on a replicated x-mult corpus and
+    report per-query wall-clock ratios vs the main-SF medians. One
+    UNWARMED run per query vs warmed main-SF medians — the asymmetry
+    biases time_ratio upward; carried in the section's ``note`` rather
+    than hidden behind a second warmup pass."""
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    scale_dir = _scale_corpus(spark, src, mult)
     t_start = time.perf_counter()
     ratios: dict[str, float] = {}
     timings: dict[str, float] = {}
     skipped: list[str] = []
-    for name in HEADLINE:
+    for name in names:
         if time.perf_counter() - t_start > budget:
             skipped.append(name)
             continue
@@ -141,6 +193,8 @@ def _scaling_section(spark, queries, base_timings: dict[str, float]):
         ),
         "budget_s": budget,
         "skipped_over_budget": skipped,
+        "note": "single unwarmed run vs warmed main-SF medians; "
+        "ratio biased upward by the warm/cold asymmetry",
     }
 
 
@@ -173,11 +227,21 @@ def main() -> None:
         ]
         timings[name] = round(statistics.median(samples), 3)
 
-    scaling = None
-    try:
-        scaling = _scaling_section(spark, queries, timings)
-    except Exception as e:  # scaling evidence must never sink the artifact
-        scaling = {"err": f"{type(e).__name__}: {e}"}
+    sections: dict[str, dict | None] = {}
+    mult = int(os.environ.get("SPARK_GRAFT_SCALE_MULT", "4"))
+    budget = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET_S", "240"))
+    mult10 = int(os.environ.get("SPARK_GRAFT_SCALE10_MULT", "10"))
+    budget10 = float(os.environ.get("SPARK_GRAFT_SCALE10_BUDGET_S", "300"))
+    for key, m, b, names in [
+        ("scaling", mult, budget, HEADLINE),
+        ("scaling_x10_dedup", mult10, budget10, DEDUP_FAMILY),
+    ]:
+        if m <= 1:
+            continue
+        try:
+            sections[key] = _scaling_section(spark, queries, timings, m, b, names)
+        except Exception as e:  # scaling evidence must never sink the artifact
+            sections[key] = {"err": f"{type(e).__name__}: {e}"}
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -187,9 +251,25 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    if scaling is not None:
-        out["scaling"] = scaling
+    out.update(sections)
+    # Full blob first, compact summary LAST: the driver's tail capture
+    # keeps the END of stdout, so the line that must survive goes last.
     print(json.dumps(out))
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "sf": out["sf"],
+        "median_time_ratio": (sections.get("scaling") or {}).get(
+            "median_time_ratio"
+        ),
+        "queries": timings,
+    }
+    line = json.dumps(compact)
+    if len(line) > 2048:  # keep the last line transport-proof
+        compact.pop("queries")
+        line = json.dumps(compact)
+    print(line)
     spark.stop()
 
 
