@@ -15,6 +15,20 @@ Two primitives both index families (MinHash bands, PQ, IVF) rely on:
   replaces the live dir via rename-old-aside → rename-stage-in;
   recovery promotes a COMPLETE stage or restores the old dir, healing
   the one crash window between the renames.
+- :func:`begin_batch` / :func:`finish_batch` /
+  :func:`assert_no_inflight_appends` — the two-phase append-marker
+  protocol (ADVICE r8). The done marker ``batches/<batch_id>`` makes a
+  replayed batch a no-op even after a rebuild/compaction renamed the
+  batch's files (the rebuilt index contains its rows by construction).
+  The INTENT marker (written before any file moves) closes the
+  remaining hole: a rebuild interleaving between a crashed partial
+  append and its retry would bake the partial rows into fresh-named
+  files, and the retry — finding neither marker nor targets — would
+  re-move the whole batch, duplicating the partially-appended rows.
+  Maintenance ops therefore REFUSE to run while an intent without a
+  done marker is outstanding: the append's idempotent retry must
+  complete first (it always can — pre-rebuild, the deterministic-name
+  skip makes the retry exact).
 """
 
 from __future__ import annotations
@@ -25,6 +39,54 @@ import shutil
 STAGE_SUFFIX = ".rebuild-stage"
 OLD_SUFFIX = ".old-rebuild"
 COMPLETE_MARKER = "_COMPLETE"
+BATCHES_DIR = "batches"
+INTENT_SUFFIX = ".intent"
+
+
+def batch_done(path: str, batch_id: str) -> bool:
+    """True iff the batch's DONE marker exists — the replay check."""
+    return os.path.exists(os.path.join(path, BATCHES_DIR, batch_id))
+
+
+def begin_batch(path: str, batch_id: str) -> None:
+    """Record append intent BEFORE any file move (phase one)."""
+    d = os.path.join(path, BATCHES_DIR)
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, batch_id + INTENT_SUFFIX), "w") as f:
+        f.write("ok")
+
+
+def finish_batch(path: str, batch_id: str) -> None:
+    """Promote intent → done after every file landed (phase two)."""
+    d = os.path.join(path, BATCHES_DIR)
+    with open(os.path.join(d, batch_id), "w") as f:
+        f.write("ok")
+    try:
+        os.remove(os.path.join(d, batch_id + INTENT_SUFFIX))
+    except FileNotFoundError:
+        pass  # an earlier retry already promoted it
+
+
+def assert_no_inflight_appends(path: str) -> None:
+    """Raise if any append intent lacks its done marker — rebuilds and
+    compactions must not run over a crashed-mid-append index (see module
+    docstring for the duplication scenario)."""
+    d = os.path.join(path, BATCHES_DIR)
+    if not os.path.isdir(d):
+        return
+    inflight = sorted(
+        f[: -len(INTENT_SUFFIX)]
+        for f in os.listdir(d)
+        if f.endswith(INTENT_SUFFIX)
+        and not os.path.exists(os.path.join(d, f[: -len(INTENT_SUFFIX)]))
+    )
+    if inflight:
+        raise RuntimeError(
+            f"index at {path} has in-flight append batches {inflight}; "
+            "retry those appends to completion before rebuilding or "
+            "compacting (a maintenance pass over a partial append would "
+            "let its retry double the batch's rows)"
+        )
 
 
 def move_staged_files(stage_half: str, live_half: str, batch_id: str) -> None:

@@ -137,9 +137,7 @@ def append_to_pq_index(
     non-idempotent write and the caller owns replay protection."""
 
     spark = new_emb.sparkSession
-    if batch_id is not None and os.path.exists(
-        f"{path}/batches/{batch_id}"
-    ):
+    if batch_id is not None and IO.batch_done(path, batch_id):
         return  # replayed batch: already folded in (possibly pre-rebuild)
     p = read_pq_params(spark, path)
     # geometry check is distributed and cheap (limit-1 probe): a
@@ -170,12 +168,11 @@ def append_to_pq_index(
         return
     bid = batch_id
     stage = f"{path}/.append-stage-{bid}"
+    IO.begin_batch(path, bid)
     codes.coalesce(1).write.mode("overwrite").parquet(f"{stage}/codes")
     IO.move_staged_files(f"{stage}/codes", f"{path}/codes", bid)
     shutil.rmtree(stage, ignore_errors=True)
-    os.makedirs(f"{path}/batches", exist_ok=True)
-    with open(f"{path}/batches/{bid}", "w") as f:
-        f.write("ok")
+    IO.finish_batch(path, bid)
 
 
 def read_pq_params(spark: SparkSession, path: str) -> dict[str, int]:
@@ -260,22 +257,34 @@ def pq_index_distortion(
     PERSISTED codebook — the drift signal. ``sample_mod`` bounds the
     scan to the deterministic ``pmod(xxhash64(id), S) = 0`` sample (the
     100 TB posture: the check costs O(corpus/S), same discipline as
-    sampled training); the codebook relation is metadata scale."""
+    sampled training); the codebook relation is metadata scale. An
+    EMPTY hash sample falls back to the full scan: that only happens
+    when the corpus holds ~sample_mod rows or fewer, where the full
+    scan is as cheap as the sample was meant to be — without the
+    fallback a small deployment's in-stream drift check would crash."""
     spark = emb.sparkSession
     p = read_pq_params(spark, path)
     codebook = spark.read.parquet(f"{path}/codebook")
-    probe = training_sample(emb, sample_mod, id_col)
-    dist = pq_dist_table(
-        probe,
-        p["n_sub"],
-        p["n_codes"],
-        p["dim"],
-        p["n_iter"],
-        id_col,
-        vec_col,
-        cents=codebook,
-    )
-    return _mean_distortion_micro(dist, id_col)
+
+    def _eval(probe: DataFrame) -> int:
+        dist = pq_dist_table(
+            probe,
+            p["n_sub"],
+            p["n_codes"],
+            p["dim"],
+            p["n_iter"],
+            id_col,
+            vec_col,
+            cents=codebook,
+        )
+        return _mean_distortion_micro(dist, id_col)
+
+    try:
+        return _eval(training_sample(emb, sample_mod, id_col))
+    except ValueError:
+        if sample_mod is None:
+            raise  # genuinely empty corpus
+        return _eval(emb)
 
 
 def rebuild_if_drifted(
@@ -333,6 +342,7 @@ def rebuild_if_drifted(
             "ratio": round(ratio, 4),
         }
     p = read_pq_params(spark, path)
+    IO.assert_no_inflight_appends(path)
     stage = f"{path}{IO.STAGE_SUFFIX}"
     shutil.rmtree(stage, ignore_errors=True)  # droppings of a failed build
     build_pq_index(
@@ -520,19 +530,20 @@ def append_to_ivf_index(
     Replay safety across REBUILDS: a rebuild rewrites ``vectors/`` under
     fresh file names, so the deterministic-name skip alone cannot absorb
     a batch re-delivered after one (its targets no longer exist). A
-    ``batches/<batch_id>`` marker, written after the move and PRESERVED
-    by rebuild_ivf_if_drifted, records that the batch's rows are in the
+    ``batches/<batch_id>`` done marker, PRESERVED by
+    rebuild_ivf_if_drifted, records that the batch's rows are in the
     index (the rebuilt corpus includes them by construction) — a marked
-    batch_id returns immediately. Caller guarantees batch ids are
-    unique per actual batch."""
+    batch_id returns immediately. An INTENT marker written before any
+    move makes the protocol two-phase: maintenance ops refuse to run
+    over a crashed partial append, so its retry can always complete
+    against unchanged file targets (ops/_index_io). Caller guarantees
+    batch ids are unique per actual batch."""
     import uuid
 
     from data_platform_spark.functions.similarity import ivf_assign
 
     spark = new_emb.sparkSession
-    if batch_id is not None and os.path.exists(
-        f"{path}/batches/{batch_id}"
-    ):
+    if batch_id is not None and IO.batch_done(path, batch_id):
         return  # replayed batch: already folded in (possibly pre-rebuild)
     p = read_ivf_params(spark, path)
     bad = (
@@ -547,6 +558,8 @@ def append_to_ivf_index(
     assign = ivf_assign(new_emb, codebook, id_col, vec_col)
     bid = batch_id if batch_id is not None else uuid.uuid4().hex[:12]
     stage = f"{path}/.append-stage-{bid}"
+    if batch_id is not None:
+        IO.begin_batch(path, batch_id)
     new_emb.join(
         assign.select(id_col, F.col("assigned_label").alias("cell")), id_col
     ).coalesce(1).write.partitionBy("cell").mode("overwrite").parquet(
@@ -555,9 +568,7 @@ def append_to_ivf_index(
     IO.move_staged_files(f"{stage}/vectors", f"{path}/vectors", bid)
     shutil.rmtree(stage, ignore_errors=True)
     if batch_id is not None:
-        os.makedirs(f"{path}/batches", exist_ok=True)
-        with open(f"{path}/batches/{batch_id}", "w") as f:
-            f.write("ok")
+        IO.finish_batch(path, batch_id)
 
 
 def ivf_index_distortion(
@@ -570,24 +581,34 @@ def ivf_index_distortion(
     """Mean squared distance (micro-units) of ``emb`` to its nearest
     persisted centroid — the IVF drift signal (cells stop representing
     the data ⇒ probes stop finding true neighbors). ``sample_mod``
-    bounds the scan to the deterministic hash sample."""
+    bounds the scan to the deterministic hash sample; an EMPTY sample
+    falls back to the full scan (only possible when the corpus holds
+    ~sample_mod rows or fewer — see pq_index_distortion)."""
     from data_platform_spark.functions.similarity import ivf_assign
 
     spark = emb.sparkSession
     codebook = spark.read.parquet(f"{path}/centroids")
-    probe = training_sample(emb, sample_mod, id_col)
-    assign = ivf_assign(probe, codebook, id_col, vec_col)
-    row = assign.agg(
-        F.floor(F.avg(F.col("dist2") * 1_000_000) + F.lit(0.5))
-        .cast("long")
-        .alias("v")
-    ).collect()[0]
-    if row["v"] is None:
-        raise ValueError(
-            "distortion sample is empty — corpus has no vectors (or "
-            "sample_mod is too large for it); cannot evaluate drift"
-        )
-    return int(row["v"])
+
+    def _eval(probe: DataFrame) -> int:
+        assign = ivf_assign(probe, codebook, id_col, vec_col)
+        row = assign.agg(
+            F.floor(F.avg(F.col("dist2") * 1_000_000) + F.lit(0.5))
+            .cast("long")
+            .alias("v")
+        ).collect()[0]
+        if row["v"] is None:
+            raise ValueError(
+                "distortion sample is empty — corpus has no vectors (or "
+                "sample_mod is too large for it); cannot evaluate drift"
+            )
+        return int(row["v"])
+
+    try:
+        return _eval(training_sample(emb, sample_mod, id_col))
+    except ValueError:
+        if sample_mod is None:
+            raise  # genuinely empty corpus
+        return _eval(emb)
 
 
 def rebuild_ivf_if_drifted(
@@ -622,6 +643,7 @@ def rebuild_ivf_if_drifted(
             "current_micro": current,
             "ratio": round(ratio, 4),
         }
+    IO.assert_no_inflight_appends(path)
     stage = f"{path}{IO.STAGE_SUFFIX}"
     shutil.rmtree(stage, ignore_errors=True)
     build_ivf_index(

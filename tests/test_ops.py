@@ -2186,3 +2186,43 @@ def test_lexical_batch_search_matches_per_query_searches(spark, tmp_path):
         ] == [
             (r.doc_id, r.score_micro, r.n_matched_terms) for r in want
         ]
+
+
+def test_maintenance_refuses_inflight_append_then_proceeds(spark, tmp_path):
+    """The two-phase append-marker protocol (ADVICE r8): a rebuild
+    interleaving between a crashed partial append and its retry would
+    bake the partial rows into fresh-named files and let the retry
+    re-move the whole batch (duplication). Maintenance therefore refuses
+    while an intent marker lacks its done marker, and proceeds once the
+    retry completes."""
+    import pytest as _pytest
+
+    from data_platform_spark.ops import _index_io as IO
+    from data_platform_spark.ops.ann_index import (
+        append_to_ivf_index,
+        build_ivf_index,
+        rebuild_ivf_if_drifted,
+    )
+
+    df_a, _, _, _ = _pq_drift_fixture(spark)
+    path = str(tmp_path / "ivf_index")
+    build_ivf_index(df_a, path, k=8)
+
+    # simulate the crash window: intent recorded, move never finished
+    IO.begin_batch(path, "crashed-day")
+    with _pytest.raises(RuntimeError, match="in-flight append"):
+        rebuild_ivf_if_drifted(df_a, path, threshold=0.0)
+
+    # the retry completes the append (idempotent moves), promoting the
+    # marker — maintenance is unblocked and the index holds exactly one
+    # copy of the batch
+    batch = df_a.withColumn("vec_id", F.col("vec_id") + 5000)
+    append_to_ivf_index(batch, path, batch_id="crashed-day")
+    assert IO.batch_done(path, "crashed-day")
+    assert spark.read.parquet(f"{path}/vectors").count() == 320
+    corpus = spark.read.parquet(f"{path}/vectors").drop("cell")
+    res = rebuild_ivf_if_drifted(corpus, path, threshold=0.0)
+    assert res["rebuilt"] is True
+    # the replayed batch stays a no-op across the rebuild's fresh names
+    append_to_ivf_index(batch, path, batch_id="crashed-day")
+    assert spark.read.parquet(f"{path}/vectors").count() == 320

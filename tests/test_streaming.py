@@ -827,3 +827,131 @@ def test_ann_ingest_sink_appends_and_rebuilds_on_drift(spark, tmp_path):
     )
     q2.awaitTermination(180)
     assert indexed_corpus(spark, index_path).count() == 160 + 80 + 320
+
+
+def test_ann_ingest_sink_drift_check_is_sampled_by_default(spark, tmp_path):
+    """The drift check runs after EVERY micro-batch, so the default
+    posture must be the bounded hash sample (sample_mod=16), never a
+    full-corpus scan per batch (ADVICE r8 / VERDICT r8 item 5). Pins the
+    wiring by recording what training_sample receives from the sink's
+    in-loop drift evaluation."""
+    import json
+    import os
+
+    import data_platform_spark.ops.ann_index as AI
+    from data_platform_spark.ops.ann_index import build_ivf_index
+    from data_platform_spark.pipeline import Warehouse
+    from data_platform_spark.streaming.ann import (
+        ann_ingest_sink,
+        read_embeddings_stream,
+    )
+
+    rows = [
+        (i, i % 4, [float((i * 7 + j) % 13) for j in range(64)])
+        for i in range(64)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id: long, label: long, embedding: array<double>"
+    )
+    index_path = str(tmp_path / "ivf_index")
+    build_ivf_index(emb, index_path, k=4)
+
+    src = str(tmp_path / "emb_stream")
+    os.makedirs(src)
+    with open(f"{src}/b0.json", "w") as f:
+        for i in range(64, 96):
+            f.write(
+                json.dumps(
+                    {
+                        "vec_id": i,
+                        "label": i % 4,
+                        "embedding": [float((i * 7 + j) % 13) for j in range(64)],
+                    }
+                )
+                + "\n"
+            )
+
+    seen_mods = []
+    real_sample = AI.training_sample
+
+    def recording_sample(df, sample_mod, id_col):
+        seen_mods.append(sample_mod)
+        return real_sample(df, sample_mod, id_col)
+
+    AI.training_sample = recording_sample
+    try:
+        q = ann_ingest_sink(
+            read_embeddings_stream(spark, src),
+            Warehouse(str(tmp_path / "wh")),
+            index_path,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(120)
+    finally:
+        AI.training_sample = real_sample
+
+    # one drift evaluation for the one batch, bounded by the default mod
+    assert seen_mods == [16]
+
+
+def test_ann_ingest_sink_heals_interrupted_swap_on_construction(
+    spark, tmp_path
+):
+    """A crash between swap_in_stage's two renames leaves no live index
+    dir; the sink heals it at construction (ADVICE r8), so a restarted
+    stream serves micro-batches instead of failing in read_ivf_params
+    until an operator intervenes."""
+    import json
+    import os
+
+    from data_platform_spark.ops import _index_io as IO
+    from data_platform_spark.ops.ann_index import (
+        build_ivf_index,
+        read_ivf_params,
+    )
+    from data_platform_spark.pipeline import Warehouse
+    from data_platform_spark.streaming.ann import (
+        ann_ingest_sink,
+        indexed_corpus,
+        read_embeddings_stream,
+    )
+
+    rows = [
+        (i, i % 4, [float((i * 5 + j) % 11) for j in range(64)])
+        for i in range(48)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id: long, label: long, embedding: array<double>"
+    )
+    index_path = str(tmp_path / "ivf_index")
+    build_ivf_index(emb, index_path, k=4)
+
+    # simulate the mid-swap crash: live renamed aside, stage never moved in
+    os.rename(index_path, index_path + IO.OLD_SUFFIX)
+    assert not os.path.isdir(index_path)
+
+    src = str(tmp_path / "emb_stream")
+    os.makedirs(src)
+    with open(f"{src}/b0.json", "w") as f:
+        for i in range(48, 60):
+            f.write(
+                json.dumps(
+                    {
+                        "vec_id": i,
+                        "label": i % 4,
+                        "embedding": [float((i * 5 + j) % 11) for j in range(64)],
+                    }
+                )
+                + "\n"
+            )
+
+    q = ann_ingest_sink(
+        read_embeddings_stream(spark, src),
+        Warehouse(str(tmp_path / "wh")),
+        index_path,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    # construction already restored the index (before the stream ran)
+    assert read_ivf_params(spark, index_path)["k"] == 4
+    q.awaitTermination(120)
+    assert indexed_corpus(spark, index_path).count() == 48 + 12
