@@ -2226,3 +2226,119 @@ def test_maintenance_refuses_inflight_append_then_proceeds(spark, tmp_path):
     # the replayed batch stays a no-op across the rebuild's fresh names
     append_to_ivf_index(batch, path, batch_id="crashed-day")
     assert spark.read.parquet(f"{path}/vectors").count() == 320
+
+
+def test_hybrid_search_index_bit_identical_to_oracled_query(
+    spark, tmp_path
+):
+    """The four-index capstone: hybrid_search_index composes the
+    persisted lexical index (bucket-pruned postings) and the persisted
+    IVF index (cell-pruned vectors) into RRF fusion. With nprobe = the
+    index's cell count (every cell probed → the dense ranking is the
+    exact global cosine order) the result must be BIT-IDENTICAL to the
+    oracled hybrid_rrf_topk on the same corpus, and BOTH index scans
+    must carry partition filters in the executed plan."""
+    import re
+
+    from data_platform_spark.ops.ann_index import build_ivf_index
+    from data_platform_spark.ops.hybrid_index import hybrid_search_index
+    from data_platform_spark.ops.lexical_index import build_lexical_index
+    from data_platform_spark.queries.text import (
+        BM25_QUERY_TERMS,
+        hybrid_rrf_topk,
+    )
+    from data_platform_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    emb = load_table(spark, sf, "embeddings")
+    lex_path = str(tmp_path / "lex_index")
+    ivf_path = str(tmp_path / "ivf_index")
+    build_lexical_index(docs, lex_path)
+    build_ivf_index(emb, ivf_path, k=8)
+
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    got_df = hybrid_search_index(
+        spark,
+        lex_path,
+        ivf_path,
+        BM25_QUERY_TERMS,
+        qvec,
+        topk=20,
+        nprobe=8,  # = k: exact dense ranking, matching the oracled query
+        exclude_ids=[0],
+    )
+    got = [tuple(r) for r in got_df.collect()]
+    want = [tuple(r) for r in hybrid_rrf_topk(spark, sf).collect()]
+    assert got == want and len(got) == 20
+
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^\]]*tbk[^\]]*IN \(", plan), (
+        "lexical leg did not prune term buckets"
+    )
+    assert re.search(r"PartitionFilters: \[[^\]]*cell[^\]]*IN \(", plan), (
+        "dense leg did not prune probe cells"
+    )
+    # everything read comes from the two indexes — the corpus text and
+    # raw embeddings are never rescanned at serve time
+    scanned = set(re.findall(r"file:[^\]\s,]*", plan))
+    assert scanned and all(
+        s.startswith(f"file:{tmp_path}") for s in scanned
+    ), scanned
+
+
+def test_hybrid_batch_search_matches_per_query_searches(spark, tmp_path):
+    """The workload form returns, per query, exactly the rows of the
+    corresponding single hybrid_search_index call (rn ≤ topk, ranks and
+    rrf identical) — one pruned pass over each index for N queries."""
+    from data_platform_spark.ops.ann_index import build_ivf_index
+    from data_platform_spark.ops.hybrid_index import (
+        hybrid_batch_search_index,
+        hybrid_search_index,
+    )
+    from data_platform_spark.ops.lexical_index import build_lexical_index
+    from data_platform_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    emb = load_table(spark, sf, "embeddings")
+    lex_path = str(tmp_path / "lex_index")
+    ivf_path = str(tmp_path / "ivf_index")
+    build_lexical_index(docs, lex_path)
+    build_ivf_index(emb, ivf_path, k=8)
+
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id").isin([0, 7, 21])).collect()
+    }
+    workload = {
+        "q_spark": (["spark", "window"], vecs[0]),
+        "q_join": (["join"], vecs[7]),
+        "q_mixed": (["spark", "join", "window", "table"], vecs[21]),
+    }
+    qt = spark.createDataFrame(
+        [(q, t) for q, (terms, _) in workload.items() for t in terms],
+        "query_id string, term string",
+    )
+    qv = spark.createDataFrame(
+        [(q, v) for q, (_, v) in workload.items()],
+        "query_id string, qv array<double>",
+    )
+    got = hybrid_batch_search_index(
+        spark, lex_path, ivf_path, qt, qv, topk=7, nprobe=2
+    )
+    by_query = {}
+    for r in got.collect():
+        by_query.setdefault(r.query_id, []).append(r)
+    for q, (terms, vec) in workload.items():
+        rows = sorted(by_query[q], key=lambda r: r.rn)
+        assert [r.rn for r in rows] == list(range(1, len(rows) + 1))
+        want = hybrid_search_index(
+            spark, lex_path, ivf_path, terms, vec, topk=7, nprobe=2
+        ).collect()
+        assert [
+            (r.doc_id, r.rn_lex, r.rn_dense, r.rrf) for r in rows
+        ] == [(r.doc_id, r.rn_lex, r.rn_dense, r.rrf) for r in want]
