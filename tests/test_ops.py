@@ -2342,3 +2342,198 @@ def test_hybrid_batch_search_matches_per_query_searches(spark, tmp_path):
         assert [
             (r.doc_id, r.rn_lex, r.rn_dense, r.rrf) for r in rows
         ] == [(r.doc_id, r.rn_lex, r.rn_dense, r.rrf) for r in want]
+
+
+def test_compact_lexical_index_preserves_search_and_replay(
+    spark, tmp_path
+):
+    """Compaction rewrites postings to one file per term bucket and
+    rolls the stats ledger to ONE row; searches are bit-identical,
+    file counts drop, a replayed append stays a no-op across the
+    renamed files, and compaction refuses over an in-flight append."""
+    import pytest as _pytest
+
+    from data_platform_spark.ops import _index_io as IO
+    from data_platform_spark.ops.compaction import (
+        _parquet_file_count,
+        compact_index,
+    )
+    from data_platform_spark.ops.lexical_index import (
+        append_to_lexical_index,
+        build_lexical_index,
+        bm25_search_index,
+    )
+    from data_platform_spark.queries.text import BM25_QUERY_TERMS
+    from data_platform_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    path = str(tmp_path / "lex_index")
+    build_lexical_index(docs.filter(F.col("doc_id") % 4 == 0), path)
+    for i in (1, 2, 3):
+        append_to_lexical_index(
+            docs.filter(F.col("doc_id") % 4 == i), path, batch_id=f"day{i}"
+        )
+    want = [
+        tuple(r)
+        for r in bm25_search_index(
+            spark, path, BM25_QUERY_TERMS, topk=20
+        ).collect()
+    ]
+    post_before = _parquet_file_count(f"{path}/postings")
+    n_rows = spark.read.parquet(f"{path}/postings").count()
+    assert spark.read.parquet(f"{path}/stats").count() == 4  # ledger rows
+
+    # in-flight append intent blocks maintenance
+    IO.begin_batch(path, "crashed")
+    with _pytest.raises(RuntimeError, match="in-flight append"):
+        compact_index(spark, path)
+    IO.finish_batch(path, "crashed")
+
+    rep = compact_index(spark, path)
+    assert rep["postings"]["files_after"] < post_before
+    assert spark.read.parquet(f"{path}/stats").count() == 1
+    assert spark.read.parquet(f"{path}/postings").count() == n_rows
+    got = [
+        tuple(r)
+        for r in bm25_search_index(
+            spark, path, BM25_QUERY_TERMS, topk=20
+        ).collect()
+    ]
+    assert got == want
+
+    # replayed append after compaction: done marker absorbs it
+    append_to_lexical_index(
+        docs.filter(F.col("doc_id") % 4 == 1), path, batch_id="day1"
+    )
+    assert spark.read.parquet(f"{path}/postings").count() == n_rows
+    assert [
+        tuple(r)
+        for r in bm25_search_index(
+            spark, path, BM25_QUERY_TERMS, topk=20
+        ).collect()
+    ] == want
+
+
+def test_compact_ivf_index_preserves_search_and_heals_crash(
+    spark, tmp_path
+):
+    """IVF compaction: one file per cell, searches bit-identical,
+    replayed append a no-op, and an interrupted half-swap self-heals on
+    the next compaction call."""
+    import os
+
+    from data_platform_spark.ops import _index_io as IO
+    from data_platform_spark.ops.compaction import (
+        _parquet_file_count,
+        compact_index,
+        recover_index_halves,
+    )
+    from data_platform_spark.ops.ann_index import (
+        append_to_ivf_index,
+        build_ivf_index,
+        ivf_search_index,
+    )
+
+    df_a, _, _, vecs = _pq_drift_fixture(spark)
+    path = str(tmp_path / "ivf_index")
+    build_ivf_index(df_a, path, k=8)
+    batch = df_a.withColumn("vec_id", F.col("vec_id") + 5000)
+    append_to_ivf_index(batch, path, batch_id="day1")
+    want = [
+        tuple(r)
+        for r in ivf_search_index(
+            spark, path, vecs[7], nprobe=2, k=10, exclude_ids=[7]
+        ).collect()
+    ]
+    before = _parquet_file_count(f"{path}/vectors")
+    rep = compact_index(spark, path)
+    assert rep["vectors"]["files_after"] < before
+    got = [
+        tuple(r)
+        for r in ivf_search_index(
+            spark, path, vecs[7], nprobe=2, k=10, exclude_ids=[7]
+        ).collect()
+    ]
+    assert got == want
+    append_to_ivf_index(batch, path, batch_id="day1")  # replay: no-op
+    assert spark.read.parquet(f"{path}/vectors").count() == 320
+
+    # simulate a crash between the half-swap's two renames
+    half = f"{path}/vectors"
+    os.rename(half, half + IO.OLD_SUFFIX)
+    assert not os.path.isdir(half)
+    healed = recover_index_halves(path)
+    assert "vectors" in healed
+    assert [
+        tuple(r)
+        for r in ivf_search_index(
+            spark, path, vecs[7], nprobe=2, k=10, exclude_ids=[7]
+        ).collect()
+    ] == want
+
+
+def test_compact_band_and_pq_indexes_preserve_search(spark, tmp_path):
+    """Band + PQ compaction: fewer files, bit-identical results."""
+    from data_platform_spark.ops.compaction import (
+        _parquet_file_count,
+        compact_index,
+    )
+    from data_platform_spark.ops.ann_index import (
+        append_to_pq_index,
+        build_pq_index,
+        pq_search_index,
+    )
+    from data_platform_spark.ops.neardup_index import (
+        append_to_band_index,
+        build_band_index,
+        neardup_search_index,
+    )
+    from data_platform_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    path = str(tmp_path / "band_index")
+    build_band_index(docs.filter(F.col("doc_id") % 3 == 0), path)
+    for i in (1, 2):
+        append_to_band_index(
+            docs.filter(F.col("doc_id") % 3 == i), path, batch_id=f"d{i}"
+        )
+    probe = docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    want = sorted(
+        tuple(r) for r in neardup_search_index(spark, path, probe).collect()
+    )
+    before = _parquet_file_count(f"{path}/shingles")
+    rep = compact_index(spark, path)
+    assert rep["shingles"]["files_after"] < before
+    got = sorted(
+        tuple(r) for r in neardup_search_index(spark, path, probe).collect()
+    )
+    assert got == want
+
+    df_a, _, _, vecs = _pq_drift_fixture(spark)
+    pq_path = str(tmp_path / "pq_index")
+    build_pq_index(df_a, pq_path)
+    append_to_pq_index(
+        df_a.withColumn("vec_id", F.col("vec_id") + 5000),
+        pq_path,
+        batch_id="day1",
+    )
+    want_pq = [
+        tuple(r)
+        for r in pq_search_index(
+            spark, pq_path, vecs[7], k=10, exclude_ids=[7]
+        ).collect()
+    ]
+    before_pq = _parquet_file_count(f"{pq_path}/codes")
+    rep_pq = compact_index(spark, pq_path)
+    assert rep_pq["codes"]["files_after"] < before_pq
+    got_pq = [
+        tuple(r)
+        for r in pq_search_index(
+            spark, pq_path, vecs[7], k=10, exclude_ids=[7]
+        ).collect()
+    ]
+    assert got_pq == want_pq
