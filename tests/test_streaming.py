@@ -955,3 +955,105 @@ def test_ann_ingest_sink_heals_interrupted_swap_on_construction(
     assert read_ivf_params(spark, index_path)["k"] == 4
     q.awaitTermination(120)
     assert indexed_corpus(spark, index_path).count() == 48 + 12
+
+
+def test_lexical_ingest_sink_two_batches_replay_and_compaction(
+    spark, tmp_path
+):
+    """The fourth index family's streaming loop: an empty-seed index
+    absorbs two document micro-batches, searches against it are
+    bit-identical to one full build over the same corpus, a full replay
+    from a fresh checkpoint adds zero postings rows, and the in-stream
+    compaction leg (compact_every=1) keeps results identical while
+    rolling the ledger up."""
+    import json
+    import os
+
+    from data_platform_spark.ops.lexical_index import (
+        build_lexical_index,
+        bm25_search_index,
+    )
+    from data_platform_spark.queries.text import BM25_QUERY_TERMS
+    from data_platform_spark.sources.tables import load_table
+    from data_platform_spark.streaming.lexical import lexical_ingest_sink
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+
+    src = str(tmp_path / "docs_stream")
+    os.makedirs(src)
+    halves = [
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    ]
+    for i, half in enumerate(halves):
+        with open(f"{src}/b{i}.json", "w") as f:
+            for r in half.collect():
+                f.write(
+                    json.dumps({"doc_id": r.doc_id, "text": r.text}) + "\n"
+                )
+        os.utime(f"{src}/b{i}.json", (1_000_000 + i, 1_000_000 + i))
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    index_path = str(tmp_path / "lex_idx")
+    build_lexical_index(empty, index_path)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = lexical_ingest_sink(
+        stream, index_path, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(180)
+
+    full_path = str(tmp_path / "lex_full")
+    build_lexical_index(docs, full_path)
+    want = [
+        tuple(r)
+        for r in bm25_search_index(
+            spark, full_path, BM25_QUERY_TERMS, topk=20
+        ).collect()
+    ]
+    got = [
+        tuple(r)
+        for r in bm25_search_index(
+            spark, index_path, BM25_QUERY_TERMS, topk=20
+        ).collect()
+    ]
+    assert got == want and len(got) == 20
+
+    # full replay from a fresh checkpoint: batch markers absorb it
+    n_postings = spark.read.parquet(f"{index_path}/postings").count()
+    q2 = lexical_ingest_sink(
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src),
+        index_path,
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    q2.awaitTermination(180)
+    assert (
+        spark.read.parquet(f"{index_path}/postings").count() == n_postings
+    )
+
+    # in-stream compaction variant: same results, one-row ledger
+    cpath = str(tmp_path / "lex_compacting")
+    build_lexical_index(empty, cpath)
+    q3 = lexical_ingest_sink(
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src),
+        cpath,
+        checkpoint_dir=str(tmp_path / "ckpt3"),
+        compact_every=1,
+    )
+    q3.awaitTermination(180)
+    assert [
+        tuple(r)
+        for r in bm25_search_index(
+            spark, cpath, BM25_QUERY_TERMS, topk=20
+        ).collect()
+    ] == want
+    assert spark.read.parquet(f"{cpath}/stats").count() == 1
