@@ -41,119 +41,102 @@ def _modules():
 
 
 # The driver's correctness gate checks the FIRST ~50 registered queries, in
-# dict order. Cumulative accounting entering round 8: 186 registered (185
+# dict order. Cumulative accounting entering round 9: 195 registered (194
 # oracled — the floor: approx_stats_sketches exposes engine-specific
-# sketch internals); every query registered through r7 carries a
-# driver-green row. The round-8 window packs, in order:
-# (1) never driver-green: the 8 queries new this round (IQR outlier
-#     fences, cohort LTV, weekly active users, term burstiness,
-#     readability, dedup cost curve, PQ subspace distortion, gap
-#     histogram) plus simhash_signatures, rows-only until the sha256
-#     re-key gave it an oracle;
-# (2) re-proof of every implementation changed this round: the four
-#     grouped-percentile rewires (source percentiles, session quality,
-#     daily quality, order price stats) + the allowlisted cadence stats
-#     and the monitor-sharing z-score; the whole persist-sweep family in
-#     dedup/similarity (scoped_persist is behavior-identical, but the
-#     sweep touched every LSH-family query body); and the global_order
-#     consumers after its cache-registry change;
+# sketch internals); every query registered through r8 carries a
+# driver-green row. The round-9 window packs, in order:
+# (1) never driver-green: the 7 queries new this round (retrieval-leg
+#     agreement, char entropy, bigram-LM scoring, user Gini, vocabulary
+#     overlap, embedding norm audit, order-size percentiles);
+# (2) re-proof of machinery touched this round: the cache registry went
+#     thread-scoped (scoped_persist/release semantics identical
+#     single-threaded, but every LSH/SRP/global_order consumer body
+#     routes through it — representatives of each family), and the
+#     grouped_percentile family (two new queries compose it, so its
+#     r8-proven consumers re-prove alongside);
 # (3) canaries (loader / flagship); then
-# (4) the stalest green rows (r3-green evidence that yielded its refresh
-#     slots in r7), rotated in.
-# --- round-6 window rationale (kept for history) ---
-# (1) the 24 queries with NO green row ever (new in r6: BM25
-#     retrieval, unigram-LM scoring, BPE pair induction, incremental
-#     dedup, the three product-quantization queries, term PageRank,
-#     hybrid RRF fusion, n-gram containment, rolling z-score anomaly,
-#     incremental near-dup, erasure cascade, temperature mixing,
-#     chunk-granularity BM25, image augmentation, attribution,
-#     lang-ID scorecard, cross-modal consistency, daily quality monitor,
-#     token-balanced sharding, ES weighted sampling, behavioral
-#     entropy, per-source rank normalization);
-# (2) re-proof of every implementation changed that round: the grouped
-#     two-phase rewrite of corpus_mix_by_source, the memory-bounded
-#     simhash64, the four global_order consumers (ntile divisor clamp),
-#     the rm SCD2 pins moved to localCheckpoint, and multimodal_features
-#     (oracle division guard);
-# (3) canaries proven earlier and unchanged, kept in-window so a shared
-#     loader/pipeline regression is caught by the driver: one events
-#     query, the flagship;
-# (4) all 11 queries whose last green row is round 1 — the stalest
-#     evidence in the registry;
-# (5) the 24 oldest r3-green rows, rotated in to refresh them.
-# Everything else (green in r4/r5 and unchanged) follows, oracled first.
-_R8_WINDOW = (
+# (4) the stalest green rows: the r3-green evidence the r8 window
+#     dropped for its two late additions (term_idf, term_zipf_ranks,
+#     token_stats_by_lang — VERDICT r8 item 7) plus the rest of the
+#     r3 cohort, then the oldest r4-green rows to fill 50.
+# --- round-8 window rationale (kept for history) ---
+# (1) never driver-green: the 8 queries new that round + simhash_signatures
+#     (rows-only until the sha256 re-key gave it an oracle);
+# (2) re-proof of changed implementations: the four grouped-percentile
+#     rewires + allowlisted cadence stats + monitor-sharing z-score; the
+#     whole persist-sweep family in dedup/similarity; the global_order
+#     consumers after its cache-registry change;
+# (3) canaries; (4) stalest green rows rotated in.
+_R9_WINDOW = (
     # (1) never driver-green — new this round
-    "order_value_iqr_outliers",
-    "customer_cohort_ltv",
-    "events_weekly_active_users",
-    "term_burstiness",
-    "doc_readability_scores",
-    "corpus_dedup_cost_curve",
-    "pq_subspace_distortion",
-    "events_interarrival_histogram",
-    # newly ORACLED this round (was rows-only): sha256-keyed simhash
-    "simhash_signatures",
-    # (2) changed implementations needing re-proof
-    # grouped-percentile rewires + the allowlisted native-percentile site
+    "hybrid_leg_agreement",
+    "doc_char_entropy",
+    "doc_bigram_logprob",
+    "events_user_gini",
+    "vocab_overlap_by_source_pair",
+    "embedding_norm_audit",
+    "order_lineitem_count_percentiles",
+    # (2) re-proof: thread-scoped cache registry consumers (one per
+    # family that scoped_persists: LSH dedup, decision ledger, curation,
+    # SRP, bucketed knn) + global_order/grouped_percentile composers
+    "neardup_pairs_lsh",
+    "dedup_decision_report",
+    "curation_pipeline_summary",
+    "srp_bucket_histogram",
+    "knn_within_buckets",
     "source_token_percentiles",
     "session_quality_by_day",
     "events_daily_quality",
-    "order_price_stats",
-    "user_cadence_stats",
     "events_anomaly_zscore",
-    # persist-sweep (scoped_persist) touched every LSH-family query body
-    "neardup_pairs_lsh",
-    "documents_after_dedup",
-    "neardup_keep_best",
-    "neardup_components",
-    "neardup_triangle_count",
-    "neardup_embedding_consistency",
-    "simhash_neardup_pairs",
-    "incremental_neardup_new_batch",
-    "dedup_decision_report",
-    "curation_pipeline_summary",
-    "minhash_estimate_calibration",
-    "neardup_degree_histogram",
-    "dedup_savings_by_source",
-    "ngram_containment_pairs",
-    "knn_within_buckets",
-    "srp_bucket_histogram",
-    # global_order consumers after its cache-registry change
-    "customer_rfm_segments",
     "bm25_topk",
     "hybrid_rrf_topk",
     "corpus_pack_sequences",
+    "customer_rfm_segments",
     "corpus_mix_by_source",
     # (3) canaries (loader / flagship)
     "events_sessionize",
     "q1_pricing_summary",
-    # (4) stalest green rows (r3-green; yielded their refresh slots in r7)
-    "bigram_top20",
-    "cosine_topk_vec0",
-    "doc_lang_id",
-    "embedding_label_centroids",
-    "embedding_neardup_pairs",
-    "events_json_extract",
-    "chunk_dedup_stats",
-    "ngram_jaccard_pairs",
-    "simhash32_signatures",
-    "stratified_sample_docs",
-    # (1b) two more never-green queries added late in the round — they
-    # take the last two slots from stale refreshes (term_idf,
-    # term_zipf_ranks, token_stats_by_lang yielded; r3-green, unchanged)
-    "events_user_daily_sequences",
-    "customer_revenue_pareto",
+    # (4) stalest green rows — the r3 cohort first (term_idf /
+    # term_zipf_ranks / token_stats_by_lang yielded their r8 slots to
+    # the late additions; VERDICT r8 item 7)
+    "term_idf",
+    "term_zipf_ranks",
+    "token_stats_by_lang",
+    "events_sliding_window_counts",
+    "multimodal_meta",
+    "q12_priority_by_month",
+    "retention_cohorts",
+    "srp_ann_topk_vec0",
+    "top_user_per_hour",
+    # then the oldest r4-green rows, filling the window to 50
+    "asof_purchase_last_click",
+    "benchmark_decontamination",
+    "customers_with_orders",
+    "customers_without_orders",
+    "doc_redaction",
+    "doc_repetition_stats",
+    "events_clustered_time_slice",
+    "events_rolling_hour_value",
+    "events_rollup_incremental",
+    "funnel_click_to_purchase",
+    "multimodal_audio_decode",
+    "multimodal_frame_sample",
+    "multimodal_video_decode",
+    "nationkeys_union_distinct",
+    "orders_price_band_join",
+    "orders_profile",
+    "part_name_fuzzy_pairs",
+    "part_type_words",
 )
 
 
 def _ordered_names(merged: dict, oracles: dict) -> list[str]:
-    unknown = set(_R8_WINDOW) - merged.keys()
+    unknown = set(_R9_WINDOW) - merged.keys()
     if unknown:
         # Fail fast: a stale/misspelled window entry would otherwise
         # silently lose its gate slot (this masked a missing query in r4).
         raise ValueError(f"window names not in registry: {sorted(unknown)}")
-    order: list[str] = list(_R8_WINDOW)
+    order: list[str] = list(_R9_WINDOW)
     seen = set(order)
     # remainder: r3/r4-proven rows, oracled before rows-only
     rest = [n for n in merged if n not in seen]

@@ -1817,3 +1817,102 @@ ORACLE["corpus_dedup_cost_curve"] = f"""
       ON e.jaccard >= t.threshold
     GROUP BY t.threshold
 """
+
+
+def vocab_overlap_by_source_pair(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources — the corpus-mixing
+    / contamination screen: two crawl sources sharing most of their
+    vocabulary are near-redundant for training mix purposes (and a
+    benchmark source overlapping a train source is a leak signal).
+    Reports, per unordered source pair, each side's distinct-term
+    count, the shared-term count, and the vocabulary Jaccard.
+
+    Scale shape: one distinct over (source, term) — the per-source
+    vocabulary relation, vocabulary-scale not corpus-scale — then a
+    self-equi-join on term (key-partitioned; no pair enumeration
+    beyond terms actually shared) and a broadcast of the per-source
+    size table (rows = #sources, a bounded domain). All counts are
+    integers; the Jaccard is one deterministic division (6 dp)."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    vocab = (
+        docs.select(
+            "source", F.explode(F.split(F.col("text"), " ")).alias("term")
+        )
+        .distinct()
+    )
+    sizes = vocab.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms")
+    )
+    a = vocab.select(F.col("source").alias("source_a"), "term")
+    b = vocab.select(F.col("source").alias("source_b"), "term")
+    common = (
+        a.join(b, "term")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    out = (
+        common.join(
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("source_a"),
+                    F.col("n_terms").alias("n_terms_a"),
+                )
+            ),
+            "source_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("source_b"),
+                    F.col("n_terms").alias("n_terms_b"),
+                )
+            ),
+            "source_b",
+        )
+    )
+    return out.select(
+        "source_a",
+        "source_b",
+        "n_terms_a",
+        "n_terms_b",
+        "n_common",
+        pround(
+            F.col("n_common")
+            / (F.col("n_terms_a") + F.col("n_terms_b") - F.col("n_common")),
+            6,
+        ).alias("vocab_jaccard"),
+    )
+
+
+QUERIES["vocab_overlap_by_source_pair"] = vocab_overlap_by_source_pair
+
+ORACLE["vocab_overlap_by_source_pair"] = f"""
+    WITH vocab AS (
+        SELECT DISTINCT source, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    sizes AS (
+        SELECT source, count(*)::BIGINT AS n_terms
+        FROM vocab GROUP BY source
+    ),
+    common AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               count(*)::BIGINT AS n_common
+        FROM vocab a JOIN vocab b USING (term)
+        WHERE a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT source_a, source_b,
+           sa.n_terms AS n_terms_a,
+           sb.n_terms AS n_terms_b,
+           n_common,
+           {sql_round(
+               "n_common * 1.0 / (sa.n_terms + sb.n_terms - n_common)", 6
+           )} AS vocab_jaccard
+    FROM common
+    JOIN sizes sa ON sa.source = common.source_a
+    JOIN sizes sb ON sb.source = common.source_b
+"""

@@ -1486,3 +1486,74 @@ ORACLE["events_user_daily_sequences"] = """
     FROM events
     GROUP BY user_id, ts::DATE
 """
+
+
+def events_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Gini coefficient of the user activity
+    distribution — the traffic-concentration audit (bot/power-user
+    skew): Gini 0 = every user contributes equally, →1 = a handful of
+    users generate everything. Uses the rank formulation
+    G = 2·Σ(rank·x) / (n·Σx) − (n+1)/n over per-user counts ranked
+    ascending (ties broken by user_id identically in both engines).
+
+    Scale shape: per-(type, user) counts are one shuffle; the
+    ascending rank within each type goes through the grouped two-phase
+    layout (ops.global_order — a dominant event type ranks across many
+    tasks, never one window task); Σ(rank·x) and Σx are exact LONG
+    sums, so the final Gini is two deterministic double divisions
+    (6 dp)."""
+    from data_platform_spark.ops.global_order import grouped_running_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    ranked = grouped_running_sum(
+        per_user,
+        ["event_type"],
+        [F.asc("cnt"), F.asc("user_id")],
+        F.lit(1).cast("long"),
+        "rk",
+    )
+    agg = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("cnt").cast("long").alias("n_events"),
+        F.sum(F.col("rk") * F.col("cnt")).cast("long").alias("s_rank"),
+    )
+    gini = (2.0 * F.col("s_rank")) / (
+        F.col("n_users") * F.col("n_events")
+    ) - (F.col("n_users") + 1.0) / F.col("n_users")
+    return agg.select(
+        "event_type", "n_users", "n_events", pround(gini, 6).alias("gini")
+    )
+
+
+QUERIES["events_user_gini"] = events_user_gini
+
+ORACLE["events_user_gini"] = f"""
+    WITH per_user AS (
+        SELECT event_type, user_id, count(*)::BIGINT AS cnt
+        FROM events GROUP BY event_type, user_id
+    ),
+    ranked AS (
+        SELECT event_type, cnt,
+               row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY cnt ASC, user_id ASC
+               )::BIGINT AS rk
+        FROM per_user
+    ),
+    agg AS (
+        SELECT event_type,
+               count(*)::BIGINT AS n_users,
+               sum(cnt)::BIGINT AS n_events,
+               sum(rk * cnt)::BIGINT AS s_rank
+        FROM ranked GROUP BY event_type
+    )
+    SELECT event_type, n_users, n_events,
+           {sql_round(
+               "(2.0 * s_rank) / (n_users * n_events)"
+               " - (n_users + 1.0) / n_users", 6
+           )} AS gini
+    FROM agg
+"""

@@ -2847,3 +2847,75 @@ ORACLE["customer_revenue_pareto"] = f"""
            )} AS cum_rev_share
     FROM agg a CROSS JOIN n
 """
+
+
+def order_lineitem_count_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Order-size distribution per priority class: exact p50/p90/p99 of
+    lineitems-per-order plus order and lineitem totals — the basket-
+    size profile (a priority class whose p99 inflates signals batching
+    or fraud upstream). Orders without lineitems don't exist in the
+    star schema's integrity contract (tpch_fk_orphans audits it), so
+    the per-order counts derive from lineitem alone and join priorities
+    in.
+
+    Scale shape: one count per l_orderkey (map-side partial), a
+    key-partitioned join to orders for the priority, and exact
+    interpolated percentiles via the grouped two-phase layout
+    (ops.global_order.grouped_percentile — the priority DOMAIN is 5
+    values but a class's order count is unbounded; the native exact
+    percentile would buffer it in one aggregator)."""
+    from data_platform_spark.ops.global_order import grouped_percentile
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items")
+    )
+    sized = per_order.join(
+        orders.select(
+            F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+        ),
+        "l_orderkey",
+    )
+    base = sized.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("n_items").cast("long").alias("n_lineitems"),
+    )
+    pct = grouped_percentile(
+        sized,
+        ["o_orderpriority"],
+        "n_items",
+        {"p50": 0.5, "p90": 0.9, "p99": 0.99},
+    )
+    return base.join(pct, on="o_orderpriority", how="left").select(
+        "o_orderpriority",
+        "n_orders",
+        "n_lineitems",
+        pround(F.col("p50"), 4).alias("p50_items"),
+        pround(F.col("p90"), 4).alias("p90_items"),
+        pround(F.col("p99"), 4).alias("p99_items"),
+    )
+
+
+QUERIES["order_lineitem_count_percentiles"] = order_lineitem_count_percentiles
+
+ORACLE["order_lineitem_count_percentiles"] = f"""
+    WITH per_order AS (
+        SELECT l_orderkey, count(*)::BIGINT AS n_items
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    sized AS (
+        SELECT o.o_orderpriority, p.n_items
+        FROM per_order p JOIN orders o ON o.o_orderkey = p.l_orderkey
+    )
+    SELECT o_orderpriority,
+           count(*)::BIGINT AS n_orders,
+           sum(n_items)::BIGINT AS n_lineitems,
+           {sql_round("quantile_cont(n_items, 0.5)", 4)} AS p50_items,
+           {sql_round("quantile_cont(n_items, 0.9)", 4)} AS p90_items,
+           {sql_round("quantile_cont(n_items, 0.99)", 4)} AS p99_items
+    FROM sized
+    GROUP BY o_orderpriority
+"""

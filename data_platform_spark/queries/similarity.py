@@ -1166,3 +1166,77 @@ ORACLE["pq_subspace_distortion"] = f"""
     FROM per_cell
     GROUP BY m
 """
+
+
+def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding L2-norm audit — the vector-quality screen an
+    embedding pipeline runs before indexing: collapsed (near-zero-norm)
+    vectors poison cosine similarity, and a label whose norm
+    distribution shifts signals an encoder change. Reports, per label,
+    the count, near-zero count, exact mean norm, and exact p50/p95 norm
+    quantiles.
+
+    Determinism + scale shape: each vector's norm fixes to integer
+    MICRO-units (one sqrt + one floor per row), so the mean is an exact
+    LONG sum over any partitioning; the per-label quantiles run through
+    the grouped two-phase layout (ops.global_order.grouped_percentile —
+    a label holding half the corpus never buffers in one aggregator,
+    the r8 percentile discipline)."""
+    from data_platform_spark.ops.global_order import grouped_percentile
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"), spark)
+    scored = scoped_persist(
+        emb.select(
+            "label",
+            F.floor(
+                S.l2_norm(S.as_double(F.col("embedding"))) * 1_000_000
+                + F.lit(0.5)
+            ).cast("long").alias("norm_micro"),
+        )
+    )
+    base = scored.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.sum(
+            F.when(F.col("norm_micro") < 1_000, 1).otherwise(0)
+        ).cast("long").alias("n_near_zero"),
+        F.sum("norm_micro").cast("long").alias("sum_norm_micro"),
+    )
+    pct = grouped_percentile(
+        scored, ["label"], "norm_micro", {"p50": 0.5, "p95": 0.95}
+    )
+    return base.join(pct, on="label", how="left").select(
+        "label",
+        "n_vectors",
+        "n_near_zero",
+        pround(F.col("sum_norm_micro") / F.col("n_vectors") / 1_000_000, 6)
+        .alias("mean_norm"),
+        pround(F.col("p50") / 1_000_000, 6).alias("p50_norm"),
+        pround(F.col("p95") / 1_000_000, 6).alias("p95_norm"),
+    )
+
+
+QUERIES["embedding_norm_audit"] = embedding_norm_audit
+
+ORACLE["embedding_norm_audit"] = f"""
+    WITH scored AS (
+        SELECT label,
+               CAST(floor(
+                   sqrt(list_dot_product(embedding::DOUBLE[],
+                                         embedding::DOUBLE[]))
+                   * 1000000 + 0.5) AS BIGINT) AS norm_micro
+        FROM embeddings
+    )
+    SELECT label,
+           count(*)::BIGINT AS n_vectors,
+           sum(CASE WHEN norm_micro < 1000 THEN 1 ELSE 0 END)::BIGINT
+               AS n_near_zero,
+           {sql_round(
+               "sum(norm_micro) * 1.0 / count(*) / 1000000", 6
+           )} AS mean_norm,
+           {sql_round("quantile_cont(norm_micro, 0.5) / 1000000", 6)}
+               AS p50_norm,
+           {sql_round("quantile_cont(norm_micro, 0.95) / 1000000", 6)}
+               AS p95_norm
+    FROM scored
+    GROUP BY label
+"""

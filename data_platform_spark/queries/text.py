@@ -2537,3 +2537,346 @@ ORACLE["doc_readability_scores"] = f"""
            END AS ari
     FROM base
 """
+
+
+# ---------------------------------------------------------------------------
+# round 9: retrieval-leg agreement, char entropy, bigram-LM scoring
+# ---------------------------------------------------------------------------
+
+AGREEMENT_KS = [5, 10, 20]
+
+
+def hybrid_leg_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-eval diagnostic for the hybrid stack: how much do the
+    lexical (BM25) and dense (cosine) rankings AGREE at the top? For
+    each cutoff k: the size of each leg's top-k (< k when a leg ranks
+    fewer docs), the overlap, and the Jaccard of the two top-k sets.
+    Near-zero overlap means the legs retrieve complementary documents
+    (fusion helps most); near-total overlap means the dense leg adds
+    little over BM25 — the first question a retrieval eval answers.
+
+    Scale shape: both legs reuse the exact ranking derivations of
+    hybrid_rrf_topk (two-phase global row numbers — no single-partition
+    window), the cutoffs fan out from a 3-literal array explode over
+    the already-ranked fused relation, and every agreement number is an
+    integer count until the final single-division Jaccard (6 dp both
+    engines)."""
+    from data_platform_spark.functions import similarity as S
+    from data_platform_spark.ops.global_order import global_row_number
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    base = R.token_base(docs, ["doc_id"])
+    stats = R.corpus_stats(base)
+    matched = R.matched_postings(base, BM25_QUERY_TERMS, ["doc_id"])
+    lex_scored = R.score_tf(
+        R.tf_table(matched, ["doc_id"]),
+        R.df_table(matched, ["doc_id"]),
+        stats,
+        ["doc_id"],
+        with_match_count=False,
+    ).filter(F.col("doc_id") != 0)
+    lex = global_row_number(
+        lex_scored, [F.desc("score_micro"), F.asc("doc_id")], "rn_lex"
+    ).select("doc_id", "rn_lex")
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"), spark)
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        S.as_double(F.col("embedding")).alias("q")
+    )
+    dense_scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            pround(
+                S.cosine(S.as_double(F.col("embedding")), F.col("q")), 4
+            ).alias("cosine"),
+        )
+    )
+    dense = global_row_number(
+        dense_scored, [F.desc("cosine"), F.asc("doc_id")], "rn_dense"
+    ).select("doc_id", "rn_dense")
+
+    fused = dense.join(lex, "doc_id", "full_outer")
+    ks = F.explode(
+        F.array(*[F.lit(k) for k in AGREEMENT_KS])
+    ).alias("k")
+    per_k = fused.select("rn_lex", "rn_dense", ks).groupBy("k").agg(
+        F.sum(
+            F.when(F.col("rn_lex") <= F.col("k"), 1).otherwise(0)
+        ).cast("long").alias("n_lex"),
+        F.sum(
+            F.when(F.col("rn_dense") <= F.col("k"), 1).otherwise(0)
+        ).cast("long").alias("n_dense"),
+        F.sum(
+            F.when(
+                (F.col("rn_lex") <= F.col("k"))
+                & (F.col("rn_dense") <= F.col("k")),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("n_common"),
+    )
+    return per_k.select(
+        "k",
+        "n_lex",
+        "n_dense",
+        "n_common",
+        pround(
+            F.col("n_common")
+            / (F.col("n_lex") + F.col("n_dense") - F.col("n_common")),
+            6,
+        ).alias("topk_jaccard"),
+    )
+
+
+QUERIES["hybrid_leg_agreement"] = hybrid_leg_agreement
+
+
+def _hybrid_leg_agreement_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    ks = ", ".join(str(k) for k in AGREEMENT_KS)
+    cos = (
+        "list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[]) / "
+        "(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))"
+        " * sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])))"
+    )
+    return f"""
+        WITH base AS (
+            SELECT doc_id,
+                   len(string_split(text, ' '))::DOUBLE AS dl,
+                   string_split(text, ' ') AS ws
+            FROM documents
+        ),
+        stats AS (
+            SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM base
+        ),
+        matched AS (
+            SELECT doc_id, dl, term
+            FROM (SELECT doc_id, dl, unnest(ws) AS term FROM base)
+            WHERE term IN ({terms})
+        ),
+        tf AS (
+            SELECT doc_id, dl, term, count(*)::DOUBLE AS tf
+            FROM matched GROUP BY doc_id, dl, term
+        ),
+        df_tab AS (
+            SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+            FROM matched GROUP BY term
+        ),
+        lex_scored AS (
+            SELECT
+                tf.doc_id,
+                sum(CAST(floor(
+                    ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                    * (tf.tf * ({BM25_K1} + 1)) / (tf.tf + {BM25_K1}
+                       * (1 - {BM25_B} + {BM25_B} * tf.dl / s.avgdl))
+                    * 1000000 + 0.5) AS BIGINT))::BIGINT AS score_micro
+            FROM tf JOIN df_tab d USING (term) CROSS JOIN stats s
+            WHERE tf.doc_id != 0
+            GROUP BY tf.doc_id
+        ),
+        lex AS (
+            SELECT doc_id,
+                   row_number() OVER (
+                       ORDER BY score_micro DESC, doc_id ASC
+                   )::BIGINT AS rn_lex
+            FROM lex_scored
+        ),
+        q AS (
+            SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+        ),
+        dense_scored AS (
+            SELECT e.vec_id AS doc_id, {sql_round(cos, 4)} AS cosine
+            FROM embeddings e, q
+            WHERE e.vec_id != 0
+        ),
+        dense AS (
+            SELECT doc_id,
+                   row_number() OVER (
+                       ORDER BY cosine DESC, doc_id ASC
+                   )::BIGINT AS rn_dense
+            FROM dense_scored
+        ),
+        fused AS (
+            SELECT coalesce(d.doc_id, l.doc_id) AS doc_id,
+                   l.rn_lex, d.rn_dense
+            FROM dense d FULL OUTER JOIN lex l USING (doc_id)
+        ),
+        per_k AS (
+            SELECT k.k,
+                   sum(CASE WHEN rn_lex <= k.k THEN 1 ELSE 0 END)::BIGINT
+                       AS n_lex,
+                   sum(CASE WHEN rn_dense <= k.k THEN 1 ELSE 0 END)::BIGINT
+                       AS n_dense,
+                   sum(CASE WHEN rn_lex <= k.k AND rn_dense <= k.k
+                            THEN 1 ELSE 0 END)::BIGINT AS n_common
+            FROM fused CROSS JOIN (SELECT unnest([{ks}]) AS k) k
+            GROUP BY k.k
+        )
+        SELECT k::INT AS k, n_lex, n_dense, n_common,
+               {sql_round(
+                   "n_common * 1.0 / (n_lex + n_dense - n_common)", 6
+               )} AS topk_jaccard
+        FROM per_k
+    """
+
+
+ORACLE["hybrid_leg_agreement"] = _hybrid_leg_agreement_oracle()
+
+
+def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-level Shannon entropy (NATS): the
+    compressibility/gibberish signal — boilerplate and repeated
+    padding sit low, base64/random blobs sit near the alphabet's
+    maximum; a standard cheap quality feature next to doc_quality.
+
+    Determinism: each character class contributes
+    floor(p·ln(p)·1e6 + 0.5) MICRO-NATS — an integer — before the
+    per-doc sum, so the aggregate is order-independent (the BM25
+    discipline); entropy_micro = −sum. Characters enumerate via
+    substr(text, i, 1) in both engines (no split-on-empty edge
+    cases)."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    chars = docs.select(
+        "doc_id",
+        F.length("text").alias("n"),
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text)), "
+                "i -> substring(text, i, 1))"
+            )
+        ).alias("ch"),
+    ).filter(F.col("n") > 0)
+    counts = chars.groupBy("doc_id", "n", "ch").agg(
+        F.count(F.lit(1)).cast("double").alias("cnt")
+    )
+    p = F.col("cnt") / F.col("n")
+    contrib = F.floor(p * F.log(p) * 1_000_000 + F.lit(0.5)).cast("long")
+    return counts.groupBy("doc_id").agg(
+        F.first("n").alias("n_chars"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_chars"),
+        (-F.sum(contrib)).alias("entropy_micro"),
+    )
+
+
+QUERIES["doc_char_entropy"] = doc_char_entropy
+
+ORACLE["doc_char_entropy"] = """
+    WITH chars AS (
+        SELECT doc_id, length(text)::BIGINT AS n,
+               unnest(list_transform(range(1, length(text) + 1),
+                                     i -> substr(text, i, 1))) AS ch
+        FROM documents
+        WHERE length(text) > 0
+    ),
+    counts AS (
+        SELECT doc_id, n, ch, count(*)::DOUBLE AS cnt
+        FROM chars GROUP BY doc_id, n, ch
+    )
+    SELECT doc_id,
+           any_value(n) AS n_chars,
+           count(*)::BIGINT AS n_distinct_chars,
+           (-sum(CAST(floor((cnt / n) * ln(cnt / n) * 1000000 + 0.5)
+                      AS BIGINT)))::BIGINT AS entropy_micro
+    FROM counts
+    GROUP BY doc_id
+"""
+
+
+def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean bigram log-probability under an add-one-
+    smoothed corpus bigram LM — the CCNet-style LM-quality filter one
+    step up from doc_unigram_logprob: word-salad documents whose
+    unigrams look normal still score low because their TRANSITIONS are
+    rare. P(w2|w1) = (C(w1,w2) + 1) / (C(w1) + V); docs with fewer
+    than two tokens have no bigrams and are excluded.
+
+    Determinism: each bigram contributes floor(ln(P)·1e6 + 0.5)
+    micro-nats (integer) before the per-doc sum; the mean is one
+    LONG/LONG division, 4 dp. Scale shape: two token-level groupBys
+    build the LM (bigram + unigram counts, both corpus-bounded
+    relations), the scoring join is bigram→LM (broadcast-ineligible at
+    scale but key-partitioned), no windows."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    ws = F.split(F.col("text"), " ")
+    big = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(text, ' ')) - 1), "
+                "i -> struct(split(text, ' ')[i - 1] AS w1, "
+                "split(text, ' ')[i] AS w2))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    uni = docs.select(F.explode(ws).alias("w1")).groupBy("w1").agg(
+        F.count(F.lit(1)).cast("double").alias("c1")
+    )
+    vocab = uni.agg(F.count(F.lit(1)).cast("double").alias("v"))
+    bgc = big.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("double").alias("c12")
+    )
+    scored = (
+        big.join(bgc, ["w1", "w2"])
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.floor(
+                F.log((F.col("c12") + 1.0) / (F.col("c1") + F.col("v")))
+                * 1_000_000
+                + F.lit(0.5)
+            ).cast("long").alias("lp_micro"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("lp_micro").alias("sum_lp_micro"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_bigrams",
+        pround(F.col("sum_lp_micro") / F.col("n_bigrams") / 1_000_000, 4)
+        .alias("avg_logprob"),
+    )
+
+
+QUERIES["doc_bigram_logprob"] = doc_bigram_logprob
+
+ORACLE["doc_bigram_logprob"] = """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    big AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(ws)),
+                      i -> {'w1': ws[i], 'w2': ws[i + 1]}),
+                      recursive := true)
+        FROM toks
+    ),
+    uni AS (
+        SELECT w1, count(*)::DOUBLE AS c1
+        FROM (SELECT unnest(ws) AS w1 FROM toks)
+        GROUP BY w1
+    ),
+    vocab AS (SELECT count(*)::DOUBLE AS v FROM uni),
+    bgc AS (
+        SELECT w1, w2, count(*)::DOUBLE AS c12
+        FROM big GROUP BY w1, w2
+    ),
+    scored AS (
+        SELECT big.doc_id,
+               CAST(floor(ln((bgc.c12 + 1.0) / (uni.c1 + vocab.v))
+                          * 1000000 + 0.5) AS BIGINT) AS lp_micro
+        FROM big
+        JOIN bgc USING (w1, w2)
+        JOIN uni USING (w1)
+        CROSS JOIN vocab
+    )
+    SELECT doc_id,
+           count(*)::BIGINT AS n_bigrams,
+           floor((sum(lp_micro) * 1.0 / count(*) / 1000000) * 10000 + 0.5)
+               / 10000 AS avg_logprob
+    FROM scored
+    GROUP BY doc_id
+"""
