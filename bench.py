@@ -55,7 +55,9 @@ from data_platform_spark.session import get_spark  # noqa: E402
 # k-means IVF ANN, FK-integrity audit; plus (round 7) the retrieval stack
 # (BM25 + hybrid RRF), the window-rewritten attribution, and the
 # dedup decision ledger; plus (round 8) the grouped-percentile family
-# (IQR outliers) and the sliding-distinct family (weekly active users).
+# (IQR outliers) and the sliding-distinct family (weekly active users);
+# plus (round 9) the bigram-LM scoring family and the exact-integer
+# rank-statistic family (user Gini).
 HEADLINE = [
     "q1_pricing_summary",
     "q3_top_revenue_orders",
@@ -81,6 +83,8 @@ HEADLINE = [
     "dedup_decision_report",
     "order_value_iqr_outliers",
     "events_weekly_active_users",
+    "doc_bigram_logprob",
+    "events_user_gini",
 ]
 
 

@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Measure serving-path speedup of the persisted hybrid index
+(ops/hybrid_index.hybrid_search_index) vs the oracled full re-derive
+(queries/text.hybrid_rrf_topk) on the same corpus.
+
+The oracled query re-tokenizes the corpus and re-scans every embedding
+per call so DuckDB can verify the math; the persisted composition reads
+only pruned index slices. This script records both wall-clocks at a
+given SF plus the index build cost, so PLANS.md can carry the
+amortization argument with numbers instead of adjectives.
+
+Usage: python scripts/measure_hybrid_index.py [sf_dir] [n_serves]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+N_SERVES = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+WORK = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".scale",
+    "hybrid-measure",
+)
+
+
+def main() -> None:
+    from data_platform_spark.cache import release_caches
+    from data_platform_spark.ops.ann_index import build_ivf_index
+    from data_platform_spark.ops.hybrid_index import hybrid_search_index
+    from data_platform_spark.ops.lexical_index import build_lexical_index
+    from data_platform_spark.queries.text import (
+        BM25_QUERY_TERMS,
+        hybrid_rrf_topk,
+    )
+    from data_platform_spark.session import get_spark
+    from data_platform_spark.sources.tables import load_table
+
+    spark = get_spark(app_name="measure-hybrid")
+    shutil.rmtree(WORK, ignore_errors=True)
+    lex_path, ivf_path = f"{WORK}/lex", f"{WORK}/ivf"
+
+    docs = load_table(spark, SF, "documents")
+    emb = load_table(spark, SF, "embeddings")
+    t0 = time.perf_counter()
+    build_lexical_index(docs, lex_path)
+    t_lex = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    build_ivf_index(emb, ivf_path, k=8)
+    t_ivf = time.perf_counter() - t0
+
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+
+    def timed(fn) -> list[float]:
+        out = []
+        for _ in range(N_SERVES):
+            t = time.perf_counter()
+            fn().write.format("noop").mode("overwrite").save()
+            release_caches()
+            out.append(round(time.perf_counter() - t, 3))
+        return out
+
+    rederive = timed(lambda: hybrid_rrf_topk(spark, SF))
+    served_exact = timed(
+        lambda: hybrid_search_index(
+            spark, lex_path, ivf_path, BM25_QUERY_TERMS, qvec,
+            topk=20, nprobe=8, exclude_ids=[0],
+        )
+    )
+    served_pruned = timed(
+        lambda: hybrid_search_index(
+            spark, lex_path, ivf_path, BM25_QUERY_TERMS, qvec,
+            topk=20, nprobe=2, exclude_ids=[0],
+        )
+    )
+    print(f"sf_dir={SF} n_serves={N_SERVES}")
+    print(f"build: lexical={t_lex:.2f}s ivf={t_ivf:.2f}s")
+    print(f"re-derive (oracled query): {rederive}")
+    print(f"served nprobe=8 (exact):   {served_exact}")
+    print(f"served nprobe=2 (pruned):  {served_pruned}")
+    med = lambda xs: sorted(xs)[len(xs) // 2]
+    print(
+        f"medians: rederive={med(rederive)} exact={med(served_exact)} "
+        f"pruned={med(served_pruned)}"
+    )
+    spark.stop()
+    shutil.rmtree(WORK, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
