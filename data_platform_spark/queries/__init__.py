@@ -41,13 +41,17 @@ def _modules():
 
 
 # The driver's correctness gate checks the FIRST ~50 registered queries, in
-# dict order. Cumulative accounting entering round 9: 195 registered (194
+# dict order. Cumulative accounting entering round 9: 200 registered (199
 # oracled — the floor: approx_stats_sketches exposes engine-specific
 # sketch internals); every query registered through r8 carries a
 # driver-green row. The round-9 window packs, in order:
-# (1) never driver-green: the 7 queries new this round (retrieval-leg
+# (1) never driver-green: the 20 queries new this round (retrieval-leg
 #     agreement, char entropy, bigram-LM scoring, user Gini, vocabulary
-#     overlap, embedding norm audit, order-size percentiles);
+#     overlap, embedding norm audit, order-size percentiles, brand
+#     affinity lift, supplier-revenue HHI, weekday seasonality,
+#     event-type PMI, n-gram novelty, brand return rates, supplier
+#     redundancy, ship-delay percentiles, source KL drift, lexical
+#     diversity, session paths, embedding dim stats, order intervals);
 # (2) re-proof of machinery touched this round: the cache registry went
 #     thread-scoped (scoped_persist/release semantics identical
 #     single-threaded, but every LSH/SRP/global_order consumer body
@@ -76,6 +80,19 @@ _R9_WINDOW = (
     "vocab_overlap_by_source_pair",
     "embedding_norm_audit",
     "order_lineitem_count_percentiles",
+    "order_brand_affinity",
+    "nation_supplier_revenue_hhi",
+    "orders_weekday_profile",
+    "event_type_user_affinity_pmi",
+    "corpus_ngram_novelty",
+    "brand_return_rates",
+    "part_supplier_redundancy",
+    "ship_delay_percentiles",
+    "source_unigram_kl",
+    "doc_lexical_diversity",
+    "events_session_paths",
+    "embedding_dim_stats",
+    "customer_order_intervals",
     # (2) re-proof: thread-scoped cache registry consumers (one per
     # family that scoped_persists: LSH dedup, decision ledger, curation,
     # SRP, bucketed knn) + global_order/grouped_percentile composers
@@ -114,19 +131,14 @@ _R9_WINDOW = (
     "customers_with_orders",
     "customers_without_orders",
     "doc_redaction",
-    "doc_repetition_stats",
-    "events_clustered_time_slice",
-    "events_rolling_hour_value",
-    "events_rollup_incremental",
-    "funnel_click_to_purchase",
-    "multimodal_audio_decode",
-    "multimodal_frame_sample",
-    "multimodal_video_decode",
-    "nationkeys_union_distinct",
-    "orders_price_band_join",
-    "orders_profile",
-    "part_name_fuzzy_pairs",
-    "part_type_words",
+    # (doc_repetition_stats, events_clustered_time_slice,
+    # events_rolling_hour_value, events_rollup_incremental,
+    # funnel_click_to_purchase, multimodal_audio_decode,
+    # multimodal_frame_sample, multimodal_video_decode yielded their
+    # refresh slots to the round's third query batch, and
+    # nationkeys_union_distinct, orders_price_band_join, orders_profile,
+    # part_name_fuzzy_pairs, part_type_words to the second — all
+    # r4-green, unchanged, first in line for r10)
 )
 
 

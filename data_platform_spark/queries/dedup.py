@@ -1916,3 +1916,86 @@ ORACLE["vocab_overlap_by_source_pair"] = f"""
     JOIN sizes sa ON sa.source = common.source_a
     JOIN sizes sb ON sb.source = common.source_b
 """
+
+
+NOVELTY_NGRAM = 3
+
+
+def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-occurrence novelty curve: per document, the share of its
+    DISTINCT word 3-grams that no lower-doc_id document contains — the
+    marginal-content signal dedup thresholds are tuned against (a
+    batch whose novelty collapses is re-crawl; a boilerplate template
+    shows up as a long tail of near-zero novelty without ever being an
+    exact dup).
+
+    Scale shape: the corpus explodes once to distinct (gram, doc) rows;
+    first-occurrence attribution is one min(doc_id) groupBy per gram
+    joined back on the gram key — no self-join, no window, no pair
+    enumeration. Counts are exact LONGs; the share is one division
+    (6 dp)."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    grams = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(size(split(text,' '))"
+                    f" - {NOVELTY_NGRAM - 1}, 0)), i -> "
+                    "concat_ws(' ', slice(split(text,' '), i, "
+                    f"{NOVELTY_NGRAM})))"
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    first = grams.groupBy("gram").agg(
+        F.min("doc_id").alias("first_doc")
+    )
+    per_doc = (
+        grams.join(first, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).cast("long").alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "n_novel",
+        pround(F.col("n_novel") / F.col("n_grams"), 6).alias("novelty"),
+    )
+
+
+QUERIES["corpus_ngram_novelty"] = corpus_ngram_novelty
+
+ORACLE["corpus_ngram_novelty"] = f"""
+    WITH grams AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(
+                   range(1, greatest(len(string_split(text, ' '))
+                                     - {NOVELTY_NGRAM - 1}, 0) + 1),
+                   i -> array_to_string(
+                       list_slice(string_split(text, ' '),
+                                  i, i + {NOVELTY_NGRAM - 1}), ' ')
+               )) AS gram
+        FROM documents
+    ),
+    first AS (
+        SELECT gram, min(doc_id)::BIGINT AS first_doc
+        FROM grams GROUP BY gram
+    )
+    SELECT g.doc_id,
+           count(*)::BIGINT AS n_grams,
+           sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)::BIGINT
+               AS n_novel,
+           {sql_round(
+               "sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)"
+               " * 1.0 / count(*)", 6
+           )} AS novelty
+    FROM grams g JOIN first f USING (gram)
+    GROUP BY g.doc_id
+"""

@@ -1557,3 +1557,201 @@ ORACLE["events_user_gini"] = f"""
            )} AS gini
     FROM agg
 """
+
+
+def event_type_user_affinity_pmi(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pointwise mutual information between event-type PAIRS over user
+    co-occurrence: which behaviors travel together (error↔purchase
+    co-occurring above chance flags a checkout bug cohort; signup↔view
+  	below chance flags onboarding drop-off). The user-behavior twin of
+    term_cooccurrence_pmi.
+
+    Scale shape: events collapse to distinct (user, type) first — the
+    per-user type set is bounded by the 5-value TYPE domain, so the
+    user-keyed self-join fans out ≤ 25 rows per user; supports are a
+    bounded-domain aggregate broadcast back. PMI = ln(c_ab·N /
+    (c_a·c_b)) over exact LONG products, one log + one rounding
+    (6 dp)."""
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    n = ut.agg(
+        F.countDistinct("user_id").cast("long").alias("n_users")
+    )
+    support = ut.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("s")
+    )
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_co_users"))
+    )
+    out = (
+        pairs.join(
+            F.broadcast(
+                support.select(
+                    F.col("event_type").alias("type_a"),
+                    F.col("s").alias("s_a"),
+                )
+            ),
+            "type_a",
+        )
+        .join(
+            F.broadcast(
+                support.select(
+                    F.col("event_type").alias("type_b"),
+                    F.col("s").alias("s_b"),
+                )
+            ),
+            "type_b",
+        )
+        .crossJoin(F.broadcast(n))
+    )
+    return out.select(
+        "type_a",
+        "type_b",
+        "n_co_users",
+        "s_a",
+        "s_b",
+        pround(
+            F.log(
+                (F.col("n_co_users") * F.col("n_users"))
+                / (F.col("s_a") * F.col("s_b"))
+            ),
+            6,
+        ).alias("pmi"),
+    )
+
+
+QUERIES["event_type_user_affinity_pmi"] = event_type_user_affinity_pmi
+
+ORACLE["event_type_user_affinity_pmi"] = f"""
+    WITH ut AS (
+        SELECT DISTINCT user_id, event_type FROM events
+    ),
+    n AS (SELECT count(DISTINCT user_id)::BIGINT AS n_users FROM ut),
+    support AS (
+        SELECT event_type, count(*)::BIGINT AS s
+        FROM ut GROUP BY event_type
+    ),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               count(*)::BIGINT AS n_co_users
+        FROM ut a JOIN ut b USING (user_id)
+        WHERE a.event_type < b.event_type
+        GROUP BY a.event_type, b.event_type
+    )
+    SELECT type_a, type_b, n_co_users,
+           sa.s AS s_a, sb.s AS s_b,
+           {sql_round(
+               "ln((n_co_users * n.n_users) * 1.0 / (sa.s * sb.s))", 6
+           )} AS pmi
+    FROM pairs
+    JOIN support sa ON sa.event_type = pairs.type_a
+    JOIN support sb ON sb.event_type = pairs.type_b
+    CROSS JOIN n
+"""
+
+
+SESSION_PATH_LEN = 3
+
+
+def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top session-opening paths: the first three event types of every
+    30-min-gap session concatenated into a path string, with session
+    counts and shares — the navigation fingerprint a product team
+    reads ("view>click>purchase" vs "view>error>view") and the same
+    session definition events_sessionize pins.
+
+    Scale shape: the lag/cumulative-sum session assignment runs in the
+    user-partitioned window (per-user state only); the per-session
+    collect is CAPPED at the first 3 rows by a rank filter before any
+    array forms, so no aggregate buffers an unbounded session; path
+    counts land in a bounded domain (≤ |event types|³ paths)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ms = F.unix_millis(F.col("ts"))
+    new_session = (
+        F.when(ms - F.lag(ms).over(w) > F.lit(SESSION_GAP_MS), 1)
+        .otherwise(0)
+    )
+    sess = ev.withColumn("is_new", new_session).withColumn(
+        "session_id", F.sum("is_new").over(wcum) + 1
+    )
+    wsess = Window.partitionBy("user_id", "session_id").orderBy(
+        "ts", "event_id"
+    )
+    first3 = (
+        sess.withColumn("rn", F.row_number().over(wsess))
+        .filter(F.col("rn") <= SESSION_PATH_LEN)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rn", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+            ).alias("path")
+        )
+    )
+    counts = first3.groupBy("path").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions")
+    )
+    tot = counts.agg(F.sum("n_sessions").alias("total_sessions"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "path",
+        "n_sessions",
+        pround(F.col("n_sessions") / F.col("total_sessions"), 6).alias(
+            "share"
+        ),
+    )
+
+
+QUERIES["events_session_paths"] = events_session_paths
+
+ORACLE["events_session_paths"] = f"""
+    WITH marked AS (
+        SELECT user_id, event_type, ts, event_id,
+               CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id)
+                        > {SESSION_GAP_MS}
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id, event_type, ts, event_id,
+               sum(is_new) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) + 1 AS session_id
+        FROM marked
+    ),
+    ranked AS (
+        SELECT user_id, session_id, event_type,
+               row_number() OVER (PARTITION BY user_id, session_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM sess
+    ),
+    paths AS (
+        SELECT user_id, session_id,
+               string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM ranked WHERE rn <= {SESSION_PATH_LEN}
+        GROUP BY user_id, session_id
+    ),
+    counts AS (
+        SELECT path, count(*)::BIGINT AS n_sessions
+        FROM paths GROUP BY path
+    ),
+    tot AS (SELECT sum(n_sessions)::BIGINT AS total_sessions FROM counts)
+    SELECT path, n_sessions,
+           {sql_round("n_sessions * 1.0 / total_sessions", 6)} AS share
+    FROM counts CROSS JOIN tot
+"""

@@ -2919,3 +2919,573 @@ ORACLE["order_lineitem_count_percentiles"] = f"""
     FROM sized
     GROUP BY o_orderpriority
 """
+
+
+def order_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket brand affinity: for every pair of part brands
+    co-occurring in one order, the co-order count and the LIFT
+    (observed co-orders vs independence) — the association-rule table
+    behind cross-sell and assortment decisions.
+
+    Scale shape: orders collapse to distinct (order, brand) first —
+    the per-order brand set is bounded by the BRAND domain (~25), so
+    the orderkey self-join fans out at most |brands|² per order, never
+    lineitem². Supports are bounded-domain aggregates broadcast back;
+    lift = (c_ab·N) / (s_a·s_b) is exact LONG products with one final
+    division (6 dp)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    ob = (
+        li.select("l_orderkey", "l_partkey")
+        .join(
+            F.broadcast(
+                part.select(
+                    F.col("p_partkey").alias("l_partkey"), "p_brand"
+                )
+            ),
+            "l_partkey",
+        )
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n = ob.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n_orders")
+    )
+    support = ob.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("s")
+    )
+    a = ob.select("l_orderkey", F.col("p_brand").alias("brand_a"))
+    b = ob.select("l_orderkey", F.col("p_brand").alias("brand_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_co_orders"))
+    )
+    out = (
+        pairs.join(
+            F.broadcast(
+                support.select(
+                    F.col("p_brand").alias("brand_a"),
+                    F.col("s").alias("s_a"),
+                )
+            ),
+            "brand_a",
+        )
+        .join(
+            F.broadcast(
+                support.select(
+                    F.col("p_brand").alias("brand_b"),
+                    F.col("s").alias("s_b"),
+                )
+            ),
+            "brand_b",
+        )
+        .crossJoin(F.broadcast(n))
+    )
+    return out.select(
+        "brand_a",
+        "brand_b",
+        "n_co_orders",
+        "s_a",
+        "s_b",
+        pround(
+            (F.col("n_co_orders") * F.col("n_orders"))
+            / (F.col("s_a") * F.col("s_b")),
+            6,
+        ).alias("lift"),
+    )
+
+
+QUERIES["order_brand_affinity"] = order_brand_affinity
+
+ORACLE["order_brand_affinity"] = f"""
+    WITH ob AS (
+        SELECT DISTINCT l.l_orderkey, p.p_brand
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    n AS (SELECT count(DISTINCT l_orderkey)::BIGINT AS n_orders FROM ob),
+    support AS (
+        SELECT p_brand, count(*)::BIGINT AS s FROM ob GROUP BY p_brand
+    ),
+    pairs AS (
+        SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+               count(*)::BIGINT AS n_co_orders
+        FROM ob a JOIN ob b USING (l_orderkey)
+        WHERE a.p_brand < b.p_brand
+        GROUP BY a.p_brand, b.p_brand
+    )
+    SELECT brand_a, brand_b, n_co_orders,
+           sa.s AS s_a, sb.s AS s_b,
+           {sql_round(
+               "(n_co_orders * n.n_orders) * 1.0 / (sa.s * sb.s)", 6
+           )} AS lift
+    FROM pairs
+    JOIN support sa ON sa.p_brand = pairs.brand_a
+    JOIN support sb ON sb.p_brand = pairs.brand_b
+    CROSS JOIN n
+"""
+
+
+def nation_supplier_revenue_hhi(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Supplier-concentration audit per nation: the Herfindahl-
+    Hirschman index of lineitem revenue across each nation's suppliers
+    (HHI 1/n = perfectly even, → 1 = single-supplier dependence) plus
+    the top supplier's share — the supply-risk table.
+
+    Determinism: revenue fixes to CENTS per lineitem (exact LONG
+    sums); each supplier's share fixes to integer MICRO-units via one
+    double multiply/divide before squaring, so the HHI sum is an exact
+    LONG fold with one final 1e-12 scaling. Scale shape: one groupBy
+    per (nation, supplier), a bounded-domain (nation) rollup, and a
+    max() instead of any window."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+        + F.lit(0.5)
+    ).cast("long")
+    per_sup = (
+        li.select("l_suppkey", cents.alias("rev_cents"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("rev_cents").alias("rev_cents"))
+        .join(
+            F.broadcast(
+                sup.select(
+                    F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+                )
+            ),
+            "l_suppkey",
+        )
+    )
+    nat_tot = per_sup.groupBy("s_nationkey").agg(
+        F.sum("rev_cents").alias("nation_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+    )
+    share_micro = F.floor(
+        F.col("rev_cents").cast("double")
+        * 1_000_000
+        / F.col("nation_cents")
+        + F.lit(0.5)
+    ).cast("long")
+    shared = per_sup.join(F.broadcast(nat_tot), "s_nationkey").select(
+        "s_nationkey",
+        "n_suppliers",
+        share_micro.alias("share_micro"),
+    )
+    agg = shared.groupBy("s_nationkey", "n_suppliers").agg(
+        F.sum(F.col("share_micro") * F.col("share_micro")).alias(
+            "hhi_sum"
+        ),
+        F.max("share_micro").alias("top_share_micro"),
+    )
+    return agg.join(
+        F.broadcast(
+            nat.select(
+                F.col("n_nationkey").alias("s_nationkey"), "n_name"
+            )
+        ),
+        "s_nationkey",
+    ).select(
+        "n_name",
+        "n_suppliers",
+        pround(F.col("hhi_sum") / F.lit(1_000_000_000_000.0), 6).alias(
+            "hhi"
+        ),
+        pround(
+            F.col("top_share_micro") / F.lit(1_000_000.0), 6
+        ).alias("top_supplier_share"),
+    )
+
+
+QUERIES["nation_supplier_revenue_hhi"] = nation_supplier_revenue_hhi
+
+ORACLE["nation_supplier_revenue_hhi"] = f"""
+    WITH per_sup AS (
+        SELECT l_suppkey,
+               sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                              + 0.5) AS BIGINT))::BIGINT AS rev_cents
+        FROM lineitem GROUP BY l_suppkey
+    ),
+    located AS (
+        SELECT p.rev_cents, s.s_nationkey
+        FROM per_sup p JOIN supplier s ON s.s_suppkey = p.l_suppkey
+    ),
+    nat_tot AS (
+        SELECT s_nationkey, sum(rev_cents)::BIGINT AS nation_cents,
+               count(*)::BIGINT AS n_suppliers
+        FROM located GROUP BY s_nationkey
+    ),
+    shared AS (
+        SELECT l.s_nationkey, t.n_suppliers,
+               CAST(floor(l.rev_cents * 1.0 * 1000000 / t.nation_cents
+                          + 0.5) AS BIGINT) AS share_micro
+        FROM located l JOIN nat_tot t USING (s_nationkey)
+    ),
+    agg AS (
+        SELECT s_nationkey, n_suppliers,
+               sum(share_micro * share_micro)::BIGINT AS hhi_sum,
+               max(share_micro)::BIGINT AS top_share_micro
+        FROM shared GROUP BY s_nationkey, n_suppliers
+    )
+    SELECT n.n_name, a.n_suppliers,
+           {sql_round("a.hhi_sum / 1000000000000.0", 6)} AS hhi,
+           {sql_round("a.top_share_micro / 1000000.0", 6)}
+               AS top_supplier_share
+    FROM agg a JOIN nation n ON n.n_nationkey = a.s_nationkey
+"""
+
+
+def orders_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue seasonality by day-of-week: order count, cent-exact
+    revenue, each weekday's revenue share in micro-units, and the
+    deviation from the uniform 1/7 share — the demand-shape table
+    capacity planning reads. One groupBy over a 7-value domain; shares
+    derive from exact LONG cents with one double division each."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    per_dow = orders.select(
+        F.dayofweek("o_orderdate").alias("dow"), cents.alias("cents")
+    ).groupBy("dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("cents").alias("rev_cents"),
+    )
+    tot = per_dow.agg(F.sum("rev_cents").alias("total_cents"))
+    out = per_dow.crossJoin(F.broadcast(tot))
+    share = F.col("rev_cents") / F.col("total_cents")
+    return out.select(
+        "dow",
+        "n_orders",
+        (F.col("rev_cents") / F.lit(100.0)).alias("revenue"),
+        pround(share, 6).alias("revenue_share"),
+        pround(share - 1.0 / 7.0, 6).alias("uniform_deviation"),
+    )
+
+
+QUERIES["orders_weekday_profile"] = orders_weekday_profile
+
+ORACLE["orders_weekday_profile"] = f"""
+    WITH per_dow AS (
+        SELECT (dayofweek(o_orderdate) + 1)::INT AS dow,
+               count(*)::BIGINT AS n_orders,
+               sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT
+                   AS rev_cents
+        FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT sum(rev_cents)::BIGINT AS total_cents FROM per_dow)
+    SELECT dow, n_orders,
+           rev_cents / 100.0 AS revenue,
+           {sql_round("rev_cents * 1.0 / total_cents", 6)}
+               AS revenue_share,
+           {sql_round(
+               "rev_cents * 1.0 / total_cents - 1.0 / 7.0", 6
+           )} AS uniform_deviation
+    FROM per_dow CROSS JOIN tot
+"""
+
+
+def brand_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand return audit: shipped lineitems, returned lineitems
+    (l_returnflag = 'R'), the return rate, and the cent-exact revenue
+    lost to returns — the quality/claims table a merchandiser reads
+    before delisting a brand.
+
+    Determinism: revenue fixes to CENTS per lineitem before any sum
+    (exact LONG folds, order-independent); the rate is one final
+    division (6 dp). Scale shape: one broadcast join to the part dim
+    and one bounded-domain (brand) aggregate with map-side partials —
+    a single shuffle keyed by the ~25-value brand domain."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+        + F.lit(0.5)
+    ).cast("long")
+    is_ret = (F.col("l_returnflag") == "R").cast("long")
+    joined = li.select(
+        "l_partkey",
+        cents.alias("rev_cents"),
+        is_ret.alias("is_ret"),
+    ).join(
+        F.broadcast(
+            part.select(F.col("p_partkey").alias("l_partkey"), "p_brand")
+        ),
+        "l_partkey",
+    )
+    agg = joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum("is_ret").cast("long").alias("n_returned"),
+        F.sum(F.col("is_ret") * F.col("rev_cents")).cast("long").alias(
+            "returned_cents"
+        ),
+    )
+    return agg.select(
+        "p_brand",
+        "n_items",
+        "n_returned",
+        pround(F.col("n_returned") / F.col("n_items"), 6).alias(
+            "return_rate"
+        ),
+        (F.col("returned_cents") / 100).alias("returned_revenue"),
+    )
+
+
+QUERIES["brand_return_rates"] = brand_return_rates
+
+ORACLE["brand_return_rates"] = f"""
+    WITH joined AS (
+        SELECT p.p_brand,
+               CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100
+                          + 0.5) AS BIGINT) AS rev_cents,
+               CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS is_ret
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    )
+    SELECT p_brand,
+           count(*)::BIGINT AS n_items,
+           sum(is_ret)::BIGINT AS n_returned,
+           {sql_round("sum(is_ret) * 1.0 / count(*)", 6)} AS return_rate,
+           sum(is_ret * rev_cents)::BIGINT / 100.0 AS returned_revenue
+    FROM joined
+    GROUP BY p_brand
+"""
+
+
+def part_supplier_redundancy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Supply-chain redundancy per brand: how many parts ship from
+    exactly one supplier (single-source risk), from two, or from three
+    or more — the resilience histogram procurement reads when a
+    supplier fails. Derived from observed lineitem flows (a part's
+    REAL supplier set), not a static catalog.
+
+    Scale shape: distinct (part, supplier) first — one shuffle on the
+    part key — then a per-part count and a bounded-domain (brand ×
+    3-bucket) rollup; the part dim broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    per_part = ps.groupBy("l_partkey").agg(
+        F.countDistinct("l_suppkey").cast("long").alias("n_suppliers")
+    )
+    bucketed = per_part.join(
+        F.broadcast(
+            part.select(F.col("p_partkey").alias("l_partkey"), "p_brand")
+        ),
+        "l_partkey",
+    ).select(
+        "p_brand",
+        F.when(F.col("n_suppliers") >= 3, F.lit("3+"))
+        .otherwise(F.col("n_suppliers").cast("string"))
+        .alias("supplier_bucket"),
+    )
+    agg = bucketed.groupBy("p_brand", "supplier_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts")
+    )
+    tot = agg.groupBy("p_brand").agg(
+        F.sum("n_parts").alias("brand_parts")
+    )
+    return agg.join(F.broadcast(tot), "p_brand").select(
+        "p_brand",
+        "supplier_bucket",
+        "n_parts",
+        pround(F.col("n_parts") / F.col("brand_parts"), 6).alias(
+            "share"
+        ),
+    )
+
+
+QUERIES["part_supplier_redundancy"] = part_supplier_redundancy
+
+ORACLE["part_supplier_redundancy"] = f"""
+    WITH per_part AS (
+        SELECT l_partkey,
+               count(DISTINCT l_suppkey)::BIGINT AS n_suppliers
+        FROM lineitem GROUP BY l_partkey
+    ),
+    bucketed AS (
+        SELECT p.p_brand,
+               CASE WHEN pp.n_suppliers >= 3 THEN '3+'
+                    ELSE CAST(pp.n_suppliers AS VARCHAR) END
+                   AS supplier_bucket
+        FROM per_part pp JOIN part p ON p.p_partkey = pp.l_partkey
+    ),
+    agg AS (
+        SELECT p_brand, supplier_bucket, count(*)::BIGINT AS n_parts
+        FROM bucketed GROUP BY p_brand, supplier_bucket
+    ),
+    tot AS (
+        SELECT p_brand, sum(n_parts)::BIGINT AS brand_parts
+        FROM agg GROUP BY p_brand
+    )
+    SELECT a.p_brand, a.supplier_bucket, a.n_parts,
+           {sql_round("a.n_parts * 1.0 / t.brand_parts", 6)} AS share
+    FROM agg a JOIN tot t ON t.p_brand = a.p_brand
+"""
+
+
+def ship_delay_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfilment-latency SLA per priority class: exact p50/p90/p99 of
+    order-to-ship delay days plus the mean — the lead-time table an
+    ops team alerts on (a priority class whose p99 detaches from its
+    p50 means a stuck fulfilment queue, invisible in the mean).
+
+    Scale shape: the delay projects per lineitem after a key-
+    partitioned join to orders; the priority DOMAIN is 5 values but a
+    class's lineitem count is unbounded, so the exact interpolated
+    percentiles ride the grouped two-phase layout
+    (ops.global_order.grouped_percentile) instead of the native
+    buffer-the-group aggregate; the mean is an exact LONG day-sum."""
+    from data_platform_spark.ops.global_order import grouped_percentile
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    delayed = li.select("l_orderkey", "l_shipdate").join(
+        orders.select(
+            F.col("o_orderkey").alias("l_orderkey"),
+            "o_orderdate",
+            "o_orderpriority",
+        ),
+        "l_orderkey",
+    ).select(
+        "o_orderpriority",
+        F.datediff(
+            F.col("l_shipdate").cast("date"),
+            F.col("o_orderdate").cast("date"),
+        ).cast("long").alias("delay_days"),
+    )
+    base = delayed.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+        F.sum("delay_days").cast("long").alias("sum_days"),
+    )
+    pct = grouped_percentile(
+        delayed,
+        ["o_orderpriority"],
+        "delay_days",
+        {"p50": 0.5, "p90": 0.9, "p99": 0.99},
+    )
+    return base.join(pct, on="o_orderpriority", how="left").select(
+        "o_orderpriority",
+        "n_lineitems",
+        pround(F.col("sum_days") / F.col("n_lineitems"), 4).alias(
+            "mean_days"
+        ),
+        pround(F.col("p50"), 4).alias("p50_days"),
+        pround(F.col("p90"), 4).alias("p90_days"),
+        pround(F.col("p99"), 4).alias("p99_days"),
+    )
+
+
+QUERIES["ship_delay_percentiles"] = ship_delay_percentiles
+
+ORACLE["ship_delay_percentiles"] = f"""
+    WITH delayed AS (
+        SELECT o.o_orderpriority,
+               date_diff('day', CAST(o.o_orderdate AS DATE),
+                         CAST(l.l_shipdate AS DATE))::BIGINT AS delay_days
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT o_orderpriority,
+           count(*)::BIGINT AS n_lineitems,
+           {sql_round("sum(delay_days) * 1.0 / count(*)", 4)} AS mean_days,
+           {sql_round("quantile_cont(delay_days, 0.5)", 4)} AS p50_days,
+           {sql_round("quantile_cont(delay_days, 0.9)", 4)} AS p90_days,
+           {sql_round("quantile_cont(delay_days, 0.99)", 4)} AS p99_days
+    FROM delayed
+    GROUP BY o_orderpriority
+"""
+
+
+def customer_order_intervals(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Repeat-purchase cadence per market segment: exact mean and
+    p50/p90 of the day gaps between a customer's consecutive orders,
+    plus how many customers ever reorder — the lifecycle-marketing
+    table (a segment whose median gap stretches is churning before it
+    shows in revenue).
+
+    Scale shape: consecutive gaps derive from a lag window partitioned
+    by customer (per-customer state only, never a global sort); the
+    segment DOMAIN is 5 values but a segment's gap count is unbounded,
+    so percentiles ride the grouped two-phase layout
+    (ops.global_order.grouped_percentile). Ties on a same-day pair of
+    orders break on o_orderkey, pinned identically in the oracle."""
+    from data_platform_spark.ops.global_order import grouped_percentile
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    gaps = (
+        orders.select("o_custkey", "o_orderdate", "o_orderkey")
+        .withColumn(
+            "gap_days",
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lag(F.col("o_orderdate").cast("date")).over(w),
+            ).cast("long"),
+        )
+        .filter(F.col("gap_days").isNotNull())
+        .join(
+            F.broadcast(
+                cust.select(
+                    F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+                )
+            ),
+            "o_custkey",
+        )
+    )
+    base = gaps.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.countDistinct("o_custkey").cast("long").alias(
+            "n_repeat_customers"
+        ),
+        F.sum("gap_days").cast("long").alias("sum_days"),
+    )
+    pct = grouped_percentile(
+        gaps, ["c_mktsegment"], "gap_days", {"p50": 0.5, "p90": 0.9}
+    )
+    return base.join(pct, on="c_mktsegment", how="left").select(
+        "c_mktsegment",
+        "n_gaps",
+        "n_repeat_customers",
+        pround(F.col("sum_days") / F.col("n_gaps"), 4).alias(
+            "mean_gap_days"
+        ),
+        pround(F.col("p50"), 4).alias("p50_gap_days"),
+        pround(F.col("p90"), 4).alias("p90_gap_days"),
+    )
+
+
+QUERIES["customer_order_intervals"] = customer_order_intervals
+
+ORACLE["customer_order_intervals"] = f"""
+    WITH gaps AS (
+        SELECT o_custkey,
+               date_diff('day',
+                   lag(CAST(o_orderdate AS DATE)) OVER
+                       (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey),
+                   CAST(o_orderdate AS DATE))::BIGINT AS gap_days
+        FROM orders
+    ),
+    seg AS (
+        SELECT c.c_mktsegment, g.o_custkey, g.gap_days
+        FROM gaps g JOIN customer c ON c.c_custkey = g.o_custkey
+        WHERE g.gap_days IS NOT NULL
+    )
+    SELECT c_mktsegment,
+           count(*)::BIGINT AS n_gaps,
+           count(DISTINCT o_custkey)::BIGINT AS n_repeat_customers,
+           {sql_round("sum(gap_days) * 1.0 / count(*)", 4)}
+               AS mean_gap_days,
+           {sql_round("quantile_cont(gap_days, 0.5)", 4)} AS p50_gap_days,
+           {sql_round("quantile_cont(gap_days, 0.9)", 4)} AS p90_gap_days
+    FROM seg
+    GROUP BY c_mktsegment
+"""

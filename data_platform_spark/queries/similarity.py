@@ -1240,3 +1240,83 @@ ORACLE["embedding_norm_audit"] = f"""
     FROM scored
     GROUP BY label
 """
+
+
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding health table: exact mean, variance, min
+    and max of every coordinate across the corpus plus a dead-dimension
+    flag — the encoder-regression screen an indexing pipeline runs
+    before (re)building ANN structures: a dimension whose variance
+    collapses to ~0 carries no signal but still costs distance math,
+    and a mean drifting off 0 breaks inner-product shortcuts.
+
+    Determinism: every coordinate fixes to integer MICRO-units (one
+    floor per value); sums and squared sums are exact LONG folds
+    (order-independent; a squared micro-unit is ≤1e12, so ~1e6 vectors
+    fit LONG headroom — at billions of rows drop to 1e3 units), with
+    the mean/variance derived by one fixed double expression at the
+    end (6 dp). Scale shape: one posexplode and one bounded-domain
+    (dim) aggregate with map-side partials — a single shuffle keyed by
+    the embedding width."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"), spark)
+    vm = F.floor(
+        F.col("v").cast("double") * 1_000_000 + F.lit(0.5)
+    ).cast("long")
+    coords = emb.select(
+        F.posexplode(F.col("embedding")).alias("dim", "v")
+    ).select("dim", vm.alias("v_micro"))
+    agg = coords.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v_micro").alias("sum_micro"),
+        F.sum(F.col("v_micro") * F.col("v_micro")).alias("ssq_micro"),
+        F.min("v_micro").alias("min_micro"),
+        F.max("v_micro").alias("max_micro"),
+    )
+    mean = F.col("sum_micro") / F.lit(1_000_000.0) / F.col("n")
+    var = (
+        F.col("ssq_micro") / F.lit(1e12) / F.col("n") - mean * mean
+    )
+    return agg.select(
+        "dim",
+        "n",
+        pround(mean, 6).alias("mean"),
+        pround(var, 6).alias("variance"),
+        (F.col("min_micro") / F.lit(1_000_000.0)).alias("min_v"),
+        (F.col("max_micro") / F.lit(1_000_000.0)).alias("max_v"),
+        (var < F.lit(1e-6)).alias("is_dead"),
+    )
+
+
+QUERIES["embedding_dim_stats"] = embedding_dim_stats
+
+ORACLE["embedding_dim_stats"] = f"""
+    WITH coords AS (
+        SELECT t.i - 1 AS dim,
+               CAST(floor(embedding[t.i]::DOUBLE * 1000000 + 0.5)
+                    AS BIGINT) AS v_micro
+        FROM embeddings,
+             unnest(generate_series(1, len(embedding))) AS t(i)
+    ),
+    agg AS (
+        SELECT dim,
+               count(*)::BIGINT AS n,
+               sum(v_micro)::BIGINT AS sum_micro,
+               sum(v_micro * v_micro)::BIGINT AS ssq_micro,
+               min(v_micro)::BIGINT AS min_micro,
+               max(v_micro)::BIGINT AS max_micro
+        FROM coords GROUP BY dim
+    )
+    SELECT dim, n,
+           {sql_round("sum_micro / 1000000.0 / n", 6)} AS mean,
+           {sql_round(
+               "ssq_micro / 1e12 / n"
+               " - (sum_micro / 1000000.0 / n)"
+               " * (sum_micro / 1000000.0 / n)", 6
+           )} AS variance,
+           min_micro / 1000000.0 AS min_v,
+           max_micro / 1000000.0 AS max_v,
+           (ssq_micro / 1e12 / n
+            - (sum_micro / 1000000.0 / n)
+            * (sum_micro / 1000000.0 / n)) < 1e-6 AS is_dead
+    FROM agg
+"""

@@ -2880,3 +2880,168 @@ ORACLE["doc_bigram_logprob"] = """
     FROM scored
     GROUP BY doc_id
 """
+
+
+def source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shift audit per source: KL divergence of each
+    source's unigram term distribution from the corpus-wide
+    distribution, plus token and vocabulary totals — the mix-drift
+    signal a data-curation loop monitors (a crawl source whose KL
+    jumps between snapshots changed its content mix even when volume
+    held steady). KL(s ‖ corpus) = Σ_t (c_st/T_s)·ln((c_st·T)/(T_s·c_t));
+    every term a source holds exists in the corpus, so no term needs
+    smoothing.
+
+    Determinism: each (source, term) contributes
+    floor(c_st·ln(ratio)·1e6 + 0.5) integer micro-nats before the
+    per-source LONG sum (order-independent); one final /1e6/T_s
+    division, 6 dp. Scale shape: token-level groupBys build the two
+    count relations; the scoring join is (source,term)→corpus-term,
+    key-partitioned on the term; per-source totals are a
+    bounded-domain broadcast."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    toks = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    st = toks.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("c_st")
+    )
+    ct = toks.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("c_t")
+    )
+    ts = st.groupBy("source").agg(
+        F.sum("c_st").alias("t_s"),
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+    )
+    tot = ts.agg(F.sum("t_s").alias("t"))
+    contrib = (
+        st.join(ct, "term")
+        .join(F.broadcast(ts.select("source", "t_s")), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.floor(
+                F.col("c_st")
+                * F.log(
+                    (F.col("c_st") * F.col("t")).cast("double")
+                    / (F.col("t_s") * F.col("c_t")).cast("double")
+                )
+                * 1_000_000
+                + F.lit(0.5)
+            ).cast("long").alias("kl_micro"),
+        )
+    )
+    agg = contrib.groupBy("source").agg(
+        F.sum("kl_micro").alias("sum_kl_micro")
+    )
+    return agg.join(F.broadcast(ts), "source").select(
+        "source",
+        F.col("t_s").cast("long").alias("n_tokens"),
+        "n_terms",
+        pround(
+            F.col("sum_kl_micro") / F.lit(1_000_000.0) / F.col("t_s"), 6
+        ).alias("kl_from_corpus"),
+    )
+
+
+QUERIES["source_unigram_kl"] = source_unigram_kl
+
+ORACLE["source_unigram_kl"] = f"""
+    WITH toks AS (
+        SELECT source, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    st AS (
+        SELECT source, term, count(*)::BIGINT AS c_st
+        FROM toks GROUP BY source, term
+    ),
+    ct AS (
+        SELECT term, count(*)::BIGINT AS c_t FROM toks GROUP BY term
+    ),
+    ts AS (
+        SELECT source, sum(c_st)::BIGINT AS t_s,
+               count(*)::BIGINT AS n_terms
+        FROM st GROUP BY source
+    ),
+    tot AS (SELECT sum(t_s)::BIGINT AS t FROM ts),
+    contrib AS (
+        SELECT st.source,
+               CAST(floor(
+                   st.c_st * ln((st.c_st * tot.t)::DOUBLE
+                                / (ts.t_s * ct.c_t)::DOUBLE)
+                   * 1000000 + 0.5) AS BIGINT) AS kl_micro
+        FROM st
+        JOIN ct USING (term)
+        JOIN ts USING (source)
+        CROSS JOIN tot
+    )
+    SELECT ts.source,
+           ts.t_s AS n_tokens,
+           ts.n_terms,
+           {sql_round("sum(c.kl_micro) / 1000000.0 / ts.t_s", 6)}
+               AS kl_from_corpus
+    FROM contrib c JOIN ts ON ts.source = c.source
+    GROUP BY ts.source, ts.t_s, ts.n_terms
+"""
+
+
+def doc_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexical diversity: type-token ratio (distinct
+    words / words) and the share of tokens that are corpus hapax
+    legomena (words occurring exactly once in the whole corpus) — the
+    twin screens for template boilerplate (TTR collapses) and
+    OCR/gibberish noise (hapax share inflates: garbage strings are
+    globally unique).
+
+    Scale shape: one token-level corpus count relation, a token→count
+    key-partitioned join, and one per-doc aggregate; counts are exact
+    LONGs, ratios one division each (6 dp). No windows, no
+    self-joins."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    ct = toks.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("c_t")
+    )
+    agg = toks.join(ct, "term").groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.countDistinct("term").cast("long").alias("n_types"),
+        F.sum((F.col("c_t") == 1).cast("long")).cast("long").alias(
+            "n_hapax"
+        ),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        pround(F.col("n_types") / F.col("n_tokens"), 6).alias("ttr"),
+        pround(F.col("n_hapax") / F.col("n_tokens"), 6).alias(
+            "hapax_share"
+        ),
+    )
+
+
+QUERIES["doc_lexical_diversity"] = doc_lexical_diversity
+
+ORACLE["doc_lexical_diversity"] = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    ct AS (
+        SELECT term, count(*)::BIGINT AS c_t FROM toks GROUP BY term
+    )
+    SELECT t.doc_id,
+           count(*)::BIGINT AS n_tokens,
+           count(DISTINCT t.term)::BIGINT AS n_types,
+           sum(CASE WHEN ct.c_t = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax,
+           {sql_round("count(DISTINCT t.term) * 1.0 / count(*)", 6)} AS ttr,
+           {sql_round(
+               "sum(CASE WHEN ct.c_t = 1 THEN 1 ELSE 0 END) * 1.0"
+               " / count(*)", 6
+           )} AS hapax_share
+    FROM toks t JOIN ct ON ct.term = t.term
+    GROUP BY t.doc_id
+"""
