@@ -56,8 +56,10 @@ from data_platform_spark.session import get_spark  # noqa: E402
 # (BM25 + hybrid RRF), the window-rewritten attribution, and the
 # dedup decision ledger; plus (round 8) the grouped-percentile family
 # (IQR outliers) and the sliding-distinct family (weekly active users);
-# plus (round 9) the bigram-LM scoring family and the exact-integer
-# rank-statistic family (user Gini).
+# plus (round 9) the bigram-LM scoring family, the exact-integer
+# rank-statistic family (user Gini), the distribution-shift family
+# (per-source unigram KL) and the sessionized-path family (session
+# paths).
 HEADLINE = [
     "q1_pricing_summary",
     "q3_top_revenue_orders",
@@ -85,6 +87,8 @@ HEADLINE = [
     "events_weekly_active_users",
     "doc_bigram_logprob",
     "events_user_gini",
+    "source_unigram_kl",
+    "events_session_paths",
 ]
 
 

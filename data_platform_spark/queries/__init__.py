@@ -45,13 +45,15 @@ def _modules():
 # oracled — the floor: approx_stats_sketches exposes engine-specific
 # sketch internals); every query registered through r8 carries a
 # driver-green row. The round-9 window packs, in order:
-# (1) never driver-green: the 20 queries new this round (retrieval-leg
+# (1) never driver-green: the 26 queries new this round (retrieval-leg
 #     agreement, char entropy, bigram-LM scoring, user Gini, vocabulary
 #     overlap, embedding norm audit, order-size percentiles, brand
 #     affinity lift, supplier-revenue HHI, weekday seasonality,
 #     event-type PMI, n-gram novelty, brand return rates, supplier
 #     redundancy, ship-delay percentiles, source KL drift, lexical
-#     diversity, session paths, embedding dim stats, order intervals);
+#     diversity, session paths, embedding dim stats, order intervals,
+#     adjacency-graph degrees, OOV rate, cross-source near-dup share,
+#     prefix-dup rate, label separation, per-type value percentiles);
 # (2) re-proof of machinery touched this round: the cache registry went
 #     thread-scoped (scoped_persist/release semantics identical
 #     single-threaded, but every LSH/SRP/global_order consumer body
@@ -93,6 +95,12 @@ _R9_WINDOW = (
     "events_session_paths",
     "embedding_dim_stats",
     "customer_order_intervals",
+    "term_graph_degree_stats",
+    "doc_oov_rate",
+    "crosssource_neardup_share",
+    "corpus_prefix_dup_rate",
+    "label_embedding_separation",
+    "events_value_percentiles_by_type",
     # (2) re-proof: thread-scoped cache registry consumers (one per
     # family that scoped_persists: LSH dedup, decision ledger, curation,
     # SRP, bucketed knn) + global_order/grouped_percentile composers
@@ -100,7 +108,8 @@ _R9_WINDOW = (
     "dedup_decision_report",
     "curation_pipeline_summary",
     "srp_bucket_histogram",
-    "knn_within_buckets",
+    # (knn_within_buckets r8-green; srp_bucket_histogram already
+    # re-proves the SRP scoped_persist family — slot yielded to batch 4)
     "source_token_percentiles",
     "session_quality_by_day",
     "events_daily_quality",
@@ -126,12 +135,9 @@ _R9_WINDOW = (
     "srp_ann_topk_vec0",
     "top_user_per_hour",
     # then the oldest r4-green rows, filling the window to 50
-    "asof_purchase_last_click",
-    "benchmark_decontamination",
-    "customers_with_orders",
-    "customers_without_orders",
-    "doc_redaction",
-    # (doc_repetition_stats, events_clustered_time_slice,
+    # (asof_purchase_last_click, benchmark_decontamination,
+    # customers_with_orders, customers_without_orders, doc_redaction,
+    # doc_repetition_stats, events_clustered_time_slice,
     # events_rolling_hour_value, events_rollup_incremental,
     # funnel_click_to_purchase, multimodal_audio_decode,
     # multimodal_frame_sample, multimodal_video_decode yielded their

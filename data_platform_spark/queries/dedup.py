@@ -1999,3 +1999,166 @@ ORACLE["corpus_ngram_novelty"] = f"""
     FROM grams g JOIN first f USING (gram)
     GROUP BY g.doc_id
 """
+
+
+def crosssource_neardup_share(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Where near-duplication comes from, at the SOURCE-PAIR grain:
+    every verified LSH near-dup pair labeled with its two documents'
+    sources (order-normalized), counted per source pair with the share
+    of all verified pairs and a cross-source flag — intra-source pairs
+    are crawl redundancy (fix the crawler), cross-source pairs are
+    syndication/mirroring (fix the mix). The source-pair companion to
+    dedup_savings_by_source's per-source cut.
+
+    Scale shape: reuses the banded-LSH pair derivation (never a corpus
+    self-join); the labeling is two doc_id-keyed joins against a
+    2-column source projection; the rollup lands in the bounded
+    |sources|² domain with one 1-row total broadcast."""
+    pairs = neardup_pairs_lsh(spark, sf_dir)
+    srcs = fan_out(load_table(spark, sf_dir, "documents"), spark).select(
+        "doc_id", "source"
+    )
+    labeled = (
+        pairs.join(
+            srcs.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("source").alias("src_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            srcs.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("source").alias("src_b"),
+            ),
+            "doc_b",
+        )
+        .select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+    )
+    counts = labeled.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    tot = counts.agg(F.sum("n_pairs").alias("total_pairs"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "source_a",
+        "source_b",
+        "n_pairs",
+        pround(F.col("n_pairs") / F.col("total_pairs"), 6).alias("share"),
+        (F.col("source_a") != F.col("source_b")).alias("is_cross_source"),
+    )
+
+
+QUERIES["crosssource_neardup_share"] = crosssource_neardup_share
+
+
+def _crosssource_oracle() -> str:
+    j = "n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common)"
+    return f"""
+        WITH {_shingle_cte()},
+        {_sig_sql()},
+        {_bands_sql()},
+        sizes AS (
+            SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+        ),
+        common AS (
+            SELECT c.doc_a, c.doc_b, count(*) AS n_common
+            FROM cand c
+            JOIN sh a ON a.doc_id = c.doc_a
+            JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+            GROUP BY c.doc_a, c.doc_b
+        ),
+        verified AS (
+            SELECT doc_a, doc_b
+            FROM common
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE {sql_round(j, 4)} >= {JACCARD_THRESHOLD}
+        ),
+        labeled AS (
+            SELECT least(da.source, db.source) AS source_a,
+                   greatest(da.source, db.source) AS source_b
+            FROM verified v
+            JOIN documents da ON da.doc_id = v.doc_a
+            JOIN documents db ON db.doc_id = v.doc_b
+        ),
+        counts AS (
+            SELECT source_a, source_b, count(*)::BIGINT AS n_pairs
+            FROM labeled GROUP BY source_a, source_b
+        ),
+        tot AS (SELECT sum(n_pairs)::BIGINT AS total_pairs FROM counts)
+        SELECT source_a, source_b, n_pairs,
+               {sql_round("n_pairs * 1.0 / total_pairs", 6)} AS share,
+               source_a <> source_b AS is_cross_source
+        FROM counts CROSS JOIN tot
+    """
+
+
+ORACLE["crosssource_neardup_share"] = _crosssource_oracle()
+
+
+PREFIX_DUP_WORDS = 8
+
+
+def corpus_prefix_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-prefix audit per source: the share of documents
+    whose opening PREFIX_DUP_WORDS words are shared verbatim with at
+    least one other document anywhere in the corpus — the cheapest
+    template detector there is (shared headers/disclaimers collide on
+    the prefix long before full near-dup machinery runs), and a
+    standing pre-filter candidate ahead of the LSH family.
+
+    Scale shape: one prefix projection (slice + concat, no explode),
+    one groupBy(prefix) count, one key-partitioned join back, one
+    bounded-domain (source) rollup."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    prefix = F.concat_ws(
+        " ",
+        F.slice(F.split(F.col("text"), " "), 1, PREFIX_DUP_WORDS),
+    )
+    pd_docs = docs.select("doc_id", "source", prefix.alias("prefix"))
+    pc = pd_docs.groupBy("prefix").agg(
+        F.count(F.lit(1)).cast("long").alias("n_with_prefix")
+    )
+    flagged = pd_docs.join(pc, "prefix").select(
+        "source",
+        (F.col("n_with_prefix") > 1).cast("long").alias("is_dup"),
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("is_dup").cast("long").alias("n_prefix_dup"),
+        pround(F.sum("is_dup") / F.count(F.lit(1)), 6).alias(
+            "prefix_dup_rate"
+        ),
+    )
+
+
+QUERIES["corpus_prefix_dup_rate"] = corpus_prefix_dup_rate
+
+ORACLE["corpus_prefix_dup_rate"] = f"""
+    WITH pd AS (
+        SELECT doc_id, source,
+               array_to_string(
+                   list_slice(string_split(text, ' '),
+                              1, {PREFIX_DUP_WORDS}), ' ') AS prefix
+        FROM documents
+    ),
+    pc AS (
+        SELECT prefix, count(*)::BIGINT AS n_with_prefix
+        FROM pd GROUP BY prefix
+    )
+    SELECT pd.source,
+           count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN pc.n_with_prefix > 1 THEN 1 ELSE 0 END)::BIGINT
+               AS n_prefix_dup,
+           {sql_round(
+               "sum(CASE WHEN pc.n_with_prefix > 1 THEN 1 ELSE 0 END)"
+               " * 1.0 / count(*)", 6
+           )} AS prefix_dup_rate
+    FROM pd JOIN pc ON pc.prefix = pd.prefix
+    GROUP BY pd.source
+"""

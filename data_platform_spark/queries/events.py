@@ -1755,3 +1755,72 @@ ORACLE["events_session_paths"] = f"""
            {sql_round("n_sessions * 1.0 / total_sessions", 6)} AS share
     FROM counts CROSS JOIN tot
 """
+
+
+def events_value_percentiles_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Value distribution per event type: exact p50/p95/p99 of the
+    event value plus count and cent-exact mean — the per-signal
+    calibration table monitors threshold against (a purchase p99
+    drifting up is whales or fraud; a view p50 moving at all is an
+    instrumentation bug).
+
+    Scale shape: values fix to CENTS (exact LONG folds for the mean);
+    the type DOMAIN is 5 values but a type's event count is unbounded,
+    so the exact interpolated percentiles ride the grouped two-phase
+    layout (ops.global_order.grouped_percentile), never the native
+    buffer-the-group aggregate."""
+    from data_platform_spark.ops.global_order import grouped_percentile
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias(
+            "value_cents"
+        ),
+    ).filter(F.col("value_cents").isNotNull())
+    base = cents.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("value_cents").alias("sum_cents"),
+    )
+    pct = grouped_percentile(
+        cents,
+        ["event_type"],
+        "value_cents",
+        {"p50": 0.5, "p95": 0.95, "p99": 0.99},
+    )
+    return base.join(pct, on="event_type", how="left").select(
+        "event_type",
+        "n_events",
+        pround(F.col("sum_cents") / F.col("n_events") / 100.0, 4).alias(
+            "mean_value"
+        ),
+        pround(F.col("p50") / 100.0, 4).alias("p50_value"),
+        pround(F.col("p95") / 100.0, 4).alias("p95_value"),
+        pround(F.col("p99") / 100.0, 4).alias("p99_value"),
+    )
+
+
+QUERIES["events_value_percentiles_by_type"] = events_value_percentiles_by_type
+
+ORACLE["events_value_percentiles_by_type"] = f"""
+    WITH cents AS (
+        SELECT event_type,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents
+        FROM events
+        WHERE CAST(floor(value * 100 + 0.5) AS BIGINT) IS NOT NULL
+    )
+    SELECT event_type,
+           count(*)::BIGINT AS n_events,
+           {sql_round("sum(value_cents) * 1.0 / count(*) / 100.0", 4)}
+               AS mean_value,
+           {sql_round("quantile_cont(value_cents, 0.5) / 100.0", 4)}
+               AS p50_value,
+           {sql_round("quantile_cont(value_cents, 0.95) / 100.0", 4)}
+               AS p95_value,
+           {sql_round("quantile_cont(value_cents, 0.99) / 100.0", 4)}
+               AS p99_value
+    FROM cents
+    GROUP BY event_type
+"""

@@ -105,7 +105,7 @@ def term_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"term_pagerank_topk": term_pagerank_topk}
+# QUERIES / ORACLE are assembled at module bottom.
 
 
 def _pagerank_oracle() -> str:
@@ -173,3 +173,83 @@ def _pagerank_oracle() -> str:
 
 
 ORACLE = {"term_pagerank_topk": _pagerank_oracle()}
+
+
+def term_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the word-adjacency graph PageRank runs
+    over: for each degree value, how many terms have that many DISTINCT
+    out-neighbors and how many that many in-neighbors — the structural
+    audit behind the centrality family (a heavy-tailed out-degree
+    histogram is what makes the two-phase rank layouts necessary; a
+    sudden hub spike is template/boilerplate contamination).
+
+    Scale shape: one distinct-edge shuffle, two bounded per-term
+    counts, and a full-outer fuse on the degree key (rows = distinct
+    degree VALUES, ≪ vocabulary). No windows."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    pairs = F.expr(
+        "transform(sequence(1, size(split(text, ' ')) - 1), "
+        "i -> struct(split(text, ' ')[i - 1] AS src, "
+        "split(text, ' ')[i] AS dst))"
+    )
+    edges = (
+        docs.filter(F.size(F.split(F.col("text"), " ")) >= 2)
+        .select(F.explode(pairs).alias("e"))
+        .select("e.src", "e.dst")
+        .distinct()
+    )
+    outd = (
+        edges.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+        .groupBy("degree")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_terms_out"))
+    )
+    ind = (
+        edges.groupBy("dst").agg(F.count(F.lit(1)).alias("degree"))
+        .groupBy("degree")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_terms_in"))
+    )
+    return (
+        outd.join(ind, on="degree", how="full_outer")
+        .select(
+            F.col("degree").cast("long").alias("degree"),
+            F.coalesce("n_terms_out", F.lit(0)).cast("long").alias(
+                "n_terms_out"
+            ),
+            F.coalesce("n_terms_in", F.lit(0)).cast("long").alias(
+                "n_terms_in"
+            ),
+        )
+    )
+
+
+QUERIES = {
+    "term_pagerank_topk": term_pagerank_topk,
+    "term_graph_degree_stats": term_graph_degree_stats,
+}
+
+ORACLE["term_graph_degree_stats"] = """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    edges AS (
+        SELECT DISTINCT ws[i] AS src, ws[i + 1] AS dst
+        FROM toks, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+        WHERE len(ws) >= 2
+    ),
+    outd AS (
+        SELECT degree, count(*)::BIGINT AS n_terms_out
+        FROM (SELECT src, count(*)::BIGINT AS degree
+              FROM edges GROUP BY src)
+        GROUP BY degree
+    ),
+    ind AS (
+        SELECT degree, count(*)::BIGINT AS n_terms_in
+        FROM (SELECT dst, count(*)::BIGINT AS degree
+              FROM edges GROUP BY dst)
+        GROUP BY degree
+    )
+    SELECT coalesce(o.degree, i.degree)::BIGINT AS degree,
+           coalesce(o.n_terms_out, 0)::BIGINT AS n_terms_out,
+           coalesce(i.n_terms_in, 0)::BIGINT AS n_terms_in
+    FROM outd o FULL OUTER JOIN ind i ON i.degree = o.degree
+"""

@@ -1320,3 +1320,165 @@ ORACLE["embedding_dim_stats"] = f"""
             * (sum_micro / 1000000.0 / n)) < 1e-6 AS is_dead
     FROM agg
 """
+
+
+def label_embedding_separation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cluster-separability audit per label: mean distance of a label's
+    vectors to their own centroid (within-spread) vs the distance to
+    the NEAREST other centroid, and their ratio — the silhouette-style
+    health check an embedding pipeline runs before trusting labels as
+    IVF cells or stratification keys (ratio ≤ 1 means the label bleeds
+    into a neighbor and cell-pruned search will miss).
+
+    Determinism: centroids reuse label_centroids' 4-dp long layout;
+    every squared per-dimension difference fixes to integer NANO-units
+    before any sum (order-independent LONG folds for both the
+    per-vector distance and the bounded |labels|²·dims centroid-pair
+    table); each sqrt/division happens once per reduced row. Scale
+    shape: one posexplode keyed join vector→centroid on (label, pos),
+    one per-vector aggregate, one per-label rollup; the centroid
+    self-join lives in the bounded label-domain and broadcasts."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"), spark)
+    cents = S.label_centroids(emb)
+    coords = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(S.as_double(F.col("embedding"))).alias("pos", "x"),
+    )
+    d2_nano = F.floor(
+        (F.col("x") - F.col("centroid_val"))
+        * (F.col("x") - F.col("centroid_val"))
+        * 1_000_000_000
+        + F.lit(0.5)
+    ).cast("long")
+    per_vec = (
+        coords.join(cents, ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(F.sum(d2_nano).alias("d2_sum_nano"))
+        .select(
+            "label",
+            F.floor(
+                F.sqrt(F.col("d2_sum_nano") / F.lit(1e9)) * 1_000_000
+                + F.lit(0.5)
+            ).cast("long").alias("dist_micro"),
+        )
+    )
+    within = per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.sum("dist_micro").alias("sum_dist_micro"),
+    )
+    a = cents.select(
+        F.col("label").alias("label"),
+        "pos",
+        F.col("centroid_val").alias("ca"),
+    )
+    b = cents.select(
+        F.col("label").alias("label_b"),
+        "pos",
+        F.col("centroid_val").alias("cb"),
+    )
+    cd2_nano = F.floor(
+        (F.col("ca") - F.col("cb"))
+        * (F.col("ca") - F.col("cb"))
+        * 1_000_000_000
+        + F.lit(0.5)
+    ).cast("long")
+    cdist = (
+        a.join(F.broadcast(b), "pos")
+        .filter(F.col("label") != F.col("label_b"))
+        .groupBy("label", "label_b")
+        .agg(F.sum(cd2_nano).alias("cd2_sum_nano"))
+        .select(
+            "label",
+            "label_b",
+            F.floor(
+                F.sqrt(F.col("cd2_sum_nano") / F.lit(1e9)) * 1_000_000
+                + F.lit(0.5)
+            ).cast("long").alias("cdist_micro"),
+        )
+    )
+    nearest = cdist.groupBy("label").agg(
+        F.min(F.struct("cdist_micro", "label_b")).alias("nn")
+    ).select(
+        "label",
+        F.col("nn.label_b").alias("nearest_label"),
+        F.col("nn.cdist_micro").alias("nearest_micro"),
+    )
+    mean_within = F.col("sum_dist_micro") / F.col("n_vectors") / 1_000_000.0
+    return within.join(F.broadcast(nearest), "label").select(
+        "label",
+        "n_vectors",
+        pround(mean_within, 6).alias("mean_within_dist"),
+        "nearest_label",
+        pround(F.col("nearest_micro") / 1_000_000.0, 6).alias(
+            "nearest_centroid_dist"
+        ),
+        pround(
+            (F.col("nearest_micro") / 1_000_000.0) / mean_within, 6
+        ).alias("separation_ratio"),
+    )
+
+
+QUERIES["label_embedding_separation"] = label_embedding_separation
+
+ORACLE["label_embedding_separation"] = f"""
+    WITH cents AS (
+        SELECT label, i - 1 AS pos,
+               {sql_round("avg(embedding[i]::DOUBLE)", 4)} AS centroid_val
+        FROM embeddings, generate_series(1, {DIM}) AS t(i)
+        GROUP BY label, i - 1
+    ),
+    per_vec AS (
+        SELECT e.vec_id, e.label,
+               CAST(floor(
+                   sqrt(sum(CAST(floor(
+                       (e.embedding[c.pos + 1]::DOUBLE - c.centroid_val)
+                       * (e.embedding[c.pos + 1]::DOUBLE - c.centroid_val)
+                       * 1000000000 + 0.5) AS BIGINT)) / 1e9)
+                   * 1000000 + 0.5) AS BIGINT) AS dist_micro
+        FROM embeddings e
+        JOIN cents c ON c.label = e.label
+        GROUP BY e.vec_id, e.label
+    ),
+    within AS (
+        SELECT label, count(*)::BIGINT AS n_vectors,
+               sum(dist_micro)::BIGINT AS sum_dist_micro
+        FROM per_vec GROUP BY label
+    ),
+    cdist AS (
+        SELECT a.label, b.label AS label_b,
+               CAST(floor(
+                   sqrt(sum(CAST(floor(
+                       (a.centroid_val - b.centroid_val)
+                       * (a.centroid_val - b.centroid_val)
+                       * 1000000000 + 0.5) AS BIGINT)) / 1e9)
+                   * 1000000 + 0.5) AS BIGINT) AS cdist_micro
+        FROM cents a
+        JOIN cents b ON b.pos = a.pos AND b.label <> a.label
+        GROUP BY a.label, b.label
+    ),
+    nearest AS (
+        SELECT label, label_b AS nearest_label,
+               cdist_micro AS nearest_micro
+        FROM (
+            SELECT label, label_b, cdist_micro,
+                   row_number() OVER (PARTITION BY label
+                                      ORDER BY cdist_micro, label_b)
+                       AS rn
+            FROM cdist
+        ) WHERE rn = 1
+    )
+    SELECT w.label, w.n_vectors,
+           {sql_round("w.sum_dist_micro / w.n_vectors / 1000000.0", 6)}
+               AS mean_within_dist,
+           n.nearest_label,
+           {sql_round("n.nearest_micro / 1000000.0", 6)}
+               AS nearest_centroid_dist,
+           {sql_round(
+               "(n.nearest_micro / 1000000.0)"
+               " / (w.sum_dist_micro / w.n_vectors / 1000000.0)", 6
+           )} AS separation_ratio
+    FROM within w JOIN nearest n ON n.label = w.label
+"""

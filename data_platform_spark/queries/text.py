@@ -3045,3 +3045,67 @@ ORACLE["doc_lexical_diversity"] = f"""
     FROM toks t JOIN ct ON ct.term = t.term
     GROUP BY t.doc_id
 """
+
+
+OOV_VOCAB_TOP = 1000
+
+
+def doc_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus top-1000
+    term vocabulary: the share of a doc's tokens falling outside the
+    head of the frequency distribution — the cheap proxy for the
+    tokenizer-fertility screen (a doc of rare strings fragments into
+    many subwords and wastes sequence budget; a doc of pure head terms
+    is likely boilerplate).
+
+    Scale shape: the vocabulary rank is a TOTAL order over the corpus
+    vocabulary, so it rides the two-phase range-partition layout
+    (ops.global_order.global_row_number — never a single-partition
+    window); scoring is one token→vocab key-partitioned join and one
+    per-doc aggregate. Ties at the cut break on the term string,
+    pinned identically in the oracle."""
+    from data_platform_spark.ops.global_order import global_row_number
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    ranked = global_row_number(
+        counts, [F.desc("n"), F.asc("term")], "freq_rank"
+    ).select("term", (F.col("freq_rank") > OOV_VOCAB_TOP).alias("oov"))
+    agg = toks.join(ranked, "term").groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(F.col("oov").cast("long")).cast("long").alias("n_oov"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        pround(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_rate"),
+    )
+
+
+QUERIES["doc_oov_rate"] = doc_oov_rate
+
+ORACLE["doc_oov_rate"] = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    ranked AS (
+        SELECT term,
+               row_number() OVER (ORDER BY count(*) DESC, term ASC)
+                   > {OOV_VOCAB_TOP} AS oov
+        FROM toks GROUP BY term
+    )
+    SELECT t.doc_id,
+           count(*)::BIGINT AS n_tokens,
+           sum(CASE WHEN r.oov THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+           {sql_round(
+               "sum(CASE WHEN r.oov THEN 1 ELSE 0 END) * 1.0 / count(*)",
+               6
+           )} AS oov_rate
+    FROM toks t JOIN ranked r ON r.term = t.term
+    GROUP BY t.doc_id
+"""
