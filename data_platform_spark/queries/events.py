@@ -1824,3 +1824,62 @@ ORACLE["events_value_percentiles_by_type"] = f"""
     FROM cents
     GROUP BY event_type
 """
+
+
+def events_daily_new_vs_returning(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-day acquisition split: active users, NEW users (first ever
+    seen that day) and returning users with the new-user share — the
+    growth-accounting view product teams chart daily (retention
+    cohorts answer "do they come back", this answers "who showed up
+    today").
+
+    Scale shape: one distinct (user, day) presence collapse, one
+    per-user min-day aggregate joined back on the user key, one
+    bounded-domain (day) rollup. No windows."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    first = days.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    agg = days.join(first, "user_id").groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_active"),
+        F.sum(
+            (F.col("day") == F.col("first_day")).cast("long")
+        ).cast("long").alias("n_new"),
+    )
+    return agg.select(
+        "day",
+        "n_active",
+        "n_new",
+        (F.col("n_active") - F.col("n_new")).cast("long").alias(
+            "n_returning"
+        ),
+        pround(F.col("n_new") / F.col("n_active"), 6).alias("new_share"),
+    )
+
+
+QUERIES["events_daily_new_vs_returning"] = events_daily_new_vs_returning
+
+ORACLE["events_daily_new_vs_returning"] = f"""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    first AS (
+        SELECT user_id, min(day) AS first_day FROM days GROUP BY user_id
+    )
+    SELECT d.day,
+           count(*)::BIGINT AS n_active,
+           sum(CASE WHEN d.day = f.first_day THEN 1 ELSE 0 END)::BIGINT
+               AS n_new,
+           (count(*) - sum(CASE WHEN d.day = f.first_day
+                                THEN 1 ELSE 0 END))::BIGINT
+               AS n_returning,
+           {sql_round(
+               "sum(CASE WHEN d.day = f.first_day THEN 1 ELSE 0 END)"
+               " * 1.0 / count(*)", 6
+           )} AS new_share
+    FROM days d JOIN first f ON f.user_id = d.user_id
+    GROUP BY d.day
+"""

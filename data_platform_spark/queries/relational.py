@@ -3489,3 +3489,94 @@ ORACLE["customer_order_intervals"] = f"""
     FROM seg
     GROUP BY c_mktsegment
 """
+
+
+def orders_backlog_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order backlog over time: per month, orders placed, orders fully
+    shipped (the month of their LAST lineitem shipment), and the
+    end-of-month open backlog as the running difference — the
+    work-in-progress curve an ops team tracks against capacity (a
+    rising backlog with flat placements is a fulfilment slowdown).
+
+    Scale shape: one per-order max-shipdate aggregate, two month-grain
+    rollups fused by a full-outer join on the month key, and running
+    sums over the CALENDAR-bounded month series (a global window over
+    ~80 rows — allowlisted like orders_by_year/orders_revenue_growth;
+    the unbounded inputs never meet a global window)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    placed = orders.select(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias(
+            "month"
+        )
+    ).groupBy("month").agg(
+        F.count(F.lit(1)).cast("long").alias("n_placed")
+    )
+    done = (
+        li.groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+        .select(
+            F.date_trunc("month", F.col("last_ship")).cast("date").alias(
+                "month"
+            )
+        )
+        .groupBy("month")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shipped"))
+    )
+    merged = (
+        placed.join(done, on="month", how="full_outer")
+        .select(
+            "month",
+            F.coalesce("n_placed", F.lit(0)).cast("long").alias(
+                "n_placed"
+            ),
+            F.coalesce("n_shipped", F.lit(0)).cast("long").alias(
+                "n_shipped"
+            ),
+        )
+    )
+    w = Window.orderBy("month").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return merged.select(
+        "month",
+        "n_placed",
+        "n_shipped",
+        (
+            F.sum("n_placed").over(w) - F.sum("n_shipped").over(w)
+        ).cast("long").alias("open_backlog"),
+    )
+
+
+QUERIES["orders_backlog_by_month"] = orders_backlog_by_month
+
+ORACLE["orders_backlog_by_month"] = """
+    WITH placed AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               count(*)::BIGINT AS n_placed
+        FROM orders GROUP BY 1
+    ),
+    done AS (
+        SELECT CAST(date_trunc('month', last_ship) AS DATE) AS month,
+               count(*)::BIGINT AS n_shipped
+        FROM (
+            SELECT l_orderkey, max(l_shipdate) AS last_ship
+            FROM lineitem GROUP BY l_orderkey
+        ) GROUP BY 1
+    ),
+    merged AS (
+        SELECT coalesce(p.month, d.month) AS month,
+               coalesce(p.n_placed, 0)::BIGINT AS n_placed,
+               coalesce(d.n_shipped, 0)::BIGINT AS n_shipped
+        FROM placed p FULL OUTER JOIN done d ON d.month = p.month
+    )
+    SELECT month, n_placed, n_shipped,
+           (sum(n_placed) OVER (ORDER BY month
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW)
+            - sum(n_shipped) OVER (ORDER BY month
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW))::BIGINT
+               AS open_backlog
+    FROM merged
+"""

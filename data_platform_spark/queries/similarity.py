@@ -1482,3 +1482,90 @@ ORACLE["label_embedding_separation"] = f"""
            )} AS separation_ratio
     FROM within w JOIN nearest n ON n.label = w.label
 """
+
+
+def ivf_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of IVF coarse quantization against the true
+    labels: for every (true label, assigned nearest centroid) cell, the
+    vector count and the share of the true label's vectors — the
+    companion to label_embedding_separation that shows WHERE the
+    leakage goes (an off-diagonal hot cell is the neighbor an
+    nprobe=1 search will wrongly prune toward).
+
+    Scale shape: reuses ivf_assign's broadcast-centroid posexplode
+    layout (argmin per vector in a vec_id-partitioned window); the
+    rollup lands in the bounded |labels|² domain with per-label totals
+    broadcast back."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"), spark)
+    cents = S.label_centroids(emb)
+    assign = S.ivf_assign(emb, cents).select(
+        "vec_id", F.col("assigned_label")
+    )
+    truth = emb.select("vec_id", F.col("label").alias("true_label"))
+    cells = (
+        assign.join(truth, "vec_id")
+        .groupBy("true_label", "assigned_label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+    )
+    totals = cells.groupBy("true_label").agg(
+        F.sum("n_vectors").alias("label_total")
+    )
+    return cells.join(F.broadcast(totals), "true_label").select(
+        "true_label",
+        "assigned_label",
+        "n_vectors",
+        pround(F.col("n_vectors") / F.col("label_total"), 6).alias(
+            "share"
+        ),
+        (F.col("true_label") == F.col("assigned_label")).alias(
+            "is_correct"
+        ),
+    )
+
+
+QUERIES["ivf_label_confusion"] = ivf_label_confusion
+
+ORACLE["ivf_label_confusion"] = f"""
+    WITH cents AS (
+        SELECT label, i - 1 AS pos,
+               {sql_round("avg(embedding[i]::DOUBLE)", 4)} AS centroid_val
+        FROM embeddings, generate_series(1, {DIM}) AS t(i)
+        GROUP BY label, i - 1
+    ),
+    vec_long AS (
+        SELECT vec_id, i - 1 AS pos, embedding[i]::DOUBLE AS x
+        FROM embeddings, generate_series(1, {DIM}) AS t(i)
+    ),
+    dist AS (
+        SELECT v.vec_id, c.label,
+               {sql_round(
+                   "sum((v.x - c.centroid_val) * (v.x - c.centroid_val))",
+                   6
+               )} AS dist2
+        FROM vec_long v JOIN cents c ON v.pos = c.pos
+        GROUP BY v.vec_id, c.label
+    ),
+    assign AS (
+        SELECT vec_id, label AS assigned_label
+        FROM (
+            SELECT vec_id, label,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist2 ASC, label ASC) AS rk
+            FROM dist
+        ) WHERE rk = 1
+    ),
+    cells AS (
+        SELECT e.label AS true_label, a.assigned_label,
+               count(*)::BIGINT AS n_vectors
+        FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id
+        GROUP BY e.label, a.assigned_label
+    ),
+    totals AS (
+        SELECT true_label, sum(n_vectors)::BIGINT AS label_total
+        FROM cells GROUP BY true_label
+    )
+    SELECT c.true_label, c.assigned_label, c.n_vectors,
+           {sql_round("c.n_vectors * 1.0 / t.label_total", 6)} AS share,
+           c.true_label = c.assigned_label AS is_correct
+    FROM cells c JOIN totals t ON t.true_label = c.true_label
+"""

@@ -99,6 +99,9 @@ _BOUNDED_GLOBAL_WINDOW_OK = {
     "orders_by_year",
     # lag over a month-grained aggregate: rows bounded by the calendar
     "orders_revenue_growth",
+    # running sums over a month-grained full-outer fuse: rows bounded by
+    # the calendar (placed/shipped month series)
+    "orders_backlog_by_month",
     # running sum over the PARETO_BUCKETS-row decile aggregate: rows
     # bounded by a compile-time constant (10), never by data
     "customer_revenue_pareto",
