@@ -1617,10 +1617,19 @@ def event_type_user_affinity_pmi(
         "n_co_users",
         "s_a",
         "s_b",
+        # double-first products: the co-user·N and support products
+        # overflow LONG at ~1e10 users; below 2^53 the double product is
+        # the exact integer, so the gate hash is unchanged
         pround(
             F.log(
-                (F.col("n_co_users") * F.col("n_users"))
-                / (F.col("s_a") * F.col("s_b"))
+                (
+                    F.col("n_co_users").cast("double")
+                    * F.col("n_users").cast("double")
+                )
+                / (
+                    F.col("s_a").cast("double")
+                    * F.col("s_b").cast("double")
+                )
             ),
             6,
         ).alias("pmi"),
@@ -1648,7 +1657,8 @@ ORACLE["event_type_user_affinity_pmi"] = f"""
     SELECT type_a, type_b, n_co_users,
            sa.s AS s_a, sb.s AS s_b,
            {sql_round(
-               "ln((n_co_users * n.n_users) * 1.0 / (sa.s * sb.s))", 6
+               "ln((n_co_users::DOUBLE * n.n_users::DOUBLE)"
+               " / (sa.s::DOUBLE * sb.s::DOUBLE))", 6
            )} AS pmi
     FROM pairs
     JOIN support sa ON sa.event_type = pairs.type_a

@@ -2989,9 +2989,18 @@ def order_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_co_orders",
         "s_a",
         "s_b",
+        # double-first products: the co-order·N and support products
+        # overflow LONG at ~1e10 orders; below 2^53 the double product
+        # is the exact integer, so the gate hash is unchanged
         pround(
-            (F.col("n_co_orders") * F.col("n_orders"))
-            / (F.col("s_a") * F.col("s_b")),
+            (
+                F.col("n_co_orders").cast("double")
+                * F.col("n_orders").cast("double")
+            )
+            / (
+                F.col("s_a").cast("double")
+                * F.col("s_b").cast("double")
+            ),
             6,
         ).alias("lift"),
     )
@@ -3018,7 +3027,8 @@ ORACLE["order_brand_affinity"] = f"""
     SELECT brand_a, brand_b, n_co_orders,
            sa.s AS s_a, sb.s AS s_b,
            {sql_round(
-               "(n_co_orders * n.n_orders) * 1.0 / (sa.s * sb.s)", 6
+               "(n_co_orders::DOUBLE * n.n_orders::DOUBLE)"
+               " / (sa.s::DOUBLE * sb.s::DOUBLE)", 6
            )} AS lift
     FROM pairs
     JOIN support sa ON sa.p_brand = pairs.brand_a

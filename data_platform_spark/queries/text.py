@@ -2922,9 +2922,18 @@ def source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             F.floor(
                 F.col("c_st")
+                # double-first products: c_st·T and T_s·c_t overflow LONG
+                # at ~1e13-token corpora; below 2^53 the double product is
+                # the exact integer, so the gate hash is unchanged
                 * F.log(
-                    (F.col("c_st") * F.col("t")).cast("double")
-                    / (F.col("t_s") * F.col("c_t")).cast("double")
+                    (
+                        F.col("c_st").cast("double")
+                        * F.col("t").cast("double")
+                    )
+                    / (
+                        F.col("t_s").cast("double")
+                        * F.col("c_t").cast("double")
+                    )
                 )
                 * 1_000_000
                 + F.lit(0.5)
@@ -2967,8 +2976,8 @@ ORACLE["source_unigram_kl"] = f"""
     contrib AS (
         SELECT st.source,
                CAST(floor(
-                   st.c_st * ln((st.c_st * tot.t)::DOUBLE
-                                / (ts.t_s * ct.c_t)::DOUBLE)
+                   st.c_st * ln((st.c_st::DOUBLE * tot.t::DOUBLE)
+                                / (ts.t_s::DOUBLE * ct.c_t::DOUBLE))
                    * 1000000 + 0.5) AS BIGINT) AS kl_micro
         FROM st
         JOIN ct USING (term)
