@@ -1893,3 +1893,281 @@ ORACLE["events_daily_new_vs_returning"] = f"""
     FROM days d JOIN first f ON f.user_id = d.user_id
     GROUP BY d.day
 """
+
+
+def _session_frames(ev: DataFrame) -> DataFrame:
+    """Shared gap-sessionization frame: every event tagged with its
+    (user_id, session_id) under the 30-min-inactivity definition
+    events_sessionize pins (lag + running count, ms-epoch exact)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ms = F.unix_millis(F.col("ts"))
+    is_new = (
+        F.when(ms - F.lag(ms).over(w) > F.lit(SESSION_GAP_MS), 1)
+        .otherwise(0)
+    )
+    return ev.withColumn(
+        "session_id", F.sum(is_new).over(wcum) + 1
+    )
+
+
+_SQL_SESSION_FRAMES = """
+    flagged AS (
+        SELECT user_id, event_id, ts, event_type,
+               CASE
+                   WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+                   THEN 1 ELSE 0
+               END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    framed AS (
+        SELECT user_id, event_id, ts, event_type,
+               sum(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) + 1 AS session_id
+        FROM flagged
+    )
+"""
+
+
+def events_bounce_rate_by_day(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-day bounce audit: sessions started that day, single-event
+    (bounce) sessions, and the bounce rate — the engagement-quality
+    complement of events_daily_new_vs_returning (a traffic spike whose
+    bounce rate spikes with it is bot or broken-link traffic, not
+    growth).
+
+    Scale shape: sessionization is the per-user lag window (user-keyed
+    shuffle, per-user state only), then one (user, session) rollup and
+    one bounded-domain (day) rollup. A session belongs to the day it
+    STARTED (min ts), pinned identically in the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    sess = _session_frames(ev).groupBy("user_id", "session_id").agg(
+        F.to_date(F.min("ts")).alias("day"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    return sess.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum((F.col("n_events") == 1).cast("long")).cast("long").alias(
+            "n_bounces"
+        ),
+    ).select(
+        "day",
+        "n_sessions",
+        "n_bounces",
+        pround(F.col("n_bounces") / F.col("n_sessions"), 6).alias(
+            "bounce_rate"
+        ),
+    )
+
+
+QUERIES["events_bounce_rate_by_day"] = events_bounce_rate_by_day
+
+ORACLE["events_bounce_rate_by_day"] = f"""
+    WITH {_SQL_SESSION_FRAMES},
+    sess AS (
+        SELECT user_id, session_id,
+               CAST(min(ts) AS DATE) AS day,
+               count(*) AS n_events
+        FROM framed GROUP BY user_id, session_id
+    )
+    SELECT day,
+           count(*)::BIGINT AS n_sessions,
+           sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)::BIGINT
+               AS n_bounces,
+           {sql_round(
+               "sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)"
+               " * 1.0 / count(*)", 6
+           )} AS bounce_rate
+    FROM sess
+    GROUP BY day
+"""
+
+
+def events_session_duration_by_entry(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Session length by ENTRY event type: count, mean and exact
+    p50/p90 duration (seconds) of sessions grouped by their first
+    event's type — the landing-page-quality table (an entry type whose
+    sessions die in seconds is a broken funnel head).
+
+    Determinism: duration fixes to integer MILLISECONDS per session
+    before any aggregate; the entry event is row_number()=1 under the
+    (ts, event_id) order, pinned identically in the oracle. Scale
+    shape: sessionization + entry pick are per-user windows (one
+    user-keyed shuffle); the entry-type DOMAIN is small but a type's
+    session count is unbounded, so percentiles ride the grouped
+    two-phase layout (ops.global_order.grouped_percentile)."""
+    from data_platform_spark.ops.global_order import grouped_percentile
+
+    ev = load_table(spark, sf_dir, "events")
+    framed = _session_frames(ev)
+    wse = Window.partitionBy("user_id", "session_id").orderBy(
+        "ts", "event_id"
+    )
+    entry = (
+        framed.withColumn("rn", F.row_number().over(wse))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "session_id",
+            F.col("event_type").alias("entry_type"),
+        )
+    )
+    durs = framed.groupBy("user_id", "session_id").agg(
+        (F.unix_millis(F.max("ts")) - F.unix_millis(F.min("ts")))
+        .cast("long")
+        .alias("dur_ms"),
+    ).join(entry, ["user_id", "session_id"])
+    base = durs.groupBy("entry_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("dur_ms").cast("long").alias("sum_ms"),
+    )
+    pct = grouped_percentile(
+        durs, ["entry_type"], "dur_ms", {"p50": 0.5, "p90": 0.9}
+    )
+    return base.join(pct, on="entry_type", how="left").select(
+        "entry_type",
+        "n_sessions",
+        pround(F.col("sum_ms") / F.col("n_sessions") / 1000, 4).alias(
+            "mean_seconds"
+        ),
+        pround(F.col("p50") / 1000, 4).alias("p50_seconds"),
+        pround(F.col("p90") / 1000, 4).alias("p90_seconds"),
+    )
+
+
+QUERIES["events_session_duration_by_entry"] = (
+    events_session_duration_by_entry
+)
+
+ORACLE["events_session_duration_by_entry"] = f"""
+    WITH {_SQL_SESSION_FRAMES},
+    entry AS (
+        SELECT user_id, session_id, event_type AS entry_type
+        FROM (
+            SELECT user_id, session_id, event_type,
+                   row_number() OVER (
+                       PARTITION BY user_id, session_id
+                       ORDER BY ts, event_id
+                   ) AS rn
+            FROM framed
+        ) WHERE rn = 1
+    ),
+    durs AS (
+        SELECT f.user_id, f.session_id, e.entry_type,
+               (epoch_ms(max(f.ts)) - epoch_ms(min(f.ts)))::BIGINT
+                   AS dur_ms
+        FROM framed f
+        JOIN entry e
+          ON e.user_id = f.user_id AND e.session_id = f.session_id
+        GROUP BY f.user_id, f.session_id, e.entry_type
+    )
+    SELECT entry_type,
+           count(*)::BIGINT AS n_sessions,
+           {sql_round("sum(dur_ms) * 1.0 / count(*) / 1000", 4)}
+               AS mean_seconds,
+           {sql_round("quantile_cont(dur_ms, 0.5) / 1000", 4)}
+               AS p50_seconds,
+           {sql_round("quantile_cont(dur_ms, 0.9) / 1000", 4)}
+               AS p90_seconds
+    FROM durs
+    GROUP BY entry_type
+"""
+
+
+def events_markov_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user mean transition log-probability under the corpus-wide
+    first-order Markov model — the behavioral twin of
+    doc_bigram_logprob: a user whose event TRANSITIONS are improbable
+    under the population model (scripted loops, impossible orderings)
+    surfaces here even when their event-type mix looks normal
+    (event_transition_matrix estimates the model; this SCORES against
+    it).
+
+    Determinism: P(next|prev) = C(prev,next)/C(prev as source) over
+    consecutive (ts, event_id)-ordered pairs; each transition
+    contributes floor(ln(P)·1e6 + 0.5) integer micro-nats before the
+    per-user LONG sum. No smoothing needed — every scored pair is by
+    construction in the model. Scale shape: one per-user lag window,
+    one bounded-domain (5×5 type-pair) model aggregate that
+    BROADCASTS, one per-user rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+    )
+    model = pairs.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).cast("double").alias("c_pair")
+    )
+    src = pairs.groupBy("prev_type").agg(
+        F.count(F.lit(1)).cast("double").alias("c_src")
+    )
+    scored = (
+        pairs.join(F.broadcast(model), ["prev_type", "next_type"])
+        .join(F.broadcast(src), "prev_type")
+        .select(
+            "user_id",
+            F.floor(
+                F.log(F.col("c_pair") / F.col("c_src")) * 1_000_000
+                + F.lit(0.5)
+            ).cast("long").alias("lp_micro"),
+        )
+    )
+    agg = scored.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_transitions"),
+        F.sum("lp_micro").alias("sum_lp_micro"),
+    )
+    return agg.select(
+        "user_id",
+        "n_transitions",
+        pround(F.col("sum_lp_micro") / F.col("n_transitions") / 1_000_000, 4)
+        .alias("avg_logprob"),
+    )
+
+
+QUERIES["events_markov_logprob"] = events_markov_logprob
+
+ORACLE["events_markov_logprob"] = """
+    WITH pairs AS (
+        SELECT user_id,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type,
+               event_type AS next_type
+        FROM events
+        QUALIFY prev_type IS NOT NULL
+    ),
+    model AS (
+        SELECT prev_type, next_type, count(*)::DOUBLE AS c_pair
+        FROM pairs GROUP BY prev_type, next_type
+    ),
+    src AS (
+        SELECT prev_type, count(*)::DOUBLE AS c_src
+        FROM pairs GROUP BY prev_type
+    ),
+    scored AS (
+        SELECT p.user_id,
+               CAST(floor(ln(m.c_pair / s.c_src) * 1000000 + 0.5)
+                    AS BIGINT) AS lp_micro
+        FROM pairs p
+        JOIN model m USING (prev_type, next_type)
+        JOIN src s USING (prev_type)
+    )
+    SELECT user_id,
+           count(*)::BIGINT AS n_transitions,
+           floor((sum(lp_micro) * 1.0 / count(*) / 1000000) * 10000 + 0.5)
+               / 10000 AS avg_logprob
+    FROM scored
+    GROUP BY user_id
+"""

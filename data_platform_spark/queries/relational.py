@@ -3590,3 +3590,372 @@ ORACLE["orders_backlog_by_month"] = """
                AS open_backlog
     FROM merged
 """
+
+
+def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation trade balance: revenue its SUPPLIERS earn from
+    shipped lineitems vs what its CUSTOMERS spend on orders, and the
+    net balance — the macro table joining both sides of the star
+    schema (a nation whose customers spend far more than its suppliers
+    earn is a net importer in the corpus).
+
+    Determinism: both sides fix to CENTS per row before exact LONG
+    folds. Scale shape: the lineitem→supplier and orders→customer
+    joins each broadcast a dim; both rollups land on the bounded
+    25-nation domain; the final full-outer fuse is metadata-scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev_cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+        + F.lit(0.5)
+    ).cast("long")
+    supply = (
+        li.select("l_suppkey", rev_cents.alias("rev_cents"))
+        .join(
+            F.broadcast(
+                sup.select(
+                    F.col("s_suppkey").alias("l_suppkey"),
+                    F.col("s_nationkey").alias("nationkey"),
+                )
+            ),
+            "l_suppkey",
+        )
+        .groupBy("nationkey")
+        .agg(F.sum("rev_cents").cast("long").alias("supplier_cents"))
+    )
+    spend_cents = F.floor(
+        F.col("o_totalprice") * 100 + F.lit(0.5)
+    ).cast("long")
+    demand = (
+        orders.select("o_custkey", spend_cents.alias("spend_cents"))
+        .join(
+            F.broadcast(
+                cust.select(
+                    F.col("c_custkey").alias("o_custkey"),
+                    F.col("c_nationkey").alias("nationkey"),
+                )
+            ),
+            "o_custkey",
+        )
+        .groupBy("nationkey")
+        .agg(F.sum("spend_cents").cast("long").alias("customer_cents"))
+    )
+    fused = supply.join(demand, "nationkey", "full_outer").select(
+        "nationkey",
+        F.coalesce("supplier_cents", F.lit(0)).alias("supplier_cents"),
+        F.coalesce("customer_cents", F.lit(0)).alias("customer_cents"),
+    )
+    return fused.join(
+        F.broadcast(
+            nation.select(
+                F.col("n_nationkey").alias("nationkey"), "n_name"
+            )
+        ),
+        "nationkey",
+    ).select(
+        F.col("n_name").alias("nation"),
+        (F.col("supplier_cents") / 100).alias("supplier_revenue"),
+        (F.col("customer_cents") / 100).alias("customer_spend"),
+        ((F.col("supplier_cents") - F.col("customer_cents")) / 100).alias(
+            "balance"
+        ),
+    )
+
+
+QUERIES["nation_trade_balance"] = nation_trade_balance
+
+ORACLE["nation_trade_balance"] = """
+    WITH supply AS (
+        SELECT s.s_nationkey AS nationkey,
+               sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100
+                              + 0.5) AS BIGINT))::BIGINT AS supplier_cents
+        FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        GROUP BY s.s_nationkey
+    ),
+    demand AS (
+        SELECT c.c_nationkey AS nationkey,
+               sum(CAST(floor(o.o_totalprice * 100 + 0.5)
+                        AS BIGINT))::BIGINT AS customer_cents
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_nationkey
+    ),
+    fused AS (
+        SELECT coalesce(s.nationkey, d.nationkey) AS nationkey,
+               coalesce(s.supplier_cents, 0) AS supplier_cents,
+               coalesce(d.customer_cents, 0) AS customer_cents
+        FROM supply s FULL OUTER JOIN demand d
+          ON d.nationkey = s.nationkey
+    )
+    SELECT n.n_name AS nation,
+           f.supplier_cents / 100.0 AS supplier_revenue,
+           f.customer_cents / 100.0 AS customer_spend,
+           (f.supplier_cents - f.customer_cents) / 100.0 AS balance
+    FROM fused f JOIN nation n ON n.n_nationkey = f.nationkey
+"""
+
+
+_SPEND_BAND = (
+    "CASE WHEN spend_cents IS NULL THEN 'absent' "
+    "WHEN spend_cents < 200000000 THEN 'low' "
+    "WHEN spend_cents < 300000000 THEN 'mid' "
+    "ELSE 'high' END"
+)
+
+
+def customer_spend_band_migration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Customer lifecycle migration matrix: each customer's spend band
+    (absent / low / mid / high, fixed cent thresholds) in the first
+    half of the order calendar vs the second, with customer counts per
+    (from, to) cell — the segment-flow table a CRM team reads for
+    churn (high→absent) and growth (low→high) at a glance.
+
+    Determinism: halves split at the fixed literal 1998-01-01 (the
+    corpus calendar midpoint) and spend fixes to CENTS before the
+    per-customer LONG fold. Scale shape: one customer-keyed aggregate
+    per half over a pruned (date < / >=) scan, one full-outer fuse on
+    the customer key, one bounded 16-cell rollup."""
+    orders = load_table(spark, sf_dir, "orders")
+    spend_cents = F.floor(
+        F.col("o_totalprice") * 100 + F.lit(0.5)
+    ).cast("long")
+    split = F.lit("1998-01-01").cast("date")
+    base = orders.select(
+        "o_custkey",
+        spend_cents.alias("cents"),
+        (F.col("o_orderdate").cast("date") < split).alias("is_h1"),
+    )
+
+    def half(flag: bool) -> DataFrame:
+        tag = "h1" if flag else "h2"
+        return (
+            base.filter(F.col("is_h1") == flag)
+            .groupBy("o_custkey")
+            .agg(F.sum("cents").cast("long").alias(f"{tag}_cents"))
+        )
+
+    fused = half(True).join(half(False), "o_custkey", "full_outer")
+    band = lambda c: (  # noqa: E731 — kept inline with its thresholds
+        F.when(F.col(c).isNull(), "absent")
+        .when(F.col(c) < 200_000_000, "low")
+        .when(F.col(c) < 300_000_000, "mid")
+        .otherwise("high")
+    )
+    return (
+        fused.select(
+            band("h1_cents").alias("h1_band"),
+            band("h2_cents").alias("h2_band"),
+        )
+        .groupBy("h1_band", "h2_band")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+    )
+
+
+QUERIES["customer_spend_band_migration"] = customer_spend_band_migration
+
+ORACLE["customer_spend_band_migration"] = f"""
+    WITH h1 AS (
+        SELECT o_custkey,
+               sum(CAST(floor(o_totalprice * 100 + 0.5)
+                        AS BIGINT))::BIGINT AS spend_cents
+        FROM orders
+        WHERE CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+        GROUP BY o_custkey
+    ),
+    h2 AS (
+        SELECT o_custkey,
+               sum(CAST(floor(o_totalprice * 100 + 0.5)
+                        AS BIGINT))::BIGINT AS spend_cents
+        FROM orders
+        WHERE CAST(o_orderdate AS DATE) >= DATE '1998-01-01'
+        GROUP BY o_custkey
+    ),
+    fused AS (
+        SELECT
+            (SELECT {_SPEND_BAND} FROM (SELECT h1.spend_cents))
+                AS h1_band,
+            (SELECT {_SPEND_BAND} FROM (SELECT h2.spend_cents))
+                AS h2_band
+        FROM h1 FULL OUTER JOIN h2 ON h2.o_custkey = h1.o_custkey
+    )
+    SELECT h1_band, h2_band, count(*)::BIGINT AS n_customers
+    FROM fused
+    GROUP BY h1_band, h2_band
+"""
+
+
+def part_type_market_share_by_region(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Part-type revenue share within each customer region — the
+    TPC-H Q8-flavored market-share table over the full star join
+    (lineitem→orders→customer→nation→region + part): which product
+    types dominate which geography.
+
+    Determinism: revenue fixes to CENTS per lineitem before exact
+    LONG folds; shares are one final division (6 dp). Scale shape:
+    the ONLY big shuffle is lineitem⋈orders on the order key; part,
+    customer, nation and region are broadcast dims (customer is
+    sf-scaled but orders of magnitude under the fact — at 100 TB it
+    would bucket instead); the rollup domain is bounded at
+    |region|×|p_type| (30 cells) with map-side partials."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    part = load_table(spark, sf_dir, "part")
+    rev_cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+        + F.lit(0.5)
+    ).cast("long")
+    geo = (
+        cust.select("c_custkey", "c_nationkey")
+        .join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("c_nationkey"),
+                    "n_regionkey",
+                )
+            ),
+            "c_nationkey",
+        )
+        .join(
+            F.broadcast(
+                region.select(
+                    F.col("r_regionkey").alias("n_regionkey"), "r_name"
+                )
+            ),
+            "n_regionkey",
+        )
+        .select(F.col("c_custkey").alias("o_custkey"), "r_name")
+    )
+    fact = (
+        li.select("l_orderkey", "l_partkey", rev_cents.alias("rev_cents"))
+        .join(
+            orders.select(
+                F.col("o_orderkey").alias("l_orderkey"), "o_custkey"
+            ),
+            "l_orderkey",
+        )
+        .join(F.broadcast(geo), "o_custkey")
+        .join(
+            F.broadcast(
+                part.select(F.col("p_partkey").alias("l_partkey"), "p_type")
+            ),
+            "l_partkey",
+        )
+    )
+    cells = fact.groupBy("r_name", "p_type").agg(
+        F.sum("rev_cents").cast("long").alias("cell_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+    )
+    wtot = Window.partitionBy("r_name")
+    return cells.select(
+        F.col("r_name").alias("region"),
+        "p_type",
+        "n_lineitems",
+        (F.col("cell_cents") / 100).alias("revenue"),
+        pround(
+            F.col("cell_cents") / F.sum("cell_cents").over(wtot), 6
+        ).alias("region_share"),
+    )
+
+
+QUERIES["part_type_market_share_by_region"] = (
+    part_type_market_share_by_region
+)
+
+ORACLE["part_type_market_share_by_region"] = f"""
+    WITH cells AS (
+        SELECT r.r_name AS region, p.p_type,
+               count(*)::BIGINT AS n_lineitems,
+               sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100
+                              + 0.5) AS BIGINT))::BIGINT AS cell_cents
+        FROM lineitem l
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n   ON n.n_nationkey = c.c_nationkey
+        JOIN region r   ON r.r_regionkey = n.n_regionkey
+        JOIN part p     ON p.p_partkey = l.l_partkey
+        GROUP BY r.r_name, p.p_type
+    )
+    SELECT region, p_type, n_lineitems,
+           cell_cents / 100.0 AS revenue,
+           {sql_round(
+               "cell_cents * 1.0 / sum(cell_cents) OVER "
+               "(PARTITION BY region)", 6
+           )} AS region_share
+    FROM cells
+"""
+
+
+def ship_delay_monthly_trend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fulfilment lead-time TREND: per order month, the lineitem
+    count, exact mean and p50/p90 order-to-ship delay — the time-series
+    complement of ship_delay_percentiles (per priority class): a
+    rising monthly p90 is a capacity problem building months before
+    the mean moves.
+
+    Scale shape: one key-partitioned lineitem⋈orders join, delay as
+    an exact integer day diff; the month DOMAIN is calendar-bounded
+    but a month's lineitem count is unbounded, so percentiles ride
+    the grouped two-phase layout (ops.global_order
+    .grouped_percentile); the mean is an exact LONG day-sum."""
+    from data_platform_spark.ops.global_order import grouped_percentile
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    delayed = li.select("l_orderkey", "l_shipdate").join(
+        orders.select(
+            F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"
+        ),
+        "l_orderkey",
+    ).select(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+        F.datediff(
+            F.col("l_shipdate").cast("date"),
+            F.col("o_orderdate").cast("date"),
+        ).cast("long").alias("delay_days"),
+    )
+    base = delayed.groupBy("month").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+        F.sum("delay_days").cast("long").alias("sum_days"),
+    )
+    pct = grouped_percentile(
+        delayed, ["month"], "delay_days", {"p50": 0.5, "p90": 0.9}
+    )
+    return base.join(pct, on="month", how="left").select(
+        "month",
+        "n_lineitems",
+        pround(F.col("sum_days") / F.col("n_lineitems"), 4).alias(
+            "mean_days"
+        ),
+        pround(F.col("p50"), 4).alias("p50_days"),
+        pround(F.col("p90"), 4).alias("p90_days"),
+    )
+
+
+QUERIES["ship_delay_monthly_trend"] = ship_delay_monthly_trend
+
+ORACLE["ship_delay_monthly_trend"] = f"""
+    WITH delayed AS (
+        SELECT date_trunc('month', o.o_orderdate) AS month,
+               date_diff('day', CAST(o.o_orderdate AS DATE),
+                         CAST(l.l_shipdate AS DATE))::BIGINT AS delay_days
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT month,
+           count(*)::BIGINT AS n_lineitems,
+           {sql_round("sum(delay_days) * 1.0 / count(*)", 4)} AS mean_days,
+           {sql_round("quantile_cont(delay_days, 0.5)", 4)} AS p50_days,
+           {sql_round("quantile_cont(delay_days, 0.9)", 4)} AS p90_days
+    FROM delayed
+    GROUP BY month
+"""
