@@ -2162,3 +2162,136 @@ ORACLE["corpus_prefix_dup_rate"] = f"""
     FROM pd JOIN pc ON pc.prefix = pd.prefix
     GROUP BY pd.source
 """
+
+
+def shingle_df_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-frequency histogram of the LSH family's 3-word
+    shingles, log2-bucketed: how many shingles occur in 1 doc, 2-3,
+    4-7, … and what share of POSTINGS (shingle×doc rows) each bucket
+    carries — the audit that justifies the band index's df-cap (a fat
+    high-df tail is boilerplate that inflates candidate pairs without
+    adding near-dup signal).
+
+    Determinism: the bucket is the integer bit-length of the df count
+    (length(bin(df)) - 1) — pure integer ops, no floating log2 whose
+    power-of-two boundaries could round differently across engines.
+    Scale shape: one shingle-keyed aggregate (map-side partials), one
+    bounded (≤ ~40 bucket) rollup; shingles never leave their
+    aggregate — no self-joins."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    sh = D.shingle_df(docs)
+    dfc = sh.groupBy("shingle").agg(
+        F.count(F.lit(1)).cast("long").alias("dfc")
+    )
+    bucketed = dfc.select(
+        (F.length(F.bin(F.col("dfc"))) - 1).cast("long").alias(
+            "df_log2_bucket"
+        ),
+        "dfc",
+    )
+    agg = bucketed.groupBy("df_log2_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles"),
+        F.sum("dfc").cast("long").alias("n_postings"),
+    )
+    total = agg.agg(F.sum("n_postings").alias("t"))
+    return agg.crossJoin(F.broadcast(total)).select(
+        "df_log2_bucket",
+        "n_shingles",
+        "n_postings",
+        pround(F.col("n_postings") / F.col("t"), 6).alias(
+            "postings_share"
+        ),
+    )
+
+
+QUERIES["shingle_df_histogram"] = shingle_df_histogram
+
+ORACLE["shingle_df_histogram"] = f"""
+    WITH {_shingle_cte()},
+    dfc AS (
+        SELECT shingle, count(*)::BIGINT AS dfc FROM sh GROUP BY shingle
+    ),
+    agg AS (
+        SELECT (length(bin(dfc)) - 1)::BIGINT AS df_log2_bucket,
+               count(*)::BIGINT AS n_shingles,
+               sum(dfc)::BIGINT AS n_postings
+        FROM dfc
+        GROUP BY 1
+    )
+    SELECT df_log2_bucket, n_shingles, n_postings,
+           {sql_round(
+               "n_postings * 1.0 / (SELECT sum(n_postings) FROM agg)", 6
+           )} AS postings_share
+    FROM agg
+"""
+
+
+def neardup_cluster_size_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cluster-size histogram of the verified near-dup graph,
+    INCLUDING the singletons: for each cluster size, how many clusters,
+    how many docs they hold, and how many docs dedup would REMOVE
+    (size − 1 per cluster, keep-one policy) — the capacity-planning
+    view of the component family (neardup_components answers "which
+    cluster is this doc in"; this answers "how much smaller does the
+    corpus get").
+
+    Scale shape: composes the component fixpoint, then one
+    component-keyed count and one bounded (distinct-size) rollup;
+    singletons come from one anti-join against the clustered doc set —
+    never a second pass over text."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    comp = neardup_components(spark, sf_dir)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("size")
+    )
+    clustered = sizes.groupBy("size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters")
+    )
+    singles = (
+        docs.select("doc_id")
+        .join(comp.select("doc_id"), "doc_id", "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+        .select(F.lit(1).cast("long").alias("size"), "n_clusters")
+    )
+    hist = clustered.unionByName(singles).groupBy("size").agg(
+        F.sum("n_clusters").cast("long").alias("n_clusters")
+    )
+    return hist.select(
+        "size",
+        "n_clusters",
+        (F.col("size") * F.col("n_clusters")).cast("long").alias("n_docs"),
+        ((F.col("size") - 1) * F.col("n_clusters")).cast("long").alias(
+            "n_removable"
+        ),
+    )
+
+
+QUERIES["neardup_cluster_size_histogram"] = neardup_cluster_size_histogram
+
+ORACLE["neardup_cluster_size_histogram"] = f"""
+    WITH comp AS ({ORACLE["neardup_components"]}),
+    sizes AS (
+        SELECT component, count(*)::BIGINT AS size
+        FROM comp GROUP BY component
+    ),
+    clustered AS (
+        SELECT size, count(*)::BIGINT AS n_clusters
+        FROM sizes GROUP BY size
+    ),
+    singles AS (
+        SELECT 1::BIGINT AS size, count(*)::BIGINT AS n_clusters
+        FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM comp)
+    ),
+    hist AS (
+        SELECT size, sum(n_clusters)::BIGINT AS n_clusters
+        FROM (SELECT * FROM clustered UNION ALL SELECT * FROM singles)
+        GROUP BY size
+    )
+    SELECT size, n_clusters,
+           (size * n_clusters)::BIGINT AS n_docs,
+           ((size - 1) * n_clusters)::BIGINT AS n_removable
+    FROM hist
+"""

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_platform_spark.queries._util import fan_out
+from data_platform_spark.queries._util import fan_out, pround, sql_round
 from data_platform_spark.sources.tables import load_table
 
 PAGERANK_DAMP = 0.85
@@ -252,4 +252,103 @@ ORACLE["term_graph_degree_stats"] = """
            coalesce(o.n_terms_out, 0)::BIGINT AS n_terms_out,
            coalesce(i.n_terms_in, 0)::BIGINT AS n_terms_in
     FROM outd o FULL OUTER JOIN ind i ON i.degree = o.degree
+"""
+
+
+def term_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocity of the word-adjacency graph, split by whether the
+    edge's source is a top-20 hub (by distinct out-degree): the share
+    of distinct src→dst edges whose reverse dst→src edge also exists —
+    the structural signal separating grammar-driven adjacency (low
+    reciprocity: 'of the' but rarely 'the of') from boilerplate and
+    list-like text (high reciprocity), and hubs behave differently
+    from the long tail.
+
+    Scale shape: one distinct-edge shuffle (self-loops excluded), the
+    reverse-edge test is a LEFT SEMI self-join on the edge key, the
+    hub set is a 20-row broadcast off a TakeOrdered top-k — a bounded
+    2-row output with exact LONG counts."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    pairs = F.expr(
+        "transform(sequence(1, size(split(text, ' ')) - 1), "
+        "i -> struct(split(text, ' ')[i - 1] AS src, "
+        "split(text, ' ')[i] AS dst))"
+    )
+    edges = (
+        docs.filter(F.size(F.split(F.col("text"), " ")) >= 2)
+        .select(F.explode(pairs).alias("e"))
+        .select("e.src", "e.dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    hubs = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("outd"))
+        .orderBy(F.col("outd").desc(), F.col("src"))
+        .limit(20)
+        .select("src")
+    )
+    recip = edges.join(
+        edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        ),
+        ["src", "dst"],
+        "left_semi",
+    ).select("src", "dst", F.lit(1).cast("long").alias("is_recip"))
+    tagged = (
+        edges.join(recip, ["src", "dst"], "left")
+        .join(
+            F.broadcast(hubs.withColumn("is_hub", F.lit(True))),
+            "src",
+            "left",
+        )
+        .select(
+            F.coalesce("is_hub", F.lit(False)).alias("src_is_hub"),
+            F.coalesce("is_recip", F.lit(0)).alias("is_recip"),
+        )
+    )
+    return tagged.groupBy("src_is_hub").agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.sum("is_recip").cast("long").alias("n_reciprocal"),
+    ).select(
+        "src_is_hub",
+        "n_edges",
+        "n_reciprocal",
+        pround(F.col("n_reciprocal") / F.col("n_edges"), 6).alias(
+            "reciprocity"
+        ),
+    )
+
+
+QUERIES["term_graph_reciprocity"] = term_graph_reciprocity
+
+ORACLE["term_graph_reciprocity"] = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    edges AS (
+        SELECT DISTINCT ws[i] AS src, ws[i + 1] AS dst
+        FROM toks, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+        WHERE len(ws) >= 2 AND ws[i] <> ws[i + 1]
+    ),
+    hubs AS (
+        SELECT src FROM (
+            SELECT src, count(*) AS outd FROM edges GROUP BY src
+            ORDER BY outd DESC, src LIMIT 20
+        )
+    ),
+    tagged AS (
+        SELECT (e.src IN (SELECT src FROM hubs)) AS src_is_hub,
+               CASE WHEN EXISTS (
+                   SELECT 1 FROM edges r
+                   WHERE r.src = e.dst AND r.dst = e.src
+               ) THEN 1 ELSE 0 END AS is_recip
+        FROM edges e
+    )
+    SELECT src_is_hub,
+           count(*)::BIGINT AS n_edges,
+           sum(is_recip)::BIGINT AS n_reciprocal,
+           {sql_round("sum(is_recip) * 1.0 / count(*)", 6)} AS reciprocity
+    FROM tagged
+    GROUP BY src_is_hub
 """

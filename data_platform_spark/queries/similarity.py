@@ -1569,3 +1569,120 @@ ORACLE["ivf_label_confusion"] = f"""
            c.true_label = c.assigned_label AS is_correct
     FROM cells c JOIN totals t ON t.true_label = c.true_label
 """
+
+
+def embedding_quantization_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-label int8 quantization error audit: symmetric per-vector
+    max-abs scaling to [-127, 127] (the layout a serving stack ships
+    embeddings in at 100 TB — 4× smaller than float32), reporting each
+    label's component count, mean |error|, RMS error and worst-case
+    |error| — the go/no-go table before switching ANN serving to int8
+    (a label whose RMS error approaches its neighbor margin will flip
+    rankings).
+
+    Determinism: components fix to integer MICRO-units first; the int8
+    code is floor(x·127/scale + 0.5) and the reconstruction error
+    fixes to integer NANO-units before any aggregate — exact LONG
+    folds, order-independent; an all-zero vector (scale 0) contributes
+    zero error by definition. Scale shape: one narrow pass (array
+    lambdas + explode, no joins), one bounded-domain label rollup with
+    map-side partials."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"), spark)
+    xm = emb.select(
+        "label",
+        F.expr(
+            "transform(embedding, x -> "
+            "cast(floor(cast(x as double) * 1000000 + 0.5) as bigint))"
+        ).alias("xm"),
+    )
+    comp = xm.select(
+        "label",
+        F.expr("array_max(transform(xm, x -> abs(x)))").alias(
+            "scale_micro"
+        ),
+        F.explode("xm").alias("x_micro"),
+    )
+    err = comp.select(
+        "label",
+        F.when(F.col("scale_micro") == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.floor(
+                (
+                    F.col("x_micro")
+                    - F.floor(
+                        F.col("x_micro") * 127.0 / F.col("scale_micro")
+                        + F.lit(0.5)
+                    )
+                    * F.col("scale_micro")
+                    / 127.0
+                )
+                * 1000
+                + F.lit(0.5)
+            ).cast("long")
+        )
+        .alias("err_nano"),
+    )
+    agg = err.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_components"),
+        F.sum(F.abs(F.col("err_nano"))).cast("long").alias("sum_abs"),
+        F.sum(F.col("err_nano") * F.col("err_nano")).cast("long").alias(
+            "sum_sq"
+        ),
+        F.max(F.abs(F.col("err_nano"))).cast("long").alias("max_abs"),
+    )
+    return agg.select(
+        "label",
+        "n_components",
+        pround(F.col("sum_abs") / F.col("n_components") / 1e9, 8).alias(
+            "mean_abs_err"
+        ),
+        pround(
+            F.sqrt(F.col("sum_sq") / F.col("n_components")) / 1e9, 8
+        ).alias("rms_err"),
+        pround(F.col("max_abs") / 1e9, 8).alias("max_abs_err"),
+    )
+
+
+QUERIES["embedding_quantization_error"] = embedding_quantization_error
+
+ORACLE["embedding_quantization_error"] = f"""
+    WITH xm AS (
+        SELECT label,
+               list_transform(embedding::DOUBLE[],
+                   x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS xm
+        FROM embeddings
+    ),
+    comp AS (
+        SELECT label,
+               list_max(list_transform(xm, x -> abs(x))) AS scale_micro,
+               unnest(xm) AS x_micro
+        FROM xm
+    ),
+    err AS (
+        SELECT label,
+               CASE WHEN scale_micro = 0 THEN CAST(0 AS BIGINT)
+               ELSE CAST(floor(
+                   (x_micro
+                    - floor(x_micro * 127.0 / scale_micro + 0.5)
+                      * scale_micro / 127.0) * 1000 + 0.5) AS BIGINT)
+               END AS err_nano
+        FROM comp
+    ),
+    agg AS (
+        SELECT label,
+               count(*)::BIGINT AS n_components,
+               sum(abs(err_nano))::BIGINT AS sum_abs,
+               sum(err_nano * err_nano)::BIGINT AS sum_sq,
+               max(abs(err_nano))::BIGINT AS max_abs
+        FROM err GROUP BY label
+    )
+    SELECT label, n_components,
+           {sql_round("sum_abs * 1.0 / n_components / 1e9", 8)}
+               AS mean_abs_err,
+           {sql_round("sqrt(sum_sq * 1.0 / n_components) / 1e9", 8)}
+               AS rms_err,
+           {sql_round("max_abs / 1e9", 8)} AS max_abs_err
+    FROM agg
+"""

@@ -3118,3 +3118,97 @@ ORACLE["doc_oov_rate"] = f"""
     FROM toks t JOIN ranked r ON r.term = t.term
     GROUP BY t.doc_id
 """
+
+
+def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth curve: docs bucketed into ten
+    equal doc_id ranges, with each bucket's doc count, FIRST-OCCURRENCE
+    term count and the cumulative vocabulary — the curve that sizes a
+    tokenizer's vocab and predicts how much new text still adds new
+    words (a flattening curve means the corpus is saturating).
+
+    Determinism: a term's first occurrence is its min doc_id
+    (corpus_ngram_novelty's attribution rule, applied to unigrams).
+    Scale shape: one term-keyed min aggregate, one bounded 10-bucket
+    rollup, and the cumulative sum is a triangular self-join over the
+    TEN-row aggregate (never a global window over data-scale rows);
+    the doc_id range bound rides a 1-row broadcast."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    bound = docs.agg(
+        (F.max("doc_id") + 1).cast("double").alias("hi")
+    )
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    first = toks.groupBy("term").agg(
+        F.min("doc_id").alias("first_doc")
+    )
+    nb = first.crossJoin(F.broadcast(bound)).select(
+        F.floor(F.col("first_doc") * 10 / F.col("hi")).cast("long").alias(
+            "bucket"
+        )
+    ).groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("new_terms")
+    )
+    nd = docs.crossJoin(F.broadcast(bound)).select(
+        F.floor(F.col("doc_id") * 10 / F.col("hi")).cast("long").alias(
+            "bucket"
+        )
+    ).groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    per = nd.join(nb, "bucket", "left").select(
+        "bucket",
+        "n_docs",
+        F.coalesce("new_terms", F.lit(0)).cast("long").alias("new_terms"),
+    )
+    cum = (
+        per.alias("a")
+        .join(
+            per.select(
+                F.col("bucket").alias("b2"),
+                F.col("new_terms").alias("nt2"),
+            ),
+            F.col("b2") <= F.col("a.bucket"),
+        )
+        .groupBy("a.bucket")
+        .agg(F.sum("nt2").cast("long").alias("cum_vocab"))
+    )
+    return per.join(cum, "bucket").select(
+        "bucket", "n_docs", "new_terms", "cum_vocab"
+    )
+
+
+QUERIES["corpus_vocab_growth"] = corpus_vocab_growth
+
+ORACLE["corpus_vocab_growth"] = """
+    WITH bound AS (
+        SELECT (max(doc_id) + 1)::DOUBLE AS hi FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    nb AS (
+        SELECT CAST(floor(first_doc * 10 / hi) AS BIGINT) AS bucket,
+               count(*)::BIGINT AS new_terms
+        FROM (SELECT term, min(doc_id) AS first_doc FROM toks GROUP BY term)
+        CROSS JOIN bound
+        GROUP BY 1
+    ),
+    nd AS (
+        SELECT CAST(floor(doc_id * 10 / hi) AS BIGINT) AS bucket,
+               count(*)::BIGINT AS n_docs
+        FROM documents CROSS JOIN bound
+        GROUP BY 1
+    ),
+    per AS (
+        SELECT nd.bucket, nd.n_docs,
+               coalesce(nb.new_terms, 0)::BIGINT AS new_terms
+        FROM nd LEFT JOIN nb ON nb.bucket = nd.bucket
+    )
+    SELECT a.bucket, a.n_docs, a.new_terms,
+           (SELECT sum(b.new_terms) FROM per b
+            WHERE b.bucket <= a.bucket)::BIGINT AS cum_vocab
+    FROM per a
+"""
