@@ -72,6 +72,7 @@ def ann_ingest_sink(
     sample_mod: int | None = 16,
     schema: str = "dwh",
     ledger_table: str = "ann_index_maintenance",
+    compact_every: int | None = None,
 ):
     """foreachBatch sink over an embedding stream (vec_id, label,
     embedding): fold each micro-batch into the persisted IVF index,
@@ -84,7 +85,15 @@ def ann_ingest_sink(
     check runs after EVERY micro-batch, so the default posture must be
     O(corpus/S), not a full-corpus scan per batch (ADVICE r8 / VERDICT
     r8 item 5). Pass ``sample_mod=None`` explicitly to buy per-batch
-    exactness at O(corpus) per batch."""
+    exactness at O(corpus) per batch.
+
+    ``compact_every=N`` runs the IVF compaction leg after every Nth
+    batch (the lexical sink's convention): every append adds one file
+    per touched cell, so a long-running stream otherwise accumulates
+    one file per batch per cell. Compaction is bit-identity-preserving
+    and replay-safe (batch markers untouched); it runs AFTER the drift
+    leg so a rebuild-then-compact batch leaves a freshly-trained,
+    single-file-per-cell index."""
     # Heal an interrupted rebuild swap BEFORE the stream starts: a crash
     # between swap_in_stage's two renames leaves no live index dir, and
     # without this every restarted micro-batch would fail in
@@ -109,6 +118,12 @@ def ann_ingest_sink(
                 threshold=drift_threshold,
                 sample_mod=sample_mod,
             )
+            if compact_every and (batch_id + 1) % compact_every == 0:
+                from data_platform_spark.ops.compaction import (
+                    compact_ivf_index,
+                )
+
+                compact_ivf_index(spark, index_path)
             n = batch.count()
             row = spark.createDataFrame(
                 [

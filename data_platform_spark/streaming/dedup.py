@@ -37,6 +37,7 @@ def neardup_stream_sink(
     threshold: float = 0.5,
     schema: str = "dwh",
     decisions_table: str = "neardup_decisions",
+    compact_every: int | None = None,
 ):
     """foreachBatch sink over a document stream (doc_id, text):
     dedup each micro-batch against the standing band index, record
@@ -44,7 +45,15 @@ def neardup_stream_sink(
     per doc that reached the index check: (doc_id, n_matches,
     best_jaccard, best_match_doc, keep). Intra-batch duplicates are
     resolved lowest-id-wins BEFORE the check and do not get rows —
-    only the winning copy is scored against the standing corpus."""
+    only the winning copy is scored against the standing corpus.
+
+    ``compact_every=N`` runs the band-index compaction leg after every
+    Nth batch (the lexical sink's convention): every append adds one
+    file per touched shingle/band bucket, so a long-running stream
+    otherwise accumulates one file per batch per bucket. Compaction is
+    bit-identity-preserving and replay-safe (the batch markers are
+    untouched), so search results and effectively-once semantics are
+    unchanged."""
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         from data_platform_spark.cache import release_caches
@@ -86,6 +95,12 @@ def neardup_stream_sink(
         append_to_band_index(
             survivors, index_path, batch_id=f"stream-{batch_id}"
         )
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            from data_platform_spark.ops.compaction import (
+                compact_band_index,
+            )
+
+            compact_band_index(spark, index_path)
 
     return (
         stream_docs.writeStream.foreachBatch(_apply)

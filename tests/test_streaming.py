@@ -1057,3 +1057,201 @@ def test_lexical_ingest_sink_two_batches_replay_and_compaction(
         ).collect()
     ] == want
     assert spark.read.parquet(f"{cpath}/stats").count() == 1
+
+
+def test_neardup_stream_sink_in_stream_compaction(spark, tmp_path):
+    """Band-index parity with the lexical sink's maintenance leg
+    (compact_every): the two-batch crawler loop with compact_every=1
+    produces the SAME verdicts and index membership as the
+    uncompacted run, bounds the shingles half to one file per doc-id
+    bucket, and a full replay from a fresh checkpoint AFTER compaction
+    still adds zero rows (the batch markers survive the renames)."""
+    import json
+    import os
+
+    from data_platform_spark.ops.compaction import _parquet_file_count
+    from data_platform_spark.ops.neardup_index import (
+        build_band_index,
+        read_band_params,
+    )
+    from data_platform_spark.pipeline import Warehouse
+    from data_platform_spark.streaming.dedup import neardup_stream_sink
+
+    src = str(tmp_path / "docs_stream")
+    os.makedirs(src)
+    batch1 = [
+        {"doc_id": 1, "text": "alpha beta gamma delta epsilon zeta"},
+        {"doc_id": 2, "text": "one two three four five six seven"},
+    ]
+    batch2 = [
+        {"doc_id": 10, "text": "alpha beta gamma delta epsilon eta"},
+        {"doc_id": 11, "text": "completely different content right here"},
+    ]
+    for i, rows in enumerate([batch1, batch2]):
+        with open(f"{src}/b{i}.json", "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        os.utime(f"{src}/b{i}.json", (1_000_000 + i, 1_000_000 + i))
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    index_path = str(tmp_path / "band_idx")
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    build_band_index(empty, index_path)
+
+    q = neardup_stream_sink(
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src),
+        wh,
+        index_path,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        threshold=0.2,
+        compact_every=1,
+    )
+    q.awaitTermination(180)
+
+    dec = {
+        r.doc_id: r
+        for r in wh.read(spark, "dwh", "neardup_decisions").collect()
+    }
+    assert dec[1].keep and dec[2].keep
+    assert not dec[10].keep and dec[10].best_match_doc == 1
+    assert dec[11].keep
+    idx_ids = {
+        r.doc_id
+        for r in spark.read.parquet(f"{index_path}/shingles").collect()
+    }
+    assert idx_ids == {1, 2, 11}
+
+    # compaction bounded the append-per-batch file growth: at most one
+    # file per shingle bucket after the final in-stream compact
+    n_buckets = read_band_params(spark, index_path).get(
+        "n_shingle_buckets"
+    )
+    n_files = _parquet_file_count(f"{index_path}/shingles")
+    assert n_buckets is None or n_files <= n_buckets
+
+    # replay across the compaction's renamed files: still a no-op
+    n_sh = spark.read.parquet(f"{index_path}/shingles").count()
+    q2 = neardup_stream_sink(
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src),
+        wh,
+        index_path,
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+        threshold=0.2,
+        compact_every=1,
+    )
+    q2.awaitTermination(180)
+    assert spark.read.parquet(f"{index_path}/shingles").count() == n_sh
+
+
+def test_ann_ingest_sink_in_stream_compaction(spark, tmp_path):
+    """IVF parity with the lexical sink's maintenance leg
+    (compact_every): two same-distribution micro-batches with
+    compact_every=1 leave the vectors half at one file per live cell,
+    search through the compacted index still finds the true neighbors,
+    and a fresh-checkpoint replay across the renamed files adds zero
+    duplicate vectors."""
+    import json
+    import os
+
+    import numpy as np
+
+    from data_platform_spark.functions.similarity import cosine_topk
+    from data_platform_spark.ops.ann_index import (
+        build_ivf_index,
+        ivf_search_index,
+    )
+    from data_platform_spark.ops.compaction import _parquet_file_count
+    from data_platform_spark.pipeline import Warehouse
+    from data_platform_spark.streaming.ann import (
+        ann_ingest_sink,
+        indexed_corpus,
+        read_embeddings_stream,
+    )
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(4, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+
+    def planted(per, sigma, start_id):
+        rows, vid = [], start_id
+        for ci, c in enumerate(centers):
+            for _ in range(per):
+                v = c + sigma * rng.normal(size=64)
+                v /= np.linalg.norm(v)
+                rows.append((vid, ci, [float(x) for x in v]))
+                vid += 1
+        return rows
+
+    initial = planted(20, 0.10, 0)
+    b0 = planted(10, 0.10, 1000)
+    b1 = planted(10, 0.10, 2000)
+
+    index_path = str(tmp_path / "ivf_index")
+    build_ivf_index(
+        spark.createDataFrame(
+            initial, "vec_id: long, label: long, embedding: array<double>"
+        ),
+        index_path,
+        k=4,
+    )
+
+    src = str(tmp_path / "emb_stream")
+    os.makedirs(src)
+    for i, rows in enumerate([b0, b1]):
+        with open(f"{src}/b{i}.json", "w") as f:
+            for vid, lab, vec in rows:
+                f.write(
+                    json.dumps(
+                        {"vec_id": vid, "label": lab, "embedding": vec}
+                    )
+                    + "\n"
+                )
+        os.utime(f"{src}/b{i}.json", (1_000_000 + i, 1_000_000 + i))
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    q = ann_ingest_sink(
+        read_embeddings_stream(spark, src, max_files_per_trigger=1),
+        wh,
+        index_path,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        compact_every=1,
+    )
+    q.awaitTermination(180)
+
+    corpus = indexed_corpus(spark, index_path)
+    assert corpus.count() == 80 + 40 + 40
+    # one file per live cell after the final in-stream compact
+    assert _parquet_file_count(f"{index_path}/vectors") <= 4
+
+    # the compacted index still serves: recall vs exact cosine
+    vecs = {r[0]: r[2] for r in initial + b0 + b1}
+    qid = 2005
+    qv = corpus.filter(F.col("vec_id") == qid).select(
+        F.col("embedding").alias("q")
+    )
+    truth = {
+        r.vec_id
+        for r in cosine_topk(corpus, qv, k=10, exclude_ids=[qid]).collect()
+    }
+    got = {
+        r.vec_id
+        for r in ivf_search_index(
+            spark, index_path, vecs[qid], nprobe=2, k=10, exclude_ids=[qid]
+        ).collect()
+    }
+    assert len(got & truth) / 10 >= 0.8
+
+    # replay across compaction's renamed files: zero duplicates
+    q2 = ann_ingest_sink(
+        read_embeddings_stream(spark, src, max_files_per_trigger=1),
+        wh,
+        index_path,
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+        compact_every=1,
+    )
+    q2.awaitTermination(180)
+    assert indexed_corpus(spark, index_path).count() == 80 + 40 + 40
