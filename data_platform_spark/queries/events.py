@@ -2171,3 +2171,278 @@ ORACLE["events_markov_logprob"] = """
     FROM scored
     GROUP BY user_id
 """
+
+
+DECAY_LOOKBACK_HOURS = 48
+
+
+def purchase_attribution_time_decay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multi-touch time-decay attribution: every purchase's value is
+    split across the SAME USER's clicks in the preceding 48 hours with
+    a half-life of one hour (a click k whole hours before the purchase
+    earns weight 2^-k), then rolled up to the click DAY — the
+    marketing table that answers "which day's engagement actually
+    drove revenue", sitting between the single-touch models
+    (purchase_attribution's first/last) and equal-split linear
+    attribution. Purchases with no prior click in the window keep
+    their revenue unattributed (the 'direct' bucket) and emit no rows.
+
+    Determinism: weights are exact powers of two held as LONGs
+    (2^(47-k), k ∈ [0,47]); per-purchase weight totals are exact LONG
+    sums; each credit quantizes to integer micro-units before the
+    per-day fold, so no float sum depends on order. Scale shape: the
+    purchase×click pair relation is an equi-join on user_id with a
+    BOUNDED 48-hour range predicate — pair volume is clicks within a
+    fixed window of each purchase (linear in event density), never
+    clicks(u)·purchases(u) over all history; one groupBy on purchase
+    for the weight totals, one keyed join back, one bounded
+    (calendar-day) rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.unix_micros("ts").alias("p_us"),
+        F.col("value").alias("p_value"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id"),
+        F.unix_micros("ts").alias("c_us"),
+        F.date_trunc("day", F.col("ts")).alias("click_day"),
+    )
+    lb_us = DECAY_LOOKBACK_HOURS * 3_600_000_000
+    pairs = p.join(c, "user_id").filter(
+        (F.col("c_us") <= F.col("p_us"))
+        & (F.col("p_us") - F.col("c_us") < F.lit(lb_us))
+    ).select(
+        "purchase_id",
+        "p_value",
+        "click_day",
+        F.expr(
+            "CAST(power(2.0, 47 - ((p_us - c_us) DIV 3600000000))"
+            " AS BIGINT)"
+        ).alias("w"),
+    )
+    totals = pairs.groupBy("purchase_id").agg(
+        F.sum("w").cast("long").alias("tot_w")
+    )
+    credited = pairs.join(totals, "purchase_id").select(
+        "click_day",
+        F.floor(
+            (F.col("p_value") * F.lit(1_000_000)) * F.col("w")
+            / F.col("tot_w")
+            + F.lit(0.5)
+        ).cast("long").alias("credit_micro"),
+    )
+    return credited.groupBy("click_day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_credits"),
+        pround(F.sum("credit_micro") / F.lit(1_000_000.0), 6).alias(
+            "attributed_value"
+        ),
+    )
+
+
+QUERIES["purchase_attribution_time_decay"] = purchase_attribution_time_decay
+
+ORACLE["purchase_attribution_time_decay"] = f"""
+    WITH pairs AS (
+        SELECT p.event_id AS purchase_id,
+               p.value AS p_value,
+               date_trunc('day', c.ts) AS click_day,
+               CAST(power(2.0, 47 - ((epoch_us(p.ts) - epoch_us(c.ts))
+                                     // 3600000000)) AS BIGINT) AS w
+        FROM (SELECT * FROM events
+              WHERE event_type = 'purchase' AND value IS NOT NULL) p
+        JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON c.user_id = p.user_id
+         AND epoch_us(c.ts) <= epoch_us(p.ts)
+         AND epoch_us(p.ts) - epoch_us(c.ts)
+             < {DECAY_LOOKBACK_HOURS} * 3600000000
+    ),
+    totals AS (
+        SELECT purchase_id, sum(w)::BIGINT AS tot_w
+        FROM pairs GROUP BY purchase_id
+    ),
+    credited AS (
+        SELECT pr.click_day,
+               CAST(floor((pr.p_value * 1000000) * pr.w / t.tot_w + 0.5)
+                    AS BIGINT) AS credit_micro
+        FROM pairs pr JOIN totals t ON t.purchase_id = pr.purchase_id
+    )
+    SELECT click_day,
+           count(*)::BIGINT AS n_credits,
+           {sql_round("sum(credit_micro) / 1000000.0", 6)}
+               AS attributed_value
+    FROM credited
+    GROUP BY click_day
+"""
+
+
+def events_hourly_value_interpolated(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hourly value series per event type over a DENSE hour spine with
+    LINEAR INTERPOLATION across missing hours — the timeseries repair
+    step between zero-fill (events_downsample_gapfill: correct for
+    counts/rates) and forward-fill: for a level-like metric a gap
+    should ramp between its neighbors, not crash to zero. Leading and
+    trailing gaps (no earlier / no later observation for the type)
+    fall back to nearest-observation fill; each row is flagged
+    'observed' or 'interpolated'.
+
+    Determinism: observed hour sums quantize per row to integer
+    micro-units (exact LONG folds); the interpolation is one fixed
+    double expression over those exact ints and integer hour epochs.
+    Scale shape: one groupBy on the (type × hour) domain; the spine is
+    F.sequence over a 1-row bounds aggregate crossed with the distinct
+    types (both broadcast — spine length ∝ time range, not row
+    count); the fill windows partition BY TYPE over the spine, so a
+    partition is calendar-bounded (hours in range), never
+    data-bounded."""
+    ev = load_table(spark, sf_dir, "events")
+    vm = F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long")
+    hourly = ev.groupBy(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.coalesce(F.sum(vm), F.lit(0)).cast("long").alias("obs_micro"),
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("hmin"),
+        F.date_trunc("hour", F.max("ts")).alias("hmax"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("hmin", "hmax", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour_start")
+    )
+    types = ev.select("event_type").distinct()
+    dense = types.crossJoin(F.broadcast(spine)).join(
+        hourly, ["event_type", "hour_start"], "left"
+    )
+    w_back = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_start")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    h_us = F.unix_micros("hour_start")
+    present = F.col("n_events").isNotNull()
+    filled = dense.select(
+        "event_type",
+        "hour_start",
+        "n_events",
+        "obs_micro",
+        h_us.alias("h_us"),
+        F.last(F.when(present, F.col("obs_micro")), ignorenulls=True)
+        .over(w_back).alias("prev_u"),
+        F.last(F.when(present, h_us), ignorenulls=True)
+        .over(w_back).alias("prev_h"),
+        F.first(F.when(present, F.col("obs_micro")), ignorenulls=True)
+        .over(w_fwd).alias("next_u"),
+        F.first(F.when(present, h_us), ignorenulls=True)
+        .over(w_fwd).alias("next_h"),
+    )
+    interp = (
+        F.col("prev_u")
+        + (F.col("next_u") - F.col("prev_u"))
+        * (
+            (F.col("h_us") - F.col("prev_h"))
+            * F.lit(1.0)
+            / (F.col("next_h") - F.col("prev_h"))
+        )
+    )
+    value_u = F.when(present, F.col("obs_micro").cast("double")).otherwise(
+        F.when(F.col("prev_u").isNull(), F.col("next_u").cast("double"))
+        .when(F.col("next_u").isNull(), F.col("prev_u").cast("double"))
+        .otherwise(interp)
+    )
+    return filled.select(
+        "event_type",
+        "hour_start",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        pround(value_u / F.lit(1_000_000.0), 6).alias("value"),
+        F.when(present, F.lit("observed"))
+        .otherwise(F.lit("interpolated"))
+        .alias("status"),
+    )
+
+
+QUERIES["events_hourly_value_interpolated"] = events_hourly_value_interpolated
+
+ORACLE["events_hourly_value_interpolated"] = f"""
+    WITH hourly AS (
+        SELECT event_type,
+               date_trunc('hour', ts) AS hour_start,
+               count(*)::BIGINT AS n_events,
+               coalesce(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)),
+                        0)::BIGINT AS obs_micro
+        FROM events
+        GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT date_trunc('hour', min(ts)) AS hmin,
+               date_trunc('hour', max(ts)) AS hmax
+        FROM events
+    ),
+    spine AS (
+        SELECT unnest(generate_series(hmin, hmax, INTERVAL 1 HOUR))
+                   AS hour_start
+        FROM bounds
+    ),
+    dense AS (
+        SELECT t.event_type, s.hour_start, h.n_events, h.obs_micro
+        FROM (SELECT DISTINCT event_type FROM events) t
+        CROSS JOIN spine s
+        LEFT JOIN hourly h
+          ON h.event_type = t.event_type AND h.hour_start = s.hour_start
+    ),
+    filled AS (
+        SELECT event_type, hour_start, n_events, obs_micro,
+               epoch_us(hour_start) AS h_us,
+               last_value(CASE WHEN n_events IS NOT NULL
+                               THEN obs_micro END IGNORE NULLS)
+                   OVER (PARTITION BY event_type ORDER BY hour_start
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS prev_u,
+               last_value(CASE WHEN n_events IS NOT NULL
+                               THEN epoch_us(hour_start) END IGNORE NULLS)
+                   OVER (PARTITION BY event_type ORDER BY hour_start
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS prev_h,
+               first_value(CASE WHEN n_events IS NOT NULL
+                                THEN obs_micro END IGNORE NULLS)
+                   OVER (PARTITION BY event_type ORDER BY hour_start
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS next_u,
+               first_value(CASE WHEN n_events IS NOT NULL
+                                THEN epoch_us(hour_start) END IGNORE NULLS)
+                   OVER (PARTITION BY event_type ORDER BY hour_start
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS next_h
+        FROM dense
+    )
+    SELECT event_type,
+           hour_start,
+           coalesce(n_events, 0)::BIGINT AS n_events,
+           {sql_round(
+               "(CASE WHEN n_events IS NOT NULL"
+               "      THEN obs_micro * 1.0"
+               "      WHEN prev_u IS NULL THEN next_u * 1.0"
+               "      WHEN next_u IS NULL THEN prev_u * 1.0"
+               "      ELSE prev_u + (next_u - prev_u)"
+               "           * ((h_us - prev_h) * 1.0 / (next_h - prev_h))"
+               " END) / 1000000.0", 6
+           )} AS value,
+           CASE WHEN n_events IS NOT NULL THEN 'observed'
+                ELSE 'interpolated' END AS status
+    FROM filled
+"""

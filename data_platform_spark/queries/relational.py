@@ -3959,3 +3959,171 @@ ORACLE["ship_delay_monthly_trend"] = f"""
     FROM delayed
     GROUP BY month
 """
+
+
+def order_fulfilment_span(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Intra-order fulfilment span per priority class: how many days
+    separate an order's FIRST and LAST lineitem shipment — exact mean
+    plus p50/p90 of the span, and the share of orders shipped in one
+    day. The multi-shipment coherence table ship_delay_percentiles
+    can't see (that one scores each lineitem independently; this one
+    scores the ORDER as a unit — a priority class whose spans stretch
+    means split shipments, partial stock, or a stuck line).
+
+    Determinism: the span is an integer day difference of per-order
+    min/max ship dates. Scale shape: one groupBy on l_orderkey
+    (min/max/count — algebraic, map-side partial) joined to the order
+    dim on the same key; the mean/share rollup lands on the bounded
+    5-priority domain; the exact percentiles ride the grouped
+    two-phase layout because a class's order count is unbounded."""
+    from data_platform_spark.ops.global_order import grouped_percentile
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    spans = (
+        li.groupBy(F.col("l_orderkey"))
+        .agg(
+            F.datediff(
+                F.max(F.col("l_shipdate").cast("date")),
+                F.min(F.col("l_shipdate").cast("date")),
+            ).cast("long").alias("span_days"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+        .join(
+            orders.select(
+                F.col("o_orderkey").alias("l_orderkey"),
+                "o_orderpriority",
+            ),
+            "l_orderkey",
+        )
+    )
+    base = spans.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("span_days").cast("long").alias("sum_span"),
+        F.sum(
+            F.when(F.col("span_days") == 0, F.lit(1)).otherwise(F.lit(0))
+        ).cast("long").alias("n_single_day"),
+    )
+    pct = grouped_percentile(
+        spans, ["o_orderpriority"], "span_days", {"p50": 0.5, "p90": 0.9}
+    )
+    return base.join(pct, on="o_orderpriority", how="left").select(
+        "o_orderpriority",
+        "n_orders",
+        pround(F.col("n_single_day") / F.col("n_orders"), 6).alias(
+            "single_day_share"
+        ),
+        pround(F.col("sum_span") / F.col("n_orders"), 4).alias(
+            "mean_span_days"
+        ),
+        pround(F.col("p50"), 4).alias("p50_span_days"),
+        pround(F.col("p90"), 4).alias("p90_span_days"),
+    )
+
+
+QUERIES["order_fulfilment_span"] = order_fulfilment_span
+
+ORACLE["order_fulfilment_span"] = f"""
+    WITH spans AS (
+        SELECT l.l_orderkey,
+               date_diff('day', min(CAST(l.l_shipdate AS DATE)),
+                         max(CAST(l.l_shipdate AS DATE)))::BIGINT
+                   AS span_days
+        FROM lineitem l
+        GROUP BY l.l_orderkey
+    )
+    SELECT o.o_orderpriority,
+           count(*)::BIGINT AS n_orders,
+           {sql_round(
+               "sum(CASE WHEN span_days = 0 THEN 1 ELSE 0 END)"
+               " * 1.0 / count(*)", 6
+           )} AS single_day_share,
+           {sql_round("sum(span_days) * 1.0 / count(*)", 4)}
+               AS mean_span_days,
+           {sql_round("quantile_cont(span_days, 0.5)", 4)} AS p50_span_days,
+           {sql_round("quantile_cont(span_days, 0.9)", 4)} AS p90_span_days
+    FROM spans s JOIN orders o ON o.o_orderkey = s.l_orderkey
+    GROUP BY o.o_orderpriority
+"""
+
+
+def orders_priority_mix_shift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Order-priority mix drift by month: each month's share of every
+    priority class next to the corpus-wide share and the signed
+    deviation — the composition-shift monitor that catches an upstream
+    segment change (a surge of URGENT orders) even when total volume
+    is flat, the categorical twin of the value-drift monitors.
+
+    Determinism: shares are double divisions of exact LONG counts
+    computed by one fixed expression. Scale shape: one groupBy on the
+    bounded (month × 5-priority) domain; the month totals and the
+    corpus-wide priority shares are metadata-scale relations joined
+    back by broadcast; the overall total rides a 1-row broadcast."""
+    orders = load_table(spark, sf_dir, "orders")
+    cells = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+        "o_orderpriority",
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    month_tot = cells.groupBy("month").agg(
+        F.sum("n_orders").cast("long").alias("month_total")
+    )
+    prio_tot = cells.groupBy("o_orderpriority").agg(
+        F.sum("n_orders").cast("long").alias("prio_total")
+    )
+    grand = cells.agg(F.sum("n_orders").cast("long").alias("grand_total"))
+    month_share = F.col("n_orders") / F.col("month_total")
+    overall_share = F.col("prio_total") / F.col("grand_total")
+    return (
+        cells.join(F.broadcast(month_tot), "month")
+        .join(F.broadcast(prio_tot), "o_orderpriority")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "month",
+            "o_orderpriority",
+            "n_orders",
+            pround(month_share, 6).alias("month_share"),
+            pround(overall_share, 6).alias("overall_share"),
+            pround(month_share - overall_share, 6).alias("share_shift"),
+        )
+    )
+
+
+QUERIES["orders_priority_mix_shift"] = orders_priority_mix_shift
+
+ORACLE["orders_priority_mix_shift"] = f"""
+    WITH cells AS (
+        SELECT date_trunc('month', o_orderdate) AS month,
+               o_orderpriority,
+               count(*)::BIGINT AS n_orders
+        FROM orders
+        GROUP BY 1, 2
+    ),
+    month_tot AS (
+        SELECT month, sum(n_orders)::BIGINT AS month_total
+        FROM cells GROUP BY month
+    ),
+    prio_tot AS (
+        SELECT o_orderpriority, sum(n_orders)::BIGINT AS prio_total
+        FROM cells GROUP BY o_orderpriority
+    ),
+    grand AS (SELECT sum(n_orders)::BIGINT AS grand_total FROM cells)
+    SELECT c.month,
+           c.o_orderpriority,
+           c.n_orders,
+           {sql_round("c.n_orders * 1.0 / m.month_total", 6)}
+               AS month_share,
+           {sql_round("p.prio_total * 1.0 / g.grand_total", 6)}
+               AS overall_share,
+           {sql_round(
+               "c.n_orders * 1.0 / m.month_total"
+               " - p.prio_total * 1.0 / g.grand_total", 6
+           )} AS share_shift
+    FROM cells c
+    JOIN month_tot m ON m.month = c.month
+    JOIN prio_tot p ON p.o_orderpriority = c.o_orderpriority
+    CROSS JOIN grand g
+"""

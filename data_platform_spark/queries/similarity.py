@@ -1686,3 +1686,84 @@ ORACLE["embedding_quantization_error"] = f"""
            {sql_round("max_abs / 1e9", 8)} AS max_abs_err
     FROM agg
 """
+
+
+def embedding_dim_correlation_top(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-20 most-correlated embedding dimension pairs (|Pearson r|):
+    the redundancy screen embedding_dim_stats can't see — two
+    dimensions tracking each other carry one dimension of signal for
+    two dimensions of cost, the capacity-waste indicator that argues
+    for PCA/whitening before PQ subspace splits (correlated dims in
+    different subspaces break PQ's independence assumption).
+
+    Computed the 100 TB way: functions/similarity.gram_pair_partials
+    reduces every partition to ONE dim×dim exact-integer Gram matrix
+    via an Arrow-batched matmul (mapInPandas — this is the vectorized-
+    kernel escape hatch, not a row-at-a-time UDF), so the shuffle
+    carries 2016 pair rows per partition instead of rows×dim² cells;
+    correlations derive from the exact LONG sums by one fixed double
+    expression, and the top-20 is a TakeOrdered over the bounded
+    dims²/2-row frame (never a data-bound sort). Zero-variance pairs
+    are excluded (r undefined)."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"), spark)
+    g = S.gram_pair_partials(emb, vec_col="embedding", dim=DIM)
+    var1 = F.col("n") * 1.0 * F.col("s11") - F.col("s1") * 1.0 * F.col("s1")
+    var2 = F.col("n") * 1.0 * F.col("s22") - F.col("s2") * 1.0 * F.col("s2")
+    cov = F.col("n") * 1.0 * F.col("s12") - F.col("s1") * 1.0 * F.col("s2")
+    corr = cov / F.sqrt(var1 * var2)
+    return (
+        g.filter((var1 > 0) & (var2 > 0))
+        .select("d1", "d2", "n", corr.alias("corr_raw"))
+        .orderBy(F.abs(F.col("corr_raw")).desc(), "d1", "d2")
+        .limit(20)
+        .select(
+            "d1",
+            "d2",
+            "n",
+            pround(F.col("corr_raw"), 4).alias("corr"),
+            pround(F.abs(F.col("corr_raw")), 4).alias("abs_corr"),
+        )
+    )
+
+
+QUERIES["embedding_dim_correlation_top"] = embedding_dim_correlation_top
+
+ORACLE["embedding_dim_correlation_top"] = f"""
+    WITH coords AS (
+        SELECT vec_id,
+               t.i - 1 AS d,
+               CAST(floor(embedding[t.i]::DOUBLE * 10000 + 0.5)
+                    AS BIGINT) AS v
+        FROM embeddings,
+             unnest(generate_series(1, len(embedding))) AS t(i)
+    ),
+    pairs AS (
+        SELECT a.d AS d1, b.d AS d2,
+               count(*)::BIGINT AS n,
+               sum(a.v)::BIGINT AS s1,
+               sum(b.v)::BIGINT AS s2,
+               sum(a.v * a.v)::BIGINT AS s11,
+               sum(b.v * b.v)::BIGINT AS s22,
+               sum(a.v * b.v)::BIGINT AS s12
+        FROM coords a JOIN coords b
+          ON b.vec_id = a.vec_id AND a.d < b.d
+        GROUP BY a.d, b.d
+    ),
+    scored AS (
+        SELECT d1, d2, n,
+               (n * 1.0 * s12 - s1 * 1.0 * s2)
+               / sqrt((n * 1.0 * s11 - s1 * 1.0 * s1)
+                      * (n * 1.0 * s22 - s2 * 1.0 * s2)) AS corr_raw
+        FROM pairs
+        WHERE (n * 1.0 * s11 - s1 * 1.0 * s1) > 0
+          AND (n * 1.0 * s22 - s2 * 1.0 * s2) > 0
+    )
+    SELECT d1, d2, n,
+           {sql_round("corr_raw", 4)} AS corr,
+           {sql_round("abs(corr_raw)", 4)} AS abs_corr
+    FROM scored
+    ORDER BY abs(corr_raw) DESC, d1, d2
+    LIMIT 20
+"""

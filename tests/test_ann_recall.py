@@ -198,3 +198,37 @@ def test_kmeans_sampled_training_recall_and_full_assignment(spark):
         assert _recall(spark, df, got) >= 0.8
     finally:
         df.unpersist()
+
+
+def test_gram_pair_partials_partition_invariant_and_exact(spark):
+    """gram_pair_partials must (a) agree exactly with a single-machine
+    numpy Gram on the same quantized ints, and (b) be bit-identical
+    across partitionings — the fold is exact-integer, so repartitioning
+    can't change any statistic."""
+    from data_platform_spark.functions.similarity import gram_pair_partials
+
+    rng = np.random.default_rng(7)
+    dim = 8
+    X = rng.normal(size=(300, dim))
+    rows = [(i, [float(x) for x in X[i]]) for i in range(len(X))]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+
+    def collect_gram(d):
+        out = gram_pair_partials(d, dim=dim).collect()
+        return {
+            (r.d1, r.d2): (r.n, r.s1, r.s2, r.s11, r.s22, r.s12)
+            for r in out
+        }
+
+    one = collect_gram(df.coalesce(1))
+    many = collect_gram(df.repartition(7))
+    assert one == many
+    assert len(one) == dim * (dim - 1) // 2
+
+    Xi = np.floor(X * 10_000 + 0.5).astype(np.int64)
+    G = Xi.T @ Xi
+    s = Xi.sum(axis=0)
+    for (d1, d2), (n, s1, s2, s11, s22, s12) in one.items():
+        assert n == len(X)
+        assert (s1, s2) == (s[d1], s[d2])
+        assert (s11, s22, s12) == (G[d1, d1], G[d2, d2], G[d1, d2])
