@@ -2295,3 +2295,78 @@ ORACLE["neardup_cluster_size_histogram"] = f"""
            ((size - 1) * n_clusters)::BIGINT AS n_removable
     FROM hist
 """
+
+
+def crosssource_exact_dup_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact-duplicate pair counts by order-normalized source pair —
+    the exact-hash twin of crosssource_neardup_share: which source
+    pairs share verbatim content (syndication, mirroring, re-crawls)
+    vs which sources duplicate within themselves. Pair counts derive
+    from per-(hash, source) copy counts, NEVER pair enumeration: a
+    content group with c_a copies in source a and c_b in source b
+    contributes c_a·c_b cross pairs (C(c,2) within), so a viral
+    boilerplate blob costs one multiplication, not |group|² rows.
+
+    Determinism: pure integer counting. Scale shape: one groupBy on
+    (md5, source); the per-hash self-join fans out by sources-per-hash
+    (bounded by the source domain); the rollup lands on the bounded
+    |sources|² domain."""
+    docs = load_table(spark, sf_dir, "documents")
+    hs = docs.select(
+        D.content_hash(F.col("text")).alias("text_hash"), "source"
+    ).groupBy("text_hash", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    a = hs.select(
+        "text_hash", F.col("source").alias("source_a"), F.col("c").alias("c_a")
+    )
+    b = hs.select(
+        "text_hash", F.col("source").alias("source_b"), F.col("c").alias("c_b")
+    )
+    pairs = (
+        a.join(b, "text_hash")
+        .filter(F.col("source_a") <= F.col("source_b"))
+        .select(
+            "source_a",
+            "source_b",
+            F.when(
+                F.col("source_a") == F.col("source_b"),
+                F.col("c_a") * (F.col("c_a") - 1) / 2,
+            )
+            .otherwise(F.col("c_a") * F.col("c_b"))
+            .cast("long")
+            .alias("n_pairs"),
+        )
+        .filter(F.col("n_pairs") > 0)
+    )
+    return pairs.groupBy("source_a", "source_b").agg(
+        F.sum("n_pairs").cast("long").alias("n_dup_pairs"),
+        F.count(F.lit(1)).cast("long").alias("n_shared_contents"),
+    )
+
+
+QUERIES["crosssource_exact_dup_matrix"] = crosssource_exact_dup_matrix
+
+ORACLE["crosssource_exact_dup_matrix"] = """
+    WITH hs AS (
+        SELECT md5(text) AS text_hash, source, count(*)::BIGINT AS c
+        FROM documents
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(CASE WHEN a.source = b.source
+                         THEN a.c * (a.c - 1) / 2
+                         ELSE a.c * b.c END AS BIGINT) AS n_pairs
+        FROM hs a JOIN hs b ON b.text_hash = a.text_hash
+        WHERE a.source <= b.source
+    )
+    SELECT source_a, source_b,
+           sum(n_pairs)::BIGINT AS n_dup_pairs,
+           count(*)::BIGINT AS n_shared_contents
+    FROM pairs
+    WHERE n_pairs > 0
+    GROUP BY source_a, source_b
+"""

@@ -4127,3 +4127,100 @@ ORACLE["orders_priority_mix_shift"] = f"""
     JOIN prio_tot p ON p.o_orderpriority = c.o_orderpriority
     CROSS JOIN grand g
 """
+
+
+def segment_priority_contingency(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Market-segment × order-priority contingency table with expected
+    counts under independence, lift, and per-cell chi² contributions —
+    the categorical-independence audit (does AUTOMOBILE order URGENT
+    more than chance?). A cell's chi² contribution localizes WHERE an
+    association lives; the lift is its effect size. The bounded 5×5
+    domain makes every derived statistic metadata-scale.
+
+    Determinism: observed counts are exact LONGs; expected/lift/chi²
+    derive by one fixed double expression. Scale shape: the
+    orders→customer join is key-partitioned on custkey (large-large —
+    AQE may broadcast at small SF, must shuffle at 100 TB); the cell
+    rollup lands on the bounded domain; row/column totals broadcast;
+    the grand total rides a 1-row broadcast."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    cells = (
+        orders.select(F.col("o_custkey").alias("c_custkey"), "o_orderpriority")
+        .join(cust.select("c_custkey", "c_mktsegment"), "c_custkey")
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+    row_tot = cells.groupBy("c_mktsegment").agg(
+        F.sum("n_orders").cast("long").alias("seg_total")
+    )
+    col_tot = cells.groupBy("o_orderpriority").agg(
+        F.sum("n_orders").cast("long").alias("prio_total")
+    )
+    grand = cells.agg(F.sum("n_orders").cast("long").alias("grand_total"))
+    expected = (
+        F.col("seg_total").cast("double")
+        * F.col("prio_total").cast("double")
+        / F.col("grand_total").cast("double")
+    )
+    lift = F.col("n_orders").cast("double") / expected
+    chi2 = (F.col("n_orders").cast("double") - expected) ** 2 / expected
+    return (
+        cells.join(F.broadcast(row_tot), "c_mktsegment")
+        .join(F.broadcast(col_tot), "o_orderpriority")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "c_mktsegment",
+            "o_orderpriority",
+            "n_orders",
+            pround(expected, 4).alias("expected"),
+            pround(lift, 4).alias("lift"),
+            pround(chi2, 4).alias("chi2_contrib"),
+        )
+    )
+
+
+QUERIES["segment_priority_contingency"] = segment_priority_contingency
+
+ORACLE["segment_priority_contingency"] = f"""
+    WITH cells AS (
+        SELECT c.c_mktsegment, o.o_orderpriority,
+               count(*)::BIGINT AS n_orders
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2
+    ),
+    row_tot AS (
+        SELECT c_mktsegment, sum(n_orders)::BIGINT AS seg_total
+        FROM cells GROUP BY 1
+    ),
+    col_tot AS (
+        SELECT o_orderpriority, sum(n_orders)::BIGINT AS prio_total
+        FROM cells GROUP BY 1
+    ),
+    grand AS (SELECT sum(n_orders)::BIGINT AS grand_total FROM cells)
+    SELECT ce.c_mktsegment,
+           ce.o_orderpriority,
+           ce.n_orders,
+           {sql_round(
+               "r.seg_total::DOUBLE * c.prio_total::DOUBLE"
+               " / g.grand_total::DOUBLE", 4
+           )} AS expected,
+           {sql_round(
+               "ce.n_orders::DOUBLE"
+               " / (r.seg_total::DOUBLE * c.prio_total::DOUBLE"
+               "    / g.grand_total::DOUBLE)", 4
+           )} AS lift,
+           {sql_round(
+               "pow(ce.n_orders::DOUBLE"
+               "    - r.seg_total::DOUBLE * c.prio_total::DOUBLE"
+               "      / g.grand_total::DOUBLE, 2)"
+               " / (r.seg_total::DOUBLE * c.prio_total::DOUBLE"
+               "    / g.grand_total::DOUBLE)", 4
+           )} AS chi2_contrib
+    FROM cells ce
+    JOIN row_tot r ON r.c_mktsegment = ce.c_mktsegment
+    JOIN col_tot c ON c.o_orderpriority = ce.o_orderpriority
+    CROSS JOIN grand g
+"""

@@ -3212,3 +3212,120 @@ ORACLE["corpus_vocab_growth"] = """
             WHERE b.bucket <= a.bucket)::BIGINT AS cum_vocab
     FROM per a
 """
+
+
+def positional_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional-drift audit: KL divergence of each document-QUARTILE's
+    term distribution from the corpus-wide distribution — the
+    within-document twin of source_unigram_kl. Generated or templated
+    text concentrates boilerplate at fixed positions (openings,
+    closings), so a quartile whose KL detaches from the others flags
+    positional bias a bag-of-words source audit can't see; it is also
+    the evidence behind prefix-dedup thresholds (corpus_prefix_dup_rate
+    assumes openings are the most templated slice).
+
+    Determinism: same micro-nat integer contributions as
+    source_unigram_kl (floor before the per-bucket LONG sum); the
+    quartile index is integer math on the token ordinal. Scale shape:
+    identical to the source variant with the bounded 4-value bucket key
+    in place of source — the scoring join stays key-partitioned on the
+    term; no windows (the ordinal comes from posexplode, not a rank)."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    toks = docs.select(
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "term"),
+        F.size(F.split(F.col("text"), " ")).alias("n_toks"),
+    ).select(
+        F.expr("(pos * 4) DIV n_toks").cast("int").alias("quartile"),
+        "term",
+    )
+    qt = toks.groupBy("quartile", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("c_qt")
+    )
+    ct = toks.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("c_t")
+    )
+    tq = qt.groupBy("quartile").agg(
+        F.sum("c_qt").alias("t_q"),
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+    )
+    tot = tq.agg(F.sum("t_q").alias("t"))
+    contrib = (
+        qt.join(ct, "term")
+        .join(F.broadcast(tq.select("quartile", "t_q")), "quartile")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "quartile",
+            F.floor(
+                F.col("c_qt")
+                * F.log(
+                    (
+                        F.col("c_qt").cast("double")
+                        * F.col("t").cast("double")
+                    )
+                    / (
+                        F.col("t_q").cast("double")
+                        * F.col("c_t").cast("double")
+                    )
+                )
+                * 1_000_000
+                + F.lit(0.5)
+            ).cast("long").alias("kl_micro"),
+        )
+    )
+    agg = contrib.groupBy("quartile").agg(
+        F.sum("kl_micro").alias("sum_kl_micro")
+    )
+    return agg.join(F.broadcast(tq), "quartile").select(
+        "quartile",
+        F.col("t_q").cast("long").alias("n_tokens"),
+        "n_terms",
+        pround(
+            F.col("sum_kl_micro") / F.lit(1_000_000.0) / F.col("t_q"), 6
+        ).alias("kl_from_corpus"),
+    )
+
+
+QUERIES["positional_unigram_kl"] = positional_unigram_kl
+
+ORACLE["positional_unigram_kl"] = f"""
+    WITH toks AS (
+        SELECT ((t.i - 1) * 4) // len(string_split(text, ' '))
+                   AS quartile,
+               string_split(text, ' ')[t.i] AS term
+        FROM documents,
+             unnest(generate_series(1, len(string_split(text, ' '))))
+                 AS t(i)
+    ),
+    qt AS (
+        SELECT quartile, term, count(*)::BIGINT AS c_qt
+        FROM toks GROUP BY quartile, term
+    ),
+    ct AS (
+        SELECT term, count(*)::BIGINT AS c_t FROM toks GROUP BY term
+    ),
+    tq AS (
+        SELECT quartile, sum(c_qt)::BIGINT AS t_q,
+               count(*)::BIGINT AS n_terms
+        FROM qt GROUP BY quartile
+    ),
+    tot AS (SELECT sum(t_q)::BIGINT AS t FROM tq),
+    contrib AS (
+        SELECT qt.quartile,
+               CAST(floor(
+                   qt.c_qt * ln((qt.c_qt::DOUBLE * tot.t::DOUBLE)
+                                / (tq.t_q::DOUBLE * ct.c_t::DOUBLE))
+                   * 1000000 + 0.5) AS BIGINT) AS kl_micro
+        FROM qt
+        JOIN ct ON ct.term = qt.term
+        JOIN tq ON tq.quartile = qt.quartile
+        CROSS JOIN tot
+    )
+    SELECT a.quartile,
+           tq.t_q::BIGINT AS n_tokens,
+           tq.n_terms,
+           {sql_round("a.sum_kl_micro / 1000000.0 / tq.t_q", 6)}
+               AS kl_from_corpus
+    FROM (SELECT quartile, sum(kl_micro)::BIGINT AS sum_kl_micro
+          FROM contrib GROUP BY quartile) a
+    JOIN tq ON tq.quartile = a.quartile
+"""
