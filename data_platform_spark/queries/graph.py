@@ -352,3 +352,191 @@ ORACLE["term_graph_reciprocity"] = f"""
     FROM tagged
     GROUP BY src_is_hub
 """
+
+
+def term_graph_clustering_coefficient(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Local clustering-coefficient histogram of the UNDIRECTED
+    word-adjacency graph: per term, the share of its neighbor pairs
+    that are themselves adjacent (c = 2t/(d(d-1))), bucketed into ten
+    bins — the cohesion audit completing the graph family (degree =
+    size, reciprocity = direction symmetry, clustering = neighborhood
+    density: templated/list-like text drives coefficients toward 1,
+    grammatical prose keeps hubs sparse).
+
+    Scale shape: triangles are counted DEGREE-ORDERED — every
+    undirected edge orients from its lower-(degree, term) endpoint, so
+    wedge enumeration is bounded by oriented out-degrees (≈ graph
+    arboricity), never a hub's full d² neighbor pairs; each triangle
+    is found exactly once and credited to its three corners via a
+    3-literal explode. One distinct-edge shuffle, degree join, wedge
+    self-join keyed on the pivot, closing-edge semi-join on the
+    oriented key, bounded 10-bin rollup."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    pairs = F.expr(
+        "transform(sequence(1, size(split(text, ' ')) - 1), "
+        "i -> struct(split(text, ' ')[i - 1] AS src, "
+        "split(text, ' ')[i] AS dst))"
+    )
+    und = (
+        docs.filter(F.size(F.split(F.col("text"), " ")) >= 2)
+        .select(F.explode(pairs).alias("e"))
+        .filter(F.col("e.src") != F.col("e.dst"))
+        .select(
+            F.least("e.src", "e.dst").alias("u"),
+            F.greatest("e.src", "e.dst").alias("v"),
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("term"))
+        .union(und.select(F.col("v").alias("term")))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    # orient every edge low→high by (degree, term); carries both ranks
+    oriented = (
+        und.join(deg.select(F.col("term").alias("u"), F.col("degree").alias("du")), "u")
+        .join(deg.select(F.col("term").alias("v"), F.col("degree").alias("dv")), "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(
+                    F.col("u").alias("lo"), F.col("v").alias("hi"),
+                    F.col("du").alias("dlo"), F.col("dv").alias("dhi"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.col("v").alias("lo"), F.col("u").alias("hi"),
+                    F.col("dv").alias("dlo"), F.col("du").alias("dhi"),
+                )
+            )
+            .alias("o")
+        )
+        .select("o.lo", "o.hi", "o.dlo", "o.dhi")
+    )
+    e1 = oriented.select(
+        F.col("lo").alias("a"), F.col("hi").alias("b"),
+        F.col("dhi").alias("db"),
+    )
+    e2 = oriented.select(
+        F.col("lo").alias("a"), F.col("hi").alias("c"),
+        F.col("dhi").alias("dc"),
+    )
+    wedges = e1.join(e2, "a").filter(
+        (F.col("db") < F.col("dc"))
+        | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
+    )
+    tris = wedges.join(
+        oriented.select(F.col("lo").alias("b"), F.col("hi").alias("c")),
+        ["b", "c"],
+        "left_semi",
+    ).select("a", "b", "c")
+    t_per_node = (
+        tris.select(
+            F.explode(F.array("a", "b", "c")).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+    )
+    coeff = (
+        deg.filter(F.col("degree") >= 2)
+        .join(t_per_node, "term", "left")
+        .select(
+            "term",
+            (
+                F.lit(2.0)
+                * F.coalesce(F.col("t"), F.lit(0))
+                / (F.col("degree") * (F.col("degree") - 1))
+            ).alias("c"),
+        )
+    )
+    return (
+        coeff.select(
+            F.least(F.floor(F.col("c") * 10).cast("long"), F.lit(9)).alias(
+                "bucket"
+            ),
+            "c",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            pround(
+                F.sum(F.floor(F.col("c") * 1_000_000 + F.lit(0.5)))
+                / F.lit(1_000_000.0)
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_coeff"),
+        )
+    )
+
+
+QUERIES["term_graph_clustering_coefficient"] = term_graph_clustering_coefficient
+
+ORACLE["term_graph_clustering_coefficient"] = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    und AS (
+        SELECT DISTINCT least(ws[i], ws[i + 1]) AS u,
+                        greatest(ws[i], ws[i + 1]) AS v
+        FROM toks, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+        WHERE len(ws) >= 2 AND ws[i] <> ws[i + 1]
+    ),
+    deg AS (
+        SELECT term, count(*)::BIGINT AS degree
+        FROM (SELECT u AS term FROM und
+              UNION ALL SELECT v AS term FROM und)
+        GROUP BY term
+    ),
+    oriented AS (
+        SELECT CASE WHEN (du.degree < dv.degree)
+                      OR (du.degree = dv.degree AND e.u < e.v)
+                    THEN e.u ELSE e.v END AS lo,
+               CASE WHEN (du.degree < dv.degree)
+                      OR (du.degree = dv.degree AND e.u < e.v)
+                    THEN e.v ELSE e.u END AS hi,
+               CASE WHEN (du.degree < dv.degree)
+                      OR (du.degree = dv.degree AND e.u < e.v)
+                    THEN dv.degree ELSE du.degree END AS dhi
+        FROM und e
+        JOIN deg du ON du.term = e.u
+        JOIN deg dv ON dv.term = e.v
+    ),
+    tris AS (
+        SELECT e1.a, e1.b, e2.c
+        FROM (SELECT lo AS a, hi AS b, dhi AS db FROM oriented) e1
+        JOIN (SELECT lo AS a, hi AS c, dhi AS dc FROM oriented) e2
+          ON e2.a = e1.a
+         AND ((e1.db < e2.dc) OR (e1.db = e2.dc AND e1.b < e2.c))
+        WHERE EXISTS (
+            SELECT 1 FROM oriented o
+            WHERE o.lo = e1.b AND o.hi = e2.c
+        )
+    ),
+    t_per_node AS (
+        SELECT term, count(*)::BIGINT AS t
+        FROM (SELECT a AS term FROM tris
+              UNION ALL SELECT b AS term FROM tris
+              UNION ALL SELECT c AS term FROM tris)
+        GROUP BY term
+    ),
+    coeff AS (
+        SELECT d.term,
+               2.0 * coalesce(t.t, 0)
+               / (d.degree * (d.degree - 1)) AS c
+        FROM deg d LEFT JOIN t_per_node t ON t.term = d.term
+        WHERE d.degree >= 2
+    )
+    SELECT least(CAST(floor(c * 10) AS BIGINT), 9) AS bucket,
+           count(*)::BIGINT AS n_terms,
+           {sql_round(
+               "sum(CAST(floor(c * 1000000 + 0.5) AS BIGINT))"
+               " / 1000000.0 / count(*)", 6
+           )} AS mean_coeff
+    FROM coeff
+    GROUP BY 1
+"""

@@ -4224,3 +4224,111 @@ ORACLE["segment_priority_contingency"] = f"""
     JOIN col_tot c ON c.o_orderpriority = ce.o_orderpriority
     CROSS JOIN grand g
 """
+
+
+def nation_self_trade_share(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Import-dependency diagonal: per CUSTOMER nation, the share of
+    its purchase revenue supplied by its OWN nation's suppliers — the
+    one-row-per-nation summary of q7_nation_trade_volume's pair matrix
+    (a nation whose domestic share collapses is import-dependent; the
+    supply-chain-risk complement of nation_supplier_revenue_hhi's
+    concentration view).
+
+    Determinism: revenue fixes to CENTS per lineitem before exact LONG
+    folds; the share is one double division. Scale shape: the
+    lineitem→orders join is key-partitioned on orderkey (large-large);
+    customer and supplier dims broadcast; the rollup lands on the
+    bounded 25-nation domain."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    rev_cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+        + F.lit(0.5)
+    ).cast("long")
+    flows = (
+        li.select("l_orderkey", "l_suppkey", rev_cents.alias("rev_cents"))
+        .join(
+            orders.select(
+                F.col("o_orderkey").alias("l_orderkey"), "o_custkey"
+            ),
+            "l_orderkey",
+        )
+        .join(
+            F.broadcast(
+                cust.select(
+                    F.col("c_custkey").alias("o_custkey"),
+                    F.col("c_nationkey").alias("cust_nation"),
+                )
+            ),
+            "o_custkey",
+        )
+        .join(
+            F.broadcast(
+                sup.select(
+                    F.col("s_suppkey").alias("l_suppkey"),
+                    F.col("s_nationkey").alias("supp_nation"),
+                )
+            ),
+            "l_suppkey",
+        )
+    )
+    agg = flows.groupBy("cust_nation").agg(
+        F.sum("rev_cents").cast("long").alias("total_cents"),
+        F.sum(
+            F.when(
+                F.col("supp_nation") == F.col("cust_nation"),
+                F.col("rev_cents"),
+            ).otherwise(F.lit(0))
+        ).cast("long").alias("domestic_cents"),
+    )
+    return agg.join(
+        F.broadcast(
+            nation.select(
+                F.col("n_nationkey").alias("cust_nation"), "n_name"
+            )
+        ),
+        "cust_nation",
+    ).select(
+        F.col("n_name").alias("nation"),
+        (F.col("total_cents") / 100).alias("purchase_revenue"),
+        (F.col("domestic_cents") / 100).alias("domestic_revenue"),
+        pround(
+            F.col("domestic_cents") / F.col("total_cents"), 6
+        ).alias("domestic_share"),
+    )
+
+
+QUERIES["nation_self_trade_share"] = nation_self_trade_share
+
+ORACLE["nation_self_trade_share"] = f"""
+    WITH flows AS (
+        SELECT c.c_nationkey AS cust_nation,
+               s.s_nationkey AS supp_nation,
+               CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100
+                          + 0.5) AS BIGINT) AS rev_cents
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    ),
+    agg AS (
+        SELECT cust_nation,
+               sum(rev_cents)::BIGINT AS total_cents,
+               sum(CASE WHEN supp_nation = cust_nation
+                        THEN rev_cents ELSE 0 END)::BIGINT
+                   AS domestic_cents
+        FROM flows
+        GROUP BY cust_nation
+    )
+    SELECT n.n_name AS nation,
+           a.total_cents / 100.0 AS purchase_revenue,
+           a.domestic_cents / 100.0 AS domestic_revenue,
+           {sql_round("a.domestic_cents * 1.0 / a.total_cents", 6)}
+               AS domestic_share
+    FROM agg a JOIN nation n ON n.n_nationkey = a.cust_nation
+"""

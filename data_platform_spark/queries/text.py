@@ -3329,3 +3329,164 @@ ORACLE["positional_unigram_kl"] = f"""
           FROM contrib GROUP BY quartile) a
     JOIN tq ON tq.quartile = a.quartile
 """
+
+
+def source_bigram_cond_entropy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source sequence predictability: unigram entropy H(w) next to
+    the conditional bigram entropy H(next | prev) in nats — the
+    language-complexity pair (their gap is the mutual information
+    between adjacent tokens). Templated/boilerplate sources collapse
+    H(next|prev) toward 0 while H(w) stays high — a sequence-level
+    screen the bag-of-words quality signals (doc_unigram_logprob,
+    source_unigram_kl) cannot express; H(next|prev) is also the
+    floor on what a bigram LM (doc_bigram_logprob) can achieve per
+    source.
+
+    Determinism: H(next|prev) = Σ_ab (c_ab/B)·ln(c_a·/c_ab) with every
+    term floored to integer micro-nats before the per-source LONG sum;
+    unigram entropy identically over token counts. Scale shape:
+    adjacent-pair explode (narrow), two bounded-key groupBys (source ×
+    vocab / vocab²), prefix-count join keyed on (source, prev); totals
+    broadcast on the bounded source domain."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    pairs = F.expr(
+        "transform(sequence(1, size(split(text, ' ')) - 1), "
+        "i -> struct(split(text, ' ')[i - 1] AS prev, "
+        "split(text, ' ')[i] AS next))"
+    )
+    bg = (
+        docs.filter(F.size(F.split(F.col("text"), " ")) >= 2)
+        .select("source", F.explode(pairs).alias("e"))
+        .groupBy("source", F.col("e.prev").alias("prev"), F.col("e.next").alias("next"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+    )
+    pre = bg.groupBy("source", "prev").agg(
+        F.sum("c_ab").cast("long").alias("c_a")
+    )
+    btot = bg.groupBy("source").agg(
+        F.sum("c_ab").cast("long").alias("n_bigrams")
+    )
+    cond_micro = (
+        bg.join(pre, ["source", "prev"])
+        .select(
+            "source",
+            F.floor(
+                F.col("c_ab")
+                * F.log(
+                    F.col("c_a").cast("double") / F.col("c_ab").cast("double")
+                )
+                * 1_000_000
+                + F.lit(0.5)
+            ).cast("long").alias("h_micro"),
+        )
+        .groupBy("source")
+        .agg(F.sum("h_micro").alias("sum_cond_micro"))
+    )
+    toks = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    tc = toks.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("c_t")
+    )
+    ttot = tc.groupBy("source").agg(
+        F.sum("c_t").cast("long").alias("n_tokens")
+    )
+    uni_micro = (
+        tc.join(F.broadcast(ttot), "source")
+        .select(
+            "source",
+            F.floor(
+                F.col("c_t")
+                * F.log(
+                    F.col("n_tokens").cast("double") / F.col("c_t").cast("double")
+                )
+                * 1_000_000
+                + F.lit(0.5)
+            ).cast("long").alias("h_micro"),
+        )
+        .groupBy("source")
+        .agg(F.sum("h_micro").alias("sum_uni_micro"))
+    )
+    return (
+        uni_micro.join(F.broadcast(ttot), "source")
+        .join(cond_micro, "source")
+        .join(F.broadcast(btot), "source")
+        .select(
+            "source",
+            "n_tokens",
+            "n_bigrams",
+            pround(
+                F.col("sum_uni_micro") / F.lit(1_000_000.0) / F.col("n_tokens"),
+                6,
+            ).alias("unigram_entropy"),
+            pround(
+                F.col("sum_cond_micro") / F.lit(1_000_000.0) / F.col("n_bigrams"),
+                6,
+            ).alias("bigram_cond_entropy"),
+        )
+    )
+
+
+QUERIES["source_bigram_cond_entropy"] = source_bigram_cond_entropy
+
+ORACLE["source_bigram_cond_entropy"] = f"""
+    WITH toks AS (
+        SELECT doc_id, source, string_split(text, ' ') AS ws
+        FROM documents
+    ),
+    bg AS (
+        SELECT source, ws[i] AS prev, ws[i + 1] AS next,
+               count(*)::BIGINT AS c_ab
+        FROM toks, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+        WHERE len(ws) >= 2
+        GROUP BY source, prev, next
+    ),
+    pre AS (
+        SELECT source, prev, sum(c_ab)::BIGINT AS c_a
+        FROM bg GROUP BY source, prev
+    ),
+    btot AS (
+        SELECT source, sum(c_ab)::BIGINT AS n_bigrams
+        FROM bg GROUP BY source
+    ),
+    cond AS (
+        SELECT bg.source,
+               sum(CAST(floor(
+                   bg.c_ab * ln(pre.c_a::DOUBLE / bg.c_ab::DOUBLE)
+                   * 1000000 + 0.5) AS BIGINT))::BIGINT AS sum_cond_micro
+        FROM bg JOIN pre
+          ON pre.source = bg.source AND pre.prev = bg.prev
+        GROUP BY bg.source
+    ),
+    tc AS (
+        SELECT source, t.term, count(*)::BIGINT AS c_t
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS term
+              FROM documents) t
+        GROUP BY source, t.term
+    ),
+    ttot AS (
+        SELECT source, sum(c_t)::BIGINT AS n_tokens
+        FROM tc GROUP BY source
+    ),
+    uni AS (
+        SELECT tc.source,
+               sum(CAST(floor(
+                   tc.c_t * ln(ttot.n_tokens::DOUBLE / tc.c_t::DOUBLE)
+                   * 1000000 + 0.5) AS BIGINT))::BIGINT AS sum_uni_micro
+        FROM tc JOIN ttot ON ttot.source = tc.source
+        GROUP BY tc.source
+    )
+    SELECT u.source,
+           ttot.n_tokens,
+           btot.n_bigrams,
+           {sql_round("u.sum_uni_micro / 1000000.0 / ttot.n_tokens", 6)}
+               AS unigram_entropy,
+           {sql_round("c.sum_cond_micro / 1000000.0 / btot.n_bigrams", 6)}
+               AS bigram_cond_entropy
+    FROM uni u
+    JOIN ttot ON ttot.source = u.source
+    JOIN cond c ON c.source = u.source
+    JOIN btot ON btot.source = u.source
+"""
