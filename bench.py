@@ -58,8 +58,9 @@ from data_platform_spark.session import get_spark  # noqa: E402
 # (IQR outliers) and the sliding-distinct family (weekly active users);
 # plus (round 9) the bigram-LM scoring family, the exact-integer
 # rank-statistic family (user Gini), the distribution-shift family
-# (per-source unigram KL) and the sessionized-path family (session
-# paths).
+# (per-source unigram KL), the sessionized-path family (session
+# paths), the mapInPandas partial-Gram family (dim correlation) and
+# the bounded-range interval-join family (time-decay attribution).
 HEADLINE = [
     "q1_pricing_summary",
     "q3_top_revenue_orders",
@@ -89,6 +90,8 @@ HEADLINE = [
     "events_user_gini",
     "source_unigram_kl",
     "events_session_paths",
+    "embedding_dim_correlation_top",
+    "purchase_attribution_time_decay",
 ]
 
 

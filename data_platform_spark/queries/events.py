@@ -2446,3 +2446,237 @@ ORACLE["events_hourly_value_interpolated"] = f"""
                 ELSE 'interpolated' END AS status
     FROM filled
 """
+
+
+def events_value_autocorrelation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Lag-1 autocorrelation of the hourly value series per event type
+    (zero-filled dense spine): the persistence/seasonality screen a
+    forecasting pipeline runs before model choice — near-zero says the
+    hourly totals are memoryless noise, strongly positive says load
+    carries over hour to hour (capacity planning), negative says
+    oscillation (retry storms). Complements the gap-fill/interpolation
+    family with the first ANALYTIC over the repaired series.
+
+    Determinism: hourly totals fix to integer CENTS per row before
+    exact LONG folds (cent totals keep squares within LONG headroom to
+    ~1e8-event hours; drop the unit at larger hourly mass); the
+    correlation derives from the exact sums by one fixed double
+    expression. Scale shape: one (type × hour) groupBy; the dense
+    spine is the 1-row bounds cross; the lag pairs come from a window
+    partitioned BY TYPE over the calendar-bounded spine; per-type
+    sufficient statistics are one bounded-domain aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    vc = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    hourly = ev.groupBy(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+    ).agg(F.coalesce(F.sum(vc), F.lit(0)).cast("long").alias("v_cents"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("hmin"),
+        F.date_trunc("hour", F.max("ts")).alias("hmax"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("hmin", "hmax", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour_start")
+    )
+    types = ev.select("event_type").distinct()
+    dense = (
+        types.crossJoin(F.broadcast(spine))
+        .join(hourly, ["event_type", "hour_start"], "left")
+        .select(
+            "event_type",
+            "hour_start",
+            F.coalesce("v_cents", F.lit(0)).cast("long").alias("y"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("hour_start")
+    pairs = dense.select(
+        "event_type",
+        F.lag("y").over(w).alias("x"),
+        "y",
+    ).filter(F.col("x").isNotNull())
+    agg = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    varx = F.col("n") * 1.0 * F.col("sxx") - F.col("sx") * 1.0 * F.col("sx")
+    vary = F.col("n") * 1.0 * F.col("syy") - F.col("sy") * 1.0 * F.col("sy")
+    cov = F.col("n") * 1.0 * F.col("sxy") - F.col("sx") * 1.0 * F.col("sy")
+    return agg.select(
+        "event_type",
+        F.col("n").alias("n_pairs"),
+        pround(
+            F.when(
+                (varx > 0) & (vary > 0), cov / F.sqrt(varx * vary)
+            ),
+            4,
+        ).alias("autocorr_lag1"),
+    )
+
+
+QUERIES["events_value_autocorrelation"] = events_value_autocorrelation
+
+ORACLE["events_value_autocorrelation"] = f"""
+    WITH hourly AS (
+        SELECT event_type,
+               date_trunc('hour', ts) AS hour_start,
+               coalesce(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)),
+                        0)::BIGINT AS v_cents
+        FROM events
+        GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT date_trunc('hour', min(ts)) AS hmin,
+               date_trunc('hour', max(ts)) AS hmax
+        FROM events
+    ),
+    spine AS (
+        SELECT unnest(generate_series(hmin, hmax, INTERVAL 1 HOUR))
+                   AS hour_start
+        FROM bounds
+    ),
+    dense AS (
+        SELECT t.event_type, s.hour_start,
+               coalesce(h.v_cents, 0)::BIGINT AS y
+        FROM (SELECT DISTINCT event_type FROM events) t
+        CROSS JOIN spine s
+        LEFT JOIN hourly h
+          ON h.event_type = t.event_type AND h.hour_start = s.hour_start
+    ),
+    pairs AS (
+        SELECT event_type,
+               lag(y) OVER (PARTITION BY event_type
+                            ORDER BY hour_start) AS x,
+               y
+        FROM dense
+        QUALIFY x IS NOT NULL
+    ),
+    agg AS (
+        SELECT event_type,
+               count(*)::BIGINT AS n,
+               sum(x)::BIGINT AS sx,
+               sum(y)::BIGINT AS sy,
+               sum(x * x)::BIGINT AS sxx,
+               sum(y * y)::BIGINT AS syy,
+               sum(x * y)::BIGINT AS sxy
+        FROM pairs
+        GROUP BY event_type
+    )
+    SELECT event_type,
+           n AS n_pairs,
+           {sql_round(
+               "CASE WHEN (n * 1.0 * sxx - sx * 1.0 * sx) > 0"
+               "      AND (n * 1.0 * syy - sy * 1.0 * sy) > 0"
+               "     THEN (n * 1.0 * sxy - sx * 1.0 * sy)"
+               "          / sqrt((n * 1.0 * sxx - sx * 1.0 * sx)"
+               "                 * (n * 1.0 * syy - sy * 1.0 * sy))"
+               "     END", 4
+           )} AS autocorr_lag1
+    FROM agg
+"""
+
+
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust daily anomaly detection per event type: each day's total
+    value scored by its deviation from the per-type MEDIAN in units of
+    1.4826·MAD (the robust z-score; 1.4826 scales MAD to σ under
+    normality) — the outlier-resistant twin of events_anomaly_zscore:
+    a single broken day inflates a mean/stddev gate enough to mask
+    itself, but breaks neither the median nor the MAD.
+
+    Determinism: day totals fix to CENTS (exact LONG folds); both the
+    median and the MAD are exact interpolated percentiles; the score
+    is one double expression. Scale shape: one (type × day) groupBy;
+    median and MAD each ride the grouped two-phase percentile layout
+    (a type's day count is calendar-bounded here but unbounded for
+    finer buckets — same discipline); flags derive row-wise. The
+    scoped_persists trade ~0.6 s of local materialization overhead for
+    never re-scanning the events table across the two percentile
+    passes — daily and dev are (type × calendar-day)-bounded, so the
+    cached frames are metadata-scale at any corpus size."""
+    from data_platform_spark.cache import scoped_persist
+    from data_platform_spark.ops.global_order import grouped_percentile
+
+    ev = load_table(spark, sf_dir, "events")
+    vc = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    # diamond-shaped twice over (daily feeds the median pass AND the
+    # deviation frame; dev feeds the MAD pass AND the final score) —
+    # persist each once so neither percentile pass re-scans events
+    daily = scoped_persist(
+        ev.groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).alias("day"),
+        ).agg(
+            F.coalesce(F.sum(vc), F.lit(0)).cast("long").alias("v_cents")
+        )
+    )
+    med = grouped_percentile(
+        daily, ["event_type"], "v_cents", {"med": 0.5}
+    )
+    dev = scoped_persist(
+        daily.join(med, "event_type").select(
+            "event_type",
+            "day",
+            "v_cents",
+            "med",
+            F.abs(F.col("v_cents") - F.col("med")).alias("adev"),
+        )
+    )
+    mad = grouped_percentile(dev, ["event_type"], "adev", {"mad": 0.5})
+    z = F.col("adev") / (F.lit(1.4826) * F.col("mad"))
+    return dev.join(mad, "event_type").select(
+        "event_type",
+        "day",
+        (F.col("v_cents") / 100.0).alias("day_value"),
+        pround(F.col("med") / 100.0, 4).alias("median_value"),
+        pround(F.when(F.col("mad") > 0, z), 4).alias("robust_z"),
+        F.when(F.col("mad") > 0, z > 3.0).otherwise(F.lit(False)).alias(
+            "is_anomaly"
+        ),
+    )
+
+
+QUERIES["events_anomaly_mad"] = events_anomaly_mad
+
+ORACLE["events_anomaly_mad"] = f"""
+    WITH daily AS (
+        SELECT event_type,
+               date_trunc('day', ts) AS day,
+               coalesce(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)),
+                        0)::BIGINT AS v_cents
+        FROM events
+        GROUP BY 1, 2
+    ),
+    med AS (
+        SELECT event_type, quantile_cont(v_cents, 0.5) AS med
+        FROM daily GROUP BY event_type
+    ),
+    dev AS (
+        SELECT d.event_type, d.day, d.v_cents, m.med,
+               abs(d.v_cents - m.med) AS adev
+        FROM daily d JOIN med m ON m.event_type = d.event_type
+    ),
+    mad AS (
+        SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           d.day,
+           d.v_cents / 100.0 AS day_value,
+           {sql_round("d.med / 100.0", 4)} AS median_value,
+           {sql_round(
+               "CASE WHEN m.mad > 0"
+               "     THEN d.adev / (1.4826 * m.mad) END", 4
+           )} AS robust_z,
+           CASE WHEN m.mad > 0
+                THEN d.adev / (1.4826 * m.mad) > 3.0
+                ELSE FALSE END AS is_anomaly
+    FROM dev d JOIN mad m ON m.event_type = d.event_type
+"""

@@ -4332,3 +4332,75 @@ ORACLE["nation_self_trade_share"] = f"""
                AS domestic_share
     FROM agg a JOIN nation n ON n.n_nationkey = a.cust_nation
 """
+
+
+def brand_unit_price_dispersion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pricing-consistency audit per part brand: mean realized UNIT
+    price (extendedprice/quantity) and its coefficient of variation —
+    a brand whose CV detaches from the fleet means inconsistent list
+    pricing, heavy selective discounting, or a data bug upstream (the
+    unit price should be the part's price, not a per-deal number).
+
+    Determinism: unit prices fix to integer CENTS per lineitem (one
+    floor per row; cent squares keep ~1e8 rows per brand inside LONG
+    headroom — drop the unit beyond that) before exact LONG folds;
+    mean/CV derive by one fixed double expression. Scale shape: the
+    lineitem→part join broadcasts the dim at test SF and shuffles
+    key-partitioned at 100 TB (AQE decides); the rollup lands on the
+    bounded 25-brand domain."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    unit_cents = F.floor(
+        F.col("l_extendedprice") / F.col("l_quantity") * 100 + F.lit(0.5)
+    ).cast("long")
+    joined = li.select("l_partkey", unit_cents.alias("u")).join(
+        part.select(F.col("p_partkey").alias("l_partkey"), "p_brand"),
+        "l_partkey",
+    )
+    agg = joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("u").cast("long").alias("su"),
+        F.sum(F.col("u") * F.col("u")).cast("long").alias("suu"),
+    )
+    mean = F.col("su") / F.col("n")
+    var = F.col("suu") * 1.0 / F.col("n") - mean * mean
+    return agg.select(
+        F.col("p_brand"),
+        F.col("n").alias("n_lineitems"),
+        pround(mean / 100.0, 4).alias("mean_unit_price"),
+        pround(
+            F.when(mean > 0, F.sqrt(var) / mean), 6
+        ).alias("unit_price_cv"),
+    )
+
+
+QUERIES["brand_unit_price_dispersion"] = brand_unit_price_dispersion
+
+ORACLE["brand_unit_price_dispersion"] = f"""
+    WITH joined AS (
+        SELECT p.p_brand,
+               CAST(floor(l.l_extendedprice / l.l_quantity * 100 + 0.5)
+                    AS BIGINT) AS u
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    agg AS (
+        SELECT p_brand,
+               count(*)::BIGINT AS n,
+               sum(u)::BIGINT AS su,
+               sum(u * u)::BIGINT AS suu
+        FROM joined
+        GROUP BY p_brand
+    )
+    SELECT p_brand,
+           n AS n_lineitems,
+           {sql_round("(su * 1.0 / n) / 100.0", 4)} AS mean_unit_price,
+           {sql_round(
+               "CASE WHEN su * 1.0 / n > 0"
+               "     THEN sqrt(suu * 1.0 / n"
+               "               - (su * 1.0 / n) * (su * 1.0 / n))"
+               "          / (su * 1.0 / n) END", 6
+           )} AS unit_price_cv
+    FROM agg
+"""
