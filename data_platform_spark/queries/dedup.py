@@ -2370,3 +2370,40 @@ ORACLE["crosssource_exact_dup_matrix"] = """
     WHERE n_pairs > 0
     GROUP BY source_a, source_b
 """
+
+
+def band_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED MinHash band index under the CORRECTNESS GATE:
+    build the on-disk (bands, shingles, params) index from the standing
+    corpus (doc_id % INCR_NEW_MOD != 0) into a temp dir, then run the
+    production daily-crawl check — ops.neardup_index.
+    incremental_neardup_report, whose candidate join reads the
+    persisted bands and whose verification scan PARTITION-PRUNES the
+    shingle buckets to the candidates' — for the new batch
+    (doc_id % INCR_NEW_MOD == 0). Identical split/threshold to the
+    oracled incremental_neardup_new_batch makes the report
+    bit-identical to the full re-derivation, so that oracle is REUSED
+    verbatim: the driver verifies build + persisted search + report
+    end-to-end (the index-roundtrip discipline for the dedup family)."""
+    import tempfile
+
+    from data_platform_spark.ops.neardup_index import (
+        build_band_index,
+        incremental_neardup_report,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    standing = docs.filter(F.col("doc_id") % INCR_NEW_MOD != 0)
+    new_batch = docs.filter(F.col("doc_id") % INCR_NEW_MOD == 0)
+    base = tempfile.mkdtemp(prefix="dps_band_rt_")
+    build_band_index(standing, f"{base}/band")
+    return incremental_neardup_report(
+        spark, f"{base}/band", new_batch, threshold=JACCARD_THRESHOLD
+    )
+
+
+QUERIES["band_index_roundtrip"] = band_index_roundtrip
+
+# bit-identical to the full re-derivation by construction — reuse the
+# oracle verbatim so the gate proves the persisted-index path
+ORACLE["band_index_roundtrip"] = ORACLE["incremental_neardup_new_batch"]

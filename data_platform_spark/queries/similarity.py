@@ -1767,3 +1767,94 @@ ORACLE["embedding_dim_correlation_top"] = f"""
     ORDER BY abs(corr_raw) DESC, d1, d2
     LIMIT 20
 """
+
+
+def ivf_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED IVF index under the CORRECTNESS GATE: build the
+    on-disk index (ops.ann_index.build_ivf_index — k-means train,
+    cell-partitioned vectors, params sidecar) into a temp dir, then
+    serve document 0's query through ivf_search_index, whose nprobe
+    cell labels push into the vectors/ scan as a PARTITION FILTER.
+    Identical (k, n_iter, nprobe, top-k) settings to the oracled
+    kmeans_ivf_topk_vec0 make the served result bit-identical to the
+    in-memory derivation, so that oracle is REUSED verbatim — the
+    driver verifies train + persist + pruned serve end-to-end (the
+    hybrid_index_roundtrip discipline for the dense index alone).
+
+    The .collects are the 1-row query vector and the ≤nprobe probe
+    labels (metadata-scale scalars). kmeans_ivf_topk_vec0 keeps the
+    in-memory derivation under the gate; this keeps the PRODUCTION
+    serve path honest against the same math."""
+    import tempfile
+
+    from data_platform_spark.ops.ann_index import (
+        build_ivf_index,
+        ivf_search_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = tempfile.mkdtemp(prefix="dps_ivf_rt_")
+    build_ivf_index(emb, f"{base}/ivf", k=KMEANS_K, n_iter=KMEANS_ITER)
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == QUERY_VEC_ID).collect()[0][
+            "embedding"
+        ]
+    ]
+    return ivf_search_index(
+        spark,
+        f"{base}/ivf",
+        qvec,
+        nprobe=IVF_NPROBE,
+        k=TOP_K,
+        exclude_ids=[QUERY_VEC_ID],
+    )
+
+
+QUERIES["ivf_index_roundtrip"] = ivf_index_roundtrip
+
+# bit-identical to the in-memory derivation by construction — reuse the
+# oracle verbatim so the gate proves the persisted serve path
+ORACLE["ivf_index_roundtrip"] = ORACLE["kmeans_ivf_topk_vec0"]
+
+
+def pq_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED PQ index under the CORRECTNESS GATE: train and
+    persist the (codebook, codes, params) index into a temp dir
+    (ops.ann_index.build_pq_index — one Lloyd training threaded into
+    the encoding), then serve document 0's query through
+    pq_search_index, whose asymmetric distance table derives from the
+    persisted codebook alone and joins the codes scan — no
+    full-precision vector reads at serve time. Identical (n_sub,
+    n_codes, top-k) settings to the oracled pq_adc_topk_vec0 make the
+    served ADC ranking bit-identical to the in-memory derivation, so
+    that oracle is REUSED verbatim — the driver verifies train +
+    persist + compressed-domain serve end-to-end, completing the
+    index-roundtrip family (lexical, band, IVF, hybrid, PQ: all five
+    persisted serving paths now sit under the oracle gate)."""
+    import tempfile
+
+    from data_platform_spark.ops.ann_index import (
+        build_pq_index,
+        pq_search_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = tempfile.mkdtemp(prefix="dps_pq_rt_")
+    build_pq_index(emb, f"{base}/pq", n_sub=PQ_M, n_codes=PQ_K)
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == QUERY_VEC_ID).collect()[0][
+            "embedding"
+        ]
+    ]
+    return pq_search_index(
+        spark, f"{base}/pq", qvec, k=TOP_K, exclude_ids=[QUERY_VEC_ID]
+    )
+
+
+QUERIES["pq_index_roundtrip"] = pq_index_roundtrip
+
+# bit-identical to the in-memory derivation by construction — reuse the
+# oracle verbatim so the gate proves the persisted serve path
+ORACLE["pq_index_roundtrip"] = ORACLE["pq_adc_topk_vec0"]

@@ -3490,3 +3490,89 @@ ORACLE["source_bigram_cond_entropy"] = f"""
     JOIN cond c ON c.source = u.source
     JOIN btot ON btot.source = u.source
 """
+
+
+def hybrid_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The four-index serving capstone under the CORRECTNESS GATE:
+    build the persisted BM25 lexical index and the persisted IVF index
+    from the raw tables into a temp dir, then serve the standing
+    hybrid query through ops.hybrid_index.hybrid_search_index — the
+    production path (term-bucket-pruned postings + nprobe-cell-pruned
+    vectors + RRF fusion). With nprobe = the index's cell count the
+    dense ranking is the exact global cosine order, so the result is
+    bit-identical to the oracled hybrid_rrf_topk — the oracle is
+    REUSED verbatim, making the driver verify build + both index scans
+    + fusion end-to-end (the layout-roundtrip discipline of
+    events_clustered_time_slice applied to the index family).
+
+    The one .collect() is the 1-row query vector (metadata-scale, the
+    accepted scalar pattern). Builds amortize in production (they're
+    the persisted-index point); re-building per call here is what puts
+    the full derivation under the oracle, same as kmeans_ivf_topk."""
+    import tempfile
+
+    from data_platform_spark.ops.ann_index import build_ivf_index
+    from data_platform_spark.ops.hybrid_index import hybrid_search_index
+    from data_platform_spark.ops.lexical_index import build_lexical_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = tempfile.mkdtemp(prefix="dps_hybrid_rt_")
+    lex_path = f"{base}/lex"
+    ivf_path = f"{base}/ivf"
+    build_lexical_index(docs, lex_path)
+    build_ivf_index(emb, ivf_path, k=8)
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    return hybrid_search_index(
+        spark,
+        lex_path,
+        ivf_path,
+        BM25_QUERY_TERMS,
+        qvec,
+        topk=20,
+        nprobe=8,  # = k: every cell probed → exact dense ranking
+        exclude_ids=[0],
+    )
+
+
+QUERIES["hybrid_index_roundtrip"] = hybrid_index_roundtrip
+
+# the serving path is bit-identical to the oracled derivation by
+# construction — reuse the oracle VERBATIM so the gate proves it
+ORACLE["hybrid_index_roundtrip"] = ORACLE["hybrid_rrf_topk"]
+
+
+def lexical_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED BM25 lexical index under the CORRECTNESS GATE:
+    build the on-disk (postings, stats, params) index from the corpus
+    into a temp dir, then serve the standing term query through
+    ops.lexical_index.bm25_search_index — the production path whose
+    scan touches ONLY the query terms' postings buckets (partition-
+    pruned; plan-asserted in tests). The persisted path is
+    bit-identical to the in-memory bm25_topk math over the same
+    corpus, so that oracle is REUSED verbatim: the driver verifies
+    tokenize + persist + pruned serve end-to-end (the index-roundtrip
+    discipline for the lexical family)."""
+    import tempfile
+
+    from data_platform_spark.ops.lexical_index import (
+        bm25_search_index,
+        build_lexical_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="dps_lex_rt_")
+    build_lexical_index(docs, f"{base}/lex")
+    return bm25_search_index(
+        spark, f"{base}/lex", BM25_QUERY_TERMS, topk=BM25_TOPK
+    )
+
+
+QUERIES["lexical_index_roundtrip"] = lexical_index_roundtrip
+
+# bit-identical to the in-memory derivation by construction — reuse the
+# oracle verbatim so the gate proves the persisted serve path
+ORACLE["lexical_index_roundtrip"] = ORACLE["bm25_topk"]
