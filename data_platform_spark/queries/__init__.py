@@ -122,18 +122,28 @@ _R9_WINDOW = (
     # (3) canaries (loader / flagship)
     "events_sessionize",
     "q1_pricing_summary",
+    # (1b) never driver-green — the round's LATE additions that outrank
+    # stale-green refresh under the window policy: the five
+    # index-roundtrip queries put the persisted serving paths (lexical,
+    # band, IVF, PQ, hybrid) under the driver's oracle via verbatim
+    # oracle reuse, and the Gram-matrix correlation is the round's new
+    # mapInPandas partial-aggregation family (also bench-headlined)
+    "lexical_index_roundtrip",
+    "band_index_roundtrip",
+    "ivf_index_roundtrip",
+    "pq_index_roundtrip",
+    "hybrid_index_roundtrip",
+    "embedding_dim_correlation_top",
     # (4) stalest green rows — the r3 cohort first (term_idf /
     # term_zipf_ranks / token_stats_by_lang yielded their r8 slots to
-    # the late additions; VERDICT r8 item 7)
+    # the late additions; VERDICT r8 item 7). The other r3/r4 refresh
+    # candidates (events_sliding_window_counts, multimodal_meta,
+    # q12_priority_by_month, retention_cohorts, srp_ann_topk_vec0,
+    # top_user_per_hour) yielded their slots to (1b) — all green,
+    # unchanged, first in line for r10.
     "term_idf",
     "term_zipf_ranks",
     "token_stats_by_lang",
-    "events_sliding_window_counts",
-    "multimodal_meta",
-    "q12_priority_by_month",
-    "retention_cohorts",
-    "srp_ann_topk_vec0",
-    "top_user_per_hour",
     # then the oldest r4-green rows, filling the window to 50
     # (asof_purchase_last_click, benchmark_decontamination,
     # customers_with_orders, customers_without_orders, doc_redaction,
