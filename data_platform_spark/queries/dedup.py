@@ -2407,3 +2407,126 @@ QUERIES["band_index_roundtrip"] = band_index_roundtrip
 # bit-identical to the full re-derivation by construction — reuse the
 # oracle verbatim so the gate proves the persisted-index path
 ORACLE["band_index_roundtrip"] = ORACLE["incremental_neardup_new_batch"]
+
+
+SEMANTIC_DUP_THRESHOLD = 0.3
+
+
+def semantic_dedup_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic dedup report: within each label (the
+    cluster/IVF-cell stand-in — at production scale the bucketing key is
+    the nearest-centroid cell, exactly the persisted IVF index layout),
+    vector pairs with cosine ≥ threshold are semantic duplicates; the
+    GREEDY KEEP-FIRST rule removes every vector that duplicates a
+    LOWER-id survivor candidate. Per label: vector count, duplicate
+    pair count, removed count, and the removal share — the semantic
+    dedup savings estimate that complements the surface-form family
+    (exact/minhash/simhash catch byte-level dups; this catches
+    paraphrases and re-encodings via their embeddings).
+
+    Same narrow layout as embedding_neardup_pairs: the pair self-join
+    ships only (label, vec_id) — never the vectors; embeddings re-join
+    the candidate pairs on uniformly-distributed vec_id for cosine
+    verification, and pair fan-out is bounded per cell, never corpus².
+
+    Determinism: cosine rounds to 4 dp before the threshold test (the
+    family convention); counts are exact LONGs, one final division
+    (6 dp)."""
+    from data_platform_spark.functions import similarity as S
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"), spark)
+    ids = emb.select("label", "vec_id").transform(scoped_persist)
+    a = ids.select("label", F.col("vec_id").alias("src"))
+    b = ids.select("label", F.col("vec_id").alias("dst"))
+    pairs = (
+        a.join(b, "label")
+        .filter(F.col("src") < F.col("dst"))
+        .select("label", "src", "dst")
+    )
+    vecs = emb.select("vec_id", "embedding")
+    scored = (
+        pairs.join(
+            vecs.select(
+                F.col("vec_id").alias("src"), F.col("embedding").alias("e_src")
+            ),
+            "src",
+        )
+        .join(
+            vecs.select(
+                F.col("vec_id").alias("dst"), F.col("embedding").alias("e_dst")
+            ),
+            "dst",
+        )
+        .select(
+            "label",
+            "src",
+            "dst",
+            pround(
+                S.cosine(
+                    S.as_double(F.col("e_src")), S.as_double(F.col("e_dst"))
+                ),
+                4,
+            ).alias("cosine"),
+        )
+    )
+    dups = scored.filter(F.col("cosine") >= SEMANTIC_DUP_THRESHOLD)
+    per_label = dups.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_pairs"),
+        F.count_distinct(F.col("dst")).cast("long").alias("n_removed"),
+    )
+    totals = emb.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors")
+    )
+    return totals.join(per_label, "label", "left").select(
+        "label",
+        "n_vectors",
+        F.coalesce(F.col("n_dup_pairs"), F.lit(0)).cast("long").alias(
+            "n_dup_pairs"
+        ),
+        F.coalesce(F.col("n_removed"), F.lit(0)).cast("long").alias(
+            "n_removed"
+        ),
+        pround(
+            F.coalesce(F.col("n_removed"), F.lit(0)) / F.col("n_vectors"), 6
+        ).alias("removed_share"),
+    )
+
+
+QUERIES["semantic_dedup_labels"] = semantic_dedup_labels
+
+
+def _semantic_dedup_oracle() -> str:
+    cos = (
+        "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
+        "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
+        "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
+    )
+    return f"""
+        WITH scored AS (
+            SELECT a.label, a.vec_id AS src, b.vec_id AS dst,
+                   {sql_round(cos, 4)} AS cosine
+            FROM embeddings a
+            JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+        ),
+        dups AS (
+            SELECT label,
+                   count(*)::BIGINT AS n_dup_pairs,
+                   count(DISTINCT dst)::BIGINT AS n_removed
+            FROM scored WHERE cosine >= {SEMANTIC_DUP_THRESHOLD}
+            GROUP BY label
+        ),
+        totals AS (
+            SELECT label, count(*)::BIGINT AS n_vectors
+            FROM embeddings GROUP BY label
+        )
+        SELECT t.label, t.n_vectors,
+               coalesce(d.n_dup_pairs, 0)::BIGINT AS n_dup_pairs,
+               coalesce(d.n_removed, 0)::BIGINT AS n_removed,
+               {sql_round("coalesce(d.n_removed, 0) / t.n_vectors", 6)}
+                   AS removed_share
+        FROM totals t LEFT JOIN dups d ON d.label = t.label
+    """
+
+
+ORACLE["semantic_dedup_labels"] = _semantic_dedup_oracle()

@@ -2680,3 +2680,270 @@ ORACLE["events_anomaly_mad"] = f"""
                 ELSE FALSE END AS is_anomaly
     FROM dev d JOIN mad m ON m.event_type = d.event_type
 """
+
+
+def events_trimmed_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type value stats: raw mean vs 5%-two-sided TRIMMED mean
+    (drop the k = n div 20 smallest and largest values) vs WINSORIZED
+    mean (clamp them to the trim boundaries instead) — the standard
+    outlier-robust location estimates a metrics pipeline publishes when
+    a handful of whale purchases or instrumentation glitches would drag
+    a raw mean (trimming answers "typical value", winsorizing answers
+    "total-preserving robust mean").
+
+    Determinism: values fix to cents (exact LONG folds); the winsorized
+    sum is kept_sum + k·v_lo + k·v_hi where v_lo/v_hi are the boundary
+    cents values — all integer arithmetic until the final divisions
+    (4 dp). Scale shape: per-type ranks ride the two-phase
+    grouped_running_sum layout (a type's event count is unbounded —
+    never a native grouped window), counts/sums are map-side-combined
+    aggregates, and the per-type totals relation is bounded by the
+    5-value type domain (broadcast)."""
+    from data_platform_spark.ops.global_order import grouped_running_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = ev.select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+    ).filter(F.col("c").isNotNull())
+    ranked = grouped_running_sum(
+        cents,
+        ["event_type"],
+        [F.asc("c"), F.asc("event_id")],
+        F.lit(1).cast("long"),
+        "rnk",
+    )
+    totals = cents.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").alias("sum_c"),
+    )
+    j = ranked.join(F.broadcast(totals), "event_type").withColumn(
+        "k", F.expr("n div 20")
+    )
+    kept = j.filter(
+        (F.col("rnk") > F.col("k")) & (F.col("rnk") <= F.col("n") - F.col("k"))
+    )
+    ka = kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("kept_n"),
+        F.sum("c").alias("kept_sum"),
+        F.min("c").alias("v_lo"),
+        F.max("c").alias("v_hi"),
+        F.max("k").alias("k"),
+    )
+    return ka.join(F.broadcast(totals), "event_type").select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        pround(F.col("sum_c") / 100.0 / F.col("n"), 4).alias("mean_value"),
+        pround(F.col("kept_sum") / 100.0 / F.col("kept_n"), 4).alias(
+            "trimmed_mean"
+        ),
+        pround(
+            (
+                F.col("kept_sum")
+                + F.col("k") * F.col("v_lo")
+                + F.col("k") * F.col("v_hi")
+            )
+            / 100.0
+            / F.col("n"),
+            4,
+        ).alias("winsorized_mean"),
+    )
+
+
+QUERIES["events_trimmed_value_stats"] = events_trimmed_value_stats
+
+ORACLE["events_trimmed_value_stats"] = f"""
+    WITH c AS (
+        SELECT event_type, event_id,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+        SELECT event_type, c,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY c, event_id
+               ) AS rnk
+        FROM c
+    ),
+    n AS (
+        SELECT event_type, count(*)::BIGINT AS n, sum(c)::BIGINT AS sum_c
+        FROM c GROUP BY event_type
+    ),
+    kept AS (
+        SELECT r.event_type, r.c, n.n // 20 AS k
+        FROM r JOIN n USING (event_type)
+        WHERE r.rnk > n.n // 20 AND r.rnk <= n.n - n.n // 20
+    ),
+    ka AS (
+        SELECT event_type,
+               count(*)::BIGINT AS kept_n,
+               sum(c)::BIGINT AS kept_sum,
+               min(c) AS v_lo,
+               max(c) AS v_hi,
+               max(k) AS k
+        FROM kept GROUP BY event_type
+    )
+    SELECT n.event_type,
+           n.n AS n_events,
+           {sql_round("n.sum_c / 100.0 / n.n", 4)} AS mean_value,
+           {sql_round("ka.kept_sum / 100.0 / ka.kept_n", 4)} AS trimmed_mean,
+           {sql_round(
+               "(ka.kept_sum + ka.k * ka.v_lo + ka.k * ka.v_hi)"
+               " / 100.0 / n.n", 4
+           )} AS winsorized_mean
+    FROM ka JOIN n USING (event_type)
+"""
+
+
+XCORR_LAGS = (0, 1, 2)
+
+
+def events_type_lag_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead/lag structure between event-type daily series: Pearson
+    correlation of type A's daily value against type B's value LAGGED
+    by 0/1/2 days over the dense day spine (zero-filled — absence is a
+    real 0 for additive daily totals). corr(A_t, B_{t-lag}) ≫ corr at
+    lag 0 means B LEADS A — e.g. signups leading purchases by a day is
+    an activation funnel; errors leading value drops is an incident
+    signature.
+
+    Determinism: daily sums fix to cents (exact LONG folds); the five
+    correlation sums (Σx Σy Σxy Σx² Σy²) fold exact LONG products over
+    the calendar-bounded joined series, and the closed-form Pearson r
+    is one fixed double expression (6 dp). At extreme scale the LONG
+    product folds would move to DECIMAL(38,0) — daily cents beyond
+    ~3e9 overflow the xy product.
+
+    Scale shape: one (type × day)-domain groupBy; the spine crosses a
+    1-row bounds aggregate with the bounded type domain (broadcast);
+    the lag alignment is an equi-join on integer day index over a
+    relation bounded by calendar × type-domain, never by event count;
+    the lag fan-out is a 3-literal explode."""
+    ev = load_table(spark, sf_dir, "events")
+    vc = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.coalesce(F.sum(vc), F.lit(0)).cast("long").alias("v"))
+    bounds = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("dmin"),
+        F.date_trunc("day", F.max("ts")).alias("dmax"),
+    )
+    spine = bounds.select(
+        F.posexplode(
+            F.sequence("dmin", "dmax", F.expr("INTERVAL 1 DAY"))
+        ).alias("idx", "day")
+    )
+    types = ev.select("event_type").distinct()
+    dense = (
+        types.crossJoin(F.broadcast(spine))
+        .join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "idx",
+            F.coalesce(F.col("v"), F.lit(0)).cast("long").alias("v"),
+        )
+    )
+    a = dense.select(
+        F.col("event_type").alias("type_a"),
+        F.col("idx").alias("ia"),
+        F.col("v").alias("x"),
+    )
+    b = dense.select(
+        F.col("event_type").alias("type_b"),
+        F.col("idx").alias("ib"),
+        F.col("v").alias("y"),
+    ).crossJoin(
+        F.broadcast(
+            spark.range(1).select(
+                F.explode(
+                    F.array(*[F.lit(l) for l in XCORR_LAGS])
+                ).alias("lag")
+            )
+        )
+    )
+    joined = a.join(
+        b,
+        (F.col("ia") == F.col("ib") + F.col("lag"))
+        & (F.col("type_a") < F.col("type_b")),
+    )
+    sums = joined.groupBy("type_a", "type_b", "lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    den_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    r = num.cast("double") / F.sqrt(
+        den_x.cast("double") * den_y.cast("double")
+    )
+    return sums.select(
+        "type_a",
+        "type_b",
+        "lag",
+        F.col("n").alias("n_days"),
+        pround(F.when((den_x > 0) & (den_y > 0), r), 6).alias("xcorr"),
+    )
+
+
+QUERIES["events_type_lag_correlation"] = events_type_lag_correlation
+
+ORACLE["events_type_lag_correlation"] = f"""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               coalesce(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)),
+                        0)::BIGINT AS v
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT date_trunc('day', min(ts)) AS dmin,
+               date_trunc('day', max(ts)) AS dmax
+        FROM events
+    ),
+    spine AS (
+        SELECT date_diff('day', b.dmin, d.day)::INT AS idx, d.day
+        FROM bounds b,
+             (SELECT unnest(generate_series(
+                  (SELECT dmin FROM bounds),
+                  (SELECT dmax FROM bounds),
+                  INTERVAL 1 DAY)) AS day) d
+    ),
+    dense AS (
+        SELECT t.event_type, s.idx,
+               coalesce(d.v, 0)::BIGINT AS v
+        FROM (SELECT DISTINCT event_type FROM events) t
+        CROSS JOIN spine s
+        LEFT JOIN daily d
+          ON d.event_type = t.event_type AND d.day = s.day
+    ),
+    lags AS (SELECT unnest([{", ".join(str(l) for l in XCORR_LAGS)}]) AS lag),
+    joined AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b, l.lag,
+               a.v AS x, b.v AS y
+        FROM dense a
+        JOIN lags l ON TRUE
+        JOIN dense b
+          ON a.idx = b.idx + l.lag AND a.event_type < b.event_type
+    ),
+    sums AS (
+        SELECT type_a, type_b, lag,
+               count(*)::BIGINT AS n,
+               sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+               sum(x * y)::BIGINT AS sxy,
+               sum(x * x)::BIGINT AS sxx,
+               sum(y * y)::BIGINT AS syy
+        FROM joined GROUP BY 1, 2, 3
+    )
+    SELECT type_a, type_b, lag, n AS n_days,
+           {sql_round(
+               "CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0"
+               " THEN (n * sxy - sx * sy)::DOUBLE"
+               " / sqrt((n * sxx - sx * sx)::DOUBLE"
+               "        * (n * syy - sy * sy)::DOUBLE) END", 6
+           )} AS xcorr
+    FROM sums
+"""

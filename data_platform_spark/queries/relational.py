@@ -4404,3 +4404,89 @@ ORACLE["brand_unit_price_dispersion"] = f"""
            )} AS unit_price_cv
     FROM agg
 """
+
+
+def brand_price_size_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand price-vs-size regression: closed-form OLS slope,
+    intercept, and r² of retail price on part size — the pricing-curve
+    audit (a brand whose slope flips negative or whose r² collapses
+    has inconsistent pricing, a catalog-data error signal). Extends the
+    corr/covar surface (value_correlation) to full per-group regression.
+
+    Determinism: prices fix to cents; the five OLS sums
+    (Σx Σy Σxy Σx² Σy²) are exact LONG folds (x = size, bounded small,
+    so products stay far from overflow); slope/intercept/r² are one
+    fixed double expression each (6 dp). Scale shape: one map-side-
+    combined groupBy on the bounded brand domain — no joins, no
+    windows, no shuffles beyond the single bounded-key aggregate."""
+    part = load_table(spark, sf_dir, "part")
+    yc = F.floor(F.col("p_retailprice") * 100 + F.lit(0.5)).cast("long")
+    x = F.col("p_size").cast("long")
+    sums = part.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(yc).alias("sy"),
+        F.sum(x * yc).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(yc * yc).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    den_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope_c = num.cast("double") / den_x.cast("double")
+    intercept = (
+        F.col("sy").cast("double") - slope_c * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    r2 = (num.cast("double") * num.cast("double")) / (
+        den_x.cast("double") * den_y.cast("double")
+    )
+    return sums.select(
+        F.col("p_brand").alias("brand"),
+        F.col("n").alias("n_parts"),
+        pround(F.when(den_x > 0, slope_c / 100.0), 6).alias("price_per_size"),
+        pround(F.when(den_x > 0, intercept / 100.0), 6).alias(
+            "intercept_price"
+        ),
+        pround(F.when((den_x > 0) & (den_y > 0), r2), 6).alias("r_squared"),
+    )
+
+
+QUERIES["brand_price_size_slope"] = brand_price_size_slope
+
+ORACLE["brand_price_size_slope"] = f"""
+    WITH sums AS (
+        SELECT p_brand,
+               count(*)::BIGINT AS n,
+               sum(p_size::BIGINT)::BIGINT AS sx,
+               sum(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT))::BIGINT
+                   AS sy,
+               sum(p_size::BIGINT
+                   * CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)
+                  )::BIGINT AS sxy,
+               sum(p_size::BIGINT * p_size::BIGINT)::BIGINT AS sxx,
+               sum(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)
+                   * CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)
+                  )::BIGINT AS syy
+        FROM part GROUP BY p_brand
+    )
+    SELECT p_brand AS brand,
+           n AS n_parts,
+           {sql_round(
+               "CASE WHEN n * sxx - sx * sx > 0 THEN"
+               " ((n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE)"
+               " / 100.0 END", 6
+           )} AS price_per_size,
+           {sql_round(
+               "CASE WHEN n * sxx - sx * sx > 0 THEN"
+               " ((sy::DOUBLE - ((n * sxy - sx * sy)::DOUBLE"
+               "   / (n * sxx - sx * sx)::DOUBLE) * sx::DOUBLE)"
+               "  / n::DOUBLE) / 100.0 END", 6
+           )} AS intercept_price,
+           {sql_round(
+               "CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0"
+               " THEN ((n * sxy - sx * sy)::DOUBLE * (n * sxy - sx * sy)::DOUBLE)"
+               " / ((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)::DOUBLE)"
+               " END", 6
+           )} AS r_squared
+    FROM sums
+"""

@@ -3576,3 +3576,215 @@ QUERIES["lexical_index_roundtrip"] = lexical_index_roundtrip
 # bit-identical to the in-memory derivation by construction — reuse the
 # oracle verbatim so the gate proves the persisted serve path
 ORACLE["lexical_index_roundtrip"] = ORACLE["bm25_topk"]
+
+
+SPLIT_TRAIN_PCT = 90
+SPLIT_VAL_PCT = 5  # test gets the remaining 5
+
+
+def corpus_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split audit: every document hashes
+    to a bucket in [0, 100) via md5(doc_id) — train < 90, val < 95,
+    test otherwise — and the query reports per (source, split) doc and
+    token counts plus each split's doc share WITHIN its source. The
+    split is a pure function of the document id: stable across runs,
+    machines, and engine versions (no RNG, no sampling), so a doc
+    never migrates between train and the eval sets as the corpus
+    grows — the property an LLM data pipeline needs to keep eval
+    uncontaminated across snapshots.
+
+    Determinism: the bucket is the first 8 hex chars of md5 of the
+    decimal doc_id rendering, mod 100 — identical bytes hashed in both
+    engines. Scale shape: one projection + one map-side-combined
+    groupBy on the (source × 3) domain; the per-source totals relation
+    is bounded by the source domain (broadcast)."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, F.lit("train"))
+        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    assigned = docs.select(
+        "source",
+        split.alias("split"),
+        X.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    per = assigned.groupBy("source", "split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
+    totals = per.groupBy("source").agg(F.sum("n_docs").alias("src_docs"))
+    return per.join(F.broadcast(totals), "source").select(
+        "source",
+        "split",
+        "n_docs",
+        "n_tokens",
+        pround(F.col("n_docs") / F.col("src_docs"), 6).alias("doc_share"),
+    )
+
+
+QUERIES["corpus_split_assignment"] = corpus_split_assignment
+
+ORACLE["corpus_split_assignment"] = f"""
+    WITH assigned AS (
+        SELECT source,
+               CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8)
+                         )::UBIGINT % 100 < {SPLIT_TRAIN_PCT} THEN 'train'
+                    WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8)
+                         )::UBIGINT % 100
+                         < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+                    ELSE 'test' END AS split,
+               len(regexp_extract_all(text, '{X.TOKEN_REGEX}'))::BIGINT
+                   AS n_tokens
+        FROM documents
+    ),
+    per AS (
+        SELECT source, split,
+               count(*)::BIGINT AS n_docs,
+               sum(n_tokens)::BIGINT AS n_tokens
+        FROM assigned GROUP BY source, split
+    ),
+    totals AS (
+        SELECT source, sum(n_docs)::BIGINT AS src_docs
+        FROM per GROUP BY source
+    )
+    SELECT p.source, p.split, p.n_docs, p.n_tokens,
+           {sql_round("p.n_docs / t.src_docs", 6)} AS doc_share
+    FROM per p JOIN totals t ON t.source = p.source
+"""
+
+
+def source_unigram_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source similarity: Jensen-Shannon divergence between
+    every pair of sources' unigram term distributions — the symmetric,
+    smoothing-free complement of source_unigram_kl (which compares each
+    source to the corpus): a near-zero JSD pair is the same content
+    mix under two source labels (mirror/syndication — merge before
+    weighting the mix), a high pair is genuinely complementary
+    coverage. JSD(P,Q) = ½·Σ P·ln(2P/(P+Q)) + ½·Σ Q·ln(2Q/(P+Q));
+    terms held by only one side contribute ln 2 times that side's
+    unshared mass, so the SHARED-term join plus two exact unshared-mass
+    totals give the full sum — no smoothing, no full outer join.
+
+    Determinism: each shared (pair, term) contributes
+    floor(c_a·ln(2·c_a·T_b / (c_a·T_b + c_b·T_a))·1e6 + 0.5) integer
+    micro-nats (double-first products — exact below 2^53) before the
+    per-pair LONG sum; the unshared tail is exact LONG mass arithmetic;
+    one final fixed double expression (6 dp). Scale shape: the pair
+    enumeration is a TERM-KEYED self-join of the (source, term) count
+    relation — fan-out bounded by the source domain per term, never
+    pair-of-rows enumeration; per-source totals broadcast."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    toks = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    st = toks.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    ts = st.groupBy("source").agg(F.sum("c").alias("t"))
+    a = st.join(F.broadcast(ts), "source").select(
+        F.col("source").alias("source_a"),
+        "term",
+        F.col("c").alias("c_a"),
+        F.col("t").alias("t_a"),
+    )
+    b = st.join(F.broadcast(ts), "source").select(
+        F.col("source").alias("source_b"),
+        "term",
+        F.col("c").alias("c_b"),
+        F.col("t").alias("t_b"),
+    )
+    shared = a.join(b, "term").filter(F.col("source_a") < F.col("source_b"))
+    mic = lambda c_x, t_x, c_y, t_y: F.floor(  # noqa: E731
+        F.col(c_x)
+        * F.log(
+            (F.lit(2.0) * F.col(c_x).cast("double") * F.col(t_y).cast("double"))
+            / (
+                F.col(c_x).cast("double") * F.col(t_y).cast("double")
+                + F.col(c_y).cast("double") * F.col(t_x).cast("double")
+            )
+        )
+        * 1_000_000
+        + F.lit(0.5)
+    ).cast("long")
+    per_pair = shared.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shared_terms"),
+        F.sum(mic("c_a", "t_a", "c_b", "t_b")).alias("mic_a"),
+        F.sum(mic("c_b", "t_b", "c_a", "t_a")).alias("mic_b"),
+        F.sum("c_a").alias("shared_a"),
+        F.sum("c_b").alias("shared_b"),
+        F.max("t_a").alias("t_a"),
+        F.max("t_b").alias("t_b"),
+    )
+    ln2 = F.log(F.lit(2.0))
+    jsd = F.lit(0.5) * (
+        F.col("mic_a") / 1_000_000.0 / F.col("t_a")
+        + (F.lit(1.0) - F.col("shared_a") / F.col("t_a").cast("double")) * ln2
+    ) + F.lit(0.5) * (
+        F.col("mic_b") / 1_000_000.0 / F.col("t_b")
+        + (F.lit(1.0) - F.col("shared_b") / F.col("t_b").cast("double")) * ln2
+    )
+    return per_pair.select(
+        "source_a",
+        "source_b",
+        "n_shared_terms",
+        pround(jsd, 6).alias("jsd"),
+    )
+
+
+QUERIES["source_unigram_jsd"] = source_unigram_jsd
+
+_JSD_MIC = (
+    "CAST(floor({cx} * ln((2.0 * {cx}::DOUBLE * {ty}::DOUBLE)"
+    " / ({cx}::DOUBLE * {ty}::DOUBLE + {cy}::DOUBLE * {tx}::DOUBLE))"
+    " * 1000000 + 0.5) AS BIGINT)"
+)
+
+ORACLE["source_unigram_jsd"] = f"""
+    WITH toks AS (
+        SELECT source, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    st AS (
+        SELECT source, term, count(*)::BIGINT AS c
+        FROM toks GROUP BY source, term
+    ),
+    ts AS (
+        SELECT source, sum(c)::BIGINT AS t FROM st GROUP BY source
+    ),
+    shared AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               a.c AS c_a, b.c AS c_b, ta.t AS t_a, tb.t AS t_b
+        FROM st a
+        JOIN st b ON a.term = b.term AND a.source < b.source
+        JOIN ts ta ON ta.source = a.source
+        JOIN ts tb ON tb.source = b.source
+    ),
+    per_pair AS (
+        SELECT source_a, source_b,
+               count(*)::BIGINT AS n_shared_terms,
+               sum({_JSD_MIC.format(cx="c_a", cy="c_b", tx="t_a", ty="t_b")}
+                  )::BIGINT AS mic_a,
+               sum({_JSD_MIC.format(cx="c_b", cy="c_a", tx="t_b", ty="t_a")}
+                  )::BIGINT AS mic_b,
+               sum(c_a)::BIGINT AS shared_a,
+               sum(c_b)::BIGINT AS shared_b,
+               max(t_a) AS t_a,
+               max(t_b) AS t_b
+        FROM shared GROUP BY source_a, source_b
+    )
+    SELECT source_a, source_b, n_shared_terms,
+           {sql_round(
+               "0.5 * (mic_a / 1000000.0 / t_a"
+               "       + (1.0 - shared_a / t_a::DOUBLE) * ln(2.0))"
+               " + 0.5 * (mic_b / 1000000.0 / t_b"
+               "          + (1.0 - shared_b / t_b::DOUBLE) * ln(2.0))", 6
+           )} AS jsd
+    FROM per_pair
+"""
