@@ -183,6 +183,31 @@ def read_pq_params(spark: SparkSession, path: str) -> dict[str, int]:
     return {k: int(v) for k, v in row.asDict().items()}
 
 
+def _pq_query_dist_table(
+    codebook: DataFrame, query_vec: list[float], sub: int
+) -> DataFrame:
+    """The query's (m, code) ADC lookup table from the codebook relation
+    alone — a projection over metadata-scale rows, same micro-unit
+    quantization as the corpus encode. Shared by pq_search_index and the
+    IVF-PQ search (ops/ivfpq_index.py), so the two serving paths compute
+    identical ADC distances BY CONSTRUCTION."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qx = F.element_at(q, F.col("pos") + 1).cast("double")
+    return (
+        codebook.select(
+            (F.col("pos") / sub).cast("int").alias("m"),
+            "code",
+            ((qx - F.col("cb_val")) ** 2).alias("d"),
+        )
+        .groupBy("m", "code")
+        .agg(
+            F.floor(F.sum("d") * 1_000_000 + F.lit(0.5))
+            .cast("long")
+            .alias("q_dist2_micro")
+        )
+    )
+
+
 def pq_search_index(
     spark: SparkSession,
     path: str,
@@ -220,21 +245,7 @@ def pq_search_index(
     sub = dim // n_sub
     codebook = spark.read.parquet(f"{path}/codebook")
     codes = spark.read.parquet(f"{path}/codes")
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    qx = F.element_at(q, F.col("pos") + 1).cast("double")
-    qtab = (
-        codebook.select(
-            (F.col("pos") / sub).cast("int").alias("m"),
-            "code",
-            ((qx - F.col("cb_val")) ** 2).alias("d"),
-        )
-        .groupBy("m", "code")
-        .agg(
-            F.floor(F.sum("d") * 1_000_000 + F.lit(0.5))
-            .cast("long")
-            .alias("q_dist2_micro")
-        )
-    )
+    qtab = _pq_query_dist_table(codebook, query_vec, sub)
     scan = codes
     if exclude_ids:
         scan = scan.filter(~F.col(id_col).isin(exclude_ids))

@@ -161,6 +161,20 @@ def compact_pq_index(
     }
 
 
+def compact_ivfpq_index(
+    spark: SparkSession, path: str, n_files: int = 1
+) -> dict:
+    """Compact the composed IVF-PQ index: codes to one file per cell
+    partition. The centroids/codebook/params sidecars are single-file
+    already."""
+    IO.assert_no_inflight_appends(path)
+    return {
+        "codes": _compact_half(
+            spark, f"{path}/codes", partition_col="cell", n_files=n_files
+        )
+    }
+
+
 _FAMILY_HALVES = {
     "postings": compact_lexical_index,  # lexical: postings + stats
     "shingles": compact_band_index,  # band: shingles + bands
@@ -170,8 +184,14 @@ _FAMILY_HALVES = {
 
 
 def compact_index(spark: SparkSession, path: str, n_files: int = 1) -> dict:
-    """Compact any of the four persisted index families, dispatching on
-    the layout under ``path``."""
+    """Compact any of the five persisted index families, dispatching on
+    the layout under ``path``. The composed IVF-PQ layout (cell-
+    partitioned ``codes/`` next to a ``centroids/`` sidecar) dispatches
+    before flat PQ, whose ``codes/`` half carries no cell partitions."""
+    if os.path.isdir(os.path.join(path, "codes")) and os.path.isdir(
+        os.path.join(path, "centroids")
+    ):
+        return compact_ivfpq_index(spark, path, n_files=n_files)
     for marker_half, fn in _FAMILY_HALVES.items():
         if os.path.isdir(os.path.join(path, marker_half)):
             return fn(spark, path, n_files=n_files)
@@ -201,6 +221,7 @@ __all__ = [
     "compact_band_index",
     "compact_index",
     "compact_ivf_index",
+    "compact_ivfpq_index",
     "compact_lexical_index",
     "compact_pq_index",
     "recover_index_halves",

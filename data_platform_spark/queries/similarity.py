@@ -1858,3 +1858,57 @@ QUERIES["pq_index_roundtrip"] = pq_index_roundtrip
 # bit-identical to the in-memory derivation by construction — reuse the
 # oracle verbatim so the gate proves the persisted serve path
 ORACLE["pq_index_roundtrip"] = ORACLE["pq_adc_topk_vec0"]
+
+
+def ivfpq_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED composed IVF-PQ index under the CORRECTNESS GATE
+    (the sixth and final roundtrip — the production FAISS-style layout
+    added in round 10): build the on-disk index
+    (ops.ivfpq_index.build_ivfpq_index — k-means cell training + one PQ
+    Lloyd training, codes PARTITIONED BY cell) into a temp dir, then
+    serve document 0's query through ivfpq_search_index with nprobe =
+    n_cells. At full probe every cell's codes participate, so the ADC
+    ranking is bit-identical to the flat PQ derivation (same geometry,
+    deterministic trainings, the SHARED _pq_query_dist_table lookup
+    expression) and the oracled pq_adc_topk_vec0 SQL is REUSED
+    verbatim — the driver verifies coarse-train + fine-train + persist
+    + compressed-domain serve end-to-end. The pruned posture (nprobe <
+    n_cells, partition-filter plan assertion) is pytest-gated in
+    tests/test_ivfpq_index.py, the same split every index family uses:
+    the oracle proves the math, the plan test proves the pruning.
+
+    The .collects are the 1-row query vector and the ≤nprobe probe
+    labels (metadata-scale scalars)."""
+    import tempfile
+
+    from data_platform_spark.ops.ivfpq_index import (
+        build_ivfpq_index,
+        ivfpq_search_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = tempfile.mkdtemp(prefix="dps_ivfpq_rt_")
+    build_ivfpq_index(
+        emb, f"{base}/ivfpq", n_cells=KMEANS_K, n_sub=PQ_M, n_codes=PQ_K
+    )
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == QUERY_VEC_ID).collect()[0][
+            "embedding"
+        ]
+    ]
+    return ivfpq_search_index(
+        spark,
+        f"{base}/ivfpq",
+        qvec,
+        nprobe=KMEANS_K,
+        k=TOP_K,
+        exclude_ids=[QUERY_VEC_ID],
+    )
+
+
+QUERIES["ivfpq_index_roundtrip"] = ivfpq_index_roundtrip
+
+# at nprobe = n_cells the composed serve path is bit-identical to the
+# flat ADC derivation — reuse the oracle verbatim so the gate proves it
+ORACLE["ivfpq_index_roundtrip"] = ORACLE["pq_adc_topk_vec0"]
