@@ -2530,3 +2530,106 @@ def _semantic_dedup_oracle() -> str:
 
 
 ORACLE["semantic_dedup_labels"] = _semantic_dedup_oracle()
+
+
+def corpus_dup_quality_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does duplication correlate with quality? Documents split into
+    'unique' (document FINGERPRINT — the md5 of the normalized 64-char
+    opening, functions.text.fingerprint — occurs once) vs 'duplicated'
+    (member of a multi-copy fingerprint group), each class reporting
+    doc count, corpus share, mean quality score, and mean
+    copies-per-group — the audit that decides whether dedup doubles as
+    a quality filter (in web crawls shared-opening boilerplate usually
+    scores LOWER, so keep-best dedup lifts corpus quality beyond the
+    token savings; if the two classes score alike, dedup is purely a
+    budget play). The fingerprint key, not the full-text hash, is the
+    template detector: it catches same-opening near-copies the exact
+    hash misses (the corpus_prefix_dup_rate signal, joined to quality).
+
+    Determinism: quality is the shared 4-dp heuristic
+    (functions.text.quality_score — already exact per row), summed as
+    integer 4-dp units (exact LONG folds). Scale shape: one
+    fingerprint groupBy (the exact-dedup shuffle shape), a hash-keyed
+    join back to the per-doc projection, one 2-row class rollup, a
+    1-row broadcast for shares."""
+    from data_platform_spark.functions import text as X
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    scored = docs.select(
+        "doc_id",
+        X.fingerprint(F.col("text")).alias("h"),
+        F.floor(X.quality_score(F.col("text")) * 10_000 + F.lit(0.5))
+        .cast("long")
+        .alias("q"),
+    )
+    groups = scored.groupBy("h").agg(
+        F.count(F.lit(1)).cast("long").alias("copies")
+    )
+    classed = scored.join(groups, "h").select(
+        F.when(F.col("copies") > 1, F.lit("duplicated"))
+        .otherwise(F.lit("unique"))
+        .alias("dup_class"),
+        "q",
+        "copies",
+    )
+    agg = classed.groupBy("dup_class").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("q").alias("sum_q"),
+        F.sum("copies").alias("sum_copies"),
+    )
+    total = agg.agg(F.sum("n_docs").alias("t"))
+    return agg.crossJoin(F.broadcast(total)).select(
+        "dup_class",
+        "n_docs",
+        pround(F.col("n_docs") / F.col("t"), 6).alias("doc_share"),
+        pround(F.col("sum_q") / 10_000.0 / F.col("n_docs"), 6).alias(
+            "mean_quality"
+        ),
+        pround(F.col("sum_copies") / F.col("n_docs"), 4).alias(
+            "mean_group_copies"
+        ),
+    )
+
+
+QUERIES["corpus_dup_quality_lift"] = corpus_dup_quality_lift
+
+
+def _dup_quality_lift_oracle() -> str:
+    from data_platform_spark.queries.text import quality_sql
+
+    return f"""
+        WITH scored AS (
+            SELECT doc_id,
+                   md5(substr(regexp_replace(lower(text), '\\s+', ' ', 'g'),
+                              1, 64)) AS h,
+                   CAST(floor(({quality_sql()}) * 10000 + 0.5) AS BIGINT)
+                       AS q
+            FROM documents
+        ),
+        groups AS (
+            SELECT h, count(*)::BIGINT AS copies FROM scored GROUP BY h
+        ),
+        classed AS (
+            SELECT CASE WHEN g.copies > 1 THEN 'duplicated'
+                        ELSE 'unique' END AS dup_class,
+                   s.q, g.copies
+            FROM scored s JOIN groups g ON g.h = s.h
+        ),
+        agg AS (
+            SELECT dup_class,
+                   count(*)::BIGINT AS n_docs,
+                   sum(q)::BIGINT AS sum_q,
+                   sum(copies)::BIGINT AS sum_copies
+            FROM classed GROUP BY dup_class
+        )
+        SELECT dup_class, n_docs,
+               {sql_round("n_docs * 1.0 / (SELECT sum(n_docs) FROM agg)", 6)}
+                   AS doc_share,
+               {sql_round("sum_q / 10000.0 / n_docs", 6)} AS mean_quality,
+               {sql_round("sum_copies * 1.0 / n_docs", 4)}
+                   AS mean_group_copies
+        FROM agg
+    """
+
+
+ORACLE["corpus_dup_quality_lift"] = _dup_quality_lift_oracle()

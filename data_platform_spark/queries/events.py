@@ -2947,3 +2947,87 @@ ORACLE["events_type_lag_correlation"] = f"""
            )} AS xcorr
     FROM sums
 """
+
+
+def events_user_lifespan_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """User lifetime distribution: per user the active SPAN in days
+    (first-to-last event, inclusive), rolled into log2 buckets — the
+    retention-shape summary behind the cohort tables (a mass at span 1
+    is drive-by traffic; a fat 2^6+ tail is a durable base). Reports
+    per bucket: user count, user share, and the span range the bucket
+    covers, plus each bucket's mean event count (do long-lived users
+    actually do more?).
+
+    Determinism: the bucket is the integer bit-length of the span
+    (length(bin(span)) - 1) — pure integer ops, no floating log2 whose
+    power-of-two boundaries could round differently across engines (the
+    shingle_df_histogram discipline). Scale shape: one per-user
+    min/max/count aggregate (map-side partials, user-keyed shuffle),
+    one bounded (≤ ~15 bucket) rollup, a 1-row broadcast for shares. No
+    windows."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        (
+            F.datediff(
+                F.date_trunc("day", F.max("ts")),
+                F.date_trunc("day", F.min("ts")),
+            )
+            + 1
+        ).cast("long").alias("span_days"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    bucketed = per_user.select(
+        (F.length(F.bin(F.col("span_days"))) - 1).cast("long").alias(
+            "span_log2_bucket"
+        ),
+        "span_days",
+        "n_events",
+    )
+    agg = bucketed.groupBy("span_log2_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.min("span_days").alias("min_span_days"),
+        F.max("span_days").alias("max_span_days"),
+        F.sum("n_events").alias("sum_events"),
+    )
+    total = agg.agg(F.sum("n_users").alias("t"))
+    return agg.crossJoin(F.broadcast(total)).select(
+        "span_log2_bucket",
+        "n_users",
+        "min_span_days",
+        "max_span_days",
+        pround(F.col("n_users") / F.col("t"), 6).alias("user_share"),
+        pround(F.col("sum_events") / F.col("n_users"), 4).alias(
+            "mean_events"
+        ),
+    )
+
+
+QUERIES["events_user_lifespan_histogram"] = events_user_lifespan_histogram
+
+ORACLE["events_user_lifespan_histogram"] = f"""
+    WITH per_user AS (
+        SELECT user_id,
+               (date_diff('day', date_trunc('day', min(ts)),
+                          date_trunc('day', max(ts))) + 1)::BIGINT
+                   AS span_days,
+               count(*)::BIGINT AS n_events
+        FROM events GROUP BY user_id
+    ),
+    agg AS (
+        SELECT (length(bin(span_days)) - 1)::BIGINT AS span_log2_bucket,
+               count(*)::BIGINT AS n_users,
+               min(span_days) AS min_span_days,
+               max(span_days) AS max_span_days,
+               sum(n_events)::BIGINT AS sum_events
+        FROM per_user
+        GROUP BY 1
+    )
+    SELECT span_log2_bucket, n_users, min_span_days, max_span_days,
+           {sql_round(
+               "n_users * 1.0 / (SELECT sum(n_users) FROM agg)", 6
+           )} AS user_share,
+           {sql_round("sum_events * 1.0 / n_users", 4)} AS mean_events
+    FROM agg
+"""

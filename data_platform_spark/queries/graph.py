@@ -540,3 +540,120 @@ ORACLE["term_graph_clustering_coefficient"] = f"""
     FROM coeff
     GROUP BY 1
 """
+
+
+def term_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the UNDIRECTED word-adjacency graph:
+    Newman's r — the Pearson correlation of the two endpoint degrees
+    over all edges — the one-number mixing audit completing the
+    structural family (degree = size, reciprocity = direction symmetry,
+    clustering = neighborhood density, assortativity = do hubs link to
+    hubs?). Natural-language adjacency graphs run DISASSORTATIVE
+    (function-word hubs link to rare content words, r < 0); r drifting
+    toward 0/positive is template/boilerplate contamination — lists and
+    navigation chrome wire hubs to hubs.
+
+    With each undirected edge contributing its endpoint-degree pair
+    (j,k) symmetrically: r = (4M·Σjk − (Σ(j+k))²) /
+    (2M·Σ(j²+k²) − (Σ(j+k))²) over the M distinct edges.
+
+    Determinism: degrees and the three edge folds are exact LONGs; the
+    closing expression is fixed double arithmetic (products stay below
+    2^53 at gate scale — the DECIMAL(38) upgrade is the extreme-scale
+    path), 6 dp. Scale shape: one distinct-edge shuffle, one bounded
+    degree aggregate, two degree joins keyed on the edge endpoints, one
+    global scalar fold. No windows, no self-joins."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    pairs = F.expr(
+        "transform(sequence(1, size(split(text, ' ')) - 1), "
+        "i -> struct(split(text, ' ')[i - 1] AS src, "
+        "split(text, ' ')[i] AS dst))"
+    )
+    und = (
+        docs.filter(F.size(F.split(F.col("text"), " ")) >= 2)
+        .select(F.explode(pairs).alias("e"))
+        .filter(F.col("e.src") != F.col("e.dst"))
+        .select(
+            F.least("e.src", "e.dst").alias("u"),
+            F.greatest("e.src", "e.dst").alias("v"),
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("term"))
+        .union(und.select(F.col("v").alias("term")))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    edges = und.join(
+        deg.select(F.col("term").alias("u"), F.col("degree").alias("j")), "u"
+    ).join(
+        deg.select(F.col("term").alias("v"), F.col("degree").alias("k")), "v"
+    )
+    sums = edges.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum(F.col("j") * F.col("k")).alias("sjk"),
+        F.sum(F.col("j") + F.col("k")).alias("sjpk"),
+        F.sum(F.col("j") * F.col("j") + F.col("k") * F.col("k")).alias(
+            "sj2k2"
+        ),
+    )
+    n_terms = deg.agg(F.count(F.lit(1)).cast("long").alias("n_terms"))
+    num = (
+        F.lit(4.0) * F.col("m").cast("double") * F.col("sjk").cast("double")
+        - F.col("sjpk").cast("double") * F.col("sjpk").cast("double")
+    )
+    den = (
+        F.lit(2.0) * F.col("m").cast("double") * F.col("sj2k2").cast("double")
+        - F.col("sjpk").cast("double") * F.col("sjpk").cast("double")
+    )
+    return sums.crossJoin(F.broadcast(n_terms)).select(
+        F.col("m").alias("n_edges"),
+        "n_terms",
+        pround(F.when(den > 0, num / den), 6).alias("assortativity"),
+    )
+
+
+QUERIES["term_graph_assortativity"] = term_graph_assortativity
+
+ORACLE["term_graph_assortativity"] = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    und AS (
+        SELECT DISTINCT least(ws[i], ws[i + 1]) AS u,
+                        greatest(ws[i], ws[i + 1]) AS v
+        FROM toks, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+        WHERE len(ws) >= 2 AND ws[i] <> ws[i + 1]
+    ),
+    deg AS (
+        SELECT term, count(*)::BIGINT AS degree
+        FROM (SELECT u AS term FROM und
+              UNION ALL SELECT v AS term FROM und)
+        GROUP BY term
+    ),
+    edges AS (
+        SELECT du.degree AS j, dv.degree AS k
+        FROM und e
+        JOIN deg du ON du.term = e.u
+        JOIN deg dv ON dv.term = e.v
+    ),
+    sums AS (
+        SELECT count(*)::BIGINT AS m,
+               sum(j * k)::BIGINT AS sjk,
+               sum(j + k)::BIGINT AS sjpk,
+               sum(j * j + k * k)::BIGINT AS sj2k2
+        FROM edges
+    )
+    SELECT s.m AS n_edges,
+           (SELECT count(*)::BIGINT FROM deg) AS n_terms,
+           {sql_round(
+               "CASE WHEN 2.0 * s.m::DOUBLE * s.sj2k2::DOUBLE"
+               "          - s.sjpk::DOUBLE * s.sjpk::DOUBLE > 0"
+               " THEN (4.0 * s.m::DOUBLE * s.sjk::DOUBLE"
+               "       - s.sjpk::DOUBLE * s.sjpk::DOUBLE)"
+               "    / (2.0 * s.m::DOUBLE * s.sj2k2::DOUBLE"
+               "       - s.sjpk::DOUBLE * s.sjpk::DOUBLE) END", 6
+           )} AS assortativity
+    FROM sums s
+"""

@@ -4490,3 +4490,100 @@ ORACLE["brand_price_size_slope"] = f"""
            )} AS r_squared
     FROM sums
 """
+
+
+def nation_revenue_rank_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """League-table motion: each nation's customer-revenue RANK in the
+    corpus's first order-year vs its last, with the rank change — the
+    market-movement summary a yearly business review opens with (a
+    nation climbing five places matters in a way raw revenue deltas
+    obscure). Nations active in only one of the two years drop (no
+    defined shift).
+
+    Determinism: revenue folds cent-exact per (nation, year); ranks
+    order by (revenue DESC, nation name ASC) — a total order.
+    Scale shape: one fact aggregate onto the bounded nation×year
+    domain (customer/nation dims broadcast into the join), then rank
+    windows PARTITIONED BY YEAR over ≤ |nations| rows per partition —
+    bounded by the entity domain, never data volume; the first/last
+    year bounds are a 1-row broadcast."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    per = (
+        orders.select(
+            "o_custkey", F.year("o_orderdate").alias("yr"), cents.alias("c")
+        )
+        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "yr")
+        .agg(F.sum("c").alias("rev_cents"))
+    )
+    bounds = orders.agg(
+        F.min(F.year("o_orderdate")).alias("y0"),
+        F.max(F.year("o_orderdate")).alias("y1"),
+    )
+    w = Window.partitionBy("yr").orderBy(
+        F.desc("rev_cents"), F.asc("n_name")
+    )
+    ranked = per.withColumn("rnk", F.row_number().over(w))
+    b = F.broadcast(bounds)
+    first = ranked.crossJoin(b).filter(F.col("yr") == F.col("y0")).select(
+        "n_name",
+        F.col("rnk").alias("first_rank"),
+        (F.col("rev_cents") / 100.0).alias("first_revenue"),
+    )
+    last = ranked.crossJoin(b).filter(F.col("yr") == F.col("y1")).select(
+        "n_name",
+        F.col("rnk").alias("last_rank"),
+        (F.col("rev_cents") / 100.0).alias("last_revenue"),
+    )
+    return first.join(last, "n_name").select(
+        F.col("n_name").alias("nation"),
+        F.col("first_rank").cast("long").alias("first_rank"),
+        F.col("last_rank").cast("long").alias("last_rank"),
+        (F.col("first_rank") - F.col("last_rank")).cast("long").alias(
+            "rank_gain"
+        ),
+        "first_revenue",
+        "last_revenue",
+    )
+
+
+QUERIES["nation_revenue_rank_shift"] = nation_revenue_rank_shift
+
+ORACLE["nation_revenue_rank_shift"] = """
+    WITH per AS (
+        SELECT n.n_name, year(o.o_orderdate) AS yr,
+               sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)
+                  )::BIGINT AS rev_cents
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY n.n_name, year(o.o_orderdate)
+    ),
+    bounds AS (
+        SELECT min(year(o_orderdate)) AS y0, max(year(o_orderdate)) AS y1
+        FROM orders
+    ),
+    ranked AS (
+        SELECT n_name, yr, rev_cents,
+               row_number() OVER (
+                   PARTITION BY yr ORDER BY rev_cents DESC, n_name ASC
+               ) AS rnk
+        FROM per
+    )
+    SELECT f.n_name AS nation,
+           f.rnk::BIGINT AS first_rank,
+           l.rnk::BIGINT AS last_rank,
+           (f.rnk - l.rnk)::BIGINT AS rank_gain,
+           f.rev_cents / 100.0 AS first_revenue,
+           l.rev_cents / 100.0 AS last_revenue
+    FROM ranked f
+    JOIN ranked l ON l.n_name = f.n_name
+    CROSS JOIN bounds b
+    WHERE f.yr = b.y0 AND l.yr = b.y1
+"""

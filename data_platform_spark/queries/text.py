@@ -3788,3 +3788,91 @@ ORACLE["source_unigram_jsd"] = f"""
            )} AS jsd
     FROM per_pair
 """
+
+
+def doc_length_moments_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Log-length distribution fit per source: mean, standard deviation
+    and skewness of ln(n_chars) — natural text lengths run roughly
+    lognormal, so per-source log-moments are the cheap distribution-
+    shape audit (a skew jump flags truncation or concatenation bugs in
+    one crawl source; a std collapse flags templated output) and the
+    parameters a length-matched sampler needs.
+
+    Determinism: ln(n_chars) quantizes per row to 4-dp integer units
+    (exact LONG folds for Σx, Σx², Σx³ — cubes stay far below LONG at
+    gate scale; DECIMAL(38) is the extreme-scale upgrade); the central
+    moments derive by one fixed double expression (6 dp). Scale shape:
+    one map-side-combined groupBy on the bounded source domain — no
+    joins, no windows."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    lx = F.floor(
+        F.log(F.col("n_chars").cast("double")) * 10_000 + F.lit(0.5)
+    ).cast("long")
+    sums = (
+        docs.filter(F.col("n_chars") > 0)
+        .select("source", lx.alias("x"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").alias("s1"),
+            F.sum(F.col("x") * F.col("x")).alias("s2"),
+            F.sum(F.col("x") * F.col("x") * F.col("x")).alias("s3"),
+        )
+    )
+    n = F.col("n").cast("double")
+    m1 = F.col("s1") / n / 10_000.0
+    m2 = F.col("s2") / n / 100_000_000.0
+    m3 = F.col("s3") / n / 1_000_000_000_000.0
+    var = m2 - m1 * m1
+    cm3 = m3 - F.lit(3.0) * m1 * m2 + F.lit(2.0) * m1 * m1 * m1
+    return sums.select(
+        "source",
+        F.col("n").alias("n_docs"),
+        pround(m1, 6).alias("log_len_mean"),
+        pround(F.when(var > 0, F.sqrt(var)), 6).alias("log_len_std"),
+        pround(
+            F.when(var > 0, cm3 / (F.sqrt(var) * F.sqrt(var) * F.sqrt(var))),
+            6,
+        ).alias("log_len_skew"),
+    )
+
+
+QUERIES["doc_length_moments_by_source"] = doc_length_moments_by_source
+
+ORACLE["doc_length_moments_by_source"] = f"""
+    WITH q AS (
+        SELECT source,
+               CAST(floor(ln(n_chars::DOUBLE) * 10000 + 0.5) AS BIGINT) AS x
+        FROM documents WHERE n_chars > 0
+    ),
+    sums AS (
+        SELECT source,
+               count(*)::BIGINT AS n,
+               sum(x)::BIGINT AS s1,
+               sum(x * x)::BIGINT AS s2,
+               sum(x * x * x)::BIGINT AS s3
+        FROM q GROUP BY source
+    ),
+    m AS (
+        SELECT source, n,
+               s1 / n::DOUBLE / 10000.0 AS m1,
+               s2 / n::DOUBLE / 100000000.0 AS m2,
+               s3 / n::DOUBLE / 1000000000000.0 AS m3
+        FROM sums
+    )
+    SELECT source,
+           n AS n_docs,
+           {sql_round("m1", 6)} AS log_len_mean,
+           {sql_round(
+               "CASE WHEN m2 - m1 * m1 > 0 THEN sqrt(m2 - m1 * m1) END", 6
+           )} AS log_len_std,
+           {sql_round(
+               "CASE WHEN m2 - m1 * m1 > 0 THEN"
+               " (m3 - 3.0 * m1 * m2 + 2.0 * m1 * m1 * m1)"
+               " / (sqrt(m2 - m1 * m1) * sqrt(m2 - m1 * m1)"
+               "    * sqrt(m2 - m1 * m1)) END", 6
+           )} AS log_len_skew
+    FROM m
+"""
