@@ -160,9 +160,114 @@ def ann_ingest_sink(
     )
 
 
+def ivfpq_ingest_sink(
+    stream_emb: DataFrame,
+    wh: Warehouse,
+    index_path: str,
+    corpus_path: str,
+    checkpoint_dir: str,
+    drift_threshold: float = 1.5,
+    sample_mod: int | None = 16,
+    schema: str = "dwh",
+    ledger_table: str = "ivfpq_index_maintenance",
+    compact_every: int | None = None,
+):
+    """foreachBatch sink for the composed IVF-PQ index
+    (ops/ivfpq_index.py) — the compressed-index twin of
+    ann_ingest_sink with one structural difference: the IVF-PQ index
+    stores CODES, not vectors, so the drift rebuild cannot re-derive
+    its training corpus from the index itself. The sink therefore
+    maintains ``corpus_path`` — a plain parquet directory of the
+    raw vectors (at 100 TB this is the cheap cold tier the compressed
+    serving index is derived FROM; FAISS deployments keep exactly this
+    split) — appending each micro-batch under the same deterministic
+    ``stream-<batch_id>-N`` file names the index halves use, so a
+    replayed batch re-moves only missing files and duplicates nothing.
+
+    Per batch: corpus append → index append (two-phase markers) →
+    sampled drift check over the corpus (``sample_mod`` defaults to 16,
+    the fleet posture: O(corpus/16) per batch) → rebuild BOTH
+    quantizers + atomic swap past the threshold → optional Nth-batch
+    compaction (one file per cell) → one upserted ledger row.
+    Interrupted rebuild swaps heal once at construction
+    (recover_ivfpq_index), the ann_ingest_sink discipline."""
+    import shutil
+
+    from data_platform_spark.ops import _index_io as IO
+    from data_platform_spark.ops.ivfpq_index import (
+        append_to_ivfpq_index,
+        rebuild_ivfpq_if_drifted,
+        recover_ivfpq_index,
+    )
+
+    try:
+        recover_ivfpq_index(index_path)
+    except FileNotFoundError:
+        pass  # nothing at the path yet — the first append will say so loudly
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            batch = batch_df.select("vec_id", "label", "embedding")
+            if batch.limit(1).count() == 0:
+                return
+            bid = f"stream-{batch_id}"
+            # corpus append first: if the index append crashes mid-way,
+            # the retry's corpus move is a no-op (deterministic names)
+            # and the index retry completes the missing files.
+            stage = f"{corpus_path}/.append-stage-{bid}"
+            shutil.rmtree(stage, ignore_errors=True)
+            batch.coalesce(1).write.mode("overwrite").parquet(stage)
+            IO.move_staged_files(stage, corpus_path, bid)
+            shutil.rmtree(stage, ignore_errors=True)
+            append_to_ivfpq_index(batch, index_path, batch_id=bid)
+            res = rebuild_ivfpq_if_drifted(
+                spark.read.parquet(corpus_path),
+                index_path,
+                threshold=drift_threshold,
+                sample_mod=sample_mod,
+            )
+            if compact_every and (batch_id + 1) % compact_every == 0:
+                from data_platform_spark.ops.compaction import (
+                    compact_ivfpq_index,
+                )
+
+                compact_ivfpq_index(spark, index_path)
+            n = batch.count()
+            row = spark.createDataFrame(
+                [
+                    (
+                        int(batch_id),
+                        int(n),
+                        bool(res["rebuilt"]),
+                        int(res["base_micro"]),
+                        int(res["current_micro"]),
+                        float(res["ratio"]),
+                    )
+                ],
+                "batch_id long, n_vectors long, rebuilt boolean, "
+                "base_micro long, current_micro long, ratio double",
+            )
+            from data_platform_spark.streaming.monitors import (
+                upsert_keyed_rows,
+            )
+
+            upsert_keyed_rows(wh, schema, ledger_table, row, ["batch_id"])
+        finally:
+            release_caches()  # cache.py convention: drain the sink's scope
+
+    return (
+        stream_emb.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 __all__ = [
     "EMBEDDINGS_STREAM_SCHEMA",
     "ann_ingest_sink",
+    "ivfpq_ingest_sink",
     "indexed_corpus",
     "read_embeddings_stream",
     "read_ivf_params",

@@ -1255,3 +1255,112 @@ def test_ann_ingest_sink_in_stream_compaction(spark, tmp_path):
     )
     q2.awaitTermination(180)
     assert indexed_corpus(spark, index_path).count() == 80 + 40 + 40
+
+
+def test_ivfpq_ingest_sink_appends_rebuilds_and_replays_clean(
+    spark, tmp_path
+):
+    """The compressed-index streaming loop end-to-end: batch 0 (same
+    distribution) folds into codes/ AND the raw-vector corpus dir with
+    NO rebuild; batch 1 (drifted regions) crosses the PQ distortion
+    threshold and retrains BOTH quantizers inside the stream — after
+    the drain a drifted query's ADC top-k finds its planted twin
+    through the maintained index; a full replay with a fresh checkpoint
+    adds zero duplicate code rows AND zero duplicate corpus rows."""
+    import json
+    import os
+
+    import numpy as np
+
+    from data_platform_spark.ops.ivfpq_index import (
+        build_ivfpq_index,
+        ivfpq_search_index,
+    )
+    from data_platform_spark.pipeline import Warehouse
+    from data_platform_spark.streaming.ann import (
+        ivfpq_ingest_sink,
+        read_embeddings_stream,
+    )
+
+    rng = np.random.default_rng(6)
+    ca = rng.normal(size=(4, 64))
+    ca /= np.linalg.norm(ca, axis=1, keepdims=True)
+    cb = rng.normal(size=(8, 64))
+    cb /= np.linalg.norm(cb, axis=1, keepdims=True)
+
+    def planted(centers, per, sigma, start_id, label0):
+        rows, vid = [], start_id
+        for ci, c in enumerate(centers):
+            for _ in range(per):
+                v = c + sigma * rng.normal(size=64)
+                v /= np.linalg.norm(v)
+                rows.append((vid, label0 + ci, [float(x) for x in v]))
+                vid += 1
+        return rows
+
+    initial = planted(ca, 40, 0.10, 0, 0)        # ids 0-159
+    same = planted(ca[:2], 40, 0.10, 5000, 0)    # ids 5000-5079
+    drifted = planted(cb, 40, 0.10, 1000, 100)   # ids 1000-1319
+
+    schema = "vec_id: long, label: long, embedding: array<double>"
+    seed = spark.createDataFrame(initial, schema)
+    index_path = str(tmp_path / "ivfpq_index")
+    corpus_path = str(tmp_path / "corpus")
+    build_ivfpq_index(seed, index_path, n_cells=8)
+    seed.coalesce(1).write.mode("overwrite").parquet(corpus_path)
+
+    src = str(tmp_path / "emb_stream")
+    os.makedirs(src)
+    for i, rows in enumerate([same, drifted]):
+        with open(f"{src}/b{i}.json", "w") as f:
+            for vid, lab, vec in rows:
+                f.write(
+                    json.dumps(
+                        {"vec_id": vid, "label": lab, "embedding": vec}
+                    )
+                    + "\n"
+                )
+        os.utime(f"{src}/b{i}.json", (1_000_000 + i, 1_000_000 + i))
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    q = ivfpq_ingest_sink(
+        read_embeddings_stream(spark, src, max_files_per_trigger=1),
+        wh,
+        index_path,
+        corpus_path,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(300)
+
+    ledger = wh.read(spark, "dwh", "ivfpq_index_maintenance").orderBy(
+        "batch_id"
+    )
+    rows = ledger.collect()
+    assert [r.rebuilt for r in rows] == [False, True]
+    assert rows[1].ratio > 1.5
+
+    # the maintained index finds a drifted twin via the compressed path
+    twin = dict((r[0], r[2]) for r in drifted)[1007]
+    got = {
+        r.vec_id
+        for r in ivfpq_search_index(
+            spark, index_path, twin, nprobe=8, k=5, exclude_ids=[1007]
+        ).collect()
+    }
+    assert got & set(range(1000, 1320))
+
+    n_codes = spark.read.parquet(f"{index_path}/codes").count()
+    n_corpus = spark.read.parquet(corpus_path).count()
+    assert n_corpus == 160 + 80 + 320
+
+    # full replay, fresh checkpoint: zero duplicate rows in either half
+    q2 = ivfpq_ingest_sink(
+        read_embeddings_stream(spark, src, max_files_per_trigger=1),
+        wh,
+        index_path,
+        corpus_path,
+        str(tmp_path / "ckpt2"),
+    )
+    q2.awaitTermination(300)
+    assert spark.read.parquet(f"{index_path}/codes").count() == n_codes
+    assert spark.read.parquet(corpus_path).count() == n_corpus
