@@ -3031,3 +3031,269 @@ ORACLE["events_user_lifespan_histogram"] = f"""
            {sql_round("sum_events * 1.0 / n_users", 4)} AS mean_events
     FROM agg
 """
+
+
+def events_hourly_seasonality_strength(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """How much of each event type's hourly value variation is
+    hour-of-day seasonality? One-way variance decomposition (ANOVA R²)
+    over the DENSE hourly series: R² = SS_between(hour-of-day) /
+    SS_total — near 1 means a fixed daily rhythm (model it before
+    anomaly-scoring residuals, the events_anomaly_zscore family's
+    calibration question), near 0 means hour-of-day is noise. Reports
+    per type: observation count, mean hourly value, R², and the
+    peak/trough hours of the fitted profile.
+
+    Determinism: hourly sums fix to cents over the zero-filled dense
+    spine (exact LONG folds); the 24 per-hour S_h²/n_h terms quantize
+    to centi-units before their LONG sum (order-independent); the
+    closing R² is one fixed double expression (6 dp). Peak/trough pick
+    by arg-extrema over a single LONG key (micro-quantized hour mean,
+    hour tie-break) — a deterministic total order, no window. Scale
+    shape: one (type × hour)-domain groupBy, the broadcast spine
+    cross, a 24-row-per-type rollup. No windows, no self-joins."""
+    ev = load_table(spark, sf_dir, "events")
+    vc = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_start")
+    ).agg(F.coalesce(F.sum(vc), F.lit(0)).cast("long").alias("v"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("hmin"),
+        F.date_trunc("hour", F.max("ts")).alias("hmax"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("hmin", "hmax", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour_start")
+    )
+    types = ev.select("event_type").distinct()
+    dense = (
+        types.crossJoin(F.broadcast(spine))
+        .join(hourly, ["event_type", "hour_start"], "left")
+        .select(
+            "event_type",
+            F.hour("hour_start").alias("h"),
+            F.coalesce(F.col("v"), F.lit(0)).cast("long").alias("v"),
+        )
+    )
+    per_hour = dense.groupBy("event_type", "h").agg(
+        F.count(F.lit(1)).cast("long").alias("n_h"),
+        F.sum("v").alias("s_h"),
+    )
+    # per-hour between-group term S_h²/n_h, quantized to centi-units so
+    # the 24-term per-type sum is an order-independent LONG fold
+    term = F.floor(
+        F.col("s_h").cast("double")
+        * F.col("s_h").cast("double")
+        / F.col("n_h").cast("double")
+        * 100
+        + F.lit(0.5)
+    ).cast("long")
+    # peak/trough pick by a single sortable LONG key — the hour mean
+    # quantized to micro-units then shifted 5 bits for the hour
+    # tie-break: a deterministic total order both engines share (struct
+    # ordering keys don't bind in DuckDB's arg-extrema aggregates)
+    key = (
+        F.floor(
+            F.col("s_h").cast("double") / F.col("n_h").cast("double")
+            * 1_000_000
+            + F.lit(0.5)
+        ).cast("long")
+        * 32
+        + F.col("h")
+    )
+    between = per_hour.groupBy("event_type").agg(
+        F.sum(term).alias("a_centi"),
+        F.max_by(F.col("h"), key).alias("peak_hour"),
+        F.min_by(F.col("h"), key).alias("trough_hour"),
+    )
+    totals = dense.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("q"),
+    )
+    c = F.col("s").cast("double") * F.col("s").cast("double") / F.col(
+        "n"
+    ).cast("double")
+    ss_total = F.col("q").cast("double") - c
+    ss_between = F.col("a_centi") / 100.0 - c
+    return totals.join(between, "event_type").select(
+        "event_type",
+        F.col("n").alias("n_hours"),
+        pround(F.col("s") / 100.0 / F.col("n"), 4).alias("mean_hour_value"),
+        pround(F.when(ss_total > 0, ss_between / ss_total), 6).alias(
+            "hour_of_day_r2"
+        ),
+        F.col("peak_hour").cast("long").alias("peak_hour"),
+        F.col("trough_hour").cast("long").alias("trough_hour"),
+    )
+
+
+QUERIES["events_hourly_seasonality_strength"] = (
+    events_hourly_seasonality_strength
+)
+
+ORACLE["events_hourly_seasonality_strength"] = f"""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour_start,
+               coalesce(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)),
+                        0)::BIGINT AS v
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT date_trunc('hour', min(ts)) AS hmin,
+               date_trunc('hour', max(ts)) AS hmax
+        FROM events
+    ),
+    spine AS (
+        SELECT unnest(generate_series(
+            (SELECT hmin FROM bounds),
+            (SELECT hmax FROM bounds),
+            INTERVAL 1 HOUR)) AS hour_start
+    ),
+    dense AS (
+        SELECT t.event_type,
+               hour(s.hour_start) AS h,
+               coalesce(hh.v, 0)::BIGINT AS v
+        FROM (SELECT DISTINCT event_type FROM events) t
+        CROSS JOIN spine s
+        LEFT JOIN hourly hh
+          ON hh.event_type = t.event_type
+         AND hh.hour_start = s.hour_start
+    ),
+    per_hour AS (
+        SELECT event_type, h,
+               count(*)::BIGINT AS n_h,
+               sum(v)::BIGINT AS s_h
+        FROM dense GROUP BY 1, 2
+    ),
+    between_g AS (
+        SELECT event_type,
+               sum(CAST(floor(s_h::DOUBLE * s_h::DOUBLE / n_h::DOUBLE
+                              * 100 + 0.5) AS BIGINT))::BIGINT AS a_centi,
+               max_by(h, CAST(floor(s_h::DOUBLE / n_h::DOUBLE * 1000000
+                                    + 0.5) AS BIGINT) * 32 + h)
+                   AS peak_hour,
+               min_by(h, CAST(floor(s_h::DOUBLE / n_h::DOUBLE * 1000000
+                                    + 0.5) AS BIGINT) * 32 + h)
+                   AS trough_hour
+        FROM per_hour GROUP BY event_type
+    ),
+    totals AS (
+        SELECT event_type,
+               count(*)::BIGINT AS n,
+               sum(v)::BIGINT AS s,
+               sum(v * v)::BIGINT AS q
+        FROM dense GROUP BY event_type
+    )
+    SELECT t.event_type,
+           t.n AS n_hours,
+           {sql_round("t.s / 100.0 / t.n", 4)} AS mean_hour_value,
+           {sql_round(
+               "CASE WHEN t.q::DOUBLE - t.s::DOUBLE * t.s::DOUBLE"
+               " / t.n::DOUBLE > 0"
+               " THEN (b.a_centi / 100.0 - t.s::DOUBLE * t.s::DOUBLE"
+               "       / t.n::DOUBLE)"
+               "    / (t.q::DOUBLE - t.s::DOUBLE * t.s::DOUBLE"
+               "       / t.n::DOUBLE) END", 6
+           )} AS hour_of_day_r2,
+           b.peak_hour::BIGINT AS peak_hour,
+           b.trough_hour::BIGINT AS trough_hour
+    FROM totals t JOIN between_g b ON b.event_type = t.event_type
+"""
+
+
+TOPK_USER_SHARE_K = 10
+
+
+def event_value_topk_user_share(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Value concentration per event type: the share of each type's
+    total value carried by its top-10 users — the whale/abuse audit
+    that complements the Gini (events_user_gini gives the whole curve's
+    inequality; this gives the actionable head: 'purchases are 40%
+    three accounts' is a fraud review, 'errors are 90% one client' is
+    a broken integration).
+
+    Determinism: per-(type, user) cents are exact LONG folds; the
+    top-10 rank rides the two-phase grouped layout ordered by
+    (cents DESC, user ASC) — a total order — and the final shares are
+    one division each (6 dp). Scale shape: one (type, user) aggregate,
+    the grouped_running_sum range/offset shuffles over the collapsed
+    per-user relation (never raw events), a bounded per-type rollup.
+    Never a native grouped window: a type's user count is unbounded."""
+    from data_platform_spark.ops.global_order import grouped_running_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    vc = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.coalesce(F.sum(vc), F.lit(0)).cast("long").alias("c")
+    )
+    ranked = grouped_running_sum(
+        per_user,
+        ["event_type"],
+        [F.desc("c"), F.asc("user_id")],
+        F.lit(1).cast("long"),
+        "rnk",
+    )
+    totals = per_user.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("c").alias("total_cents"),
+    )
+    top = ranked.filter(F.col("rnk") <= TOPK_USER_SHARE_K).groupBy(
+        "event_type"
+    ).agg(F.sum("c").alias("top_cents"))
+    return top.join(F.broadcast(totals), "event_type").select(
+        "event_type",
+        "n_users",
+        (F.col("total_cents") / 100.0).alias("total_value"),
+        (F.col("top_cents") / 100.0).alias("topk_value"),
+        pround(
+            F.when(
+                F.col("total_cents") != 0,
+                F.col("top_cents") / F.col("total_cents").cast("double"),
+            ),
+            6,
+        ).alias("topk_share"),
+    )
+
+
+QUERIES["event_value_topk_user_share"] = event_value_topk_user_share
+
+ORACLE["event_value_topk_user_share"] = f"""
+    WITH per_user AS (
+        SELECT event_type, user_id,
+               coalesce(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)),
+                        0)::BIGINT AS c
+        FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT event_type, c,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY c DESC, user_id ASC
+               ) AS rnk
+        FROM per_user
+    ),
+    totals AS (
+        SELECT event_type,
+               count(*)::BIGINT AS n_users,
+               sum(c)::BIGINT AS total_cents
+        FROM per_user GROUP BY event_type
+    ),
+    top AS (
+        SELECT event_type, sum(c)::BIGINT AS top_cents
+        FROM ranked WHERE rnk <= {TOPK_USER_SHARE_K}
+        GROUP BY event_type
+    )
+    SELECT t.event_type,
+           tt.n_users,
+           tt.total_cents / 100.0 AS total_value,
+           t.top_cents / 100.0 AS topk_value,
+           {sql_round(
+               "CASE WHEN tt.total_cents <> 0"
+               " THEN t.top_cents * 1.0 / tt.total_cents END", 6
+           )} AS topk_share
+    FROM top t JOIN totals tt ON tt.event_type = t.event_type
+"""

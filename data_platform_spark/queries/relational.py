@@ -4587,3 +4587,88 @@ ORACLE["nation_revenue_rank_shift"] = """
     CROSS JOIN bounds b
     WHERE f.yr = b.y0 AND l.yr = b.y1
 """
+
+
+def customer_repeat_rate_by_segment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Repeat-purchase economics per market segment: active-customer
+    count, share of customers with 2+ orders (the repeat rate), mean
+    orders per active customer, and the cent-exact share of segment
+    revenue that comes FROM repeat customers — the retention headline
+    that tells a business where its revenue durability lives (a
+    segment can look big on volume while its revenue is all one-shot
+    buyers).
+
+    Determinism: order counts and cents are exact LONG folds; shares
+    are one division each (6 dp). Scale shape: one per-customer
+    aggregate (customer-keyed shuffle over the fact), one bounded
+    segment rollup after a broadcast dim join. No windows."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(cents).alias("rev_cents"),
+    )
+    seg = per_cust.join(
+        F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    agg = seg.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum(
+            F.when(F.col("n_orders") >= 2, F.lit(1)).otherwise(F.lit(0))
+        ).cast("long").alias("n_repeat"),
+        F.sum("n_orders").alias("sum_orders"),
+        F.sum("rev_cents").alias("sum_cents"),
+        F.sum(F.when(F.col("n_orders") >= 2, F.col("rev_cents")).otherwise(
+            F.lit(0)
+        )).alias("repeat_cents"),
+    )
+    return agg.select(
+        F.col("c_mktsegment").alias("segment"),
+        "n_customers",
+        pround(F.col("n_repeat") / F.col("n_customers"), 6).alias(
+            "repeat_rate"
+        ),
+        pround(F.col("sum_orders") / F.col("n_customers"), 4).alias(
+            "mean_orders"
+        ),
+        pround(F.col("repeat_cents") / F.col("sum_cents"), 6).alias(
+            "repeat_revenue_share"
+        ),
+    )
+
+
+QUERIES["customer_repeat_rate_by_segment"] = customer_repeat_rate_by_segment
+
+ORACLE["customer_repeat_rate_by_segment"] = f"""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               count(*)::BIGINT AS n_orders,
+               sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                  )::BIGINT AS rev_cents
+        FROM orders GROUP BY o_custkey
+    ),
+    agg AS (
+        SELECT c.c_mktsegment,
+               count(*)::BIGINT AS n_customers,
+               sum(CASE WHEN p.n_orders >= 2 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_repeat,
+               sum(p.n_orders)::BIGINT AS sum_orders,
+               sum(p.rev_cents)::BIGINT AS sum_cents,
+               sum(CASE WHEN p.n_orders >= 2 THEN p.rev_cents
+                        ELSE 0 END)::BIGINT AS repeat_cents
+        FROM per_cust p
+        JOIN customer c ON c.c_custkey = p.o_custkey
+        GROUP BY c.c_mktsegment
+    )
+    SELECT c_mktsegment AS segment,
+           n_customers,
+           {sql_round("n_repeat * 1.0 / n_customers", 6)} AS repeat_rate,
+           {sql_round("sum_orders * 1.0 / n_customers", 4)} AS mean_orders,
+           {sql_round("repeat_cents * 1.0 / sum_cents", 6)}
+               AS repeat_revenue_share
+    FROM agg
+"""

@@ -3876,3 +3876,79 @@ ORACLE["doc_length_moments_by_source"] = f"""
            )} AS log_len_skew
     FROM m
 """
+
+
+def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length distribution per language: for each (lang, length)
+    how many tokens, the share within the language, and the cumulative
+    share — the fertility profile a tokenizer budget is calibrated
+    against (a language whose mass sits at length 1-2 is being shredded
+    by the token regex; a long-tail shift after a crawl refresh is an
+    encoding regression). Lengths cap at 20 (the 20+ bucket) so the
+    domain is bounded by construction.
+
+    Determinism: pure integer counts; shares are one division each
+    (6 dp); the cumulative share rides a window over the ≤20-row
+    per-lang length domain — calendar-bounded, never data-bounded.
+    Scale shape: one token explode + one (lang × ≤20)-domain groupBy
+    with map-side partials; per-lang totals broadcast."""
+    from pyspark.sql.window import Window
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    toks = docs.select(
+        "lang",
+        F.explode(
+            F.expr(f"regexp_extract_all(text, '{X.TOKEN_REGEX}', 0)")
+        ).alias("tok"),
+    )
+    bucketed = toks.select(
+        "lang", F.least(F.length("tok"), F.lit(20)).alias("tok_len")
+    )
+    agg = bucketed.groupBy("lang", "tok_len").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens")
+    )
+    totals = agg.groupBy("lang").agg(F.sum("n_tokens").alias("t"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("tok_len")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        agg.join(F.broadcast(totals), "lang")
+        .withColumn("cum", F.sum("n_tokens").over(w))
+        .select(
+            "lang",
+            F.col("tok_len").cast("long").alias("tok_len"),
+            "n_tokens",
+            pround(F.col("n_tokens") / F.col("t"), 6).alias("token_share"),
+            pround(F.col("cum") / F.col("t"), 6).alias("cum_share"),
+        )
+    )
+
+
+QUERIES["token_length_histogram"] = token_length_histogram
+
+ORACLE["token_length_histogram"] = f"""
+    WITH toks AS (
+        SELECT lang,
+               unnest(regexp_extract_all(text, '{X.TOKEN_REGEX}')) AS tok
+        FROM documents
+    ),
+    agg AS (
+        SELECT lang, least(length(tok), 20)::BIGINT AS tok_len,
+               count(*)::BIGINT AS n_tokens
+        FROM toks GROUP BY 1, 2
+    ),
+    totals AS (
+        SELECT lang, sum(n_tokens)::BIGINT AS t FROM agg GROUP BY lang
+    )
+    SELECT a.lang, a.tok_len, a.n_tokens,
+           {sql_round("a.n_tokens * 1.0 / t.t", 6)} AS token_share,
+           {sql_round(
+               "sum(a.n_tokens) OVER ("
+               " PARTITION BY a.lang ORDER BY a.tok_len"
+               " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+               ") * 1.0 / t.t", 6
+           )} AS cum_share
+    FROM agg a JOIN totals t ON t.lang = a.lang
+"""
