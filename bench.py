@@ -60,7 +60,11 @@ from data_platform_spark.session import get_spark  # noqa: E402
 # rank-statistic family (user Gini), the distribution-shift family
 # (per-source unigram KL), the sessionized-path family (session
 # paths), the mapInPandas partial-Gram family (dim correlation) and
-# the bounded-range interval-join family (time-decay attribution).
+# the bounded-range interval-join family (time-decay attribution);
+# plus (round 10) the pairwise distribution-distance family (source
+# JSD — term-keyed pairwise self-join), the label-bucketed semantic
+# dedup (the IVF-cell-shaped cosine verify), and the dense-spine
+# variance-decomposition family (hourly seasonality R²).
 HEADLINE = [
     "q1_pricing_summary",
     "q3_top_revenue_orders",
@@ -92,6 +96,9 @@ HEADLINE = [
     "events_session_paths",
     "embedding_dim_correlation_top",
     "purchase_attribution_time_decay",
+    "source_unigram_jsd",
+    "semantic_dedup_labels",
+    "events_hourly_seasonality_strength",
 ]
 
 

@@ -41,10 +41,27 @@ def _modules():
 
 
 # The driver's correctness gate checks the FIRST ~50 registered queries, in
-# dict order. Cumulative accounting entering round 9: 200 registered (199
-# oracled — the floor: approx_stats_sketches exposes engine-specific
-# sketch internals); every query registered through r8 carries a
-# driver-green row. The round-9 window packs, in order:
+# dict order. Cumulative accounting entering round 10: 248 registered (247
+# oracled); every query registered through r8 carries a driver-green row,
+# and the r9 window covered that round's first batch + the late
+# index-roundtrip family. The round-10 window packs, in order:
+# (1) never driver-green — r9's batches 2-4 (25 queries registered below
+#     the r9 window; their round-9 evidence is the local deep-compare
+#     through the driver's comparison path + the parity sweep);
+# (2) never driver-green — the queries new THIS round (15 analytic
+#     queries + the IVF-PQ roundtrip putting the round's new composed
+#     index family under the driver's oracle);
+# (3) re-proof: pq_index_roundtrip — pq_search_index's ADC lookup table
+#     was extracted into the shared _pq_query_dist_table this round
+#     (consistency-by-construction with the IVF-PQ search), so the
+#     persisted PQ serve path re-proves on the changed code;
+# (4) canaries (loader / flagship); then
+# (5) the six stale-green refreshes deferred from r9
+#     (events_sliding_window_counts, multimodal_meta,
+#     q12_priority_by_month, retention_cohorts, srp_ann_topk_vec0,
+#     top_user_per_hour — all r3/r4-green, unchanged). The rest of the
+#     r4 cohort remains first in line for r11.
+# --- round-9 window rationale (kept for history) ---
 # (1) never driver-green: the 26 queries new this round (retrieval-leg
 #     agreement, char entropy, bigram-LM scoring, user Gini, vocabulary
 #     overlap, embedding norm audit, order-size percentiles, brand
@@ -73,98 +90,82 @@ def _modules():
 #     whole persist-sweep family in dedup/similarity; the global_order
 #     consumers after its cache-registry change;
 # (3) canaries; (4) stalest green rows rotated in.
-_R9_WINDOW = (
-    # (1) never driver-green — new this round
-    "hybrid_leg_agreement",
-    "doc_char_entropy",
-    "doc_bigram_logprob",
-    "events_user_gini",
-    "vocab_overlap_by_source_pair",
-    "embedding_norm_audit",
-    "order_lineitem_count_percentiles",
-    "order_brand_affinity",
-    "nation_supplier_revenue_hhi",
-    "orders_weekday_profile",
-    "event_type_user_affinity_pmi",
-    "corpus_ngram_novelty",
-    "brand_return_rates",
-    "part_supplier_redundancy",
-    "ship_delay_percentiles",
-    "source_unigram_kl",
-    "doc_lexical_diversity",
-    "events_session_paths",
-    "embedding_dim_stats",
-    "customer_order_intervals",
-    "term_graph_degree_stats",
-    "doc_oov_rate",
-    "crosssource_neardup_share",
-    "corpus_prefix_dup_rate",
-    "label_embedding_separation",
-    "events_value_percentiles_by_type",
-    # (2) re-proof: thread-scoped cache registry consumers (one per
-    # family that scoped_persists: LSH dedup, decision ledger, curation,
-    # SRP, bucketed knn) + global_order/grouped_percentile composers
-    "neardup_pairs_lsh",
-    "dedup_decision_report",
-    "curation_pipeline_summary",
-    "srp_bucket_histogram",
-    # (knn_within_buckets r8-green; srp_bucket_histogram already
-    # re-proves the SRP scoped_persist family — slot yielded to batch 4)
-    "source_token_percentiles",
-    "session_quality_by_day",
-    "events_daily_quality",
-    "events_anomaly_zscore",
-    "bm25_topk",
-    "hybrid_rrf_topk",
-    "corpus_pack_sequences",
-    "customer_rfm_segments",
-    "corpus_mix_by_source",
-    # (3) canaries (loader / flagship)
+_R10_WINDOW = (
+    # (1) never driver-green — r9 batches 2-4, registered below that
+    # round's window (relational / events / text / dedup / similarity /
+    # graph order, the NOTES_r9 listing)
+    "nation_trade_balance",
+    "customer_spend_band_migration",
+    "part_type_market_share_by_region",
+    "ship_delay_monthly_trend",
+    "order_fulfilment_span",
+    "orders_priority_mix_shift",
+    "segment_priority_contingency",
+    "nation_self_trade_share",
+    "brand_unit_price_dispersion",
+    "events_bounce_rate_by_day",
+    "events_session_duration_by_entry",
+    "events_markov_logprob",
+    "purchase_attribution_time_decay",
+    "events_hourly_value_interpolated",
+    "events_value_autocorrelation",
+    "events_anomaly_mad",
+    "corpus_vocab_growth",
+    "positional_unigram_kl",
+    "source_bigram_cond_entropy",
+    "shingle_df_histogram",
+    "neardup_cluster_size_histogram",
+    "crosssource_exact_dup_matrix",
+    "embedding_quantization_error",
+    "term_graph_reciprocity",
+    "term_graph_clustering_coefficient",
+    # (2) never driver-green — new in round 10
+    "events_trimmed_value_stats",
+    "events_type_lag_correlation",
+    "brand_price_size_slope",
+    "corpus_split_assignment",
+    "source_unigram_jsd",
+    "semantic_dedup_labels",
+    "ivfpq_index_roundtrip",
+    "term_graph_assortativity",
+    "nation_revenue_rank_shift",
+    "events_user_lifespan_histogram",
+    "doc_length_moments_by_source",
+    "corpus_dup_quality_lift",
+    "events_hourly_seasonality_strength",
+    "token_length_histogram",
+    "customer_repeat_rate_by_segment",
+    "event_value_topk_user_share",
+    # (3) re-proof: the persisted PQ serve path re-proves after its ADC
+    # lookup table moved into the shared _pq_query_dist_table (r10)
+    "pq_index_roundtrip",
+    # (4) canaries (loader / flagship)
     "events_sessionize",
     "q1_pricing_summary",
-    # (1b) never driver-green — the round's LATE additions that outrank
-    # stale-green refresh under the window policy: the five
-    # index-roundtrip queries put the persisted serving paths (lexical,
-    # band, IVF, PQ, hybrid) under the driver's oracle via verbatim
-    # oracle reuse, and the Gram-matrix correlation is the round's new
-    # mapInPandas partial-aggregation family (also bench-headlined)
-    "lexical_index_roundtrip",
-    "band_index_roundtrip",
-    "ivf_index_roundtrip",
-    "pq_index_roundtrip",
-    "hybrid_index_roundtrip",
-    "embedding_dim_correlation_top",
-    # (4) stalest green rows — the r3 cohort first (term_idf /
-    # term_zipf_ranks / token_stats_by_lang yielded their r8 slots to
-    # the late additions; VERDICT r8 item 7). The other r3/r4 refresh
-    # candidates (events_sliding_window_counts, multimodal_meta,
-    # q12_priority_by_month, retention_cohorts, srp_ann_topk_vec0,
-    # top_user_per_hour) yielded their slots to (1b) — all green,
-    # unchanged, first in line for r10.
-    "term_idf",
-    "term_zipf_ranks",
-    "token_stats_by_lang",
-    # then the oldest r4-green rows, filling the window to 50
-    # (asof_purchase_last_click, benchmark_decontamination,
-    # customers_with_orders, customers_without_orders, doc_redaction,
-    # doc_repetition_stats, events_clustered_time_slice,
-    # events_rolling_hour_value, events_rollup_incremental,
-    # funnel_click_to_purchase, multimodal_audio_decode,
-    # multimodal_frame_sample, multimodal_video_decode yielded their
-    # refresh slots to the round's third query batch, and
-    # nationkeys_union_distinct, orders_price_band_join, orders_profile,
-    # part_name_fuzzy_pairs, part_type_words to the second — all
-    # r4-green, unchanged, first in line for r10)
+    # (5) the six stale-green refreshes deferred from r9 (all r3/r4
+    # green, unchanged since; the remaining r4 cohort — asof join,
+    # decontamination, semi/anti probes, redaction, repetition stats,
+    # clustered time slice, rolling hour value, incremental rollups,
+    # funnel, the three multimodal decodes, union-distinct, price-band
+    # join, orders profile, fuzzy pairs, type words — stays first in
+    # line for r11)
+    "events_sliding_window_counts",
+    "multimodal_meta",
+    "q12_priority_by_month",
+    "retention_cohorts",
+    "srp_ann_topk_vec0",
+    "top_user_per_hour",
 )
 
 
+
 def _ordered_names(merged: dict, oracles: dict) -> list[str]:
-    unknown = set(_R9_WINDOW) - merged.keys()
+    unknown = set(_R10_WINDOW) - merged.keys()
     if unknown:
         # Fail fast: a stale/misspelled window entry would otherwise
         # silently lose its gate slot (this masked a missing query in r4).
         raise ValueError(f"window names not in registry: {sorted(unknown)}")
-    order: list[str] = list(_R9_WINDOW)
+    order: list[str] = list(_R10_WINDOW)
     seen = set(order)
     # remainder: r3/r4-proven rows, oracled before rows-only
     rest = [n for n in merged if n not in seen]
