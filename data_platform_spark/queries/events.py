@@ -3297,3 +3297,70 @@ ORACLE["event_value_topk_user_share"] = f"""
            )} AS topk_share
     FROM top t JOIN totals tt ON tt.event_type = t.event_type
 """
+
+
+def events_props_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload profiling at the event grain: extract ``props.k``
+    (the P1 JSON-field surface the rm pipeline proves on dimension
+    tables, here exercised on the UNBOUNDED fact), and report per event
+    type the extraction coverage plus min/mean/max and exact p50 of the
+    extracted value — the payload-drift monitor for a schemaless
+    column (a coverage drop means producers changed the payload shape;
+    a range shift means the field's semantics moved).
+
+    Determinism: extracted values are integer LONGs; the median rides
+    the two-phase grouped layout. Scale shape: one projection with the
+    JSON path pushed into it (no UDF — get_json_object is JVM-side),
+    one bounded per-type rollup, the grouped_percentile range/offset
+    shuffles. Never a native percentile buffer: a type's event count
+    is unbounded."""
+    from data_platform_spark.ops.global_order import grouped_percentile
+
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.get_json_object(F.col("props"), "$.k").cast("long").alias("k"),
+    )
+    base = parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.count("k").cast("long").alias("n_with_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.sum("k").alias("sum_k"),
+    )
+    pct = grouped_percentile(
+        parsed.filter(F.col("k").isNotNull()),
+        ["event_type"],
+        "k",
+        {"p50": 0.5},
+    )
+    return base.join(pct, "event_type", "left").select(
+        "event_type",
+        "n_events",
+        pround(F.col("n_with_k") / F.col("n_events"), 6).alias(
+            "k_coverage"
+        ),
+        "min_k",
+        "max_k",
+        pround(F.col("sum_k") / F.col("n_with_k"), 4).alias("mean_k"),
+        pround(F.col("p50"), 2).alias("p50_k"),
+    )
+
+
+QUERIES["events_props_value_stats"] = events_props_value_stats
+
+ORACLE["events_props_value_stats"] = f"""
+    WITH parsed AS (
+        SELECT event_type,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        FROM events
+    )
+    SELECT event_type,
+           count(*)::BIGINT AS n_events,
+           {sql_round("count(k) * 1.0 / count(*)", 6)} AS k_coverage,
+           min(k) AS min_k,
+           max(k) AS max_k,
+           {sql_round("sum(k) * 1.0 / count(k)", 4)} AS mean_k,
+           {sql_round("quantile_cont(k, 0.5)", 2)} AS p50_k
+    FROM parsed GROUP BY event_type
+"""

@@ -3952,3 +3952,159 @@ ORACLE["token_length_histogram"] = f"""
            )} AS cum_share
     FROM agg a JOIN totals t ON t.lang = a.lang
 """
+
+
+def corpus_language_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the n-gram lang-ID heuristic against the
+    corpus's lang labels: per (true, predicted) cell the doc count and
+    the recall within the true language — the classifier-health eval
+    that decides whether the heuristic is fit to route documents whose
+    label is MISSING (the production use: crawl sources rarely carry
+    trustworthy language tags). A diagonal-heavy matrix green-lights
+    routing; a specific off-diagonal cell names the marker list to fix.
+
+    Determinism: the prediction is the existing deterministic marker
+    argmax (functions.text.predicted_lang — priority-ordered
+    tie-break); counts are exact LONGs, one division per cell (6 dp).
+    Scale shape: one projection + one groupBy on the bounded
+    (lang × lang) domain; per-true-lang totals broadcast."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    cells = docs.select(
+        F.col("lang").alias("true_lang"),
+        X.predicted_lang(F.col("text")).alias("predicted_lang"),
+    ).groupBy("true_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    totals = cells.groupBy("true_lang").agg(
+        F.sum("n_docs").alias("t")
+    )
+    return cells.join(F.broadcast(totals), "true_lang").select(
+        "true_lang",
+        "predicted_lang",
+        "n_docs",
+        pround(F.col("n_docs") / F.col("t"), 6).alias("true_lang_share"),
+    )
+
+
+QUERIES["corpus_language_confusion"] = corpus_language_confusion
+
+
+def _language_confusion_oracle() -> str:
+    score_cols = ", ".join(
+        f"{_sql_marker_score(X.LANG_MARKERS[lang])} AS s_{lang}"
+        for lang in X.LANG_PRIORITY
+    )
+    max_expr = (
+        "greatest(" + ", ".join(f"s_{lang}" for lang in X.LANG_PRIORITY) + ")"
+    )
+    case_branches = " ".join(
+        f"WHEN s_{lang} = {max_expr} THEN '{lang}'"
+        for lang in X.LANG_PRIORITY[:-1]
+    )
+    return f"""
+        WITH pred AS (
+            SELECT lang AS true_lang,
+                   CASE {case_branches}
+                        ELSE '{X.LANG_PRIORITY[-1]}' END AS predicted_lang
+            FROM (SELECT lang, {score_cols} FROM documents)
+        ),
+        cells AS (
+            SELECT true_lang, predicted_lang, count(*)::BIGINT AS n_docs
+            FROM pred GROUP BY 1, 2
+        ),
+        totals AS (
+            SELECT true_lang, sum(n_docs)::BIGINT AS t
+            FROM cells GROUP BY true_lang
+        )
+        SELECT c.true_lang, c.predicted_lang, c.n_docs,
+               {sql_round("c.n_docs * 1.0 / t.t", 6)} AS true_lang_share
+        FROM cells c JOIN totals t ON t.true_lang = c.true_lang
+    """
+
+
+ORACLE["corpus_language_confusion"] = _language_confusion_oracle()
+
+
+def doc_quality_by_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-neutrality audit: quality-score mean and exact p50/p90 per
+    train/val/test split — the check that the hash split is UNBIASED
+    on the axis that matters (an eval set that skews high-quality
+    overstates model performance; one that skews low understates it).
+    The hash split is content-blind by construction, so any measured
+    skew flags either tiny-split noise (n_docs says which) or a broken
+    hash.
+
+    Determinism: the split is the corpus_split_assignment bucket
+    (md5 mod 100); quality sums as integer 4-dp units (exact LONG
+    folds); percentiles ride the two-phase grouped layout. Scale
+    shape: one projection, one 3-row groupBy, the grouped_percentile
+    range/offset shuffles — a split's doc count is unbounded, so never
+    the native buffer-the-group percentile."""
+    from data_platform_spark.ops.global_order import grouped_percentile
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, F.lit("train"))
+        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    scored = docs.select(
+        split.alias("split"),
+        F.floor(X.quality_score(F.col("text")) * 10_000 + F.lit(0.5))
+        .cast("long")
+        .alias("q"),
+    )
+    base = scored.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("q").alias("sum_q"),
+    )
+    pct = grouped_percentile(
+        scored, ["split"], "q", {"p50": 0.5, "p90": 0.9}
+    )
+    return base.join(pct, "split").select(
+        "split",
+        "n_docs",
+        pround(F.col("sum_q") / 10_000.0 / F.col("n_docs"), 6).alias(
+            "mean_quality"
+        ),
+        pround(F.col("p50") / 10_000.0, 6).alias("p50_quality"),
+        pround(F.col("p90") / 10_000.0, 6).alias("p90_quality"),
+    )
+
+
+QUERIES["doc_quality_by_split"] = doc_quality_by_split
+
+
+def _quality_by_split_oracle() -> str:
+    return f"""
+        WITH scored AS (
+            SELECT CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8)
+                             )::UBIGINT % 100 < {SPLIT_TRAIN_PCT}
+                        THEN 'train'
+                        WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8)
+                             )::UBIGINT % 100
+                             < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+                        ELSE 'test' END AS split,
+                   CAST(floor(({quality_sql()}) * 10000 + 0.5) AS BIGINT)
+                       AS q
+            FROM documents
+        )
+        SELECT split,
+               count(*)::BIGINT AS n_docs,
+               {sql_round("sum(q) / 10000.0 / count(*)", 6)}
+                   AS mean_quality,
+               {sql_round("quantile_cont(q, 0.5) / 10000.0", 6)}
+                   AS p50_quality,
+               {sql_round("quantile_cont(q, 0.9) / 10000.0", 6)}
+                   AS p90_quality
+        FROM scored GROUP BY split
+    """
+
+
+ORACLE["doc_quality_by_split"] = _quality_by_split_oracle()
