@@ -97,12 +97,29 @@ def test_ivfpq_search_prunes_cells_and_reranks(spark, tmp_path):
         k=3,
         exclude_ids=[7],
         rerank_emb=df_a,
+        shortlist=40,  # covers the query's whole planted cluster, so the
+        # exact refine sees the true neighborhood (a 12-candidate ADC
+        # shortlist can rank the true NN below the cutoff — that recall
+        # tradeoff is the shortlist knob's job, not a defect)
     )
     rows = rer.collect()
-    assert rows[0].d2_micro <= rows[-1].d2_micro
-    # exact rerank of the ADC shortlist must agree with brute-force exact
-    # L2 restricted to the probed cells' candidates ⊇ the true top-1 here
     assert len(rows) == 3
+    # the rerank distances must be the EXACT micro-unit squared L2 the
+    # in-memory refine stage computes (same zip_with/floor expression)
+    import numpy as np
+
+    q = np.array(vecs[7])
+    for r in rows:
+        exact = float(((np.array(vecs[r.vec_id]) - q) ** 2).sum())
+        assert r.d2_micro == int(np.floor(exact * 1_000_000 + 0.5))
+    # nprobe=2 covers the query's own planted cluster, so the reranked
+    # top-1 is the GLOBAL exact nearest neighbor
+    true_nn = min(
+        (((np.array(v) - q) ** 2).sum(), vid)
+        for vid, v in vecs.items()
+        if vid != 7 and vid < 1000
+    )[1]
+    assert rows[0].vec_id == true_nn
 
 
 def test_ivfpq_append_uses_existing_quantizers_and_is_idempotent(
