@@ -2633,3 +2633,75 @@ def _dup_quality_lift_oracle() -> str:
 
 
 ORACLE["corpus_dup_quality_lift"] = _dup_quality_lift_oracle()
+
+
+PREFIX_TEMPLATE_TOPK = 20
+
+
+def source_prefix_template_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """NAME the templates: the top-20 normalized-opening fingerprints by
+    copy count, each with its doc count, distinct-source spread, the
+    lowest member doc_id (the lookup handle for a human reviewing the
+    actual text), and the corpus doc share — the action list behind
+    corpus_prefix_dup_rate's aggregate number (the rate says boilerplate
+    exists; this says WHICH boilerplate to strip or down-weight first,
+    and whether it's one syndicated template crossing sources or one
+    source's chrome).
+
+    Determinism: ordering is (count DESC, fingerprint ASC) — a total
+    order. Scale shape: one fingerprint groupBy, then TakeOrdered for
+    the bounded top-k (never a global window); the share divisor is a
+    1-row broadcast."""
+    from data_platform_spark.functions import text as X
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    groups = (
+        docs.select(
+            X.fingerprint(F.col("text")).alias("fp"), "source", "doc_id"
+        )
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count_distinct("source").cast("long").alias("n_sources"),
+            F.min("doc_id").alias("example_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+    total = docs.agg(F.count(F.lit(1)).cast("long").alias("t"))
+    return (
+        groups.orderBy(F.desc("n_docs"), F.asc("fp"))
+        .limit(PREFIX_TEMPLATE_TOPK)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "fp",
+            "n_docs",
+            "n_sources",
+            "example_doc_id",
+            pround(F.col("n_docs") / F.col("t"), 6).alias("doc_share"),
+        )
+    )
+
+
+QUERIES["source_prefix_template_topk"] = source_prefix_template_topk
+
+ORACLE["source_prefix_template_topk"] = f"""
+    WITH groups AS (
+        SELECT md5(substr(regexp_replace(lower(text), '\\s+', ' ', 'g'),
+                          1, 64)) AS fp,
+               count(*)::BIGINT AS n_docs,
+               count(DISTINCT source)::BIGINT AS n_sources,
+               min(doc_id) AS example_doc_id
+        FROM documents
+        GROUP BY 1
+        HAVING count(*) >= 2
+    )
+    SELECT fp, n_docs, n_sources, example_doc_id,
+           {sql_round(
+               "n_docs * 1.0 / (SELECT count(*) FROM documents)", 6
+           )} AS doc_share
+    FROM groups
+    ORDER BY n_docs DESC, fp ASC
+    LIMIT {PREFIX_TEMPLATE_TOPK}
+"""

@@ -4672,3 +4672,210 @@ ORACLE["customer_repeat_rate_by_segment"] = f"""
                AS repeat_revenue_share
     FROM agg
 """
+
+
+def supplier_price_premium(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Who sells above market? Per supplier: the mean deviation of their
+    observed unit price (extendedprice/quantity, fixed to cents per
+    row) from each part's cross-supplier mean unit price, plus the
+    share of their line items priced above that mean — the procurement
+    negotiation list (a supplier consistently +X over market on parts
+    others also stock is a switching opportunity; one below market is
+    a capacity risk to protect).
+
+    Determinism: unit prices fix to cents (exact LONG folds build each
+    part's mean as exact sums); the per-row deviation against the
+    part-mean double quantizes to 4-dp units before the per-supplier
+    LONG sum. Scale shape: one part-keyed aggregate, a part-keyed join
+    back (both sides fact-scale, equi-keyed — the SMJ/shuffle-hash
+    plan is correct there), one supplier rollup; the supplier dim
+    broadcasts for names."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    u_cents = F.floor(
+        F.col("l_extendedprice") / F.col("l_quantity") * 100 + F.lit(0.5)
+    ).cast("long")
+    items = li.select("l_partkey", "l_suppkey", u_cents.alias("u"))
+    part_mean = items.groupBy("l_partkey").agg(
+        F.sum("u").alias("su"), F.count(F.lit(1)).cast("long").alias("nu")
+    )
+    dev = items.join(part_mean, "l_partkey").select(
+        "l_suppkey",
+        "l_partkey",
+        F.floor(
+            (
+                F.col("u").cast("double")
+                - F.col("su").cast("double") / F.col("nu").cast("double")
+            )
+            * 10_000
+            + F.lit(0.5)
+        ).cast("long").alias("dev_4dp"),
+    )
+    per_sup = dev.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.count_distinct("l_partkey").cast("long").alias("n_parts"),
+        F.sum("dev_4dp").alias("sum_dev"),
+        F.sum(F.when(F.col("dev_4dp") > 0, F.lit(1)).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_above"),
+    )
+    return per_sup.join(
+        F.broadcast(sup.select("s_suppkey", "s_name")),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+    ).select(
+        F.col("s_name").alias("supplier"),
+        "n_items",
+        "n_parts",
+        pround(F.col("sum_dev") / 10_000.0 / 100.0 / F.col("n_items"), 6)
+        .alias("mean_premium"),
+        pround(F.col("n_above") / F.col("n_items"), 6).alias(
+            "above_market_share"
+        ),
+    )
+
+
+QUERIES["supplier_price_premium"] = supplier_price_premium
+
+ORACLE["supplier_price_premium"] = f"""
+    WITH items AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(floor(l_extendedprice / l_quantity * 100 + 0.5)
+                    AS BIGINT) AS u
+        FROM lineitem
+    ),
+    part_mean AS (
+        SELECT l_partkey, sum(u)::BIGINT AS su, count(*)::BIGINT AS nu
+        FROM items GROUP BY l_partkey
+    ),
+    dev AS (
+        SELECT i.l_suppkey, i.l_partkey,
+               CAST(floor((i.u::DOUBLE - p.su::DOUBLE / p.nu::DOUBLE)
+                          * 10000 + 0.5) AS BIGINT) AS dev_4dp
+        FROM items i JOIN part_mean p ON p.l_partkey = i.l_partkey
+    ),
+    per_sup AS (
+        SELECT l_suppkey,
+               count(*)::BIGINT AS n_items,
+               count(DISTINCT l_partkey)::BIGINT AS n_parts,
+               sum(dev_4dp)::BIGINT AS sum_dev,
+               sum(CASE WHEN dev_4dp > 0 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_above
+        FROM dev GROUP BY l_suppkey
+    )
+    SELECT s.s_name AS supplier,
+           p.n_items,
+           p.n_parts,
+           {sql_round("p.sum_dev / 10000.0 / 100.0 / p.n_items", 6)}
+               AS mean_premium,
+           {sql_round("p.n_above * 1.0 / p.n_items", 6)}
+               AS above_market_share
+    FROM per_sup p JOIN supplier s ON s.s_suppkey = p.l_suppkey
+"""
+
+
+RETURN_DELAY_BANDS = ((0, 30, "0-30"), (31, 60, "31-60"),
+                      (61, 90, "61-90"), (91, 10_000, "91+"))
+
+
+def lineitem_return_delay_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Do late shipments come back? Line items banded by order-to-ship
+    delay (0-30 / 31-60 / 61-90 / 91+ days), each band reporting item
+    count, return rate (returnflag = 'R'), cent-exact revenue, and the
+    revenue share lost to returns — the fulfilment-quality causal
+    screen (a return rate climbing with delay says lateness drives
+    returns; flat says returns are product-driven and expediting won't
+    help).
+
+    Determinism: integer day bands from exact date arithmetic; counts
+    and cents are exact LONG folds; rates one division each (6 dp).
+    Scale shape: one fact-fact equi-join on the order key (both sides
+    data-bound — the shuffle join is correct), one bounded 4-band
+    rollup. No windows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    j = li.select(
+        "l_orderkey", "l_shipdate", "l_returnflag", cents.alias("c")
+    ).join(
+        orders.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    delay = F.datediff(
+        F.date_trunc("day", F.col("l_shipdate")),
+        F.date_trunc("day", F.col("o_orderdate")),
+    )
+    band = F.lit(None).cast("string")
+    for lo, hi, label in reversed(RETURN_DELAY_BANDS):
+        band = F.when(
+            (delay >= lo) & (delay <= hi), F.lit(label)
+        ).otherwise(band)
+    agg = j.select(
+        band.alias("delay_band"),
+        "l_returnflag",
+        "c",
+    ).groupBy("delay_band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum(
+            F.when(F.col("l_returnflag") == "R", F.lit(1)).otherwise(F.lit(0))
+        ).cast("long").alias("n_returned"),
+        F.sum("c").alias("rev_cents"),
+        F.sum(
+            F.when(F.col("l_returnflag") == "R", F.col("c")).otherwise(
+                F.lit(0)
+            )
+        ).alias("ret_cents"),
+    )
+    return agg.select(
+        "delay_band",
+        "n_items",
+        pround(F.col("n_returned") / F.col("n_items"), 6).alias(
+            "return_rate"
+        ),
+        (F.col("rev_cents") / 100.0).alias("revenue"),
+        pround(F.col("ret_cents") / F.col("rev_cents").cast("double"), 6)
+        .alias("returned_revenue_share"),
+    )
+
+
+QUERIES["lineitem_return_delay_profile"] = lineitem_return_delay_profile
+
+
+def _return_delay_oracle() -> str:
+    band = "CASE " + " ".join(
+        f"WHEN date_diff('day', date_trunc('day', o.o_orderdate), "
+        f"date_trunc('day', l.l_shipdate)) BETWEEN {lo} AND {hi} "
+        f"THEN '{label}'"
+        for lo, hi, label in RETURN_DELAY_BANDS
+    ) + " END"
+    return f"""
+        WITH banded AS (
+            SELECT {band} AS delay_band,
+                   l.l_returnflag,
+                   CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                       AS c
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+        ),
+        agg AS (
+            SELECT delay_band,
+                   count(*)::BIGINT AS n_items,
+                   sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+                      )::BIGINT AS n_returned,
+                   sum(c)::BIGINT AS rev_cents,
+                   sum(CASE WHEN l_returnflag = 'R' THEN c ELSE 0 END
+                      )::BIGINT AS ret_cents
+            FROM banded GROUP BY delay_band
+        )
+        SELECT delay_band,
+               n_items,
+               {sql_round("n_returned * 1.0 / n_items", 6)} AS return_rate,
+               rev_cents / 100.0 AS revenue,
+               {sql_round("ret_cents * 1.0 / rev_cents", 6)}
+                   AS returned_revenue_share
+        FROM agg
+    """
+
+
+ORACLE["lineitem_return_delay_profile"] = _return_delay_oracle()

@@ -1912,3 +1912,141 @@ QUERIES["ivfpq_index_roundtrip"] = ivfpq_index_roundtrip
 # at nprobe = n_cells the composed serve path is bit-identical to the
 # flat ADC derivation — reuse the oracle verbatim so the gate proves it
 ORACLE["ivfpq_index_roundtrip"] = ORACLE["pq_adc_topk_vec0"]
+
+
+def doc_quality_vs_embedding_norm(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-modal encoder sanity: does embedding norm track text
+    quality? Pearson correlation between the document quality score and
+    its embedding's L2 norm (doc_id and vec_id share the id domain),
+    plus mean norms for the low/high quality halves — encoders trained
+    with length/quality-correlated signal leak it into norms, which
+    then biases any dot-product retrieval toward (or away from) quality
+    in ways a cosine evaluation never shows. Near-zero correlation
+    green-lights norm-free assumptions; a strong one argues for
+    normalize-before-index (and explains 'high-quality docs never
+    surface' bug reports).
+
+    Determinism: quality is the shared 4-dp heuristic in integer units;
+    the norm quantizes per row to 4-dp integer units; the five Pearson
+    sums are exact LONG folds and the closing r is one fixed double
+    expression (6 dp). Scale shape: one id-keyed equi-join
+    (uniformly distributed), one scalar fold. No windows."""
+    from data_platform_spark.functions import text as X
+    from data_platform_spark.sources.tables import load_table as _lt
+
+    docs = fan_out(_lt(spark, sf_dir, "documents"), spark)
+    emb = _lt(spark, sf_dir, "embeddings")
+    q = docs.select(
+        F.col("doc_id").alias("id"),
+        F.floor(X.quality_score(F.col("text")) * 10_000 + F.lit(0.5))
+        .cast("long")
+        .alias("q"),
+    )
+    nrm = emb.select(
+        F.col("vec_id").alias("id"),
+        F.floor(
+            S.l2_norm(S.as_double(F.col("embedding"))) * 10_000 + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("m"),
+    )
+    j = q.join(nrm, "id")
+    sums = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("q").alias("sq"),
+        F.sum("m").alias("sm"),
+        F.sum(F.col("q") * F.col("m")).alias("sqm"),
+        F.sum(F.col("q") * F.col("q")).alias("sqq"),
+        F.sum(F.col("m") * F.col("m")).alias("smm"),
+        F.sum(F.when(F.col("q") < 5000, F.col("m"))).alias("sm_low"),
+        F.sum(F.when(F.col("q") < 5000, F.lit(1)).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_low"),
+    )
+    num = F.col("n") * F.col("sqm") - F.col("sq") * F.col("sm")
+    den_q = F.col("n") * F.col("sqq") - F.col("sq") * F.col("sq")
+    den_m = F.col("n") * F.col("smm") - F.col("sm") * F.col("sm")
+    r = num.cast("double") / F.sqrt(
+        den_q.cast("double") * den_m.cast("double")
+    )
+    return sums.select(
+        F.col("n").alias("n_docs"),
+        pround(F.when((den_q > 0) & (den_m > 0), r), 6).alias(
+            "quality_norm_corr"
+        ),
+        pround(
+            F.when(
+                F.col("n_low") > 0,
+                F.col("sm_low") / 10_000.0 / F.col("n_low"),
+            ),
+            6,
+        ).alias("mean_norm_lowq"),
+        pround(
+            F.when(
+                F.col("n") > F.col("n_low"),
+                (F.col("sm") - F.coalesce(F.col("sm_low"), F.lit(0)))
+                / 10_000.0
+                / (F.col("n") - F.col("n_low")),
+            ),
+            6,
+        ).alias("mean_norm_highq"),
+    )
+
+
+QUERIES["doc_quality_vs_embedding_norm"] = doc_quality_vs_embedding_norm
+
+
+def _quality_norm_oracle() -> str:
+    from data_platform_spark.queries.text import quality_sql
+
+    norm = (
+        "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))"
+    )
+    return f"""
+        WITH q AS (
+            SELECT doc_id AS id,
+                   CAST(floor(({quality_sql()}) * 10000 + 0.5) AS BIGINT)
+                       AS q
+            FROM documents
+        ),
+        nrm AS (
+            SELECT vec_id AS id,
+                   CAST(floor({norm} * 10000 + 0.5) AS BIGINT) AS m
+            FROM embeddings
+        ),
+        sums AS (
+            SELECT count(*)::BIGINT AS n,
+                   sum(q)::BIGINT AS sq,
+                   sum(m)::BIGINT AS sm,
+                   sum(q * m)::BIGINT AS sqm,
+                   sum(q * q)::BIGINT AS sqq,
+                   sum(m * m)::BIGINT AS smm,
+                   sum(CASE WHEN q < 5000 THEN m END)::BIGINT AS sm_low,
+                   sum(CASE WHEN q < 5000 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_low
+            FROM q JOIN nrm USING (id)
+        )
+        SELECT n AS n_docs,
+               {sql_round(
+                   "CASE WHEN n * sqq - sq * sq > 0"
+                   " AND n * smm - sm * sm > 0"
+                   " THEN (n * sqm - sq * sm)::DOUBLE"
+                   " / sqrt((n * sqq - sq * sq)::DOUBLE"
+                   "        * (n * smm - sm * sm)::DOUBLE) END", 6
+               )} AS quality_norm_corr,
+               {sql_round(
+                   "CASE WHEN n_low > 0"
+                   " THEN sm_low / 10000.0 / n_low END", 6
+               )} AS mean_norm_lowq,
+               {sql_round(
+                   "CASE WHEN n > n_low THEN"
+                   " (sm - coalesce(sm_low, 0)) / 10000.0 / (n - n_low)"
+                   " END", 6
+               )} AS mean_norm_highq
+        FROM sums
+    """
+
+
+ORACLE["doc_quality_vs_embedding_norm"] = _quality_norm_oracle()
