@@ -3364,3 +3364,201 @@ ORACLE["events_props_value_stats"] = f"""
            {sql_round("quantile_cont(k, 0.5)", 2)} AS p50_k
     FROM parsed GROUP BY event_type
 """
+
+
+def events_session_conversion_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Converting vs non-converting sessions, side by side: sessions
+    (the standing 30-min-gap definition) classed by whether they
+    contain a purchase, each class reporting session count/share, mean
+    events per session, mean duration in seconds, and cent-exact mean
+    session value — the top-of-funnel diagnosis table (converting
+    sessions running 3× longer says buying takes browsing; equal
+    lengths say conversion is decided before arrival, spend on
+    acquisition not UX).
+
+    Determinism: the session assignment is the events_sessionize
+    lag+running-count layout (exact millisecond gap test); durations
+    are exact integer milliseconds, values cents — LONG folds
+    throughout, one division per output (4/6 dp). Scale shape: the
+    session windows partition per user (entity-bounded, the
+    sessionize precedent), then one bounded 2-class rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ms = F.unix_millis(F.col("ts"))
+    new_session = (
+        F.when(ms - F.lag(ms).over(w) > F.lit(SESSION_GAP_MS), 1)
+        .otherwise(0)
+    )
+    vc = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    sessions = (
+        ev.withColumn("is_new", new_session)
+        .withColumn("session_id", F.sum("is_new").over(wcum) + 1)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            (F.unix_millis(F.max("ts")) - F.unix_millis(F.min("ts")))
+            .cast("long")
+            .alias("dur_ms"),
+            F.coalesce(F.sum(vc), F.lit(0)).cast("long").alias("v_cents"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).cast("long").alias("converted"),
+        )
+    )
+    agg = sessions.groupBy("converted").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("n_events").alias("sum_events"),
+        F.sum("dur_ms").alias("sum_ms"),
+        F.sum("v_cents").alias("sum_cents"),
+    )
+    total = agg.agg(F.sum("n_sessions").alias("t"))
+    return agg.crossJoin(F.broadcast(total)).select(
+        (F.col("converted") == 1).alias("converted"),
+        "n_sessions",
+        pround(F.col("n_sessions") / F.col("t"), 6).alias("session_share"),
+        pround(F.col("sum_events") / F.col("n_sessions"), 4).alias(
+            "mean_events"
+        ),
+        pround(F.col("sum_ms") / 1000.0 / F.col("n_sessions"), 4).alias(
+            "mean_duration_s"
+        ),
+        pround(F.col("sum_cents") / 100.0 / F.col("n_sessions"), 4).alias(
+            "mean_session_value"
+        ),
+    )
+
+
+QUERIES["events_session_conversion_profile"] = (
+    events_session_conversion_profile
+)
+
+ORACLE["events_session_conversion_profile"] = f"""
+    WITH numbered AS (
+        SELECT user_id, event_id, ts, event_type,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc,
+               CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                    ) > {{gap}} THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id, event_type, ts, vc,
+               sum(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) + 1 AS session_id
+        FROM numbered
+    ),
+    sessions AS (
+        SELECT user_id, session_id,
+               count(*)::BIGINT AS n_events,
+               (epoch_ms(max(ts)) - epoch_ms(min(ts)))::BIGINT AS dur_ms,
+               coalesce(sum(vc), 0)::BIGINT AS v_cents,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                  )::BIGINT AS converted
+        FROM sess GROUP BY user_id, session_id
+    ),
+    agg AS (
+        SELECT converted,
+               count(*)::BIGINT AS n_sessions,
+               sum(n_events)::BIGINT AS sum_events,
+               sum(dur_ms)::BIGINT AS sum_ms,
+               sum(v_cents)::BIGINT AS sum_cents
+        FROM sessions GROUP BY converted
+    )
+    SELECT converted = 1 AS converted,
+           n_sessions,
+           {sql_round(
+               "n_sessions * 1.0 / (SELECT sum(n_sessions) FROM agg)", 6
+           )} AS session_share,
+           {sql_round("sum_events * 1.0 / n_sessions", 4)} AS mean_events,
+           {sql_round("sum_ms / 1000.0 / n_sessions", 4)}
+               AS mean_duration_s,
+           {sql_round("sum_cents / 100.0 / n_sessions", 4)}
+               AS mean_session_value
+    FROM agg
+""".replace("{gap}", str(SESSION_GAP_MS))
+
+
+BENFORD_LN10 = "ln(10.0)"
+
+
+def events_value_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit screen over event values per type: observed
+    share of each leading significant digit vs Benford's log10(1+1/d)
+    expectation, with the deviation — the classic fabricated-data /
+    instrumentation-bug tripwire for organically-generated amounts (a
+    digit distribution that suddenly flattens means someone is
+    synthesizing values or a producer started emitting constants).
+
+    Determinism: the leading digit extracts from the INTEGER cents
+    rendering (both engines format integers identically — never
+    floating log10, whose power-of-ten boundaries can round
+    differently); expected shares are one fixed double expression.
+    Scale shape: one projection + one bounded (type × 9)-domain
+    groupBy; per-type totals broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    digits = ev.select(
+        "event_type", cents.alias("c")
+    ).filter(F.col("c") > 0).select(
+        "event_type",
+        F.substring(F.col("c").cast("string"), 1, 1).cast("int").alias(
+            "digit"
+        ),
+    )
+    agg = digits.groupBy("event_type", "digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n_values")
+    )
+    totals = agg.groupBy("event_type").agg(F.sum("n_values").alias("t"))
+    expected = F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit")) / F.log(
+        F.lit(10.0)
+    )
+    share = F.col("n_values") / F.col("t").cast("double")
+    return agg.join(F.broadcast(totals), "event_type").select(
+        "event_type",
+        F.col("digit").cast("long").alias("digit"),
+        "n_values",
+        pround(share, 6).alias("observed_share"),
+        pround(expected, 6).alias("benford_share"),
+        pround(share - expected, 6).alias("deviation"),
+    )
+
+
+QUERIES["events_value_benford"] = events_value_benford
+
+ORACLE["events_value_benford"] = f"""
+    WITH digits AS (
+        SELECT event_type,
+               CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit
+        FROM (
+            SELECT event_type,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+            FROM events
+        ) WHERE c > 0
+    ),
+    agg AS (
+        SELECT event_type, digit, count(*)::BIGINT AS n_values
+        FROM digits GROUP BY 1, 2
+    ),
+    totals AS (
+        SELECT event_type, sum(n_values)::BIGINT AS t
+        FROM agg GROUP BY event_type
+    )
+    SELECT a.event_type,
+           a.digit::BIGINT AS digit,
+           a.n_values,
+           {sql_round("a.n_values * 1.0 / t.t", 6)} AS observed_share,
+           {sql_round("ln(1.0 + 1.0 / a.digit) / ln(10.0)", 6)}
+               AS benford_share,
+           {sql_round(
+               "a.n_values * 1.0 / t.t - ln(1.0 + 1.0 / a.digit)"
+               " / ln(10.0)", 6
+           )} AS deviation
+    FROM agg a JOIN totals t ON t.event_type = a.event_type
+"""

@@ -4879,3 +4879,106 @@ def _return_delay_oracle() -> str:
 
 
 ORACLE["lineitem_return_delay_profile"] = _return_delay_oracle()
+
+
+DISCOUNT_BANDS = ((0.0, 0.0, "none"), (0.01, 0.05, "1-5%"),
+                  (0.06, 0.10, "6-10%"), (0.11, 1.0, ">10%"))
+
+
+def discount_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does discounting buy volume? Line items banded by discount rate
+    (none / 1-5% / 6-10% / >10%), each band reporting item count,
+    cent-exact gross and discounted revenue, revenue share, the implied
+    give-away (gross − discounted), and mean quantity per item — the
+    pricing-policy table (mean quantity flat across bands says
+    discounts transfer margin without moving volume).
+
+    Determinism: discounts quantize to integer percent per row before
+    banding (exact boundary tests — never float range checks on raw
+    doubles); revenues are cent-exact LONG folds; the discounted cents
+    fix per row as floor(extprice·(1−disc)·100+0.5). Scale shape: one
+    projection + one bounded 4-band rollup; the share divisor is a
+    1-row broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pct = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("int")
+    gross = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    net = F.floor(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100
+        + F.lit(0.5)
+    ).cast("long")
+    band = F.lit(None).cast("string")
+    for lo, hi, label in reversed(DISCOUNT_BANDS):
+        band = F.when(
+            (pct >= int(lo * 100)) & (pct <= int(hi * 100)), F.lit(label)
+        ).otherwise(band)
+    qty = F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")
+    agg = li.select(
+        band.alias("discount_band"),
+        gross.alias("g"),
+        net.alias("n"),
+        qty.alias("q"),
+    ).groupBy("discount_band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum("g").alias("gross_cents"),
+        F.sum("n").alias("net_cents"),
+        F.sum("q").alias("qty_centi"),
+    )
+    total = agg.agg(F.sum("net_cents").alias("t"))
+    return agg.crossJoin(F.broadcast(total)).select(
+        "discount_band",
+        "n_items",
+        (F.col("gross_cents") / 100.0).alias("gross_revenue"),
+        (F.col("net_cents") / 100.0).alias("net_revenue"),
+        pround(F.col("net_cents") / F.col("t").cast("double"), 6).alias(
+            "net_revenue_share"
+        ),
+        ((F.col("gross_cents") - F.col("net_cents")) / 100.0).alias(
+            "discount_given"
+        ),
+        pround(F.col("qty_centi") / 100.0 / F.col("n_items"), 4).alias(
+            "mean_quantity"
+        ),
+    )
+
+
+QUERIES["discount_band_revenue"] = discount_band_revenue
+
+
+def _discount_band_oracle() -> str:
+    band = "CASE " + " ".join(
+        f"WHEN CAST(floor(l_discount * 100 + 0.5) AS INT)"
+        f" BETWEEN {int(lo * 100)} AND {int(hi * 100)} THEN '{label}'"
+        for lo, hi, label in DISCOUNT_BANDS
+    ) + " END"
+    return f"""
+        WITH banded AS (
+            SELECT {band} AS discount_band,
+                   CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS g,
+                   CAST(floor(l_extendedprice * (1.0 - l_discount) * 100
+                              + 0.5) AS BIGINT) AS n,
+                   CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS q
+            FROM lineitem
+        ),
+        agg AS (
+            SELECT discount_band,
+                   count(*)::BIGINT AS n_items,
+                   sum(g)::BIGINT AS gross_cents,
+                   sum(n)::BIGINT AS net_cents,
+                   sum(q)::BIGINT AS qty_centi
+            FROM banded GROUP BY discount_band
+        )
+        SELECT discount_band,
+               n_items,
+               gross_cents / 100.0 AS gross_revenue,
+               net_cents / 100.0 AS net_revenue,
+               {sql_round(
+                   "net_cents * 1.0 / (SELECT sum(net_cents) FROM agg)", 6
+               )} AS net_revenue_share,
+               (gross_cents - net_cents) / 100.0 AS discount_given,
+               {sql_round("qty_centi / 100.0 / n_items", 4)}
+                   AS mean_quantity
+        FROM agg
+    """
+
+
+ORACLE["discount_band_revenue"] = _discount_band_oracle()

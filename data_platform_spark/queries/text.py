@@ -4108,3 +4108,99 @@ def _quality_by_split_oracle() -> str:
 
 
 ORACLE["doc_quality_by_split"] = _quality_by_split_oracle()
+
+
+def doc_char_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class composition per source: exact corpus-level
+    shares of alphabetic / digit / whitespace / other characters plus
+    the per-doc mean other-share — the cheapest encoding-regression
+    screen there is (mojibake, stray markup, and binary leakage all
+    surface as an 'other' spike before any tokenizer sees the text;
+    a digit spike flags tables/logs masquerading as prose).
+
+    Determinism: per-class counts are exact string-length arithmetic
+    (length of the text minus length with the class stripped), summed
+    as LONGs; shares one division each (6 dp). Scale shape: one
+    projection + one bounded per-source rollup — no joins, no windows,
+    all regex work inside whole-stage codegen."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    t = F.col("text")
+    n_all = F.length(t).cast("long")
+    n_alpha = (
+        F.length(t) - F.length(F.regexp_replace(t, "[A-Za-z]", ""))
+    ).cast("long")
+    n_digit = (
+        F.length(t) - F.length(F.regexp_replace(t, "[0-9]", ""))
+    ).cast("long")
+    n_space = (
+        F.length(t) - F.length(F.regexp_replace(t, "\\s", ""))
+    ).cast("long")
+    agg = docs.select(
+        "source",
+        n_all.alias("n_all"),
+        n_alpha.alias("n_alpha"),
+        n_digit.alias("n_digit"),
+        n_space.alias("n_space"),
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_all").alias("chars"),
+        F.sum("n_alpha").alias("alpha"),
+        F.sum("n_digit").alias("digit"),
+        F.sum("n_space").alias("space"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        F.col("chars").alias("n_chars"),
+        pround(F.col("alpha") / F.col("chars").cast("double"), 6).alias(
+            "alpha_share"
+        ),
+        pround(F.col("digit") / F.col("chars").cast("double"), 6).alias(
+            "digit_share"
+        ),
+        pround(F.col("space") / F.col("chars").cast("double"), 6).alias(
+            "space_share"
+        ),
+        pround(
+            (F.col("chars") - F.col("alpha") - F.col("digit") - F.col("space"))
+            / F.col("chars").cast("double"),
+            6,
+        ).alias("other_share"),
+    )
+
+
+QUERIES["doc_char_class_profile"] = doc_char_class_profile
+
+ORACLE["doc_char_class_profile"] = f"""
+    WITH per_doc AS (
+        SELECT source,
+               length(text)::BIGINT AS n_all,
+               (length(text)
+                - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+               )::BIGINT AS n_alpha,
+               (length(text)
+                - length(regexp_replace(text, '[0-9]', '', 'g'))
+               )::BIGINT AS n_digit,
+               (length(text)
+                - length(regexp_replace(text, '\\s', '', 'g'))
+               )::BIGINT AS n_space
+        FROM documents
+    ),
+    agg AS (
+        SELECT source,
+               count(*)::BIGINT AS n_docs,
+               sum(n_all)::BIGINT AS chars,
+               sum(n_alpha)::BIGINT AS alpha,
+               sum(n_digit)::BIGINT AS digit,
+               sum(n_space)::BIGINT AS space
+        FROM per_doc GROUP BY source
+    )
+    SELECT source, n_docs, chars AS n_chars,
+           {sql_round("alpha * 1.0 / chars", 6)} AS alpha_share,
+           {sql_round("digit * 1.0 / chars", 6)} AS digit_share,
+           {sql_round("space * 1.0 / chars", 6)} AS space_share,
+           {sql_round(
+               "(chars - alpha - digit - space) * 1.0 / chars", 6
+           )} AS other_share
+    FROM agg
+"""
