@@ -3562,3 +3562,64 @@ ORACLE["events_value_benford"] = f"""
            )} AS deviation
     FROM agg a JOIN totals t ON t.event_type = a.event_type
 """
+
+
+def user_event_type_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-adoption curve: how many users touch exactly 1, 2, …, k
+    distinct event types, with the user share and each cohort's mean
+    event volume — the activation-depth table (mass at 1 type says
+    most users never discover the product's surface; volume scaling
+    superlinearly with breadth is the standard engagement flywheel
+    signal).
+
+    Determinism: pure integer counts; shares one division each (6 dp).
+    Scale shape: one per-(user, type) collapse, one per-user count
+    (both map-side-combined, user-keyed shuffles), one rollup on the
+    type-domain-bounded distinct-count key, a 1-row broadcast for
+    shares. No windows."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (
+        ev.select("user_id", "event_type")
+        .distinct()
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_types"))
+    )
+    volumes = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    agg = per_user.join(volumes, "user_id").groupBy("n_types").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("n_events").alias("sum_events"),
+    )
+    total = agg.agg(F.sum("n_users").alias("t"))
+    return agg.crossJoin(F.broadcast(total)).select(
+        "n_types",
+        "n_users",
+        pround(F.col("n_users") / F.col("t"), 6).alias("user_share"),
+        pround(F.col("sum_events") / F.col("n_users"), 4).alias(
+            "mean_events"
+        ),
+    )
+
+
+QUERIES["user_event_type_diversity"] = user_event_type_diversity
+
+ORACLE["user_event_type_diversity"] = f"""
+    WITH per_user AS (
+        SELECT user_id, count(DISTINCT event_type)::BIGINT AS n_types,
+               count(*)::BIGINT AS n_events
+        FROM events GROUP BY user_id
+    ),
+    agg AS (
+        SELECT n_types,
+               count(*)::BIGINT AS n_users,
+               sum(n_events)::BIGINT AS sum_events
+        FROM per_user GROUP BY n_types
+    )
+    SELECT n_types, n_users,
+           {sql_round(
+               "n_users * 1.0 / (SELECT sum(n_users) FROM agg)", 6
+           )} AS user_share,
+           {sql_round("sum_events * 1.0 / n_users", 4)} AS mean_events
+    FROM agg
+"""

@@ -4204,3 +4204,82 @@ ORACLE["doc_char_class_profile"] = f"""
            )} AS other_share
     FROM agg
 """
+
+
+def corpus_doc_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Gini coefficient of document token counts — the
+    length-inequality audit behind the sampling family (a source where
+    1% of docs hold 80% of tokens needs token-budgeted sampling, not
+    doc-count sampling; Gini near 0 says doc-count quotas are already
+    token-fair). Rank formulation G = 2·Σ(rank·x)/(n·Σx) − (n+1)/n
+    over per-doc token counts ranked ascending (doc_id tie-break —
+    identical in both engines), the events_user_gini discipline on the
+    text axis.
+
+    Scale shape: one per-doc projection; the ascending rank within
+    each source rides the grouped two-phase layout (a dominant source
+    ranks across many tasks, never one window task); Σ(rank·x) and Σx
+    are exact LONG folds, the final Gini two deterministic double
+    divisions (6 dp)."""
+    from data_platform_spark.ops.global_order import grouped_running_sum
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    per_doc = docs.select(
+        "source",
+        "doc_id",
+        X.token_count(F.col("text")).cast("long").alias("toks"),
+    )
+    ranked = grouped_running_sum(
+        per_doc,
+        ["source"],
+        [F.asc("toks"), F.asc("doc_id")],
+        F.lit(1).cast("long"),
+        "rk",
+    )
+    agg = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("toks").cast("long").alias("n_tokens"),
+        F.sum(F.col("rk") * F.col("toks")).cast("long").alias("s_rank"),
+    )
+    gini = (2.0 * F.col("s_rank")) / (
+        F.col("n_docs") * F.col("n_tokens")
+    ) - (F.col("n_docs") + 1.0) / F.col("n_docs")
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        pround(F.when(F.col("n_tokens") > 0, gini), 6).alias("length_gini"),
+    )
+
+
+QUERIES["corpus_doc_length_gini"] = corpus_doc_length_gini
+
+ORACLE["corpus_doc_length_gini"] = f"""
+    WITH per_doc AS (
+        SELECT source, doc_id,
+               len(regexp_extract_all(text, '{X.TOKEN_REGEX}'))::BIGINT
+                   AS toks
+        FROM documents
+    ),
+    ranked AS (
+        SELECT source, toks,
+               row_number() OVER (
+                   PARTITION BY source ORDER BY toks ASC, doc_id ASC
+               )::BIGINT AS rk
+        FROM per_doc
+    ),
+    agg AS (
+        SELECT source,
+               count(*)::BIGINT AS n_docs,
+               sum(toks)::BIGINT AS n_tokens,
+               sum(rk * toks)::BIGINT AS s_rank
+        FROM ranked GROUP BY source
+    )
+    SELECT source, n_docs, n_tokens,
+           {sql_round(
+               "CASE WHEN n_tokens > 0 THEN"
+               " (2.0 * s_rank) / (n_docs * n_tokens)"
+               " - (n_docs + 1.0) / n_docs END", 6
+           )} AS length_gini
+    FROM agg
+"""
