@@ -3623,3 +3623,85 @@ ORACLE["user_event_type_diversity"] = f"""
            {sql_round("sum_events * 1.0 / n_users", 4)} AS mean_events
     FROM agg
 """
+
+
+GAP_THRESHOLDS_S = (60, 300, 1800, 3600, 86400)
+
+
+def events_gap_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap survival per type: the share of consecutive
+    same-user gaps exceeding 1 min / 5 min / 30 min / 1 h / 1 day —
+    the empirical calibration behind the 30-minute session constant
+    (the right cut sits where the survival curve knees; if 30 min
+    splits a smooth region, sessions are an artifact of the constant,
+    not the behavior). Gap measured between consecutive events of the
+    same user within each type.
+
+    Determinism: gaps are exact integer milliseconds from a lag over
+    the (user, type) entity-bounded order; the threshold fan-out is a
+    5-literal explode; counts exact LONGs, one division per row
+    (6 dp). Scale shape: one per-(user,type) window (entity-bounded,
+    the cadence-family precedent), a bounded (type × 5) rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    ms = F.unix_millis(F.col("ts"))
+    gaps = ev.select(
+        "event_type",
+        (ms - F.lag(ms).over(w)).alias("gap_ms"),
+    ).filter(F.col("gap_ms").isNotNull())
+    fan = gaps.crossJoin(
+        F.broadcast(
+            spark.range(1).select(
+                F.explode(
+                    F.array(*[F.lit(t) for t in GAP_THRESHOLDS_S])
+                ).alias("threshold_s")
+            )
+        )
+    )
+    agg = fan.groupBy("event_type", "threshold_s").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum(
+            F.when(
+                F.col("gap_ms") > F.col("threshold_s") * 1000, F.lit(1)
+            ).otherwise(F.lit(0))
+        ).cast("long").alias("n_exceeding"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("threshold_s").cast("long").alias("threshold_s"),
+        "n_gaps",
+        pround(F.col("n_exceeding") / F.col("n_gaps"), 6).alias(
+            "survival_share"
+        ),
+    )
+
+
+QUERIES["events_gap_survival_curve"] = events_gap_survival_curve
+
+ORACLE["events_gap_survival_curve"] = f"""
+    WITH gaps AS (
+        SELECT event_type,
+               epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id
+               ) AS gap_ms
+        FROM events
+    ),
+    fan AS (
+        SELECT g.event_type, g.gap_ms, t.threshold_s
+        FROM gaps g
+        CROSS JOIN (SELECT unnest([{", ".join(str(t) for t in GAP_THRESHOLDS_S)}])
+                        AS threshold_s) t
+        WHERE g.gap_ms IS NOT NULL
+    )
+    SELECT event_type,
+           threshold_s::BIGINT AS threshold_s,
+           count(*)::BIGINT AS n_gaps,
+           {sql_round(
+               "sum(CASE WHEN gap_ms > threshold_s * 1000"
+               " THEN 1 ELSE 0 END) * 1.0 / count(*)", 6
+           )} AS survival_share
+    FROM fan GROUP BY event_type, threshold_s
+"""

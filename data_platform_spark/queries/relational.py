@@ -4982,3 +4982,109 @@ def _discount_band_oracle() -> str:
 
 
 ORACLE["discount_band_revenue"] = _discount_band_oracle()
+
+
+def orders_priority_value_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does order priority predict order value? One-way variance
+    decomposition: R² = SS_between(priority) / SS_total over order
+    totals, one row per priority carrying its count, cent-exact mean,
+    deviation from the grand mean, and the shared R² — near-zero says
+    priority is operational routing, not a value signal (so value-
+    weighted SLAs need another key); large says expedite-handling
+    capacity should follow the money.
+
+    Determinism: the MEANS fix to cents (exact LONG folds); the
+    QUADRATIC sums quantize per row to whole dollars first — order
+    totals run to ~1e7 cents, so Σ(cents²) overflows LONG at gate
+    scale already, while Σ(dollars²) keeps four orders of magnitude of
+    headroom (R² is a ratio of variances, insensitive to the unit;
+    the quantization is identical in both engines). Per-group
+    S_g²/n_g terms quantize to centi-units before the LONG sum (the
+    events_hourly_seasonality_strength discipline); one fixed double
+    expression closes R² (6 dp). Scale shape: one bounded-domain
+    groupBy + a 1-row broadcast — no joins, no windows."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    dollars = F.floor(F.col("o_totalprice") + F.lit(0.5)).cast("long")
+    per = orders.select(
+        "o_orderpriority", cents.alias("c"), dollars.alias("d")
+    ).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("c").alias("s_gc"),
+        F.sum("d").alias("s_g"),
+        F.sum(F.col("d") * F.col("d")).alias("q_g"),
+    )
+    term = F.floor(
+        F.col("s_g").cast("double")
+        * F.col("s_g").cast("double")
+        / F.col("n_g").cast("double")
+        * 100
+        + F.lit(0.5)
+    ).cast("long")
+    tot = per.agg(
+        F.sum("n_g").alias("n"),
+        F.sum("s_gc").alias("sc"),
+        F.sum("s_g").alias("s"),
+        F.sum("q_g").alias("q"),
+        F.sum(term).alias("a_centi"),
+    )
+    c = F.col("s").cast("double") * F.col("s").cast("double") / F.col(
+        "n"
+    ).cast("double")
+    r2 = F.when(
+        F.col("q").cast("double") - c > 0,
+        (F.col("a_centi") / 100.0 - c) / (F.col("q").cast("double") - c),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("n_g").alias("n_orders"),
+        pround(F.col("s_gc") / 100.0 / F.col("n_g"), 4).alias("mean_value"),
+        pround(
+            F.col("s_gc") / 100.0 / F.col("n_g")
+            - F.col("sc") / 100.0 / F.col("n"),
+            4,
+        ).alias("mean_vs_grand"),
+        pround(r2, 6).alias("priority_r2"),
+    )
+
+
+QUERIES["orders_priority_value_anova"] = orders_priority_value_anova
+
+ORACLE["orders_priority_value_anova"] = f"""
+    WITH per AS (
+        SELECT o_orderpriority,
+               count(*)::BIGINT AS n_g,
+               sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                  )::BIGINT AS s_gc,
+               sum(CAST(floor(o_totalprice + 0.5) AS BIGINT)
+                  )::BIGINT AS s_g,
+               sum(CAST(floor(o_totalprice + 0.5) AS BIGINT)
+                   * CAST(floor(o_totalprice + 0.5) AS BIGINT)
+                  )::BIGINT AS q_g
+        FROM orders GROUP BY o_orderpriority
+    ),
+    tot AS (
+        SELECT sum(n_g)::BIGINT AS n,
+               sum(s_gc)::BIGINT AS sc,
+               sum(s_g)::BIGINT AS s,
+               sum(q_g)::BIGINT AS q,
+               sum(CAST(floor(s_g::DOUBLE * s_g::DOUBLE / n_g::DOUBLE
+                              * 100 + 0.5) AS BIGINT))::BIGINT AS a_centi
+        FROM per
+    )
+    SELECT p.o_orderpriority AS priority,
+           p.n_g AS n_orders,
+           {sql_round("p.s_gc / 100.0 / p.n_g", 4)} AS mean_value,
+           {sql_round(
+               "p.s_gc / 100.0 / p.n_g - t.sc / 100.0 / t.n", 4
+           )} AS mean_vs_grand,
+           {sql_round(
+               "CASE WHEN t.q::DOUBLE - t.s::DOUBLE * t.s::DOUBLE"
+               " / t.n::DOUBLE > 0"
+               " THEN (t.a_centi / 100.0 - t.s::DOUBLE * t.s::DOUBLE"
+               "       / t.n::DOUBLE)"
+               "    / (t.q::DOUBLE - t.s::DOUBLE * t.s::DOUBLE"
+               "       / t.n::DOUBLE) END", 6
+           )} AS priority_r2
+    FROM per p CROSS JOIN tot t
+"""
