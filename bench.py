@@ -10,6 +10,8 @@ summary guaranteed to fit any reasonable tail window):
 
   {"metric": ..., "value": N, ..., "queries": {...}, "scaling": {...},
    "scaling_x10_dedup": {...}}               # full blob, line 1
+  {"metric": "scaling_evidence", ...}        # compact scale medians +
+                                             # worst-3 ratios (r10 item 5)
   {"metric": ..., "value": N, "unit": "sec", "sf": ...,
    "median_time_ratio": ..., "queries": {...}}  # compact, LAST line
 
@@ -180,11 +182,13 @@ def _scaling_section(
     budget: float,
     names: list[str],
 ):
-    """Run each named query once on a replicated x-mult corpus and
-    report per-query wall-clock ratios vs the main-SF medians. One
-    UNWARMED run per query vs warmed main-SF medians — the asymmetry
-    biases time_ratio upward; carried in the section's ``note`` rather
-    than hidden behind a second warmup pass."""
+    """Run each named query on a replicated x-mult corpus and report
+    per-query wall-clock ratios vs the main-SF medians. Sub-2s first
+    runs take BEST-OF-2 (budget permitting): one unwarmed run vs the
+    warmed main-SF median produced phantom >7x ratios on sub-second
+    queries two rounds running (VERDICT r10 item 6 — the warm/cold
+    asymmetry dominates exactly where absolute time is small; long
+    queries amortize it and aren't worth doubling the budget for)."""
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     scale_dir = _scale_corpus(spark, src, mult)
     t_start = time.perf_counter()
@@ -196,6 +200,8 @@ def _scaling_section(
             skipped.append(name)
             continue
         dt = _materialize(queries, name, spark, scale_dir)
+        if dt < 2.0 and time.perf_counter() - t_start < budget:
+            dt = min(dt, _materialize(queries, name, spark, scale_dir))
         timings[name] = round(dt, 3)
         base = base_timings.get(name)
         if base and base > 0:
@@ -211,8 +217,8 @@ def _scaling_section(
         ),
         "budget_s": budget,
         "skipped_over_budget": skipped,
-        "note": "single unwarmed run vs warmed main-SF medians; "
-        "ratio biased upward by the warm/cold asymmetry",
+        "note": "sub-2s runs are best-of-2 to damp the warm/cold "
+        "asymmetry; longer runs are single-shot",
     }
 
 
@@ -273,6 +279,33 @@ def main() -> None:
     # Full blob first, compact summary LAST: the driver's tail capture
     # keeps the END of stdout, so the line that must survive goes last.
     print(json.dumps(out))
+
+    # Compact SCALING line (VERDICT r10 item 5): the r10 tail capture
+    # beheaded the full blob's x4 ratio dict, so the scale evidence must
+    # also ride a short late line. Medians + the worst-3 ratios per
+    # section fit any reasonable tail window.
+    def _worst3(section) -> dict:
+        tr = (section or {}).get("time_ratio") or {}
+        top = sorted(tr.items(), key=lambda kv: -kv[1])[:3]
+        return dict(top)
+
+    scaling_compact = {
+        "metric": "scaling_evidence",
+        "scaling_x4_median": (sections.get("scaling") or {}).get(
+            "median_time_ratio"
+        ),
+        "scaling_x4_worst3": _worst3(sections.get("scaling")),
+        "scaling_x4_skipped": len(
+            (sections.get("scaling") or {}).get("skipped_over_budget", [])
+        ),
+        "scaling_x10_dedup_median": (
+            sections.get("scaling_x10_dedup") or {}
+        ).get("median_time_ratio"),
+        "scaling_x10_dedup_ratios": (
+            sections.get("scaling_x10_dedup") or {}
+        ).get("time_ratio"),
+    }
+    print(json.dumps(scaling_compact))
     compact = {
         "metric": out["metric"],
         "value": out["value"],
