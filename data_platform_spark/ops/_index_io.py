@@ -41,6 +41,27 @@ OLD_SUFFIX = ".old-rebuild"
 COMPLETE_MARKER = "_COMPLETE"
 BATCHES_DIR = "batches"
 INTENT_SUFFIX = ".intent"
+REBUILDS_DIR = "rebuilds"
+
+
+def stage_rebuild_marker(path: str, marker: str) -> None:
+    """Stamp ``rebuilds/<marker>`` INTO the rebuild stage dir, so the
+    marker becomes live atomically WITH the swap (ADVICE r10: a crash
+    between the swap and the maintenance-ledger upsert made the
+    replayed batch re-evaluate drift against the freshly-rebuilt
+    baseline and record rebuilt=False for a batch that actually
+    rebuilt — the ledger's rebuilt flag must derive from state the
+    swap itself publishes, not from a post-swap recomputation)."""
+    d = os.path.join(path + STAGE_SUFFIX, REBUILDS_DIR)
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, marker), "w") as f:
+        f.write("ok")
+
+
+def rebuild_done(path: str, marker: str) -> bool:
+    """True iff a swap published ``rebuilds/<marker>`` — the
+    crash-replay-safe 'did this batch trigger a rebuild' check."""
+    return os.path.exists(os.path.join(path, REBUILDS_DIR, marker))
 
 
 def batch_done(path: str, batch_id: str) -> bool:

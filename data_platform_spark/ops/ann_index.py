@@ -630,12 +630,20 @@ def rebuild_ivf_if_drifted(
     vec_col: str = "embedding",
     sample_mod: int | None = None,
     seed_by_hash: bool = False,
+    rebuild_marker: str | None = None,
 ) -> dict:
     """The IVF twin of rebuild_if_drifted: evaluate the assignment
     distortion of the CURRENT corpus against the sidecar baseline, skip
     (provably — the skip path never reaches kmeans_fit) under the
     threshold, else retrain on the current corpus into a staged sibling
-    and atomically swap (recover via recover_ivf_index)."""
+    and atomically swap (recover via recover_ivf_index).
+
+    ``rebuild_marker`` (streaming sinks pass their batch id) stamps
+    ``rebuilds/<marker>`` into the stage so it becomes live atomically
+    WITH the swap; ``IO.rebuild_done`` then answers 'did this batch
+    trigger a rebuild' idempotently across crash replays (ADVICE r10 —
+    a crash between swap and ledger upsert otherwise re-evaluates
+    drift against the fresh baseline and under-reports the rebuild)."""
 
     spark = emb.sparkSession
     p = read_ivf_params(spark, path)
@@ -665,6 +673,12 @@ def rebuild_ivf_if_drifted(
     # carrying the markers forward keeps replayed appends no-ops
     if os.path.isdir(f"{path}/batches"):
         shutil.copytree(f"{path}/batches", f"{stage}/batches")
+    if os.path.isdir(f"{path}/{IO.REBUILDS_DIR}"):
+        shutil.copytree(
+            f"{path}/{IO.REBUILDS_DIR}", f"{stage}/{IO.REBUILDS_DIR}"
+        )
+    if rebuild_marker is not None:
+        IO.stage_rebuild_marker(path, rebuild_marker)
     IO.mark_stage_complete(path)
     IO.swap_in_stage(path)
     return {

@@ -175,6 +175,34 @@ def compact_ivfpq_index(
     }
 
 
+def compact_ivfpq_corpus(
+    spark: SparkSession,
+    corpus_path: str,
+    index_path: str | None = None,
+    n_files: int = 1,
+) -> dict:
+    """Compact the IVF-PQ streaming sink's raw-vector corpus side table
+    (VERDICT r10 "What's missing" #3): the sink appends one parquet
+    file per micro-batch to ``corpus_path`` forever, and the drift
+    rebuild reads the whole table every evaluation — the same LSM
+    read-amplification the index halves already compact away. Flat
+    rewrite to ``n_files`` via the shared staged atomic swap (crash
+    heals on the next call through ``recover_index_dir``).
+
+    Replay safety: compaction renames away the deterministic
+    ``stream-<batch_id>-N`` file targets, so the SINK must gate its
+    corpus move on the index's ``batches/<batch_id>`` done marker (it
+    does — ivfpq_ingest_sink) rather than on target-file existence;
+    with that gate a replayed completed batch never re-moves corpus
+    rows however the files are named. ``index_path`` (pass it when the
+    corpus belongs to a live index) refuses to compact while that
+    index has a crashed-mid-append batch outstanding, because such a
+    batch's corpus retry DOES rely on the deterministic names."""
+    if index_path is not None:
+        IO.assert_no_inflight_appends(index_path)
+    return {"corpus": _compact_half(spark, corpus_path, n_files=n_files)}
+
+
 _FAMILY_HALVES = {
     "postings": compact_lexical_index,  # lexical: postings + stats
     "shingles": compact_band_index,  # band: shingles + bands
@@ -221,6 +249,7 @@ __all__ = [
     "compact_band_index",
     "compact_index",
     "compact_ivf_index",
+    "compact_ivfpq_corpus",
     "compact_ivfpq_index",
     "compact_lexical_index",
     "compact_pq_index",

@@ -323,6 +323,7 @@ def rebuild_ivfpq_if_drifted(
     vec_col: str = "embedding",
     sample_mod: int | None = None,
     seed_by_hash: bool = False,
+    rebuild_marker: str | None = None,
 ) -> dict:
     """The composed maintenance leg: evaluate the PQ distortion of the
     CURRENT corpus against the sidecar baseline; under the threshold,
@@ -333,7 +334,12 @@ def rebuild_ivfpq_if_drifted(
     appends stay no-ops (the rebuilt corpus includes them by
     construction). Refuses over an in-flight append (two-phase
     protocol). Heal an interrupted swap via
-    :func:`recover_ivfpq_index`."""
+    :func:`recover_ivfpq_index`.
+
+    ``rebuild_marker`` stamps ``rebuilds/<marker>`` into the stage so
+    it goes live atomically WITH the swap — the crash-replay-safe
+    'did this batch rebuild' signal the streaming sink's ledger derives
+    its rebuilt flag from (ADVICE r10; see rebuild_ivf_if_drifted)."""
     spark = emb.sparkSession
     p = read_ivfpq_params(spark, path)
     base = p.get("base_distortion_micro")
@@ -368,6 +374,12 @@ def rebuild_ivfpq_if_drifted(
     )
     if os.path.isdir(f"{path}/batches"):
         shutil.copytree(f"{path}/batches", f"{stage}/batches")
+    if os.path.isdir(f"{path}/{IO.REBUILDS_DIR}"):
+        shutil.copytree(
+            f"{path}/{IO.REBUILDS_DIR}", f"{stage}/{IO.REBUILDS_DIR}"
+        )
+    if rebuild_marker is not None:
+        IO.stage_rebuild_marker(path, rebuild_marker)
     IO.mark_stage_complete(path)
     IO.swap_in_stage(path)
     return {

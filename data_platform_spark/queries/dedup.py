@@ -2416,11 +2416,14 @@ def semantic_dedup_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-shaped semantic dedup report: within each label (the
     cluster/IVF-cell stand-in — at production scale the bucketing key is
     the nearest-centroid cell, exactly the persisted IVF index layout),
-    vector pairs with cosine ≥ threshold are semantic duplicates; the
-    GREEDY KEEP-FIRST rule removes every vector that duplicates a
-    LOWER-id survivor candidate. Per label: vector count, duplicate
-    pair count, removed count, and the removal share — the semantic
-    dedup savings estimate that complements the surface-form family
+    vector pairs with cosine ≥ threshold are semantic duplicates;
+    ``n_removed`` counts every vector that duplicates ANY lower-id
+    vector — an UPPER BOUND on greedy keep-first SemDeDup removal
+    (true keep-first would retain C in a chain A~B, B~C, A≁C because
+    B is itself removed; this count does not propagate survivors —
+    ADVICE r10). Per label: vector count, duplicate pair count,
+    removed-bound count, and the removal share — the semantic dedup
+    savings estimate that complements the surface-form family
     (exact/minhash/simhash catch byte-level dups; this catches
     paraphrases and re-encodings via their embeddings).
 

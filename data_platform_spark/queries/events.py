@@ -2806,7 +2806,11 @@ def events_type_lag_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     real 0 for additive daily totals). corr(A_t, B_{t-lag}) ≫ corr at
     lag 0 means B LEADS A — e.g. signups leading purchases by a day is
     an activation funnel; errors leading value drops is an incident
-    signature.
+    signature. For lag > 0 BOTH orientations are emitted (A-leads-B
+    and B-leads-A are different measurements — ADVICE r10: the old
+    ``type_a < type_b`` filter made 'errors leading value drops'
+    unobservable whenever the leading type sorted first); lag 0 is
+    symmetric, so only the ``type_a < type_b`` half is kept.
 
     Determinism: daily sums fix to cents (exact LONG folds); the five
     correlation sums (Σx Σy Σxy Σx² Σy²) fold exact LONG products over
@@ -2865,7 +2869,8 @@ def events_type_lag_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = a.join(
         b,
         (F.col("ia") == F.col("ib") + F.col("lag"))
-        & (F.col("type_a") < F.col("type_b")),
+        & (F.col("type_a") != F.col("type_b"))
+        & ((F.col("lag") > 0) | (F.col("type_a") < F.col("type_b"))),
     )
     sums = joined.groupBy("type_a", "type_b", "lag").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
@@ -2927,7 +2932,9 @@ ORACLE["events_type_lag_correlation"] = f"""
         FROM dense a
         JOIN lags l ON TRUE
         JOIN dense b
-          ON a.idx = b.idx + l.lag AND a.event_type < b.event_type
+          ON a.idx = b.idx + l.lag
+         AND a.event_type <> b.event_type
+         AND (l.lag > 0 OR a.event_type < b.event_type)
     ),
     sums AS (
         SELECT type_a, type_b, lag,

@@ -3800,16 +3800,22 @@ def doc_length_moments_by_source(
     one crawl source; a std collapse flags templated output) and the
     parameters a length-matched sampler needs.
 
-    Determinism: ln(n_chars) quantizes per row to 4-dp integer units
-    (exact LONG folds for Σx, Σx², Σx³ — cubes stay far below LONG at
-    gate scale; DECIMAL(38) is the extreme-scale upgrade); the central
-    moments derive by one fixed double expression (6 dp). Scale shape:
-    one map-side-combined groupBy on the bounded source domain — no
-    joins, no windows."""
+    Determinism: ln(n_chars) quantizes per row to 4-dp integer units;
+    Σx folds as exact LONG, while Σx² and Σx³ fold as DECIMAL(38,0) —
+    a ~10k-char doc gives x≈92,000 so x³≈7.8e14, which would wrap a
+    silent (non-ANSI) LONG sum at only ~12k docs per source (ADVICE
+    r10); DECIMAL(38,0) keeps the cube fold exact to ~1e23 docs per
+    source, and the oracle folds HUGEINT (int128) so both engines stay
+    exact and value-identical. The central moments derive by one fixed
+    double expression (6 dp). Scale shape: one map-side-combined
+    groupBy on the bounded source domain — no joins, no windows."""
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
     lx = F.floor(
         F.log(F.col("n_chars").cast("double")) * 10_000 + F.lit(0.5)
     ).cast("long")
+    # cast BEFORE multiplying: x*x*x as LONG already wraps pre-cast.
+    # (13,0)*(13,0)->(27,0), *(13,0)->(38,0): inside decimal bounds.
+    xd = F.col("x").cast("decimal(13,0)")
     sums = (
         docs.filter(F.col("n_chars") > 0)
         .select("source", lx.alias("x"))
@@ -3817,8 +3823,8 @@ def doc_length_moments_by_source(
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
             F.sum("x").alias("s1"),
-            F.sum(F.col("x") * F.col("x")).alias("s2"),
-            F.sum(F.col("x") * F.col("x") * F.col("x")).alias("s3"),
+            F.sum((xd * xd).cast("decimal(38,0)")).alias("s2"),
+            F.sum((xd * xd * xd).cast("decimal(38,0)")).alias("s3"),
         )
     )
     n = F.col("n").cast("double")
@@ -3848,11 +3854,15 @@ ORACLE["doc_length_moments_by_source"] = f"""
         FROM documents WHERE n_chars > 0
     ),
     sums AS (
+        -- x promotes to HUGEINT before the products so neither the
+        -- per-row cube nor its fold can wrap int64 (the Spark side
+        -- folds DECIMAL(38,0)); s2/s3 stay HUGEINT — they only ever
+        -- divide into DOUBLE below, never surface as result columns
         SELECT source,
                count(*)::BIGINT AS n,
                sum(x)::BIGINT AS s1,
-               sum(x * x)::BIGINT AS s2,
-               sum(x * x * x)::BIGINT AS s3
+               sum(x::HUGEINT * x) AS s2,
+               sum(x::HUGEINT * x * x) AS s3
         FROM q GROUP BY source
     ),
     m AS (
