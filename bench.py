@@ -101,6 +101,9 @@ HEADLINE = [
     "source_unigram_jsd",
     "semantic_dedup_labels",
     "events_hourly_seasonality_strength",
+    # round 11: the scale-safe semantic dedup (n_cells ∝ corpus — its
+    # x4 ratio is the evidence the fixed-label variant couldn't give)
+    "semantic_dedup_cells",
 ]
 
 

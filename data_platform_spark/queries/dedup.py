@@ -2535,6 +2535,159 @@ def _semantic_dedup_oracle() -> str:
 ORACLE["semantic_dedup_labels"] = _semantic_dedup_oracle()
 
 
+SEMANTIC_CELL_POP = 64  # target per-cell population; n_cells = ceil(n/64)
+
+
+def semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the SCALE-SAFE bucketing (VERDICT r10 item 2):
+    vectors bucket by their nearest k-means centroid cell with
+    **n_cells ∝ corpus** (k = ceil(n / SEMANTIC_CELL_POP), the same
+    deterministic kmeans_fit build the kmeans_ivf family gates and the
+    persisted IVF index materializes as partitions), so per-cell
+    population — and therefore the verify stage's pair fan-out — stays
+    CONSTANT as the corpus grows: total pairs ≈ n_cells · pop²/2 =
+    O(corpus), where the fixed-label stand-in (semantic_dedup_labels)
+    is quadratic at fixed bucket count. Within each cell, pairs with
+    4-dp cosine ≥ threshold are semantic duplicates; ``n_removed``
+    counts vectors duplicating ANY lower-id vector — the same
+    upper-bound-on-greedy-removal semantics as the label variant.
+
+    Same narrow layout: the pair self-join ships only (cell, vec_id);
+    embeddings re-join the candidate pairs on vec_id for the cosine
+    verify. The two .count()/seed collects are metadata-scale (k ids).
+    At extreme scale the assignment's n·k distance term trains on a
+    hash sample and assigns through the persisted IVF index's pruned
+    layout (ops/ann_index.py); this gate query pins the full algebra —
+    the DuckDB oracle re-derives seeds, both Lloyd rounds, the final
+    assignment and the per-cell dedup report with a DATA-DEPENDENT k.
+
+    Determinism: smallest-id seeds, fixed iteration count, 4-dp
+    centroid/distance quantization (the kmeans_cell_profile contract);
+    cosine rounds to 4 dp before the threshold; counts are exact
+    LONGs, one final division (6 dp)."""
+    from data_platform_spark.functions import similarity as S
+    from data_platform_spark.queries.similarity import KMEANS_ITER
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"), spark)
+    n = emb.count()
+    k = max(1, -(-n // SEMANTIC_CELL_POP))  # ceil(n / pop)
+    _cents, assign = S.kmeans_fit(emb, k=k, n_iter=KMEANS_ITER)
+    ids = assign.select(
+        F.col("assigned_label").alias("cell"), "vec_id"
+    ).transform(scoped_persist)
+    a = ids.select("cell", F.col("vec_id").alias("src"))
+    b = ids.select("cell", F.col("vec_id").alias("dst"))
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("src") < F.col("dst"))
+        .select("cell", "src", "dst")
+    )
+    vecs = emb.select("vec_id", "embedding")
+    scored = (
+        pairs.join(
+            vecs.select(
+                F.col("vec_id").alias("src"), F.col("embedding").alias("e_src")
+            ),
+            "src",
+        )
+        .join(
+            vecs.select(
+                F.col("vec_id").alias("dst"), F.col("embedding").alias("e_dst")
+            ),
+            "dst",
+        )
+        .select(
+            "cell",
+            "src",
+            "dst",
+            pround(
+                S.cosine(
+                    S.as_double(F.col("e_src")), S.as_double(F.col("e_dst"))
+                ),
+                4,
+            ).alias("cosine"),
+        )
+    )
+    dups = scored.filter(F.col("cosine") >= SEMANTIC_DUP_THRESHOLD)
+    per_cell = dups.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_pairs"),
+        F.count_distinct(F.col("dst")).cast("long").alias("n_removed"),
+    )
+    totals = ids.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors")
+    )
+    return totals.join(per_cell, "cell", "left").select(
+        "cell",
+        "n_vectors",
+        F.coalesce(F.col("n_dup_pairs"), F.lit(0)).cast("long").alias(
+            "n_dup_pairs"
+        ),
+        F.coalesce(F.col("n_removed"), F.lit(0)).cast("long").alias(
+            "n_removed"
+        ),
+        pround(
+            F.coalesce(F.col("n_removed"), F.lit(0)) / F.col("n_vectors"), 6
+        ).alias("removed_share"),
+    )
+
+
+QUERIES["semantic_dedup_cells"] = semantic_dedup_cells
+
+
+def _semantic_dedup_cells_oracle() -> str:
+    from data_platform_spark.queries.similarity import (
+        KMEANS_ITER,
+        _kmeans_ctes,
+    )
+
+    ctes, final_assign, _cents = _kmeans_ctes(
+        0,
+        KMEANS_ITER,
+        k_sql=(
+            "SELECT greatest(1, CAST(ceil(count(*) / "
+            f"{SEMANTIC_CELL_POP}.0) AS BIGINT)) FROM embeddings"
+        ),
+    )
+    cos = (
+        "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
+        "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
+        "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
+    )
+    return f"""
+        WITH {ctes},
+        ids AS (SELECT vec_id, label AS cell FROM {final_assign}),
+        scored AS (
+            SELECT ia.cell, ia.vec_id AS src, ib.vec_id AS dst,
+                   {sql_round(cos, 4)} AS cosine
+            FROM ids ia
+            JOIN ids ib
+              ON ia.cell = ib.cell AND ia.vec_id < ib.vec_id
+            JOIN embeddings a ON a.vec_id = ia.vec_id
+            JOIN embeddings b ON b.vec_id = ib.vec_id
+        ),
+        dups AS (
+            SELECT cell,
+                   count(*)::BIGINT AS n_dup_pairs,
+                   count(DISTINCT dst)::BIGINT AS n_removed
+            FROM scored WHERE cosine >= {SEMANTIC_DUP_THRESHOLD}
+            GROUP BY cell
+        ),
+        totals AS (
+            SELECT cell, count(*)::BIGINT AS n_vectors
+            FROM ids GROUP BY cell
+        )
+        SELECT t.cell, t.n_vectors,
+               coalesce(d.n_dup_pairs, 0)::BIGINT AS n_dup_pairs,
+               coalesce(d.n_removed, 0)::BIGINT AS n_removed,
+               {sql_round("coalesce(d.n_removed, 0) / t.n_vectors", 6)}
+                   AS removed_share
+        FROM totals t LEFT JOIN dups d ON d.cell = t.cell
+    """
+
+
+ORACLE["semantic_dedup_cells"] = _semantic_dedup_cells_oracle()
+
+
 def corpus_dup_quality_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Does duplication correlate with quality? Documents split into
     'unique' (document FINGERPRINT — the md5 of the normalized 64-char

@@ -722,9 +722,14 @@ def kmeans_cell_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["kmeans_cell_profile"] = kmeans_cell_profile
 
 
-def _kmeans_ctes(k: int, n_iter: int) -> tuple[str, str, str]:
+def _kmeans_ctes(
+    k: int, n_iter: int, k_sql: str | None = None
+) -> tuple[str, str, str]:
     """CTE block deriving the k-means index in SQL; returns
-    (cte_sql, final_assign_name, final_cents_name)."""
+    (cte_sql, final_assign_name, final_cents_name). ``k_sql`` (a scalar
+    SELECT) makes the seed count DATA-DEPENDENT — the n_cells ∝ corpus
+    posture semantic_dedup_cells registers (VERDICT r10 item 2), where
+    a literal ``k`` cannot be baked into the oracle string."""
     dist_expr = sql_round(
         "sum((v.x - c.centroid_val) * (v.x - c.centroid_val))", 6
     )
@@ -747,11 +752,16 @@ def _kmeans_ctes(k: int, n_iter: int) -> tuple[str, str, str]:
             SELECT vec_id, label, dist2 FROM ranked{i} WHERE rk = 1
         )"""
 
+    seed_bound = (
+        f"QUALIFY row_number() OVER (ORDER BY vec_id) <= ({k_sql})"
+        if k_sql is not None
+        else f"ORDER BY vec_id LIMIT {k}"
+    )
     ctes = [
         f"""seeds AS (
             SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS label,
                    embedding
-            FROM embeddings ORDER BY vec_id LIMIT {k}
+            FROM embeddings {seed_bound}
         ),
         vec_long AS (
             SELECT vec_id, i - 1 AS pos, embedding[i]::DOUBLE AS x
