@@ -2298,6 +2298,144 @@ def test_hybrid_search_index_bit_identical_to_oracled_query(
     ), scanned
 
 
+def test_hybrid_ivfpq_dense_leg_bit_identical_and_prunes(spark, tmp_path):
+    """dense='ivfpq' (VERDICT r10 item 3): the hybrid dense leg served
+    from the COMPRESSED composed index. With every cell probed and no
+    shortlist the fused result is BIT-IDENTICAL to the oracled
+    hybrid_rrf_topk; the executed plan prunes BOTH the lexical term
+    buckets and the code cell partitions in one composed job; the
+    dense leg reads (id, m, code) rows — never full-precision vectors
+    from any index (the composed index stores none; vectors join in
+    from the corpus relation for candidate ids only). A full-corpus
+    ADC shortlist reproduces the same result through the shortlist
+    path; a small shortlist bounds the dense candidates to S."""
+    import re
+
+    from data_platform_spark.ops.hybrid_index import hybrid_search_index
+    from data_platform_spark.ops.ivfpq_index import build_ivfpq_index
+    from data_platform_spark.ops.lexical_index import build_lexical_index
+    from data_platform_spark.queries.text import (
+        BM25_QUERY_TERMS,
+        hybrid_rrf_topk,
+    )
+    from data_platform_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    emb = load_table(spark, sf, "embeddings")
+    lex_path = str(tmp_path / "lex_index")
+    pq_path = str(tmp_path / "ivfpq_index")
+    build_lexical_index(docs, lex_path)
+    build_ivfpq_index(emb, pq_path, n_cells=8)
+
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    kwargs = dict(
+        topk=20, nprobe=8, exclude_ids=[0], dense="ivfpq", corpus_emb=emb
+    )
+    got_df = hybrid_search_index(
+        spark, lex_path, pq_path, BM25_QUERY_TERMS, qvec, **kwargs
+    )
+    got = [tuple(r) for r in got_df.collect()]
+    want = [tuple(r) for r in hybrid_rrf_topk(spark, sf).collect()]
+    assert got == want and len(got) == 20
+
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^\]]*tbk[^\]]*IN \(", plan), (
+        "lexical leg did not prune term buckets"
+    )
+    assert re.search(r"PartitionFilters: \[[^\]]*cell[^\]]*IN \(", plan), (
+        "dense leg did not prune probe cells"
+    )
+    # the dense leg's index scan is codes-only (the cell IN partition
+    # filter above can only come from the cell-partitioned codes/ half;
+    # the composed layout has no vectors/ half and none is read) and
+    # full vectors come from the corpus relation, not an index
+    scanned = set(re.findall(r"file:[^\]\s,]*", plan))
+    assert not any("/vectors" in s for s in scanned), scanned
+    assert any(s.startswith(f"file:{tmp_path}") for s in scanned), scanned
+    assert any("embeddings.parquet" in s for s in scanned), scanned
+
+    # ADC shortlist covering the whole corpus -> same fused result
+    n = emb.count()
+    via_shortlist = hybrid_search_index(
+        spark, lex_path, pq_path, BM25_QUERY_TERMS, qvec,
+        shortlist=int(n), **{k: v for k, v in kwargs.items()},
+    )
+    assert [tuple(r) for r in via_shortlist.collect()] == want
+
+    # a small shortlist bounds the dense candidates: every dense rank
+    # in the fused output is <= S
+    small = hybrid_search_index(
+        spark, lex_path, pq_path, BM25_QUERY_TERMS, qvec,
+        shortlist=25, **{k: v for k, v in kwargs.items()},
+    ).collect()
+    dense_rns = [r.rn_dense for r in small if r.rn_dense is not None]
+    assert dense_rns and max(dense_rns) <= 25
+
+
+def test_hybrid_batch_ivfpq_matches_per_query_searches(spark, tmp_path):
+    """The workload form with dense='ivfpq' returns, per query, exactly
+    the rows of the corresponding single hybrid_search_index call —
+    with and without the per-query ADC shortlist."""
+    from data_platform_spark.ops.hybrid_index import (
+        hybrid_batch_search_index,
+        hybrid_search_index,
+    )
+    from data_platform_spark.ops.ivfpq_index import build_ivfpq_index
+    from data_platform_spark.ops.lexical_index import build_lexical_index
+    from data_platform_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    emb = load_table(spark, sf, "embeddings")
+    lex_path = str(tmp_path / "lex_index")
+    pq_path = str(tmp_path / "ivfpq_index")
+    build_lexical_index(docs, lex_path)
+    build_ivfpq_index(emb, pq_path, n_cells=8)
+
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id").isin([0, 7, 21])).collect()
+    }
+    workload = {
+        "q_spark": (["spark", "window"], vecs[0]),
+        "q_join": (["join"], vecs[7]),
+        "q_mixed": (["spark", "join", "window", "table"], vecs[21]),
+    }
+    qt = spark.createDataFrame(
+        [(q, t) for q, (terms, _) in workload.items() for t in terms],
+        "query_id string, term string",
+    )
+    qv = spark.createDataFrame(
+        [(q, v) for q, (_, v) in workload.items()],
+        "query_id string, qv array<double>",
+    )
+    for sl in (None, 40):
+        got = hybrid_batch_search_index(
+            spark, lex_path, pq_path, qt, qv, topk=7, nprobe=2,
+            dense="ivfpq", corpus_emb=emb, shortlist=sl,
+        )
+        by_query = {}
+        for r in got.collect():
+            by_query.setdefault(r.query_id, []).append(r)
+        for q, (terms, vec) in workload.items():
+            rows = sorted(by_query[q], key=lambda r: r.rn)
+            assert [r.rn for r in rows] == list(range(1, len(rows) + 1))
+            want = hybrid_search_index(
+                spark, lex_path, pq_path, terms, vec, topk=7, nprobe=2,
+                dense="ivfpq", corpus_emb=emb, shortlist=sl,
+            ).collect()
+            assert [
+                (r.doc_id, r.rn_lex, r.rn_dense, r.rrf) for r in rows
+            ] == [(r.doc_id, r.rn_lex, r.rn_dense, r.rrf) for r in want], (
+                q,
+                sl,
+            )
+
+
 def test_hybrid_batch_search_matches_per_query_searches(spark, tmp_path):
     """The workload form returns, per query, exactly the rows of the
     corresponding single hybrid_search_index call (rn ≤ topk, ranks and
