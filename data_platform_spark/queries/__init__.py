@@ -41,10 +41,35 @@ def _modules():
 
 
 # The driver's correctness gate checks the FIRST ~50 registered queries, in
-# dict order. Cumulative accounting entering round 10: 248 registered (247
-# oracled); every query registered through r8 carries a driver-green row,
-# and the r9 window covered that round's first batch + the late
-# index-roundtrip family. The round-10 window packs, in order:
+# dict order. Round-11 window: the DRAIN round (VERDICT r10 item 1 /
+# "What's wrong" #3 — the window arithmetic stopped closing at 49
+# never-driver-green queries). Registration this round is capped at ONE
+# new query (semantic_dedup_cells, VERDICT item 2) so the entire window
+# goes to queries that have NEVER held a driver CORRECTNESS row:
+# (1) the four r9 persisted-index serving roundtrips — the only gate
+#     evidence for band/ivf/lexical/hybrid serving today is local.
+#     hybrid_index_roundtrip doubles as the re-proof slot for this
+#     round's hybrid-serving change (the ivfpq dense-leg option);
+# (2) semantic_dedup_cells — the scale-safe (n_cells ∝ corpus)
+#     semantic dedup registered this round;
+# (3) approx_stats_sketches — rows-only until this round; its new
+#     error-bound-boolean oracle makes the registry 279+1/280 oracled
+#     and this its first hash-gated slot;
+# (4) the remaining never-green cohort: r9 batch-1 relational/events
+#     (26-query cohort), text batches E-H, and the r9 embedding-stats
+#     family — everything from VERDICT r10's 49-query debt list EXCEPT
+#     embedding_dim_correlation_top (deferred to lead r12: it is in the
+#     bench headline, so it carries measured-execution evidence every
+#     round — the strongest non-driver signal in the cohort).
+# NOT in this window, first in line for r12: embedding_dim_correlation_top
+# (above), and the two re-proofs for queries changed this round with
+# value-identical/locally-deep-compared results (doc_length_moments_by_source
+# — DECIMAL fold fix, bit-identical at gate scale; events_type_lag_correlation
+# — both-orientations fix, deep-compare green), plus the stale r3/r4-green
+# refresh cohort listed in the r10 rationale. No canaries this round:
+# q1_pricing_summary/events_sessionize are r10-green and unchanged, and
+# every slot they'd take is a query with NO driver row at all.
+# --- round-10 window rationale (kept for history) ---
 # (1) never driver-green — r9's batches 2-4 (25 queries registered below
 #     the r9 window; their round-9 evidence is the local deep-compare
 #     through the driver's comparison path + the parity sweep);
@@ -52,15 +77,10 @@ def _modules():
 #     queries + the IVF-PQ roundtrip putting the round's new composed
 #     index family under the driver's oracle);
 # (3) re-proof: pq_index_roundtrip — pq_search_index's ADC lookup table
-#     was extracted into the shared _pq_query_dist_table this round
-#     (consistency-by-construction with the IVF-PQ search), so the
-#     persisted PQ serve path re-proves on the changed code;
+#     was extracted into the shared _pq_query_dist_table (consistency-
+#     by-construction with the IVF-PQ search);
 # (4) canaries (loader / flagship); then
-# (5) the six stale-green refreshes deferred from r9
-#     (events_sliding_window_counts, multimodal_meta,
-#     q12_priority_by_month, retention_cohorts, srp_ann_topk_vec0,
-#     top_user_per_hour — all r3/r4-green, unchanged). The rest of the
-#     r4 cohort remains first in line for r11.
+# (5) the six stale-green refreshes deferred from r9.
 # --- round-9 window rationale (kept for history) ---
 # (1) never driver-green: the 26 queries new this round (retrieval-leg
 #     agreement, char entropy, bigram-LM scoring, user Gini, vocabulary
@@ -90,82 +110,77 @@ def _modules():
 #     whole persist-sweep family in dedup/similarity; the global_order
 #     consumers after its cache-registry change;
 # (3) canaries; (4) stalest green rows rotated in.
-_R10_WINDOW = (
-    # (1) never driver-green — r9 batches 2-4, registered below that
-    # round's window (relational / events / text / dedup / similarity /
-    # graph order, the NOTES_r9 listing)
-    "nation_trade_balance",
-    "customer_spend_band_migration",
-    "part_type_market_share_by_region",
-    "ship_delay_monthly_trend",
-    "order_fulfilment_span",
-    "orders_priority_mix_shift",
-    "segment_priority_contingency",
-    "nation_self_trade_share",
-    "brand_unit_price_dispersion",
-    "events_bounce_rate_by_day",
-    "events_session_duration_by_entry",
-    "events_markov_logprob",
-    "purchase_attribution_time_decay",
-    "events_hourly_value_interpolated",
-    "events_value_autocorrelation",
-    "events_anomaly_mad",
-    "corpus_vocab_growth",
-    "positional_unigram_kl",
-    "source_bigram_cond_entropy",
-    "shingle_df_histogram",
-    "neardup_cluster_size_histogram",
-    "crosssource_exact_dup_matrix",
-    "embedding_quantization_error",
-    "term_graph_reciprocity",
-    "term_graph_clustering_coefficient",
-    # (2) never driver-green — new in round 10
-    "events_trimmed_value_stats",
-    "events_type_lag_correlation",
-    "brand_price_size_slope",
-    "corpus_split_assignment",
-    "source_unigram_jsd",
-    "semantic_dedup_labels",
-    "ivfpq_index_roundtrip",
-    "term_graph_assortativity",
-    "nation_revenue_rank_shift",
-    "events_user_lifespan_histogram",
-    "doc_length_moments_by_source",
-    "corpus_dup_quality_lift",
-    "events_hourly_seasonality_strength",
-    "token_length_histogram",
-    "customer_repeat_rate_by_segment",
-    "event_value_topk_user_share",
-    # (3) re-proof: the persisted PQ serve path re-proves after its ADC
-    # lookup table moved into the shared _pq_query_dist_table (r10)
-    "pq_index_roundtrip",
-    # (4) canaries (loader / flagship)
-    "events_sessionize",
-    "q1_pricing_summary",
-    # (5) the six stale-green refreshes deferred from r9 (all r3/r4
-    # green, unchanged since; the remaining r4 cohort — asof join,
-    # decontamination, semi/anti probes, redaction, repetition stats,
-    # clustered time slice, rolling hour value, incremental rollups,
-    # funnel, the three multimodal decodes, union-distinct, price-band
-    # join, orders profile, fuzzy pairs, type words — stays first in
-    # line for r11)
-    "events_sliding_window_counts",
-    "multimodal_meta",
-    "q12_priority_by_month",
-    "retention_cohorts",
-    "srp_ann_topk_vec0",
-    "top_user_per_hour",
+_R11_WINDOW = (
+    # (1) the four persisted-index serving roundtrips — never
+    # driver-checked (the r9 artifacts never landed); hybrid also
+    # re-proves this round's dense-leg change
+    "band_index_roundtrip",
+    "ivf_index_roundtrip",
+    "lexical_index_roundtrip",
+    "hybrid_index_roundtrip",
+    # (2) new this round: the scale-safe semantic dedup
+    "semantic_dedup_cells",
+    # (3) first hash-gated slot for the newly-oracled sketch query
+    "approx_stats_sketches",
+    # (4) the never-driver-green cohort (VERDICT r10's debt list minus
+    # embedding_dim_correlation_top — see rationale above), in the
+    # relational / events / text / dedup / similarity / graph order of
+    # the NOTES_r9 registration listing
+    "order_lineitem_count_percentiles",
+    "order_brand_affinity",
+    "nation_supplier_revenue_hhi",
+    "orders_weekday_profile",
+    "brand_return_rates",
+    "part_supplier_redundancy",
+    "ship_delay_percentiles",
+    "customer_order_intervals",
+    "orders_backlog_by_month",
+    "supplier_price_premium",
+    "lineitem_return_delay_profile",
+    "discount_band_revenue",
+    "orders_priority_value_anova",
+    "events_user_gini",
+    "event_type_user_affinity_pmi",
+    "events_session_paths",
+    "events_value_percentiles_by_type",
+    "events_daily_new_vs_returning",
+    "events_props_value_stats",
+    "events_session_conversion_profile",
+    "events_value_benford",
+    "user_event_type_diversity",
+    "events_gap_survival_curve",
+    "hybrid_leg_agreement",
+    "doc_char_entropy",
+    "doc_bigram_logprob",
+    "source_unigram_kl",
+    "doc_lexical_diversity",
+    "doc_oov_rate",
+    "corpus_language_confusion",
+    "doc_quality_by_split",
+    "doc_char_class_profile",
+    "corpus_doc_length_gini",
+    "vocab_overlap_by_source_pair",
+    "corpus_ngram_novelty",
+    "crosssource_neardup_share",
+    "corpus_prefix_dup_rate",
+    "source_prefix_template_topk",
+    "embedding_norm_audit",
+    "embedding_dim_stats",
+    "label_embedding_separation",
+    "ivf_label_confusion",
+    "doc_quality_vs_embedding_norm",
+    "term_graph_degree_stats",
 )
 
 
 
 def _ordered_names(merged: dict, oracles: dict) -> list[str]:
-    unknown = set(_R10_WINDOW) - merged.keys()
+    unknown = set(_R11_WINDOW) - merged.keys()
     if unknown:
         # Fail fast: a stale/misspelled window entry would otherwise
         # silently lose its gate slot (this masked a missing query in r4).
         raise ValueError(f"window names not in registry: {sorted(unknown)}")
-    order: list[str] = list(_R10_WINDOW)
+    order: list[str] = list(_R11_WINDOW)
     seen = set(order)
     # remainder: r3/r4-proven rows, oracled before rows-only
     rest = [n for n in merged if n not in seen]

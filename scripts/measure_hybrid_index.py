@@ -36,6 +36,7 @@ def main() -> None:
     from data_platform_spark.cache import release_caches
     from data_platform_spark.ops.ann_index import build_ivf_index
     from data_platform_spark.ops.hybrid_index import hybrid_search_index
+    from data_platform_spark.ops.ivfpq_index import build_ivfpq_index
     from data_platform_spark.ops.lexical_index import build_lexical_index
     from data_platform_spark.queries.text import (
         BM25_QUERY_TERMS,
@@ -47,6 +48,7 @@ def main() -> None:
     spark = get_spark(app_name="measure-hybrid")
     shutil.rmtree(WORK, ignore_errors=True)
     lex_path, ivf_path = f"{WORK}/lex", f"{WORK}/ivf"
+    pq_path = f"{WORK}/ivfpq"
 
     docs = load_table(spark, SF, "documents")
     emb = load_table(spark, SF, "embeddings")
@@ -56,6 +58,9 @@ def main() -> None:
     t0 = time.perf_counter()
     build_ivf_index(emb, ivf_path, k=8)
     t_ivf = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    build_ivfpq_index(emb, pq_path, n_cells=8)
+    t_pq = time.perf_counter() - t0
 
     qvec = [
         float(x)
@@ -84,15 +89,25 @@ def main() -> None:
             topk=20, nprobe=2, exclude_ids=[0],
         )
     )
+    # the compressed dense leg (round 11): probed cells read codes only;
+    # full vectors join in from the corpus for the ADC shortlist
+    served_ivfpq = timed(
+        lambda: hybrid_search_index(
+            spark, lex_path, pq_path, BM25_QUERY_TERMS, qvec,
+            topk=20, nprobe=2, exclude_ids=[0],
+            dense="ivfpq", corpus_emb=emb, shortlist=100,
+        )
+    )
     print(f"sf_dir={SF} n_serves={N_SERVES}")
-    print(f"build: lexical={t_lex:.2f}s ivf={t_ivf:.2f}s")
+    print(f"build: lexical={t_lex:.2f}s ivf={t_ivf:.2f}s ivfpq={t_pq:.2f}s")
     print(f"re-derive (oracled query): {rederive}")
     print(f"served nprobe=8 (exact):   {served_exact}")
     print(f"served nprobe=2 (pruned):  {served_pruned}")
+    print(f"served ivfpq nprobe=2 shortlist=100: {served_ivfpq}")
     med = lambda xs: sorted(xs)[len(xs) // 2]
     print(
         f"medians: rederive={med(rederive)} exact={med(served_exact)} "
-        f"pruned={med(served_pruned)}"
+        f"pruned={med(served_pruned)} ivfpq={med(served_ivfpq)}"
     )
     spark.stop()
     shutil.rmtree(WORK, ignore_errors=True)
