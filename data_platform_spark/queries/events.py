@@ -444,8 +444,12 @@ def _sketch_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).cast("long").alias("n_events"),
         F.count_distinct("user_id").cast("long").alias("exact_users"),
-        F.expr("percentile(value, 0.45)").alias("p45"),
-        F.expr("percentile(value, 0.55)").alias("p55"),
+        # sandwich bounds are THEMSELVES percentile_approx values (exact
+        # percentile() buffers a whole unbounded group per aggregator —
+        # the registry-wide plan guard forbids it); their ≤0.1% rank
+        # error is absorbed 50-fold by the ±5%-rank window they define
+        F.percentile_approx("value", 0.45, 1000).alias("p45"),
+        F.percentile_approx("value", 0.55, 1000).alias("p55"),
     )
 
 
@@ -464,11 +468,14 @@ def approx_stats_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Bounds: HLL++ at rsd=0.02 must sit within max(3, 10%·exact)
     (5σ, with a small-group floor); percentile_approx(0.5, 1000) has
-    rank error ≤ n/1000, so its value must lie inside the exact
-    [p45, p55] value window (a ±5%-rank sandwich — 50× the guarantee,
-    deterministic under any partition merge order). The finer
-    documented-band assertions live in tests/test_ops.py; n_events and
-    exact_users are exact columns the oracle matches directly."""
+    rank error ≤ n/1000, so its value must lie inside the [p45, p55]
+    value window (a ±5%-rank sandwich — 50× the guarantee, stable
+    under any partition merge order; the bounds are percentile_approx
+    values themselves, since the exact percentile() aggregate buffers
+    an unbounded group per aggregator — their own ≤0.1% rank error is
+    absorbed by the window's width). The finer documented-band
+    assertions live in tests/test_ops.py; n_events and exact_users are
+    exact columns the oracle matches directly."""
     est = _sketch_estimates(spark, sf_dir)
     users_bound = F.greatest(
         F.lit(3.0), F.lit(0.1) * F.col("exact_users")

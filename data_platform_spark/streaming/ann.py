@@ -220,6 +220,14 @@ def ivfpq_ingest_sink(
         recover_ivfpq_index(index_path)
     except FileNotFoundError:
         pass  # nothing at the path yet — the first append will say so loudly
+    # the corpus side table compacts through the same staged swap, so it
+    # has the same one-crash-window between renames; heal it too, or a
+    # mid-swap crash leaves no live corpus dir and every restarted
+    # micro-batch fails in the drift check's read
+    try:
+        IO.recover_index_dir(corpus_path)
+    except FileNotFoundError:
+        pass  # first batch creates it
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession

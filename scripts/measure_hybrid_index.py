@@ -9,8 +9,13 @@ only pruned index slices. This script records both wall-clocks at a
 given SF plus the index build cost, so PLANS.md can carry the
 amortization argument with numbers instead of adjectives.
 
-Usage: python scripts/measure_hybrid_index.py [sf_dir] [n_serves]
-"""
+Usage: python scripts/measure_hybrid_index.py [sf_dir] [n_serves] [mult]
+
+``mult`` > 1 replicates the EMBEDDING corpus with fresh vec_ids (the
+measure_ivfpq_index pattern) so the dense-leg scan-bound differences —
+raw-vector cells vs compressed codes — are visible above fixed
+per-query overhead; the lexical corpus stays as-is (the lexical leg is
+the same in every variant)."""
 
 from __future__ import annotations
 
@@ -25,6 +30,7 @@ from pyspark.sql import functions as F
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 N_SERVES = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+MULT = int(sys.argv[3]) if len(sys.argv) > 3 else 1
 WORK = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     ".scale",
@@ -52,6 +58,18 @@ def main() -> None:
 
     docs = load_table(spark, SF, "documents")
     emb = load_table(spark, SF, "embeddings")
+    if MULT > 1:
+        n = emb.count()
+        copies = spark.range(MULT).select(F.col("id").alias("rep"))
+        emb = (
+            emb.crossJoin(copies)
+            .select(
+                (F.col("vec_id") + F.col("rep") * (n + 1)).alias("vec_id"),
+                "label",
+                "embedding",
+            )
+            .localCheckpoint()
+        )
     t0 = time.perf_counter()
     build_lexical_index(docs, lex_path)
     t_lex = time.perf_counter() - t0

@@ -1465,6 +1465,13 @@ def test_ivfpq_sink_corpus_compaction_and_marker_derived_ledger(
     n_codes = spark.read.parquet(f"{index_path}/codes").count()
     assert n_corpus == 160 + 80 + 320
 
+    # simulate a corpus-compaction swap crashed between its two renames
+    # (live dir renamed aside, stage not yet promoted): the sink must
+    # heal the CORPUS at construction like it heals the index, or every
+    # replayed batch dies in the drift check's corpus read
+    os.rename(corpus_path, corpus_path + IO.OLD_SUFFIX)
+    assert not os.path.isdir(corpus_path)
+
     # replay with fresh checkpoint AND fresh warehouse (the crashed-
     # ledger window): zero duplicate rows in either half, and the
     # replayed ledger still reports batch 1's rebuild via the marker
