@@ -473,6 +473,12 @@ def training_sample(
     )
 
 
+# seed selection collects k ids to the driver only below this; larger k
+# (the n_cells ∝ corpus posture) derives the seed map distributed —
+# k = corpus/64 at a billion vectors is 15M ids, not a driver payload
+KMEANS_SEED_COLLECT_MAX = 4096
+
+
 def kmeans_fit(
     emb: DataFrame,
     k: int = 8,
@@ -508,6 +514,14 @@ def kmeans_fit(
     smallest (xxhash64(id), id) instead of smallest id — smallest-id
     seeding degenerates when ids correlate with insertion order or
     clustering (all k seeds from one early cluster), hash order doesn't.
+
+    Seed selection is a driver collect of k ids only while k is small
+    (≤ KMEANS_SEED_COLLECT_MAX); past that — the n_cells ∝ corpus
+    posture semantic_dedup_cells registers makes k grow with data —
+    the seed map derives DISTRIBUTED through the two-phase global row
+    number (same (order, rank-1) algebra, so seeds and every
+    downstream quantization are identical by construction; unit-tested
+    equal), and the driver never materializes the id list.
     """
     spark = emb.sparkSession
     train = training_sample(emb, sample_mod, id_col)
@@ -516,16 +530,34 @@ def kmeans_fit(
         if seed_by_hash
         else [F.asc(id_col)]
     )
-    seed_ids = [
-        r[0]
-        for r in train.select(id_col).orderBy(*seed_order).limit(k).collect()
-    ]
-    seed_map = spark.createDataFrame(
-        [(int(v), i) for i, v in enumerate(seed_ids)],
-        f"{id_col}: long, __km_cell: int",
-    )
+    if k <= KMEANS_SEED_COLLECT_MAX:
+        seed_ids = [
+            r[0]
+            for r in train.select(id_col)
+            .orderBy(*seed_order)
+            .limit(k)
+            .collect()
+        ]
+        seed_map = spark.createDataFrame(
+            [(int(v), i) for i, v in enumerate(seed_ids)],
+            f"{id_col}: long, __km_cell: int",
+        )
+        seed_map = F.broadcast(seed_map)
+    else:
+        from data_platform_spark.ops.global_order import global_row_number
+
+        # no broadcast hint: a corpus-proportional seed map is a real
+        # relation — the id-keyed shuffle join is the right plan
+        seed_map = (
+            global_row_number(train.select(id_col), seed_order, "__km_rn")
+            .filter(F.col("__km_rn") <= k)
+            .select(
+                id_col,
+                (F.col("__km_rn") - 1).cast("int").alias("__km_cell"),
+            )
+        )
     cents = (
-        train.join(F.broadcast(seed_map), id_col)
+        train.join(seed_map, id_col)
         .select(
             "__km_cell",
             F.posexplode(as_double(F.col(vec_col))).alias("pos", "x"),

@@ -1808,6 +1808,30 @@ def test_grouped_percentile_shuffle_join_offsets_path(spark):
     assert got == want
 
 
+def test_kmeans_distributed_seed_path_equals_collect_path(
+    spark, monkeypatch
+):
+    """Past KMEANS_SEED_COLLECT_MAX the seed map derives through the
+    two-phase global row number instead of a driver collect (the
+    n_cells ∝ corpus posture: k = corpus/64 at a billion vectors is
+    15M ids — not a driver payload). Same (order, rank-1) algebra, so
+    seeds, centroids and the final assignment must be IDENTICAL to the
+    collect path's on the same corpus — both seed orders."""
+    from data_platform_spark.functions import similarity as S
+    from data_platform_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    for seed_by_hash in (False, True):
+        want_c, want_a = S.kmeans_fit(emb, k=16, seed_by_hash=seed_by_hash)
+        want_cents = sorted(tuple(r) for r in want_c.collect())
+        want_assign = sorted(tuple(r) for r in want_a.collect())
+        monkeypatch.setattr(S, "KMEANS_SEED_COLLECT_MAX", 0)
+        got_c, got_a = S.kmeans_fit(emb, k=16, seed_by_hash=seed_by_hash)
+        monkeypatch.undo()
+        assert sorted(tuple(r) for r in got_c.collect()) == want_cents
+        assert sorted(tuple(r) for r in got_a.collect()) == want_assign
+
+
 # ---------------------------------------------------------------------------
 # persisted IVF index (round 8): build / pruned search / append / rebuild
 # ---------------------------------------------------------------------------
