@@ -480,3 +480,99 @@ def connected_components(
             "iterations — raise max_iterations (labels were still moving)"
         )
     return labels.select("doc_id", F.col("label").alias("component"))
+
+
+def greedy_keep_first_survivors(
+    pairs: DataFrame,
+    max_iterations: int = 50,
+    strict: bool = True,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """TRUE greedy keep-first dedup over duplicate PAIRS — the survivor
+    set SemDeDup actually retains (ADVICE r10 on semantic_dedup_labels:
+    its ``n_removed`` counts every vector duplicating ANY lower-id
+    vector, an upper bound that ignores chains — in A~B, B~C, A≁C true
+    keep-first removes only B because C's sole lower duplicate was
+    itself removed; this op resolves that).
+
+    Semantics: scan ids ascending, keep an id unless it duplicates an
+    already-KEPT lower id — the lexicographically-first maximal
+    independent set of the duplicate graph. Inherently sequential along
+    a chain, but distributed-iterable because decisions are monotone:
+    an undecided node becomes REMOVED the round after any lower
+    neighbor is decided SURVIVOR, and becomes SURVIVOR the round after
+    ALL its lower neighbors are decided REMOVED (vacuously, nodes with
+    no lower neighbor decide SURVIVOR in round one). Each round is one
+    pair⋈state join + a dst-keyed aggregate — no windows, no driver
+    data beyond the per-round convergence count; rounds needed = the
+    longest lower-survivor dependency chain (threshold graphs inside
+    bounded dedup buckets have tiny depth; ``strict`` raises rather
+    than return a half-decided set).
+
+    ``pairs``: (src, dst) with src < dst (the dedup family's verified
+    candidate-pair shape; bucketing keys may be dropped — survival is a
+    property of the global pair graph). Returns (``id_col``, survivor
+    BOOLEAN) for every id appearing in at least one pair; ids in no
+    pair are trivially survivors and are the caller's to union in."""
+    edges = (
+        pairs.select(F.col("src"), F.col("dst")).distinct().persist()
+    )
+    # state: null = undecided, true = survivor, false = removed
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .withColumn("survivor", F.lit(None).cast("boolean"))
+        .localCheckpoint()
+    )
+    converged = False
+    for _ in range(max_iterations):
+        undecided = nodes.filter(F.col("survivor").isNull()).count()
+        if undecided == 0:
+            converged = True
+            break
+        # per undecided dst: does any lower neighbor survive; are any
+        # lower neighbors still undecided
+        src_state = nodes.select(
+            F.col("id").alias("src"), F.col("survivor").alias("s_surv")
+        )
+        dst_agg = (
+            edges.join(src_state, "src")
+            .groupBy("dst")
+            .agg(
+                F.max(
+                    F.coalesce(F.col("s_surv"), F.lit(False))
+                ).alias("any_lower_survivor"),
+                F.sum(
+                    F.when(F.col("s_surv").isNull(), 1).otherwise(0)
+                ).alias("n_lower_undecided"),
+            )
+        )
+        nodes = (
+            nodes.join(dst_agg, nodes.id == dst_agg.dst, "left")
+            .select(
+                "id",
+                F.when(F.col("survivor").isNotNull(), F.col("survivor"))
+                .when(
+                    F.coalesce(
+                        F.col("any_lower_survivor"), F.lit(False)
+                    ),
+                    F.lit(False),  # duplicates a kept lower id
+                )
+                .when(
+                    # no lower neighbors at all, or all of them removed
+                    F.coalesce(F.col("n_lower_undecided"), F.lit(0)) == 0,
+                    F.lit(True),
+                )
+                .alias("survivor"),
+            )
+            .localCheckpoint()
+        )
+    edges.unpersist()
+    if not converged and strict:
+        raise RuntimeError(
+            f"greedy_keep_first_survivors did not converge in "
+            f"{max_iterations} iterations — the duplicate graph has a "
+            "longer lower-survivor dependency chain; raise max_iterations"
+        )
+    return nodes.select(F.col("id").alias(id_col), "survivor")

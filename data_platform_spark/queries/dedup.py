@@ -2421,7 +2421,10 @@ def semantic_dedup_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector — an UPPER BOUND on greedy keep-first SemDeDup removal
     (true keep-first would retain C in a chain A~B, B~C, A≁C because
     B is itself removed; this count does not propagate survivors —
-    ADVICE r10). Per label: vector count, duplicate pair count,
+    ADVICE r10; the exact survivor set is
+    functions.dedup.greedy_keep_first_survivors, the distributed
+    fixpoint of the sequential rule). Per label: vector count,
+    duplicate pair count,
     removed-bound count, and the removal share — the semantic dedup
     savings estimate that complements the surface-form family
     (exact/minhash/simhash catch byte-level dups; this catches
@@ -2550,7 +2553,8 @@ def semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     is quadratic at fixed bucket count. Within each cell, pairs with
     4-dp cosine ≥ threshold are semantic duplicates; ``n_removed``
     counts vectors duplicating ANY lower-id vector — the same
-    upper-bound-on-greedy-removal semantics as the label variant.
+    upper-bound-on-greedy-removal semantics as the label variant
+    (exact survivors: functions.dedup.greedy_keep_first_survivors).
 
     Same narrow layout: the pair self-join ships only (cell, vec_id);
     embeddings re-join the candidate pairs on vec_id for the cosine

@@ -294,6 +294,106 @@ def test_connected_components_strict_raises_when_unconverged(spark):
         connected_components(edges, max_iterations=1)
 
 
+def test_greedy_keep_first_survivors_resolves_chains(spark):
+    """The ADVICE r10 chain example verbatim: A~B, B~C, A≁C — true
+    greedy keep-first keeps A AND C (B's removal frees C), where the
+    count-every-dst upper bound would remove both B and C. Plus a
+    longer alternating chain and a clique."""
+    from data_platform_spark.functions.dedup import (
+        greedy_keep_first_survivors,
+    )
+
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2)], "src long, dst long"
+    )
+    got = {
+        r.vec_id: r.survivor
+        for r in greedy_keep_first_survivors(pairs).collect()
+    }
+    assert got == {0: True, 1: False, 2: True}
+
+    # path 0-1-2-3-4-5: survivors alternate (0, 2, 4)
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "src long, dst long"
+    )
+    got = {
+        r.vec_id: r.survivor
+        for r in greedy_keep_first_survivors(path).collect()
+    }
+    assert got == {0: True, 1: False, 2: True, 3: False, 4: True, 5: False}
+
+    # clique {7,8,9}: only the minimum survives
+    clique = spark.createDataFrame(
+        [(7, 8), (7, 9), (8, 9)], "src long, dst long"
+    )
+    got = {
+        r.vec_id: r.survivor
+        for r in greedy_keep_first_survivors(clique).collect()
+    }
+    assert got == {7: True, 8: False, 9: False}
+
+    # strict mode raises on an iteration budget shorter than the chain
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        greedy_keep_first_survivors(path, max_iterations=2)
+
+
+def test_greedy_keep_first_survivors_matches_sequential_reference(spark):
+    """On the real sf0.001 embedding pair graph (label buckets, the
+    semantic_dedup threshold), the distributed fixpoint must equal the
+    literal sequential greedy scan: ascending ids, keep unless a KEPT
+    lower id is a threshold-duplicate."""
+    from data_platform_spark.functions import similarity as S
+    from data_platform_spark.functions.dedup import (
+        greedy_keep_first_survivors,
+    )
+    from data_platform_spark.queries._util import pround
+    from data_platform_spark.queries.dedup import SEMANTIC_DUP_THRESHOLD
+    from data_platform_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    a = emb.select("label", F.col("vec_id").alias("src"),
+                   F.col("embedding").alias("e_src"))
+    b = emb.select("label", F.col("vec_id").alias("dst"),
+                   F.col("embedding").alias("e_dst"))
+    pairs = (
+        a.join(b, "label")
+        .filter(F.col("src") < F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            pround(
+                S.cosine(
+                    S.as_double(F.col("e_src")), S.as_double(F.col("e_dst"))
+                ),
+                4,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= SEMANTIC_DUP_THRESHOLD)
+        .select("src", "dst")
+    )
+    got = {
+        r.vec_id: r.survivor
+        for r in greedy_keep_first_survivors(pairs).collect()
+    }
+
+    # sequential reference: the definition, executed literally
+    edge_rows = pairs.collect()
+    lower = {}
+    nodes = set()
+    for r in edge_rows:
+        lower.setdefault(r.dst, set()).add(r.src)
+        nodes.update((r.src, r.dst))
+    kept = set()
+    for n in sorted(nodes):
+        if not (lower.get(n, set()) & kept):
+            kept.add(n)
+    want = {n: (n in kept) for n in nodes}
+    assert got == want and len(got) > 0
+    assert any(got.values()) and not all(got.values())
+
+
 def test_multiprobe_probe_set_contains_base_bucket(spark):
     """srp_probe_buckets: 4 distinct signatures, the first being the plain
     SRP signature (flip-none probe)."""
