@@ -43,9 +43,13 @@ def _modules():
 # The driver's correctness gate checks the FIRST ~50 registered queries, in
 # dict order. Round-11 window: the DRAIN round (VERDICT r10 item 1 /
 # "What's wrong" #3 — the window arithmetic stopped closing at 49
-# never-driver-green queries). Registration this round is capped at ONE
-# new query (semantic_dedup_cells, VERDICT item 2) so the entire window
-# goes to queries that have NEVER held a driver CORRECTNESS row:
+# never-driver-green queries). Registration this round is capped at TWO
+# new queries (inside VERDICT's "cap at ~3"): semantic_dedup_cells
+# (VERDICT item 2, windowed) and semantic_dedup_survivors (the
+# true-greedy ADVICE follow-through — registered BELOW the window with
+# local deep-compare evidence at both gate SFs, first in line for an
+# r12 slot). The entire window goes to queries that have NEVER held a
+# driver CORRECTNESS row:
 # (1) the four r9 persisted-index serving roundtrips — the only gate
 #     evidence for band/ivf/lexical/hybrid serving today is local.
 #     hybrid_index_roundtrip doubles as the re-proof slot for this

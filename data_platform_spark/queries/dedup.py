@@ -2692,6 +2692,200 @@ def _semantic_dedup_cells_oracle() -> str:
 ORACLE["semantic_dedup_cells"] = _semantic_dedup_cells_oracle()
 
 
+# Unroll depth for the survivor fixpoint's SQL dual. Measured dependency
+# depth on the gate corpora is 3 rounds (NOTES_r11); 8 gives margin. If
+# a future corpus ever exceeds it, the oracle's still-NULL states make
+# the counts diverge from Spark's converged ones and the gate fails
+# LOUDLY (hash mismatch), never silently wrong.
+SEMANTIC_SURVIVOR_ROUNDS = 8
+
+
+def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE greedy keep-first SemDeDup under the gate — the survivor-
+    propagation semantics ADVICE r10 asked for, next to the registered
+    upper bound: per label (the fixed-domain bucket stand-in, matching
+    semantic_dedup_labels so the two reports compare directly),
+    ``n_removed_bound`` counts every vector duplicating ANY lower-id
+    vector while ``n_removed_true`` counts greedy keep-first removals
+    via functions.dedup.greedy_keep_first_survivors (in a chain A~B,
+    B~C, A≁C the bound removes B and C, true greedy keeps C because its
+    only lower duplicate was itself removed); ``n_chain_kept`` is the
+    gap — the vectors a bound-based savings estimate would overstate.
+
+    The oracle re-derives the fixpoint by UNROLLING the monotone round
+    update in SQL (the kmeans-CTE-unroll precedent): each round, an
+    undecided node becomes REMOVED if any lower neighbor is a decided
+    survivor, SURVIVOR once all lower neighbors are decided removed —
+    exactly the distributed op's update, so after ≥ dependency-depth
+    rounds (measured 3; unrolled {SEMANTIC_SURVIVOR_ROUNDS}) the states
+    and therefore every count agree bit-for-bit.
+
+    Scale shape: the pair stage is the family's narrow layout
+    ((label, vec_id) self-join, vectors re-joined only for the 4-dp
+    cosine verify); the fixpoint is one pair⋈state join + dst-keyed
+    aggregate per round over the PAIR graph (already threshold-filtered
+    — orders of magnitude below corpus scale), rounds bounded by chain
+    depth. Counts exact LONGs."""
+    from data_platform_spark.functions import similarity as S
+    from data_platform_spark.functions.dedup import (
+        greedy_keep_first_survivors,
+    )
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"), spark)
+    ids = emb.select("label", "vec_id").transform(scoped_persist)
+    a = ids.select("label", F.col("vec_id").alias("src"))
+    b = ids.select("label", F.col("vec_id").alias("dst"))
+    pairs = (
+        a.join(b, "label")
+        .filter(F.col("src") < F.col("dst"))
+        .select("label", "src", "dst")
+    )
+    vecs = emb.select("vec_id", "embedding")
+    dups = (
+        pairs.join(
+            vecs.select(
+                F.col("vec_id").alias("src"), F.col("embedding").alias("e_src")
+            ),
+            "src",
+        )
+        .join(
+            vecs.select(
+                F.col("vec_id").alias("dst"), F.col("embedding").alias("e_dst")
+            ),
+            "dst",
+        )
+        .select(
+            "label",
+            "src",
+            "dst",
+            pround(
+                S.cosine(
+                    S.as_double(F.col("e_src")), S.as_double(F.col("e_dst"))
+                ),
+                4,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= SEMANTIC_DUP_THRESHOLD)
+        .select("label", "src", "dst")
+        .transform(scoped_persist)
+    )
+    bound = dups.groupBy("label").agg(
+        F.count_distinct(F.col("dst")).cast("long").alias("n_removed_bound")
+    )
+    survivors = greedy_keep_first_survivors(dups.select("src", "dst"))
+    true_removed = (
+        survivors.filter(~F.col("survivor"))
+        .join(ids, "vec_id")
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_removed_true"))
+    )
+    totals = ids.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors")
+    )
+    return (
+        totals.join(bound, "label", "left")
+        .join(true_removed, "label", "left")
+        .select(
+            "label",
+            "n_vectors",
+            F.coalesce(F.col("n_removed_bound"), F.lit(0))
+            .cast("long")
+            .alias("n_removed_bound"),
+            F.coalesce(F.col("n_removed_true"), F.lit(0))
+            .cast("long")
+            .alias("n_removed_true"),
+            (
+                F.coalesce(F.col("n_removed_bound"), F.lit(0))
+                - F.coalesce(F.col("n_removed_true"), F.lit(0))
+            )
+            .cast("long")
+            .alias("n_chain_kept"),
+        )
+    )
+
+
+QUERIES["semantic_dedup_survivors"] = semantic_dedup_survivors
+
+
+def _semantic_survivors_oracle() -> str:
+    cos = (
+        "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
+        "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
+        "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
+    )
+    # unrolled monotone fixpoint: s{i} from s{i-1}, the Spark op's exact
+    # round update (REMOVED after a lower survivor; SURVIVOR once every
+    # lower neighbor is decided removed; vacuously in round one for
+    # nodes with no lower neighbor)
+    rounds = []
+    for i in range(1, SEMANTIC_SURVIVOR_ROUNDS + 1):
+        prev = f"s{i - 1}"
+        rounds.append(f"""
+        agg{i} AS (
+            SELECT p.dst,
+                   max(coalesce(s.surv, FALSE)) AS any_lower_surv,
+                   sum(CASE WHEN s.surv IS NULL THEN 1 ELSE 0 END)
+                       AS n_undecided
+            FROM p JOIN {prev} s ON s.id = p.src
+            GROUP BY p.dst
+        ),
+        s{i} AS (
+            SELECT s.id,
+                   CASE WHEN s.surv IS NOT NULL THEN s.surv
+                        WHEN coalesce(a.any_lower_surv, FALSE) THEN FALSE
+                        WHEN coalesce(a.n_undecided, 0) = 0 THEN TRUE
+                        ELSE NULL END AS surv
+            FROM {prev} s LEFT JOIN agg{i} a ON a.dst = s.id
+        )""")
+    final = f"s{SEMANTIC_SURVIVOR_ROUNDS}"
+    return f"""
+        WITH scored AS (
+            SELECT a.label, a.vec_id AS src, b.vec_id AS dst,
+                   {sql_round(cos, 4)} AS cosine
+            FROM embeddings a
+            JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+        ),
+        p AS (
+            SELECT src, dst FROM scored
+            WHERE cosine >= {SEMANTIC_DUP_THRESHOLD}
+        ),
+        nodes AS (
+            SELECT DISTINCT id
+            FROM (SELECT src AS id FROM p UNION ALL SELECT dst FROM p)
+        ),
+        s0 AS (SELECT id, CAST(NULL AS BOOLEAN) AS surv FROM nodes),
+        {",".join(rounds)},
+        bound AS (
+            SELECT sc.label, count(DISTINCT sc.dst)::BIGINT AS n_removed_bound
+            FROM scored sc
+            WHERE sc.cosine >= {SEMANTIC_DUP_THRESHOLD}
+            GROUP BY sc.label
+        ),
+        true_removed AS (
+            SELECT e.label, count(*)::BIGINT AS n_removed_true
+            FROM {final} s JOIN embeddings e ON e.vec_id = s.id
+            WHERE s.surv = FALSE
+            GROUP BY e.label
+        ),
+        totals AS (
+            SELECT label, count(*)::BIGINT AS n_vectors
+            FROM embeddings GROUP BY label
+        )
+        SELECT t.label, t.n_vectors,
+               coalesce(b.n_removed_bound, 0)::BIGINT AS n_removed_bound,
+               coalesce(tr.n_removed_true, 0)::BIGINT AS n_removed_true,
+               (coalesce(b.n_removed_bound, 0)
+                - coalesce(tr.n_removed_true, 0))::BIGINT AS n_chain_kept
+        FROM totals t
+        LEFT JOIN bound b ON b.label = t.label
+        LEFT JOIN true_removed tr ON tr.label = t.label
+    """
+
+
+ORACLE["semantic_dedup_survivors"] = _semantic_survivors_oracle()
+
+
 def corpus_dup_quality_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Does duplication correlate with quality? Documents split into
     'unique' (document FINGERPRINT — the md5 of the normalized 64-char
