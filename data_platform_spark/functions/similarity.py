@@ -281,6 +281,134 @@ def ivf_assign(
     )
 
 
+# flat nearest-centroid assignment broadcasts ALL k centroids into the
+# posexploded join — O(n·k·d) distance work and a k·d-row broadcast. Fine
+# for fixed-k consumers (IVF nprobe search); fatal under the n_cells ∝
+# corpus posture (semantic_dedup_cells: k = n/64 → 15M centroids at 1e9
+# vectors — unbroadcastable, and 1.5e16 distance terms). Past this bound
+# kmeans_fit routes every assignment through ivf_assign_two_level.
+IVF_ASSIGN_FLAT_MAX = 4096
+
+
+def centroids_wide(cents: DataFrame, label_col: str = "label") -> DataFrame:
+    """Pivot the (label, pos, centroid_val) long centroid layout back to
+    the (vec_id, embedding) wide relation — the input shape kmeans_fit
+    wants, so a centroid SET can itself be quantized (the coarse-over-
+    coarse build of ivf_assign_two_level). array_sort on (pos, val)
+    structs makes the element order deterministic."""
+    return cents.groupBy(
+        F.col(label_col).cast("long").alias("vec_id")
+    ).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "centroid_val"))),
+            lambda s: s.centroid_val,
+        ).alias("embedding")
+    )
+
+
+def ivf_assign_two_level(
+    emb: DataFrame,
+    cents: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    coarse_k: int | None = None,
+    n_iter: int = 2,
+    coarse_nprobe: int = 1,
+) -> DataFrame:
+    """Two-level (coarse-over-coarse) nearest-centroid assignment — the
+    scale form of ``ivf_assign`` for corpus-proportional k (VERDICT r11
+    item 1): train a coarse quantizer of ~ceil(sqrt(k)) cells over the
+    CENTROIDS themselves (kmeans_fit on the pivoted centroid relation —
+    k-scale work, not n-scale), route each vector to its
+    ``coarse_nprobe`` nearest LIVE coarse cells (a bounded sqrt(k)·d
+    broadcast), then take the exact argmin among only those cells'
+    centroids via an equi-join on the coarse cell — a shuffle join,
+    never a broadcast of the full centroid set. Work drops O(n·k·d) →
+    O(n·(sqrt(k) + nprobe·k/sqrt(k))·d) and no relation that grows with
+    the corpus is ever broadcast.
+
+    Same output contract as ``ivf_assign``: (id, assigned_label, dist2)
+    for EVERY input vector (routing only to coarse cells that own at
+    least one centroid guarantees a non-empty candidate set), identical
+    6-dp distance quantization and (dist2, label) tie-break. At default
+    ``coarse_nprobe=1`` the assignment is approximate in general (a
+    vector whose true nearest centroid sits just across a coarse
+    boundary routes past it — the standard IVF nprobe=1 trade; on
+    corpora with real cluster structure the two agree); at full probe
+    (nprobe ≥ live coarse cells) the candidate set is complete and the
+    result is BIT-IDENTICAL to flat ivf_assign — the same full-probe
+    equality pin the hybrid IVF-PQ dense leg carries
+    (tests/test_functions.py). Deterministic by the same quantization
+    contract either way, so a SQL oracle unrolls it exactly
+    (queries/similarity.py kmeans_two_level_assign_profile)."""
+    from pyspark.sql.window import Window
+
+    if coarse_k is None:
+        k = cents.select("label").distinct().count()
+        coarse_k = max(1, int(-(-(k**0.5) // 1)))  # ceil(sqrt(k))
+    cw = centroids_wide(cents)
+    coarse_cents, cent_coarse = kmeans_fit(
+        cw, k=coarse_k, n_iter=n_iter
+    )
+    cent_map = cent_coarse.select(
+        F.col("vec_id").alias("__cent_label"),
+        F.col("assigned_label").alias("__coarse"),
+    )
+    # only coarse cells that own ≥1 centroid are routable — a cell the
+    # final coarse assignment left empty would strand its vectors
+    live = cent_map.select(F.col("__coarse").alias("label")).distinct()
+    coarse_live = coarse_cents.join(
+        F.broadcast(live), "label", "left_semi"
+    )
+    vec_long0 = emb.select(
+        id_col, F.posexplode(as_double(F.col(vec_col))).alias("pos", "x")
+    )
+    cdist = (
+        vec_long0.join(F.broadcast(coarse_live), "pos")
+        .groupBy(id_col, "label")
+        .agg(
+            pround(
+                F.sum(
+                    (F.col("x") - F.col("centroid_val"))
+                    * (F.col("x") - F.col("centroid_val"))
+                ),
+                6,
+            ).alias("cdist2")
+        )
+    )
+    wc = Window.partitionBy(id_col).orderBy(
+        F.asc("cdist2"), F.asc("label")
+    )
+    vec_coarse = (
+        cdist.withColumn("crk", F.row_number().over(wc))
+        .filter(F.col("crk") <= coarse_nprobe)
+        .select(id_col, F.col("label").alias("__coarse"))
+    )
+    vec_long = vec_long0.join(vec_coarse, id_col)
+    cents_c = cents.join(
+        cent_map, cents.label == cent_map.__cent_label
+    ).select("__coarse", "label", "pos", "centroid_val")
+    dist = (
+        vec_long.join(cents_c, ["__coarse", "pos"])
+        .groupBy(id_col, "label")
+        .agg(
+            pround(
+                F.sum(
+                    (F.col("x") - F.col("centroid_val"))
+                    * (F.col("x") - F.col("centroid_val"))
+                ),
+                6,
+            ).alias("dist2")
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.asc("dist2"), F.asc("label"))
+    return (
+        dist.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(id_col, F.col("label").alias("assigned_label"), "dist2")
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     query_vec_id: int,
@@ -487,6 +615,7 @@ def kmeans_fit(
     vec_col: str = "embedding",
     sample_mod: int | None = None,
     seed_by_hash: bool = False,
+    two_level_assign: bool | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Lloyd's k-means as an iterative composition of the IVF primitives
     — the UNSUPERVISED coarse-quantizer build (label_centroids needs
@@ -522,8 +651,28 @@ def kmeans_fit(
     number (same (order, rank-1) algebra, so seeds and every
     downstream quantization are identical by construction; unit-tested
     equal), and the driver never materializes the id list.
+
+    The OTHER corpus-proportional term under that posture is the
+    assignment itself: flat ivf_assign broadcasts all k centroids into
+    every distance — O(n·k·d) with a k·d-row broadcast. Past
+    IVF_ASSIGN_FLAT_MAX (``two_level_assign=None`` auto; force with
+    True/False) every assignment — each Lloyd round's and the final —
+    routes through ivf_assign_two_level instead: coarse-over-coarse
+    routing, O(n·sqrt(k)·d), no corpus-proportional broadcast
+    (VERDICT r11 item 1). Below the bound the flat path is untouched —
+    zero plan churn for the fixed-k oracle-gated consumers.
     """
     spark = emb.sparkSession
+    if two_level_assign is None:
+        two_level_assign = k > IVF_ASSIGN_FLAT_MAX
+
+    def _assign(df: DataFrame, cents_df: DataFrame) -> DataFrame:
+        if two_level_assign:
+            return ivf_assign_two_level(
+                df, cents_df, id_col, vec_col, n_iter=n_iter
+            )
+        return ivf_assign(df, cents_df, id_col, vec_col)
+
     train = training_sample(emb, sample_mod, id_col)
     seed_order = (
         [F.asc(F.xxhash64(F.col(id_col))), F.asc(id_col)]
@@ -570,7 +719,7 @@ def kmeans_fit(
         .localCheckpoint()
     )
     for _ in range(n_iter):
-        assign = ivf_assign(train, cents, id_col, vec_col)
+        assign = _assign(train, cents)
         # private name: the input frame may carry its own `label` column
         # (the embeddings table does)
         joined = train.join(
@@ -589,7 +738,7 @@ def kmeans_fit(
             )
             .localCheckpoint()
         )
-    return cents, ivf_assign(emb, cents, id_col, vec_col)
+    return cents, _assign(emb, cents)
 
 
 # ---------------------------------------------------------------------------

@@ -2559,11 +2559,18 @@ def semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same narrow layout: the pair self-join ships only (cell, vec_id);
     embeddings re-join the candidate pairs on vec_id for the cosine
     verify. The two .count()/seed collects are metadata-scale (k ids).
-    At extreme scale the assignment's n·k distance term trains on a
-    hash sample and assigns through the persisted IVF index's pruned
-    layout (ops/ann_index.py); this gate query pins the full algebra —
-    the DuckDB oracle re-derives seeds, both Lloyd rounds, the final
-    assignment and the per-cell dedup report with a DATA-DEPENDENT k.
+    Past IVF_ASSIGN_FLAT_MAX centroids kmeans_fit routes every
+    assignment (each Lloyd round's and the final) through
+    ivf_assign_two_level — coarse-over-coarse routing, O(n·sqrt(k)·d)
+    with no corpus-proportional broadcast (VERDICT r11 item 1; the
+    two-level algebra itself is hash-gated by
+    kmeans_two_level_assign_profile and plan-asserted in
+    tests/test_plans.py); at gate scale k=8 takes the flat path
+    unchanged, and this query pins the full algebra — the DuckDB
+    oracle re-derives seeds, both Lloyd rounds, the final assignment
+    and the per-cell dedup report with a DATA-DEPENDENT k. Production
+    additionally trains on a hash sample (sample_mod) and serves
+    assignments from the persisted IVF index layout (ops/ann_index.py).
 
     Determinism: smallest-id seeds, fixed iteration count, 4-dp
     centroid/distance quantization (the kmeans_cell_profile contract);

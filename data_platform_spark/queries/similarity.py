@@ -723,33 +723,43 @@ QUERIES["kmeans_cell_profile"] = kmeans_cell_profile
 
 
 def _kmeans_ctes(
-    k: int, n_iter: int, k_sql: str | None = None
+    k: int,
+    n_iter: int,
+    k_sql: str | None = None,
+    src: str = "embeddings",
+    prefix: str = "",
 ) -> tuple[str, str, str]:
     """CTE block deriving the k-means index in SQL; returns
     (cte_sql, final_assign_name, final_cents_name). ``k_sql`` (a scalar
     SELECT) makes the seed count DATA-DEPENDENT — the n_cells ∝ corpus
     posture semantic_dedup_cells registers (VERDICT r10 item 2), where
-    a literal ``k`` cannot be baked into the oracle string."""
+    a literal ``k`` cannot be baked into the oracle string. ``src`` is
+    the (vec_id, embedding) relation to cluster — another CTE works,
+    which is how the coarse-over-coarse build of
+    kmeans_two_level_assign_profile re-clusters the CENTROID set; pass
+    a distinct ``prefix`` then so both unrolls' CTE names coexist in
+    one WITH block."""
+    p = prefix
     dist_expr = sql_round(
         "sum((v.x - c.centroid_val) * (v.x - c.centroid_val))", 6
     )
 
     def round_ctes(i: int, cents: str) -> str:
         return f"""
-        dist{i} AS (
+        {p}dist{i} AS (
             SELECT v.vec_id, c.label, {dist_expr} AS dist2
-            FROM vec_long v JOIN {cents} c ON v.pos = c.pos
+            FROM {p}vec_long v JOIN {cents} c ON v.pos = c.pos
             GROUP BY v.vec_id, c.label
         ),
-        ranked{i} AS (
+        {p}ranked{i} AS (
             SELECT vec_id, label, dist2,
                    row_number() OVER (
                        PARTITION BY vec_id ORDER BY dist2 ASC, label ASC
                    ) AS rk
-            FROM dist{i}
+            FROM {p}dist{i}
         ),
-        assign{i} AS (
-            SELECT vec_id, label, dist2 FROM ranked{i} WHERE rk = 1
+        {p}assign{i} AS (
+            SELECT vec_id, label, dist2 FROM {p}ranked{i} WHERE rk = 1
         )"""
 
     seed_bound = (
@@ -758,34 +768,34 @@ def _kmeans_ctes(
         else f"ORDER BY vec_id LIMIT {k}"
     )
     ctes = [
-        f"""seeds AS (
+        f"""{p}seeds AS (
             SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS label,
                    embedding
-            FROM embeddings {seed_bound}
+            FROM {src} {seed_bound}
         ),
-        vec_long AS (
+        {p}vec_long AS (
             SELECT vec_id, i - 1 AS pos, embedding[i]::DOUBLE AS x
-            FROM embeddings, generate_series(1, {DIM}) AS t(i)
+            FROM {src}, generate_series(1, {DIM}) AS t(i)
         ),
-        cents0 AS (
+        {p}cents0 AS (
             SELECT label, i - 1 AS pos,
                    {sql_round("embedding[i]::DOUBLE", 4)} AS centroid_val
-            FROM seeds, generate_series(1, {DIM}) AS t(i)
+            FROM {p}seeds, generate_series(1, {DIM}) AS t(i)
         )"""
     ]
     for i in range(1, n_iter + 1):
-        ctes.append(round_ctes(i, f"cents{i - 1}"))
+        ctes.append(round_ctes(i, f"{p}cents{i - 1}"))
         ctes.append(
-            f"""cents{i} AS (
+            f"""{p}cents{i} AS (
             SELECT a.label, v.pos,
                    {sql_round("avg(v.x)", 4)} AS centroid_val
-            FROM assign{i} a JOIN vec_long v USING (vec_id)
+            FROM {p}assign{i} a JOIN {p}vec_long v USING (vec_id)
             GROUP BY a.label, v.pos
         )"""
         )
     final = n_iter + 1
-    ctes.append(round_ctes(final, f"cents{n_iter}"))
-    return ",\n".join(ctes), f"assign{final}", f"cents{n_iter}"
+    ctes.append(round_ctes(final, f"{p}cents{n_iter}"))
+    return ",\n".join(ctes), f"{p}assign{final}", f"{p}cents{n_iter}"
 
 
 def _kmeans_oracle(k: int, n_iter: int) -> str:
@@ -860,6 +870,143 @@ def _kmeans_ivf_oracle() -> str:
 
 
 ORACLE["kmeans_ivf_topk_vec0"] = _kmeans_ivf_oracle()
+
+
+TWO_LEVEL_COARSE_K = 3  # ceil(sqrt(KMEANS_K)) — the coarse-over-coarse split
+
+
+def kmeans_two_level_assign_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-level (coarse-over-coarse) centroid assignment under the gate
+    (VERDICT r11 item 1): kmeans_fit builds the k=KMEANS_K quantizer,
+    then ivf_assign_two_level re-assigns every vector WITHOUT ever
+    broadcasting the full centroid set — a ceil(sqrt(k))-cell coarse
+    quantizer trained over the CENTROIDS routes each vector to its
+    nearest live coarse cell, and the exact argmin runs only inside that
+    cell via an equi-join. Per final two-level cell: vector count, mean
+    4-dp assigned distance, and ``n_disagree`` — vectors whose two-level
+    cell differs from the flat-assign cell (the nprobe=1 routing error,
+    REPORTED not assumed; at full coarse probe the two are bit-identical,
+    pinned in tests/test_functions.py).
+
+    The oracle re-derives the ENTIRE construction in SQL: the outer
+    k-means unroll (seeds, both Lloyd rounds, flat final assignment),
+    the centroid pivot, the coarse k-means unroll OVER THE CENTROID
+    RELATION (the prefixed second _kmeans_ctes instance), live-cell
+    routing, and the within-cell argmin with the same 6-dp quantization
+    and (dist2, label) tie-break — so every distance, seed choice and
+    tie-break of the scale path must agree bit-for-bit for the hash to
+    match.
+
+    Scale shape: coarse training is k-scale work (sqrt(k) cells over k
+    centroids); the only broadcasts are the sqrt(k)·d coarse centroids
+    and the live-cell id list; the n·(k/sqrt(k))·d inner distance join
+    is an equi-join on the coarse cell — a shuffle join that survives
+    k ∝ corpus, where flat assignment's k·d broadcast dies
+    (plan-asserted in tests/test_plans.py)."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"), spark)
+    cents, flat = S.kmeans_fit(emb, k=KMEANS_K, n_iter=KMEANS_ITER)
+    two = S.ivf_assign_two_level(
+        emb,
+        cents,
+        coarse_k=TWO_LEVEL_COARSE_K,
+        n_iter=KMEANS_ITER,
+        coarse_nprobe=1,
+    )
+    joined = two.alias("t").join(
+        flat.alias("f").select(
+            "vec_id", F.col("assigned_label").alias("flat_label")
+        ),
+        "vec_id",
+    )
+    return joined.groupBy(
+        F.col("t.assigned_label").alias("cell")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        pround(F.avg("t.dist2"), 4).alias("avg_dist2"),
+        F.sum(
+            F.when(
+                F.col("t.assigned_label") != F.col("flat_label"), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_disagree"),
+    )
+
+
+QUERIES["kmeans_two_level_assign_profile"] = kmeans_two_level_assign_profile
+
+
+def _two_level_oracle() -> str:
+    ctes_o, flat_assign, final_cents = _kmeans_ctes(KMEANS_K, KMEANS_ITER)
+    ctes_c, coarse_assign, coarse_cents = _kmeans_ctes(
+        TWO_LEVEL_COARSE_K, KMEANS_ITER, src="cent_wide", prefix="c_"
+    )
+    d6 = sql_round(
+        "sum((v.x - c.centroid_val) * (v.x - c.centroid_val))", 6
+    )
+    return f"""
+        WITH {ctes_o},
+        cent_wide AS (
+            SELECT label::BIGINT AS vec_id,
+                   list(centroid_val ORDER BY pos) AS embedding
+            FROM {final_cents} GROUP BY label
+        ),
+        {ctes_c},
+        live AS (SELECT DISTINCT label FROM {coarse_assign}),
+        coarse_live AS (
+            SELECT * FROM {coarse_cents}
+            WHERE label IN (SELECT label FROM live)
+        ),
+        cdist AS (
+            SELECT v.vec_id, c.label, {d6} AS cdist2
+            FROM vec_long v JOIN coarse_live c ON v.pos = c.pos
+            GROUP BY v.vec_id, c.label
+        ),
+        vc AS (
+            SELECT vec_id, label AS coarse FROM (
+                SELECT vec_id, label,
+                       row_number() OVER (
+                           PARTITION BY vec_id
+                           ORDER BY cdist2 ASC, label ASC
+                       ) AS crk
+                FROM cdist
+            ) WHERE crk <= 1
+        ),
+        cents_c AS (
+            SELECT a.label AS coarse, f.label, f.pos, f.centroid_val
+            FROM {final_cents} f
+            JOIN {coarse_assign} a ON a.vec_id = f.label
+        ),
+        tl_dist AS (
+            SELECT v.vec_id, c.label, {d6} AS dist2
+            FROM vec_long v
+            JOIN vc ON vc.vec_id = v.vec_id
+            JOIN cents_c c ON c.coarse = vc.coarse AND c.pos = v.pos
+            GROUP BY v.vec_id, c.label
+        ),
+        tl AS (
+            SELECT vec_id, label, dist2 FROM (
+                SELECT vec_id, label, dist2,
+                       row_number() OVER (
+                           PARTITION BY vec_id
+                           ORDER BY dist2 ASC, label ASC
+                       ) AS rk
+                FROM tl_dist
+            ) WHERE rk = 1
+        )
+        SELECT t.label AS cell,
+               count(*)::BIGINT AS n_vectors,
+               {sql_round("avg(t.dist2)", 4)} AS avg_dist2,
+               sum(CASE WHEN t.label <> fa.label THEN 1 ELSE 0 END)::BIGINT
+                   AS n_disagree
+        FROM tl t JOIN {flat_assign} fa USING (vec_id)
+        GROUP BY t.label
+    """
+
+
+ORACLE["kmeans_two_level_assign_profile"] = _two_level_oracle()
 
 
 # ---------------------------------------------------------------------------

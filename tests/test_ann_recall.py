@@ -232,3 +232,86 @@ def test_gram_pair_partials_partition_invariant_and_exact(spark):
         assert n == len(X)
         assert (s1, s2) == (s[d1], s[d2])
         assert (s11, s22, s12) == (G[d1, d1], G[d2, d2], G[d1, d2])
+
+
+def test_two_level_assign_full_probe_bit_identical_to_flat(spark):
+    """ivf_assign_two_level at FULL coarse probe must be bit-identical
+    to flat ivf_assign on the real gate corpus — the same full-probe
+    equality pin the hybrid IVF-PQ dense leg carries: with the complete
+    candidate set the only thing left to trust is the decomposed join
+    algebra (coarse build, live-cell routing, within-cell argmin,
+    quantization, tie-break), and it must reproduce the flat argmin
+    exactly. (At nprobe=1 the routing itself is the approximation — that
+    case is pinned on planted clusters below, and its disagreement on
+    isotropic data is REPORTED by the gated
+    kmeans_two_level_assign_profile query.)"""
+    from data_platform_spark.functions.similarity import (
+        ivf_assign,
+        ivf_assign_two_level,
+        kmeans_fit,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents, _ = kmeans_fit(emb, k=8, n_iter=2)
+    cents = cents.localCheckpoint()
+    flat = sorted(ivf_assign(emb, cents).collect())
+    full = sorted(
+        ivf_assign_two_level(
+            emb, cents, coarse_k=3, n_iter=2, coarse_nprobe=3
+        ).collect()
+    )
+    assert full == flat
+    assert len(full) == emb.count()  # every vector assigned
+
+
+def test_two_level_assign_default_probe_matches_flat_on_clusters(spark):
+    """On corpora with real cluster structure the default nprobe=1
+    routing agrees with flat assignment exactly: each trained centroid
+    sits near one planted cluster, the coarse quantizer groups whole
+    clusters, and a vector's nearest coarse cell is the one owning its
+    nearest centroid (the margin dwarfs sigma). This is the operating
+    regime of the n_cells ∝ corpus posture — cells exist BECAUSE the
+    data clusters."""
+    from data_platform_spark.functions.similarity import (
+        ivf_assign_two_level,
+        kmeans_fit,
+    )
+
+    df = _planted(spark, sigma=0.10).persist()
+    try:
+        df.count()
+        cents, flat = kmeans_fit(df, k=8, n_iter=2)
+        cents = cents.localCheckpoint()
+        flat_rows = sorted(flat.collect())
+        two = sorted(
+            ivf_assign_two_level(df, cents, coarse_k=3, n_iter=2).collect()
+        )
+        assert two == flat_rows
+    finally:
+        df.unpersist()
+
+
+def test_kmeans_fit_forced_two_level_covers_all_and_deterministic(spark):
+    """kmeans_fit with two_level_assign forced on (the k >
+    IVF_ASSIGN_FLAT_MAX posture, exercised at small k): the final
+    assignment must still cover EVERY vector exactly once, and the whole
+    build must be run-to-run deterministic — centroids_wide's
+    array_sort(collect_list) pivot and the routed argmin leave no
+    ordering to chance. (Trained centroids may differ from the flat
+    build when the round-1 seed centroids are degenerate — smallest-id
+    seeds all land in one planted cluster — so end-to-end equality to
+    the flat build is NOT asserted; the assignment algebra's equality
+    pins live in the two tests above.)"""
+    from data_platform_spark.functions.similarity import kmeans_fit
+
+    df = _planted(spark, sigma=0.10).persist()
+    try:
+        n = df.count()
+        _, a1 = kmeans_fit(df, k=8, n_iter=2, two_level_assign=True)
+        r1 = sorted(a1.collect())
+        assert len(r1) == n
+        assert len({r.vec_id for r in r1}) == n
+        _, a2 = kmeans_fit(df, k=8, n_iter=2, two_level_assign=True)
+        assert sorted(a2.collect()) == r1
+    finally:
+        df.unpersist()

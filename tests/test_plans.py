@@ -161,3 +161,54 @@ def test_no_exact_percentile_over_unbounded_group(spark, name):
         "ops.global_order.grouped_percentile (or percentile_approx with a "
         "documented error bound), or justify an allowlist entry"
     )
+
+
+def test_two_level_assign_no_full_centroid_broadcast(spark):
+    """The scale contract of ivf_assign_two_level (VERDICT r11 item 1):
+    flat ivf_assign HINT-broadcasts the full centroid relation — with
+    autoBroadcastJoinThreshold disabled its plan still builds a
+    BroadcastHashJoin, which is exactly why it dies at k ∝ corpus (a
+    15M-centroid broadcast at 1e9 vectors). The two-level path must
+    carry its heavy n·(k/sqrt(k))·d distance work over a SHUFFLE join
+    keyed on the coarse cell: with the broadcast threshold off, its
+    final-distance stage plans a SortMergeJoin and the only
+    BroadcastHashJoins left are the bounded ones (sqrt(k)·d coarse
+    centroids, the live-cell id list, the k-seed map) — no broadcast
+    that grows with the centroid count."""
+    from data_platform_spark.functions.similarity import (
+        ivf_assign,
+        ivf_assign_two_level,
+        kmeans_fit,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents, _ = kmeans_fit(emb, k=8, n_iter=2)
+    cents = cents.localCheckpoint()
+    conf = spark.conf
+    prev_thresh = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_aqe = conf.get("spark.sql.adaptive.enabled")
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.enabled", "false")
+        flat_plan = (
+            ivf_assign(emb, cents)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # the hazard, demonstrated: the full-centroid broadcast is
+        # hint-forced — no size threshold can save it
+        assert "BroadcastHashJoin" in flat_plan
+        assert "SortMergeJoin" not in flat_plan
+        two_plan = (
+            ivf_assign_two_level(emb, cents, coarse_k=3, n_iter=2)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # the fix, demonstrated: the within-cell distance join shuffles
+        # on the coarse cell instead of broadcasting all centroids
+        assert "SortMergeJoin" in two_plan
+    finally:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        conf.set("spark.sql.adaptive.enabled", prev_aqe)
