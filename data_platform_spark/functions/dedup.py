@@ -568,6 +568,16 @@ def greedy_keep_first_survivors(
             )
             .localCheckpoint()
         )
+    if not converged:
+        # the loop's convergence check runs BEFORE each update, so a
+        # graph decided by exactly the max_iterations-th round would
+        # otherwise report non-convergence — one final check makes
+        # ``max_iterations`` mean "update rounds modeled", aligning
+        # strict mode exactly with an oracle that unrolls that many
+        # rounds (ADVICE r11 on semantic_dedup_survivors)
+        converged = (
+            nodes.filter(F.col("survivor").isNull()).count() == 0
+        )
     edges.unpersist()
     if not converged and strict:
         raise RuntimeError(
