@@ -64,6 +64,37 @@ def rebuild_done(path: str, marker: str) -> bool:
     return os.path.exists(os.path.join(path, REBUILDS_DIR, marker))
 
 
+def prune_rebuild_markers(
+    path: str, before_batch: int, prefix: str = "stream-"
+) -> int:
+    """Drop ``rebuilds/<prefix><n>`` markers with n < ``before_batch``;
+    returns the number pruned (non-conforming names are kept —
+    conservative). Markers accumulate unboundedly otherwise: every
+    drift rebuild copies the full ``rebuilds/`` dir forward and nothing
+    else ever removes them (ADVICE r11).
+
+    Why strictly-older-than-current is the safe bound: a marker is only
+    read by ``rebuild_done`` while the marker's OWN batch evaluates its
+    ledger row. With an intact checkpoint only the current batch can
+    replay (older ones are commit-logged). In a fresh-checkpoint FULL
+    replay, foreachBatch re-runs batches strictly in order, so when
+    batch n prunes markers < n, every older batch has already
+    re-upserted its ledger row this replay — and markers ≥ n (the
+    batches still to replay) are untouched, preserving the
+    marker-derived rebuilt flag the r10 fix introduced."""
+    d = os.path.join(path, REBUILDS_DIR)
+    if not os.path.isdir(d):
+        return 0
+    pruned = 0
+    for f in os.listdir(d):
+        if f.startswith(prefix):
+            suffix = f[len(prefix):]
+            if suffix.isdigit() and int(suffix) < before_batch:
+                os.remove(os.path.join(d, f))
+                pruned += 1
+    return pruned
+
+
 def batch_done(path: str, batch_id: str) -> bool:
     """True iff the batch's DONE marker exists — the replay check."""
     return os.path.exists(os.path.join(path, BATCHES_DIR, batch_id))

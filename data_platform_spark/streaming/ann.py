@@ -126,6 +126,12 @@ def ann_ingest_sink(
                 )
 
                 compact_ivf_index(spark, index_path)
+                # rebuild markers otherwise accumulate forever (every
+                # rebuild carries rebuilds/ forward); markers older
+                # than the current batch can no longer be read — see
+                # prune_rebuild_markers for the replay-order argument
+                # (ADVICE r11)
+                IO.prune_rebuild_markers(index_path, batch_id)
             n = batch.count()
             # rebuilt derives from the swap-published marker, not only
             # this evaluation: a crash between swap and ledger upsert
@@ -246,6 +252,16 @@ def ivfpq_ingest_sink(
             # is outstanding (assert_no_inflight_appends), so its
             # targets are guaranteed intact.
             if not IO.batch_done(index_path, bid):
+                # append intent BEFORE the corpus move (ADVICE r11): a
+                # crash between the move and append_to_ivfpq_index's own
+                # intent write would otherwise leave moved corpus files
+                # with no visible in-flight batch — a compaction run in
+                # that window renames the deterministic targets away and
+                # the replay re-moves (duplicates) the corpus rows. With
+                # the intent up front, assert_no_inflight_appends covers
+                # the corpus-move window too; finish_batch still
+                # promotes inside append_to_ivfpq_index.
+                IO.begin_batch(index_path, bid)
                 stage = f"{corpus_path}/.append-stage-{bid}"
                 shutil.rmtree(stage, ignore_errors=True)
                 batch.coalesce(1).write.mode("overwrite").parquet(stage)
@@ -272,6 +288,9 @@ def ivfpq_ingest_sink(
                 compact_ivfpq_corpus(
                     spark, corpus_path, index_path=index_path
                 )
+                # cap the carried-forward rebuild-marker set to
+                # batches the stream can still (re)run (ADVICE r11)
+                IO.prune_rebuild_markers(index_path, batch_id)
             n = batch.count()
             # swap-published marker, not only this evaluation — see
             # ann_ingest_sink (ADVICE r10 crash-replay under-report)

@@ -59,12 +59,15 @@ def main() -> None:
     docs = load_table(spark, SF, "documents")
     emb = load_table(spark, SF, "embeddings")
     if MULT > 1:
-        n = emb.count()
+        # offset from max(vec_id)+1, not count()+1: sparse or large ids
+        # would silently collide across copies under a count-derived
+        # stride and skew the measured corpus size (ADVICE r11)
+        stride = emb.agg(F.max("vec_id")).collect()[0][0] + 1
         copies = spark.range(MULT).select(F.col("id").alias("rep"))
         emb = (
             emb.crossJoin(copies)
             .select(
-                (F.col("vec_id") + F.col("rep") * (n + 1)).alias("vec_id"),
+                (F.col("vec_id") + F.col("rep") * stride).alias("vec_id"),
                 "label",
                 "embedding",
             )

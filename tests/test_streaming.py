@@ -1496,3 +1496,108 @@ def test_ivfpq_sink_corpus_compaction_and_marker_derived_ledger(
     # the replay's own evaluation did NOT rebuild (ratio ≈ 1 against
     # the rebuilt baseline) — True came from the marker
     assert rows2[1].ratio <= 1.5
+
+
+def test_prune_rebuild_markers_numeric_window(tmp_path):
+    """prune_rebuild_markers drops only stream-<n> markers strictly
+    older than the given batch; non-conforming names survive (they are
+    operator-written, not the sink's), and a missing rebuilds/ dir is a
+    zero no-op (ADVICE r11: the carried-forward marker set must stop
+    growing with stream lifetime)."""
+    from data_platform_spark.ops import _index_io as IO
+
+    idx = tmp_path / "idx"
+    assert IO.prune_rebuild_markers(str(idx), 5) == 0  # no dir yet
+    d = idx / IO.REBUILDS_DIR
+    d.mkdir(parents=True)
+    for name in ("stream-0", "stream-1", "stream-2", "stream-10",
+                 "manual-retrain"):
+        (d / name).write_text("ok")
+    assert IO.prune_rebuild_markers(str(idx), 2) == 2  # 0 and 1
+    assert sorted(os.listdir(d)) == [
+        "manual-retrain", "stream-10", "stream-2"
+    ]
+    # idempotent; numeric compare, not lexicographic (10 > 2)
+    assert IO.prune_rebuild_markers(str(idx), 2) == 0
+    assert IO.prune_rebuild_markers(str(idx), 11) == 2
+    assert sorted(os.listdir(d)) == ["manual-retrain"]
+
+
+def test_ivfpq_sink_intent_covers_corpus_move_window(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r11 on the IVF-PQ sink: the append INTENT is written
+    before the corpus move, so a crash between the move and the index
+    append leaves a visible in-flight batch — compaction refuses to run
+    over it (it would rename the deterministic corpus targets away and
+    make the replay re-move, i.e. duplicate, the batch's corpus rows) —
+    and the replay then completes the batch exactly once."""
+    import numpy as np
+
+    from data_platform_spark.ops import _index_io as IO
+    from data_platform_spark.ops import ivfpq_index as IPQ
+    from data_platform_spark.ops.compaction import compact_ivfpq_corpus
+    from data_platform_spark.pipeline import Warehouse
+    from data_platform_spark.streaming.ann import (
+        ivfpq_ingest_sink,
+        read_embeddings_stream,
+    )
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(24, 64))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    schema = "vec_id: long, label: long, embedding: array<double>"
+    seed = spark.createDataFrame(
+        [(i, 0, [float(x) for x in vecs[i]]) for i in range(16)], schema
+    )
+    index_path = str(tmp_path / "idx")
+    corpus_path = str(tmp_path / "corpus")
+    IPQ.build_ivfpq_index(seed, index_path, n_cells=2)
+    seed.coalesce(1).write.mode("overwrite").parquet(corpus_path)
+
+    src = str(tmp_path / "emb_stream")
+    os.makedirs(src)
+    with open(f"{src}/b0.json", "w") as f:
+        for i in range(16, 24):
+            f.write(json.dumps({
+                "vec_id": i, "label": 0,
+                "embedding": [float(x) for x in vecs[i]],
+            }) + "\n")
+
+    # crash the index append AFTER the corpus move
+    real_append = IPQ.append_to_ivfpq_index
+
+    def crash(*a, **k):
+        raise RuntimeError("simulated crash before index append")
+
+    monkeypatch.setattr(IPQ, "append_to_ivfpq_index", crash)
+    wh = Warehouse(str(tmp_path / "wh"))
+    q = ivfpq_ingest_sink(
+        read_embeddings_stream(spark, src),
+        wh, index_path, corpus_path, str(tmp_path / "ckpt"),
+        drift_threshold=100.0,
+    )
+    with pytest.raises(Exception, match="simulated crash"):
+        q.awaitTermination(300)
+
+    # the corpus rows moved, but the batch is visibly IN-FLIGHT:
+    # maintenance must refuse (this is the window that was blind)
+    assert spark.read.parquet(corpus_path).count() == 24
+    assert not IO.batch_done(index_path, "stream-0")
+    with pytest.raises(RuntimeError, match="in-flight append"):
+        IO.assert_no_inflight_appends(index_path)
+    with pytest.raises(RuntimeError, match="in-flight append"):
+        compact_ivfpq_corpus(spark, corpus_path, index_path=index_path)
+
+    # replay with the SAME checkpoint completes the batch exactly once
+    monkeypatch.setattr(IPQ, "append_to_ivfpq_index", real_append)
+    q2 = ivfpq_ingest_sink(
+        read_embeddings_stream(spark, src),
+        wh, index_path, corpus_path, str(tmp_path / "ckpt"),
+        drift_threshold=100.0,
+    )
+    q2.awaitTermination(300)
+    assert spark.read.parquet(corpus_path).count() == 24  # no dup rows
+    assert spark.read.parquet(f"{index_path}/codes").count() == 24 * 4
+    assert IO.batch_done(index_path, "stream-0")
+    IO.assert_no_inflight_appends(index_path)  # intent promoted
