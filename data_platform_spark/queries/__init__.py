@@ -41,7 +41,28 @@ def _modules():
 
 
 # The driver's correctness gate checks the FIRST ~50 registered queries, in
-# dict order. Round-11 window: the DRAIN round (VERDICT r10 item 1 /
+# dict order. Round-12 window, built by the standing evidence-age policy
+# (QUERIES.md; VERDICT r11 items 2 and 4): new + changed queries first,
+# then the oldest green rows.
+# (1) the four evidence holes VERDICT r11 named: semantic_dedup_survivors
+#     (registered below the frozen r11 window, never driver-checked),
+#     embedding_dim_correlation_top (the last never-driver-green query —
+#     deferred twice because it carries bench evidence every round), and
+#     the two re-proofs for queries changed in r11 with locally-verified
+#     results (doc_length_moments_by_source — DECIMAL fold fix;
+#     events_type_lag_correlation — both-orientations fix);
+# (2) the two queries REGISTERED this round (registration capped at two,
+#     window minus refresh debt): kmeans_two_level_assign_profile (the
+#     two-level centroid assignment of VERDICT r11 item 1 under the
+#     gate — its oracle unrolls the coarse-over-coarse build) and
+#     semantic_dedup_cells_survivors (item 3 — cells bucketing composed
+#     with the true greedy survivor fixpoint);
+# (3) the refresh cohort, oldest evidence first: both r3-green rows,
+#     all 33 r4-green rows, then the 9 oldest r5-green rows — after a
+#     50/50 round no registered query carries pre-r5 evidence and the
+#     union of driver-green rows is 283/283.
+# --- round-11 window rationale (kept for history) ---
+# Round-11: the DRAIN round (VERDICT r10 item 1 /
 # "What's wrong" #3 — the window arithmetic stopped closing at 49
 # never-driver-green queries). Registration this round is capped at TWO
 # new queries (inside VERDICT's "cap at ~3"): semantic_dedup_cells
@@ -114,6 +135,66 @@ def _modules():
 #     whole persist-sweep family in dedup/similarity; the global_order
 #     consumers after its cache-registry change;
 # (3) canaries; (4) stalest green rows rotated in.
+_R12_WINDOW = (
+    # (1) the four evidence holes, in VERDICT r11's order
+    "semantic_dedup_survivors",
+    "embedding_dim_correlation_top",
+    "doc_length_moments_by_source",
+    "events_type_lag_correlation",
+    # (2) the two queries registered this round
+    "kmeans_two_level_assign_profile",
+    "semantic_dedup_cells_survivors",
+    # (3a) the two r3-green rows (stalest in the registry)
+    "token_stats_by_lang",
+    "term_idf",
+    # (3b) all 33 r4-green rows, in their CORRECTNESS_r04 order
+    "q3_top_revenue_orders",
+    "q5_region_revenue",
+    "topk_orders_per_customer",
+    "customers_without_orders",
+    "customers_with_orders",
+    "nationkeys_union_distinct",
+    "part_type_words",
+    "scd2_order_versions",
+    "value_change_detection",
+    "asof_purchase_last_click",
+    "q9_profit_by_nation_year",
+    "q11_important_part_value",
+    "q13_customer_order_distribution",
+    "q15_top_supplier",
+    "q16_part_supplier_counts",
+    "q20_excess_red_shippers",
+    "q21_waiting_suppliers",
+    "orders_price_band_join",
+    "orders_profile",
+    "price_quantity_regression",
+    "part_name_fuzzy_pairs",
+    "funnel_click_to_purchase",
+    "events_rolling_hour_value",
+    "events_rollup_incremental",
+    "events_clustered_time_slice",
+    "doc_redaction",
+    "doc_repetition_stats",
+    "benchmark_decontamination",
+    "multimodal_audio_decode",
+    "multimodal_video_decode",
+    "multimodal_frame_sample",
+    "rm_dim_character_first_load",
+    "rm_fact_char_loc_first_load",
+    # (3c) the 9 oldest r5-green rows, in their CORRECTNESS_r05 order
+    "rollup_order_totals",
+    "unknown_member_events",
+    "q4_priority_with_late_items",
+    "q17_small_quantity_revenue",
+    "nations_intersect",
+    "nations_except",
+    "cube_order_stats",
+    "pivot_user_event_matrix",
+    "skew_safe_event_type_counts",
+)
+
+
+# --- round-11 window (kept for history; superseded by _R12_WINDOW) ---
 _R11_WINDOW = (
     # (1) the four persisted-index serving roundtrips — never
     # driver-checked (the r9 artifacts never landed); hybrid also
@@ -179,12 +260,12 @@ _R11_WINDOW = (
 
 
 def _ordered_names(merged: dict, oracles: dict) -> list[str]:
-    unknown = set(_R11_WINDOW) - merged.keys()
+    unknown = set(_R12_WINDOW) - merged.keys()
     if unknown:
         # Fail fast: a stale/misspelled window entry would otherwise
         # silently lose its gate slot (this masked a missing query in r4).
         raise ValueError(f"window names not in registry: {sorted(unknown)}")
-    order: list[str] = list(_R11_WINDOW)
+    order: list[str] = list(_R12_WINDOW)
     seen = set(order)
     # remainder: r3/r4-proven rows, oracled before rows-only
     rest = [n for n in merged if n not in seen]

@@ -30,6 +30,27 @@ Auto-generated from `data_platform_spark/queries/` docstrings
 Oracle = hash-compared against DuckDB at sf0.01 by the driver and
 `tests/test_oracle_parity.py`; rows-only = Pandas-UDF/sequential/
 sketch ops with pytest evidence instead.
+
+## Evidence-age policy (standing; VERDICT r11 item 4)
+
+The driver hash-gates only the FIRST ~50 registered queries per round
+(`_R{N}_WINDOW` in `data_platform_spark/queries/__init__.py`). Each
+round's window is built in this fixed order:
+
+1. queries with NO driver CORRECTNESS row (never-green, including
+   everything registered since the last window froze);
+2. re-proofs — queries whose implementation or oracle changed since
+   their latest green row (a green row certifies the CODE it measured,
+   not the name);
+3. the remaining slots refresh the OLDEST green rows in the registry.
+
+Registration is capped at what the window can absorb: new queries per
+round ≤ 50 minus (holes + re-proofs + the refresh debt's fair share),
+so the never-green backlog cannot regrow (the r10 lesson — 49 queries
+deep before the r11 drain). Every window entry is preflighted at
+sf0.01 through `tests/oracle_harness.compare` (the driver-shaped
+canonicalization) BEFORE the window is committed; a red preflight
+blocks registration, not the round.
 """
 
 
