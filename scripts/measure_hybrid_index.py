@@ -10,12 +10,22 @@ given SF plus the index build cost, so PLANS.md can carry the
 amortization argument with numbers instead of adjectives.
 
 Usage: python scripts/measure_hybrid_index.py [sf_dir] [n_serves] [mult]
+       [width]
 
 ``mult`` > 1 replicates the EMBEDDING corpus with fresh vec_ids (the
 measure_ivfpq_index pattern) so the dense-leg scan-bound differences —
 raw-vector cells vs compressed codes — are visible above fixed
 per-query overhead; the lexical corpus stays as-is (the lexical leg is
-the same in every variant)."""
+the same in every variant).
+
+``width`` > 1 tiles each embedding to width×64 dims (array_repeat →
+flatten — relative distances and the cluster structure are preserved,
+only the bytes-per-vector change), the production-width probe VERDICT
+r11 item 6 asked for: the raw dense leg scans width×512 B per probed
+vector while the compressed leg's codes stay constant-size, so the
+crossover moves decisively toward ivfpq as width grows. The oracled
+re-derive reads the table as-is, so it is skipped when width > 1 (the
+comparison of interest is raw-leg vs compressed-leg serving)."""
 
 from __future__ import annotations
 
@@ -31,6 +41,7 @@ from pyspark.sql import functions as F
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 N_SERVES = int(sys.argv[2]) if len(sys.argv) > 2 else 5
 MULT = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+WIDTH = int(sys.argv[4]) if len(sys.argv) > 4 else 1
 WORK = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     ".scale",
@@ -58,6 +69,14 @@ def main() -> None:
 
     docs = load_table(spark, SF, "documents")
     emb = load_table(spark, SF, "embeddings")
+    if WIDTH > 1:
+        emb = emb.select(
+            "vec_id",
+            "label",
+            F.flatten(F.array_repeat(F.col("embedding"), WIDTH)).alias(
+                "embedding"
+            ),
+        )
     if MULT > 1:
         # offset from max(vec_id)+1, not count()+1: sparse or large ids
         # would silently collide across copies under a count-derived
@@ -97,7 +116,9 @@ def main() -> None:
             out.append(round(time.perf_counter() - t, 3))
         return out
 
-    rederive = timed(lambda: hybrid_rrf_topk(spark, SF))
+    rederive = (
+        timed(lambda: hybrid_rrf_topk(spark, SF)) if WIDTH == 1 else []
+    )
     served_exact = timed(
         lambda: hybrid_search_index(
             spark, lex_path, ivf_path, BM25_QUERY_TERMS, qvec,
@@ -111,24 +132,34 @@ def main() -> None:
         )
     )
     # the compressed dense leg (round 11): probed cells read codes only;
-    # full vectors join in from the corpus for the ADC shortlist
-    served_ivfpq = timed(
-        lambda: hybrid_search_index(
-            spark, lex_path, pq_path, BM25_QUERY_TERMS, qvec,
-            topk=20, nprobe=2, exclude_ids=[0],
-            dense="ivfpq", corpus_emb=emb, shortlist=100,
+    # full vectors join in from the corpus for the ADC shortlist.
+    # Swept over shortlist sizes (VERDICT r11 item 6): the shortlist
+    # bounds the full-precision refine join, so a larger one trades
+    # refine cost for recall headroom.
+    served_ivfpq_by_sl = {
+        sl: timed(
+            lambda sl=sl: hybrid_search_index(
+                spark, lex_path, pq_path, BM25_QUERY_TERMS, qvec,
+                topk=20, nprobe=2, exclude_ids=[0],
+                dense="ivfpq", corpus_emb=emb, shortlist=sl,
+            )
         )
-    )
-    print(f"sf_dir={SF} n_serves={N_SERVES}")
+        for sl in (20, 100, 400)
+    }
+    served_ivfpq = served_ivfpq_by_sl[100]
+    print(f"sf_dir={SF} n_serves={N_SERVES} mult={MULT} width={WIDTH}")
     print(f"build: lexical={t_lex:.2f}s ivf={t_ivf:.2f}s ivfpq={t_pq:.2f}s")
     print(f"re-derive (oracled query): {rederive}")
     print(f"served nprobe=8 (exact):   {served_exact}")
     print(f"served nprobe=2 (pruned):  {served_pruned}")
-    print(f"served ivfpq nprobe=2 shortlist=100: {served_ivfpq}")
-    med = lambda xs: sorted(xs)[len(xs) // 2]
+    for sl, ts in served_ivfpq_by_sl.items():
+        print(f"served ivfpq nprobe=2 shortlist={sl}: {ts}")
+    med = lambda xs: sorted(xs)[len(xs) // 2] if xs else float("nan")
     print(
         f"medians: rederive={med(rederive)} exact={med(served_exact)} "
-        f"pruned={med(served_pruned)} ivfpq={med(served_ivfpq)}"
+        f"pruned={med(served_pruned)} ivfpq={med(served_ivfpq)} "
+        f"ivfpq_sl20={med(served_ivfpq_by_sl[20])} "
+        f"ivfpq_sl400={med(served_ivfpq_by_sl[400])}"
     )
     spark.stop()
     shutil.rmtree(WORK, ignore_errors=True)
