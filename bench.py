@@ -104,6 +104,10 @@ HEADLINE = [
     # round 11: the scale-safe semantic dedup (n_cells ∝ corpus — its
     # x4 ratio is the evidence the fixed-label variant couldn't give)
     "semantic_dedup_cells",
+    # round 12: the production SemDeDup — cells bucketing composed with
+    # the true greedy survivor fixpoint; its x4 ratio carries BOTH scale
+    # claims (linear pair term, chain-depth-bounded fixpoint rounds)
+    "semantic_dedup_cells_survivors",
 ]
 
 
