@@ -315,3 +315,33 @@ def test_kmeans_fit_forced_two_level_covers_all_and_deterministic(spark):
         assert sorted(a2.collect()) == r1
     finally:
         df.unpersist()
+
+
+def test_kmeans_fit_forced_two_level_preserves_recall(spark):
+    """The whole point of the two-level posture is an index that still
+    SEARCHES well: kmeans_fit with two_level_assign forced on (Lloyd
+    rounds AND final assignment routed coarse-first) must produce an
+    IVF index that holds the same 0.8 recall gate as the flat and
+    sampled-training builds on topical clusters — approximate
+    assignment during training must not degrade the thing the index is
+    for."""
+    from data_platform_spark.functions.similarity import (
+        ivf_topk_with_index,
+        kmeans_fit,
+    )
+
+    df = _planted(spark, sigma=0.10).persist()
+    try:
+        df.count()
+        cents, assign = kmeans_fit(
+            df, k=8, n_iter=2, two_level_assign=True
+        )
+        got = {
+            r.vec_id
+            for r in ivf_topk_with_index(
+                df, cents, assign, 0, nprobe=2, k=K
+            ).collect()
+        }
+        assert _recall(spark, df, got) >= 0.8
+    finally:
+        df.unpersist()
