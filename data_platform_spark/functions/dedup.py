@@ -586,3 +586,215 @@ def greedy_keep_first_survivors(
             "longer lower-survivor dependency chain; raise max_iterations"
         )
     return nodes.select(F.col("id").alias(id_col), "survivor")
+
+
+def survivor_round_budget(max_cell_population: int) -> int:
+    """PRODUCTION round budget for :func:`greedy_keep_first_survivors`
+    over a pair graph whose candidate pairs were generated WITHIN dedup
+    cells of at most ``max_cell_population`` members — the SemDeDup
+    family's pair shape (pairs exist only inside a cell, so every
+    connected component of the duplicate graph lives inside one cell
+    and has at most that many nodes). VERDICT r12 item 5: the
+    oracle-gated queries pin the tighter SEMANTIC_SURVIVOR_ROUNDS
+    because their SQL dual unrolls exactly that many rounds; production
+    callers derive the budget from the DATA with this bound and stay
+    strict — convergence within it is guaranteed, so a strict raise
+    past it indicates pairs violating the within-cell contract, never a
+    budget-tuning problem.
+
+    Why the bound holds: the fixpoint is monotone and every update
+    round decides at least the LOWEST undecided node of each
+    still-undecided component — all of that node's lower neighbors are
+    already decided (an undecided lower neighbor would itself be a
+    lower undecided node of the same component, contradicting
+    minimality), so the round's rule decides it either way. A component
+    of c nodes therefore fully decides in ≤ c rounds, and the global
+    fixpoint in ≤ max component size ≤ max cell population rounds
+    (pinned by tests/test_ops.py on a chain deeper than the gate
+    unroll)."""
+    return max(1, int(max_cell_population))
+
+
+def within_cell_dup_pairs(
+    cells: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Verified semantic-duplicate pairs WITHIN each cell — the narrow
+    SemDeDup pair stage as one reusable op: the self-join ships only
+    (cell, id); vectors re-join the candidate pairs on id for the 4-dp
+    cosine verify, so pair fan-out is bounded by cell population and
+    the wide embedding column never rides the pair shuffle. Returns
+    (cell, src, dst) with src < dst and cosine ≥ ``threshold`` — the
+    exact pair algebra the oracle-gated semantic_dedup_cells family
+    pins (queries/dedup.py), shared here by the persisted-index build
+    and the incremental decision core (VERDICT r12 item 1)."""
+    from data_platform_spark.functions.similarity import as_double, cosine
+
+    ids = cells.select(cell_col, id_col)
+    a = ids.select(cell_col, F.col(id_col).alias("src"))
+    b = ids.select(cell_col, F.col(id_col).alias("dst"))
+    pairs = (
+        a.join(b, cell_col)
+        .filter(F.col("src") < F.col("dst"))
+        .select(cell_col, "src", "dst")
+    )
+    vecs = cells.select(id_col, vec_col)
+    return (
+        pairs.join(
+            vecs.select(
+                F.col(id_col).alias("src"), F.col(vec_col).alias("e_src")
+            ),
+            "src",
+        )
+        .join(
+            vecs.select(
+                F.col(id_col).alias("dst"), F.col(vec_col).alias("e_dst")
+            ),
+            "dst",
+        )
+        .select(
+            cell_col,
+            "src",
+            "dst",
+            pround(
+                cosine(as_double(F.col("e_src")), as_double(F.col("e_dst"))),
+                4,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select(cell_col, "src", "dst")
+    )
+
+
+def semantic_dedup_decide(
+    batch_cells: DataFrame,
+    standing_cells: DataFrame,
+    threshold: float,
+    max_iterations: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental SemDeDup DECISION CORE (VERDICT r12 item 1): given a
+    new batch already assigned to the standing index's cells
+    (``batch_cells``: id, cell, vector) and the standing corpus'
+    SURVIVOR set in those cells (``standing_cells``: same shape,
+    survivors only — the caller reads it from the persisted index, or
+    derives it inline under the oracle gate), decide keep/drop for
+    every batch vector with true greedy keep-first semantics while the
+    standing set stays immutable:
+
+    - a batch vector 4-dp-cosine-matching ANY standing survivor in its
+      cell at ≥ ``threshold`` is REMOVED (the standing copy was kept
+      first — the exact incremental analog of the lower-id rule);
+    - the remaining batch vectors compete among THEMSELVES keep-first
+      by id within cells (greedy_keep_first_survivors over batch×batch
+      pairs restricted to standing-alive nodes — a node killed by the
+      standing set is decided, so it neither removes nor protects its
+      batch neighbors; this is exactly the seeded fixpoint with
+      standing survivors pre-decided TRUE, decomposed into existing
+      primitives).
+
+    Returns one row per batch vector: (id, cell, n_matches_standing,
+    best_cosine, best_match_id, keep) — match stats over the standing
+    survivors (best = highest cosine, lowest id tie-break; NULLs when
+    no match), the MinHash incremental report's shape
+    (queries/dedup.py incremental_neardup_new_batch).
+
+    Scale shape: both pair stages are the family's narrow layout
+    (cell-equi joins over (cell, id), vectors re-joined only for the
+    verify — BIPARTITE batch×standing, never a corpus self-join); the
+    fixpoint runs over batch-only pairs. ``max_iterations=None``
+    derives the production budget from the observed per-cell batch
+    population (survivor_round_budget — one scalar aggregate); the
+    oracle-gated consumers pin their SQL unroll depth instead."""
+    from data_platform_spark.cache import scoped_persist
+    from data_platform_spark.functions.similarity import as_double, cosine
+    from pyspark.sql.window import Window
+
+    b_ids = batch_cells.select("cell", F.col(id_col).alias("b_id"))
+    s_ids = standing_cells.select("cell", F.col(id_col).alias("s_id"))
+    bvec = batch_cells.select(
+        F.col(id_col).alias("b_id"), F.col(vec_col).alias("e_b")
+    )
+    svec = standing_cells.select(
+        F.col(id_col).alias("s_id"), F.col(vec_col).alias("e_s")
+    )
+    bs = (
+        b_ids.join(s_ids, "cell")
+        # a vector never duplicates ITSELF: an overlapping or replayed
+        # batch whose ids already sit in the standing set must not
+        # self-kill (disjoint under the gate split, so the oracle's
+        # mirror of this filter is a no-op there)
+        .filter(F.col("b_id") != F.col("s_id"))
+        .select("b_id", "s_id")
+        .join(bvec, "b_id")
+        .join(svec, "s_id")
+        .select(
+            "b_id",
+            "s_id",
+            pround(
+                cosine(as_double(F.col("e_b")), as_double(F.col("e_s"))), 4
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("b_id", "s_id", "cosine")
+        .transform(scoped_persist)
+    )
+    w_best = Window.partitionBy("b_id").orderBy(
+        F.desc("cosine"), F.asc("s_id")
+    )
+    w_cnt = Window.partitionBy("b_id")
+    per_b = (
+        bs.withColumn("rk", F.row_number().over(w_best))
+        .withColumn("cnt", F.count(F.lit(1)).over(w_cnt))
+        .filter(F.col("rk") == 1)
+        .select(
+            "b_id",
+            F.col("cnt").cast("long").alias("n_matches_standing"),
+            F.col("cosine").alias("best_cosine"),
+            F.col("s_id").cast("long").alias("best_match_id"),
+        )
+    )
+    killed = bs.select("b_id").distinct()
+    alive = b_ids.join(killed, "b_id", "left_anti")
+    bb = within_cell_dup_pairs(
+        batch_cells.join(
+            alive.select(F.col("b_id").alias(id_col)), id_col, "left_semi"
+        ),
+        threshold,
+        id_col,
+        vec_col,
+    ).select("src", "dst")
+    if max_iterations is None:
+        mx = (
+            alive.groupBy("cell")
+            .count()
+            .agg(F.max("count").alias("mx"))
+            .collect()[0]["mx"]
+        )
+        max_iterations = survivor_round_budget(int(mx or 1))
+    surv = greedy_keep_first_survivors(
+        bb, max_iterations=max_iterations, id_col="b_id"
+    )
+    base = batch_cells.select(F.col(id_col).alias("b_id"), "cell")
+    return (
+        base.join(per_b, "b_id", "left")
+        .join(killed.withColumn("_killed", F.lit(True)), "b_id", "left")
+        .join(surv, "b_id", "left")
+        .select(
+            F.col("b_id").alias(id_col),
+            "cell",
+            F.coalesce(F.col("n_matches_standing"), F.lit(0))
+            .cast("long")
+            .alias("n_matches_standing"),
+            "best_cosine",
+            "best_match_id",
+            (
+                ~F.coalesce(F.col("_killed"), F.lit(False))
+                & F.coalesce(F.col("survivor"), F.lit(True))
+            ).alias("keep"),
+        )
+    )

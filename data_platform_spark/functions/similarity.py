@@ -338,7 +338,7 @@ def ivf_assign_two_level(
     (nprobe ≥ live coarse cells) the candidate set is complete and the
     result is BIT-IDENTICAL to flat ivf_assign — the same full-probe
     equality pin the hybrid IVF-PQ dense leg carries
-    (tests/test_functions.py). Deterministic by the same quantization
+    (tests/test_ann_recall.py). Deterministic by the same quantization
     contract either way, so a SQL oracle unrolls it exactly
     (queries/similarity.py kmeans_two_level_assign_profile)."""
     from pyspark.sql.window import Window
@@ -407,6 +407,42 @@ def ivf_assign_two_level(
         .filter(F.col("rk") == 1)
         .select(id_col, F.col("label").alias("assigned_label"), "dist2")
     )
+
+
+def assign_to_centroids(
+    emb: DataFrame,
+    cents: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iter: int = 2,
+    k: int | None = None,
+    two_level: bool | None = None,
+) -> DataFrame:
+    """THE production nearest-centroid routing rule, exposed as one
+    function: flat ``ivf_assign`` while the centroid count is
+    broadcastable (k ≤ IVF_ASSIGN_FLAT_MAX), ``ivf_assign_two_level``
+    past it — exactly the per-round decision kmeans_fit applies during
+    training, now shared by consumers assigning NEW vectors against a
+    STORED centroid set (the persisted-index serving/append contract:
+    zero retraining, and under the n_cells ∝ corpus posture zero
+    corpus-proportional broadcasts). Same output contract as both legs:
+    (id, assigned_label, dist2), 6-dp distances, (dist2, label)
+    tie-break.
+
+    ``k`` skips the distinct-count action when the caller already knows
+    the centroid count (index ``params/`` stores it); ``two_level``
+    forces a leg for tests. coarse_k derives once as ceil(sqrt(k)) —
+    the kmeans_fit convention (ADVICE r12)."""
+    if k is None:
+        k = cents.select("label").distinct().count()
+    if two_level is None:
+        two_level = k > IVF_ASSIGN_FLAT_MAX
+    if two_level:
+        coarse_k = max(1, int(-(-(k**0.5) // 1)))
+        return ivf_assign_two_level(
+            emb, cents, id_col, vec_col, coarse_k=coarse_k, n_iter=n_iter
+        )
+    return ivf_assign(emb, cents, id_col, vec_col)
 
 
 def ivf_topk(
@@ -666,12 +702,17 @@ def kmeans_fit(
     if two_level_assign is None:
         two_level_assign = k > IVF_ASSIGN_FLAT_MAX
 
+    # the shared routing helper derives coarse_k ONCE from the requested
+    # k (ADVICE r12): leaving ivf_assign_two_level to default it would
+    # pay a distinct().count() action over the centroid relation EVERY
+    # Lloyd round. ceil(sqrt(requested k)) upper-bounds the live count
+    # (cells only drop), so the coarse quantizer never gets coarser
+    # than the per-round default would.
     def _assign(df: DataFrame, cents_df: DataFrame) -> DataFrame:
-        if two_level_assign:
-            return ivf_assign_two_level(
-                df, cents_df, id_col, vec_col, n_iter=n_iter
-            )
-        return ivf_assign(df, cents_df, id_col, vec_col)
+        return assign_to_centroids(
+            df, cents_df, id_col, vec_col,
+            n_iter=n_iter, k=k, two_level=two_level_assign,
+        )
 
     train = training_sample(emb, sample_mod, id_col)
     seed_order = (

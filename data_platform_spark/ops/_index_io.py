@@ -81,7 +81,18 @@ def prune_rebuild_markers(
     batch n prunes markers < n, every older batch has already
     re-upserted its ledger row this replay — and markers ≥ n (the
     batches still to replay) are untouched, preserving the
-    marker-derived rebuilt flag the r10 fix introduced."""
+    marker-derived rebuilt flag the r10 fix introduced.
+
+    Residual (ADVICE r12): that argument covers pruning DURING the
+    fresh-checkpoint replay itself. A marker pruned in the ORIGINAL run
+    (batch 7 pruning batch 5's marker) is already gone when a LATER
+    fresh-checkpoint full replay re-runs batch 5, so batch 5's replayed
+    ledger row derives its rebuilt flag from a fresh drift evaluation
+    alone and can flip True→False. Accepted: the ledger is
+    observability (search correctness never reads it), fresh-replay
+    batch numbering is not guaranteed to match the original run's
+    anyway, and the alternative — keeping every marker forever — is the
+    unbounded growth this function exists to stop."""
     d = os.path.join(path, REBUILDS_DIR)
     if not os.path.isdir(d):
         return 0

@@ -888,7 +888,7 @@ def kmeans_two_level_assign_profile(
     4-dp assigned distance, and ``n_disagree`` — vectors whose two-level
     cell differs from the flat-assign cell (the nprobe=1 routing error,
     REPORTED not assumed; at full coarse probe the two are bit-identical,
-    pinned in tests/test_functions.py).
+    pinned in tests/test_ann_recall.py).
 
     The oracle re-derives the ENTIRE construction in SQL: the outer
     k-means unroll (seeds, both Lloyd rounds, flat final assignment),

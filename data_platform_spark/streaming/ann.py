@@ -218,6 +218,7 @@ def ivfpq_ingest_sink(
     from data_platform_spark.ops import _index_io as IO
     from data_platform_spark.ops.ivfpq_index import (
         append_to_ivfpq_index,
+        read_ivfpq_params,
         rebuild_ivfpq_if_drifted,
         recover_ivfpq_index,
     )
@@ -261,6 +262,12 @@ def ivfpq_ingest_sink(
                 # the intent up front, assert_no_inflight_appends covers
                 # the corpus-move window too; finish_batch still
                 # promotes inside append_to_ivfpq_index.
+                # The intent is written only AFTER the index is known to
+                # exist (ADVICE r12): a first-ever batch against an
+                # unbuilt index would otherwise leave a dangling intent
+                # whose in-flight-append error misdescribes the actual
+                # problem to maintenance ops until the batch retries.
+                read_ivfpq_params(spark, index_path)
                 IO.begin_batch(index_path, bid)
                 stage = f"{corpus_path}/.append-stage-{bid}"
                 shutil.rmtree(stage, ignore_errors=True)

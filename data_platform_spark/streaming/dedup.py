@@ -108,3 +108,95 @@ def neardup_stream_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def semantic_dedup_stream_sink(
+    stream_emb: DataFrame,
+    wh: Warehouse,
+    index_path: str,
+    checkpoint_dir: str,
+    schema: str = "dwh",
+    decisions_table: str = "semantic_dedup_decisions",
+    compact_every: int | None = None,
+):
+    """foreachBatch sink over an embedding stream (vec_id, embedding,
+    … any extra columns ride along): the SEMANTIC twin of
+    neardup_stream_sink (VERDICT r12 item 4) — each micro-batch is
+    decided against the standing semantic-dedup index
+    (ops/semantic_dedup.py: assignment against the STORED centroids,
+    standing scan pruned to the batch's cells, keep/drop vs the
+    standing survivor set with within-batch keep-first), verdicts
+    upsert into the decisions table (one row per vector: cell,
+    n_matches_standing, best_cosine, best_match_id, keep), and the
+    KEPT vectors — plus every decision — fold into the index for the
+    next batch to dedup against.
+
+    Effectively-once: both index halves move under ONE two-phase
+    ``stream-<batch_id>`` marker (append_semantic_batch) — a replayed
+    completed batch is a no-op, and a crashed PARTIAL append retries
+    safely because the decision report is deterministic given the
+    index state, which a partial append does not observably change:
+    the vectors half moves BEFORE the survivors half, and the standing
+    side is the survivor-SEMI-JOINED vector set, so half-landed
+    vectors without ledger rows are invisible to the recomputation.
+    The decisions table upserts on vec_id. Unlike the MinHash sink
+    there is no separate intra-batch pre-pass — within-batch
+    keep-first is part of the decision core's contract.
+
+    ``compact_every=N`` runs compact_semantic_index after every Nth
+    batch (appends add one file per touched cell plus one ledger file
+    per batch otherwise); bit-identity-preserving and replay-safe, the
+    family convention."""
+    from data_platform_spark.ops.semantic_dedup import (
+        append_semantic_batch,
+        incremental_semantic_dedup,
+    )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        from data_platform_spark.cache import release_caches
+
+        spark = batch_df.sparkSession
+        try:
+            if batch_df.limit(1).count() == 0:
+                return
+            bid = f"stream-{batch_id}"
+            from data_platform_spark.ops import _index_io as IO
+
+            # a COMPLETED batch's replay (fresh checkpoint) skips
+            # entirely: its decisions were upserted before its append
+            # promoted the marker, and re-deciding against an index
+            # that now CONTAINS the batch would re-score every vector
+            # against its own indexed copy
+            if IO.batch_done(index_path, bid):
+                return
+            report = incremental_semantic_dedup(
+                spark, index_path, batch_df
+            )
+            from data_platform_spark.streaming.monitors import (
+                upsert_keyed_rows,
+            )
+
+            upsert_keyed_rows(
+                wh, schema, decisions_table, report, ["vec_id"]
+            )
+            append_semantic_batch(
+                batch_df, index_path, report, batch_id=bid
+            )
+            if compact_every and (batch_id + 1) % compact_every == 0:
+                from data_platform_spark.ops.semantic_dedup import (
+                    compact_semantic_index,
+                )
+
+                compact_semantic_index(spark, index_path)
+        finally:
+            # the decision core scope-persists its pair relations; each
+            # batch drains its caches on the way out (cache.py) — and
+            # MUST, because the index state mutates between batches
+            release_caches()
+
+    return (
+        stream_emb.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

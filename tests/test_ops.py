@@ -2852,4 +2852,6 @@ def test_semantic_cells_survivors_bound_invariant(spark):
         assert 0 <= r.n_removed_true <= r.n_removed_bound <= r.n_vectors
         assert r.n_chain_kept == r.n_removed_bound - r.n_removed_true
     # the chains are real in this data: the bound overstates somewhere
-    assert sum(r.n_chain_kept for r in rows) >= 0
+    # (measured 31 at sf0.001 / 26 at sf0.01 — ADVICE r12 tightened the
+    # vacuous >= 0 to an actual bite)
+    assert sum(r.n_chain_kept for r in rows) > 0
