@@ -259,9 +259,19 @@ def append_semantic_batch(
     read_ivf_params(spark, path)  # index must exist before any intent
     bid = batch_id if batch_id is not None else uuid.uuid4().hex[:12]
     stage = f"{path}/.append-stage-{bid}"
+    # pin the appended rows to the index's OWN vector schema: a batch
+    # carrying extra columns must not fork the parquet schema of
+    # vectors/ (mixed-schema directories read back whichever file's
+    # footer Spark samples); a batch MISSING an indexed column fails
+    # here with a clear analysis error instead of writing
+    vec_cols = [
+        c
+        for c in spark.read.parquet(f"{path}/vectors").schema.fieldNames()
+        if c != "cell"
+    ]
     if batch_id is not None:
         IO.begin_batch(path, batch_id)
-    kept = new_emb.join(
+    kept = new_emb.select(*vec_cols).join(
         decisions.filter(F.col("keep")).select(id_col, "cell"), id_col
     )
     kept.coalesce(1).write.partitionBy("cell").mode("overwrite").parquet(

@@ -120,7 +120,8 @@ def semantic_dedup_stream_sink(
     compact_every: int | None = None,
 ):
     """foreachBatch sink over an embedding stream (vec_id, embedding,
-    … any extra columns ride along): the SEMANTIC twin of
+    plus whatever columns the index was BUILT with — appends pin to the
+    index's own vector schema): the SEMANTIC twin of
     neardup_stream_sink (VERDICT r12 item 4) — each micro-batch is
     decided against the standing semantic-dedup index
     (ops/semantic_dedup.py: assignment against the STORED centroids,

@@ -345,3 +345,86 @@ def test_kmeans_fit_forced_two_level_preserves_recall(spark):
         assert _recall(spark, df, got) >= 0.8
     finally:
         df.unpersist()
+
+
+def test_two_level_multiprobe_operating_point(spark):
+    """The r13 coarse_nprobe operating point (VERDICT r12 item 7),
+    gated on the deterministic gate corpus at the SemDeDup posture
+    (k = n/64, hash-sampled centroids — the PLANS.md sweep harness):
+    the default coarse_nprobe=2 must keep assigned-distance inflation
+    vs flat exact assignment under 0.5% here (measured 0.18%; 2.11% at
+    nprobe=1) and strictly dominate nprobe=1 on both disagreement and
+    inflation. Candidate sets grow monotonically with nprobe, so this
+    gate can only break if the routing itself regresses."""
+    from pyspark.sql import functions as F
+
+    from data_platform_spark.functions.similarity import (
+        as_double,
+        ivf_assign,
+        ivf_assign_two_level,
+    )
+    from data_platform_spark.ops.global_order import global_row_number
+    from data_platform_spark.sources.tables import load_table
+
+    emb = (
+        load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        .select("vec_id", "embedding")
+        .localCheckpoint()
+    )
+    n = emb.count()
+    k = max(1, n // 64)
+    ck = max(1, int(-(-(k**0.5) // 1)))
+    seeds = (
+        global_row_number(
+            emb, [F.asc(F.xxhash64(F.col("vec_id"))), F.asc("vec_id")], "__rn"
+        )
+        .filter(F.col("__rn") <= k)
+        .select((F.col("__rn") - 1).cast("int").alias("label"), "embedding")
+    )
+    cents = (
+        seeds.select(
+            "label",
+            F.posexplode(as_double(F.col("embedding"))).alias("pos", "x"),
+        )
+        .select(
+            "label",
+            "pos",
+            (F.floor(F.col("x") * 10_000 + F.lit(0.5)) / 10_000).alias(
+                "centroid_val"
+            ),
+        )
+        .localCheckpoint()
+    )
+    flat = ivf_assign(emb, cents).localCheckpoint()
+    flat_sum = flat.agg(F.sum("dist2").alias("s")).collect()[0]["s"]
+
+    def probe_stats(nprobe):
+        two = ivf_assign_two_level(
+            emb, cents, coarse_k=ck, coarse_nprobe=nprobe
+        )
+        r = (
+            two.alias("t")
+            .join(flat.alias("f"), F.col("t.vec_id") == F.col("f.vec_id"))
+            .agg(
+                F.sum(
+                    F.when(
+                        F.col("t.assigned_label")
+                        != F.col("f.assigned_label"),
+                        1,
+                    ).otherwise(0)
+                ).alias("nd"),
+                F.sum("t.dist2").alias("sd"),
+            )
+            .collect()[0]
+        )
+        return int(r["nd"]), r["sd"] / flat_sum
+
+    nd1, infl1 = probe_stats(1)
+    nd2, infl2 = probe_stats(2)
+    assert nd2 < nd1 and infl2 <= infl1
+    assert infl2 <= 1.005  # measured 1.0018 at the default operating point
+    # the function's DEFAULT is the chosen operating point
+    import inspect
+
+    sig = inspect.signature(ivf_assign_two_level)
+    assert sig.parameters["coarse_nprobe"].default == 2

@@ -2855,3 +2855,212 @@ def test_semantic_cells_survivors_bound_invariant(spark):
     # (measured 31 at sf0.001 / 26 at sf0.01 — ADVICE r12 tightened the
     # vacuous >= 0 to an actual bite)
     assert sum(r.n_chain_kept for r in rows) > 0
+
+
+# ---------------------------------------------------------------------------
+# round 13: persisted semantic-dedup index (ops/semantic_dedup.py)
+# ---------------------------------------------------------------------------
+
+
+def _staircase_batch(spark, n: int, dim_pad: int = 0):
+    """n-vector duplicate CHAIN: e_i has 1/sqrt(2) at dims i-1 and i, so
+    adjacent vectors share one support dim (cosine 0.5 >= 0.3) and
+    non-adjacent vectors are orthogonal (cosine 0.0 < 0.3) — a path
+    graph of depth exactly n, id order 1..n, all in one cell."""
+    dim = n + 1 + dim_pad
+    a = 0.5 ** 0.5
+    rows = []
+    for i in range(1, n + 1):
+        v = [0.0] * dim
+        v[i - 1] = a
+        v[i] = a
+        rows.append((i, 0, v))
+    return spark.createDataFrame(
+        rows, "vec_id long, cell int, embedding array<double>"
+    )
+
+
+def test_semantic_decide_chain_through_production_budget(spark):
+    """VERDICT r12 item 5: a duplicate chain DEEPER than the oracle's
+    pinned 8-round unroll decides correctly through the production
+    budget (max_iterations=None derives survivor_round_budget from the
+    observed per-cell population — guaranteed convergent), while the
+    gate-pinned depth raises the self-describing strict error."""
+    import pytest as _pytest
+
+    from data_platform_spark.functions.dedup import (
+        semantic_dedup_decide,
+        survivor_round_budget,
+    )
+
+    assert survivor_round_budget(64) == 64
+    batch = _staircase_batch(spark, 12)
+    empty_standing = spark.createDataFrame(
+        [], "vec_id long, cell int, embedding array<double>"
+    )
+    got = {
+        r.vec_id: r.keep
+        for r in semantic_dedup_decide(
+            batch, empty_standing, 0.3, max_iterations=None
+        ).collect()
+    }
+    # keep-first along a path: odd ids keep (each even id duplicates a
+    # KEPT lower odd id; each odd id's only lower duplicate was removed)
+    assert got == {i: (i % 2 == 1) for i in range(1, 13)}
+    # the 12-deep chain needs 12 update rounds; the gate unroll is 8
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        semantic_dedup_decide(
+            batch, empty_standing, 0.3, max_iterations=8
+        ).collect()
+
+
+def test_semantic_decide_standing_kill_releases_batch_chain(spark):
+    """The seeded-fixpoint semantics decomposed into primitives: a batch
+    vector killed by a STANDING survivor is decided REMOVED, so it
+    neither removes nor protects its within-batch neighbors — its
+    higher-id duplicate survives (the incremental analog of the chain
+    rule the bound-based count overstates)."""
+    from data_platform_spark.functions.dedup import semantic_dedup_decide
+
+    a = 0.5 ** 0.5
+    # standing survivor s=1 at dims (0,1); batch: 10 ~ s (same support),
+    # 11 ~ 10 via dim 1... construct: b10 = s (exact dup), b11 shares
+    # dim 1 with b10 but is orthogonal to s? impossible if b10 == s —
+    # use: b10 at dims (1,2): cos(s, b10) = 0.5 (killed); b11 at dims
+    # (2,3): cos(b10, b11) = 0.5, cos(s, b11) = 0 (alive vs standing).
+    standing = spark.createDataFrame(
+        [(1, 0, [a, a, 0.0, 0.0, 0.0])],
+        "vec_id long, cell int, embedding array<double>",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, 0, [0.0, a, a, 0.0, 0.0]),  # dups standing 1 -> removed
+            (11, 0, [0.0, 0.0, a, a, 0.0]),  # dups only 10 -> SURVIVES
+            (12, 0, [0.0, 0.0, 0.0, a, a]),  # dups kept 11 -> removed
+        ],
+        "vec_id long, cell int, embedding array<double>",
+    )
+    rows = {
+        r.vec_id: r
+        for r in semantic_dedup_decide(
+            batch, standing, 0.3, max_iterations=None
+        ).collect()
+    }
+    assert not rows[10].keep and rows[10].n_matches_standing == 1
+    assert rows[10].best_match_id == 1 and rows[10].best_cosine == 0.5
+    assert rows[11].keep and rows[11].n_matches_standing == 0
+    assert rows[11].best_cosine is None and rows[11].best_match_id is None
+    assert not rows[12].keep and rows[12].n_matches_standing == 0
+
+
+def test_semantic_index_incremental_never_retrains(spark, tmp_path, monkeypatch):
+    """The incremental check runs ZERO training jobs (VERDICT r12 item
+    1's plan contract): with kmeans_fit poisoned after the one-time
+    build, assignment against the STORED centroids, the pruned standing
+    scan and the decision all still execute — and the vectors scan
+    carries the batch's cells as a partition filter, with no cartesian
+    or nested-loop join anywhere in the plan."""
+    from data_platform_spark.functions import similarity as S
+    from data_platform_spark.ops.semantic_dedup import (
+        build_semantic_dedup_index,
+        incremental_semantic_dedup,
+    )
+    from data_platform_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    standing = emb.filter(F.col("vec_id") % 10 != 0)
+    batch = emb.filter(F.col("vec_id") % 10 == 0)
+    path = str(tmp_path / "sem_idx")
+    build_semantic_dedup_index(standing, path, max_iterations=8)
+
+    def _poisoned(*a, **k):
+        raise AssertionError("incremental path must not retrain")
+
+    monkeypatch.setattr(S, "kmeans_fit", _poisoned)
+    report = incremental_semantic_dedup(spark, path, batch)
+    plan = report._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the standing side reads ONLY the batch's cell partitions
+    assert "PartitionFilters" in plan and "cell" in plan
+    rows = report.collect()
+    assert len(rows) == batch.count()
+    assert all(r.keep in (True, False) for r in rows)
+
+
+def test_append_semantic_batch_grows_and_replays_idempotently(spark, tmp_path):
+    """Two sequential batches through the ops triple: batch-1 survivors
+    become batch-2's standing side (the index GROWS), a replayed append
+    is a byte-level no-op (marker + deterministic names), and
+    compaction collapses the accumulated files without changing a
+    single decision input."""
+    from data_platform_spark.ops import _index_io as IO
+    from data_platform_spark.ops.semantic_dedup import (
+        append_semantic_batch,
+        build_semantic_dedup_index,
+        compact_semantic_index,
+        incremental_semantic_dedup,
+    )
+
+    a = 0.5 ** 0.5
+    standing = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    path = str(tmp_path / "sem_idx")
+    build_semantic_dedup_index(standing, path, max_iterations=8)
+
+    b1 = spark.createDataFrame(
+        [
+            (10, [1.0, 0.05, 0.0, 0.0]),   # dups standing 1
+            (11, [-1.0, 0.0, 0.0, 0.0]),   # novel (cos -1 / 0)
+            (12, [0.0, -a, a, 0.0]),       # novel
+            (13, [0.0, -a, a, 0.001]),     # intra-batch dup of 12
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    r1 = incremental_semantic_dedup(spark, path, b1, max_iterations=8)
+    d1 = {r.vec_id: r.keep for r in r1.collect()}
+    assert d1 == {10: False, 11: True, 12: True, 13: False}
+    append_semantic_batch(b1, path, r1, batch_id="b1")
+    n_vec = spark.read.parquet(f"{path}/vectors").count()
+    n_sur = spark.read.parquet(f"{path}/survivors").count()
+    assert n_vec == 2 + 2      # kept 11, 12 joined the 2 standing
+    assert n_sur == 2 + 4      # every decision recorded
+
+    # replay: marker short-circuits, nothing moves
+    append_semantic_batch(b1, path, r1, batch_id="b1")
+    assert spark.read.parquet(f"{path}/vectors").count() == n_vec
+    assert spark.read.parquet(f"{path}/survivors").count() == n_sur
+    assert IO.batch_done(path, "b1")
+
+    # batch 2 dedups against batch 1's KEPT vectors, not its dropped ones
+    b2 = spark.createDataFrame(
+        [
+            (20, [-1.0, -0.05, 0.0, 0.0]),  # dups batch-1 survivor 11
+            (21, [0.0, 0.0, 0.0, -1.0]),    # novel
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    r2 = incremental_semantic_dedup(spark, path, b2, max_iterations=8)
+    d2 = {r.vec_id: r for r in r2.collect()}
+    assert not d2[20].keep and d2[20].best_match_id == 11
+    assert d2[21].keep and d2[21].n_matches_standing == 0
+    append_semantic_batch(b2, path, r2, batch_id="b2")
+
+    before = {
+        r.vec_id: r.survivor
+        for r in spark.read.parquet(f"{path}/survivors").collect()
+    }
+    res = compact_semantic_index(spark, path)
+    assert res["survivors"]["files_after"] <= res["survivors"]["files_before"]
+    after = {
+        r.vec_id: r.survivor
+        for r in spark.read.parquet(f"{path}/survivors").collect()
+    }
+    assert after == before
+    assert after == {1: True, 2: True, 10: False, 11: True, 12: True,
+                     13: False, 20: False, 21: True}

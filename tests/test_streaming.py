@@ -1601,3 +1601,121 @@ def test_ivfpq_sink_intent_covers_corpus_move_window(
     assert spark.read.parquet(f"{index_path}/codes").count() == 24 * 4
     assert IO.batch_done(index_path, "stream-0")
     IO.assert_no_inflight_appends(index_path)  # intent promoted
+
+
+def test_semantic_dedup_stream_sink_matches_batch_ops(spark, tmp_path):
+    """VERDICT r12 item 4: the streaming semantic-dedup sink equals the
+    sequential batch operator (incremental_semantic_dedup +
+    append_semantic_batch) run over the same micro-batches against an
+    identically-built index — decision for decision, survivor for
+    survivor — and a fresh-checkpoint replay of the whole stream
+    changes NOTHING (completed-batch markers short-circuit)."""
+    import json
+    import os
+    import shutil
+
+    from data_platform_spark.ops.semantic_dedup import (
+        append_semantic_batch,
+        build_semantic_dedup_index,
+        incremental_semantic_dedup,
+    )
+    from data_platform_spark.pipeline import Warehouse
+    from data_platform_spark.streaming.dedup import semantic_dedup_stream_sink
+
+    a = 0.5 ** 0.5
+    standing_rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    batch1 = [
+        (10, [1.0, 0.05, 0.0, 0.0]),   # dups standing 1
+        (11, [-1.0, 0.0, 0.0, 0.0]),   # novel
+        (12, [0.0, -a, a, 0.0]),       # novel, intra pair with 13
+        (13, [0.0, -a, a, 0.001]),     # intra-batch dup of 12 -> dropped
+    ]
+    batch2 = [
+        (20, [-1.0, -0.05, 0.0, 0.0]),  # dups batch-1 SURVIVOR 11
+        (21, [0.0, 0.0, 0.0, -1.0]),    # novel
+    ]
+
+    def _mk(rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    # ---- batch reference path
+    ref_path = str(tmp_path / "sem_ref")
+    build_semantic_dedup_index(_mk(standing_rows), ref_path)
+    ref_decisions = {}
+    for i, rows in enumerate([batch1, batch2]):
+        b = _mk(rows)
+        rep = incremental_semantic_dedup(spark, ref_path, b)
+        for r in rep.collect():
+            ref_decisions[r.vec_id] = (
+                r.cell, r.n_matches_standing, r.best_cosine,
+                r.best_match_id, r.keep,
+            )
+        append_semantic_batch(b, ref_path, rep, batch_id=f"b{i}")
+
+    # ---- streaming path over the same micro-batches
+    src = str(tmp_path / "emb_stream")
+    os.makedirs(src)
+    for i, rows in enumerate([batch1, batch2]):
+        with open(f"{src}/b{i}.json", "w") as f:
+            for vid, emb in rows:
+                f.write(json.dumps({"vec_id": vid, "embedding": emb}) + "\n")
+        os.utime(f"{src}/b{i}.json", (1_000_000 + i, 1_000_000 + i))
+    idx_path = str(tmp_path / "sem_stream_idx")
+    build_semantic_dedup_index(_mk(standing_rows), idx_path)
+    wh = Warehouse(str(tmp_path / "wh"))
+
+    def _run(ckpt):
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        q = semantic_dedup_stream_sink(
+            stream, wh, idx_path, checkpoint_dir=str(tmp_path / ckpt)
+        )
+        q.awaitTermination(180)
+
+    _run("ckpt")
+    got = {
+        r.vec_id: (
+            r.cell, r.n_matches_standing, r.best_cosine,
+            r.best_match_id, r.keep,
+        )
+        for r in wh.read(spark, "dwh", "semantic_dedup_decisions").collect()
+    }
+    assert got == ref_decisions
+    stream_surv = {
+        r.vec_id: r.survivor
+        for r in spark.read.parquet(f"{idx_path}/survivors").collect()
+    }
+    ref_surv = {
+        r.vec_id: r.survivor
+        for r in spark.read.parquet(f"{ref_path}/survivors").collect()
+    }
+    assert stream_surv == ref_surv
+    assert spark.read.parquet(f"{idx_path}/vectors").count() == (
+        spark.read.parquet(f"{ref_path}/vectors").count()
+    )
+
+    # ---- fresh-checkpoint full replay: completed markers skip, nothing
+    # doubles, decisions unchanged
+    n_vec = spark.read.parquet(f"{idx_path}/vectors").count()
+    n_sur = spark.read.parquet(f"{idx_path}/survivors").count()
+    _run("ckpt2")
+    assert spark.read.parquet(f"{idx_path}/vectors").count() == n_vec
+    assert spark.read.parquet(f"{idx_path}/survivors").count() == n_sur
+    got2 = {
+        r.vec_id: (
+            r.cell, r.n_matches_standing, r.best_cosine,
+            r.best_match_id, r.keep,
+        )
+        for r in wh.read(spark, "dwh", "semantic_dedup_decisions").collect()
+    }
+    assert got2 == ref_decisions
+    shutil.rmtree(str(tmp_path / "ckpt2"), ignore_errors=True)
