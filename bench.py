@@ -108,6 +108,13 @@ HEADLINE = [
     # the true greedy survivor fixpoint; its x4 ratio carries BOTH scale
     # claims (linear pair term, chain-depth-bounded fixpoint rounds)
     "semantic_dedup_cells_survivors",
+    # round 13: incremental semantic dedup — the daily-curation operator
+    # (batch assigned to FIXED standing centroids, bipartite pairs vs
+    # the standing survivor set, within-batch keep-first fixpoint);
+    # strict-budget convergence verified on the x4 corpus before
+    # inclusion (the gate shape retrains the standing side per call —
+    # production serves from ops/semantic_dedup.py's persisted index)
+    "incremental_semantic_dedup_new_batch",
 ]
 
 

@@ -41,9 +41,34 @@ def _modules():
 
 
 # The driver's correctness gate checks the FIRST ~50 registered queries, in
-# dict order. Round-12 window, built by the standing evidence-age policy
-# (QUERIES.md; VERDICT r11 items 2 and 4): new + changed queries first,
-# then the oldest green rows.
+# dict order. Round-13 window, built by the standing evidence-age policy
+# (QUERIES.md; VERDICT r12 item 2): new + changed queries first, then the
+# oldest green rows.
+# (1) the two queries REGISTERED this round (VERDICT r12 items 1): the
+#     production incremental semantic dedup under the gate
+#     (incremental_semantic_dedup_new_batch — its oracle unrolls the
+#     standing k-means build, the standing survivor fixpoint, the batch
+#     nearest-centroid assignment, the bipartite verify and the
+#     within-batch fixpoint) and semantic_index_roundtrip (the PERSISTED
+#     semantic index driving the same oracle — build + serving + decide
+#     end-to-end);
+# (2) re-proofs for code changed this round: kmeans_fit now routes every
+#     assignment through the shared assign_to_centroids helper and
+#     derives coarse_k once (ADVICE r12) — results locally verified
+#     identical (flat path call-for-call; 16-test recall suite + the
+#     full-probe bit-identity pins) — re-proven by its two oldest-
+#     evidence consumers kmeans_cell_profile and kmeans_ivf_topk_vec0
+#     (both r7-green, so they double as refresh) plus
+#     kmeans_two_level_assign_profile (exercises ivf_assign_two_level,
+#     whose coarse_nprobe default moved to the measured operating point
+#     — the profile pins nprobe=1 explicitly, so its result must be
+#     byte-identical);
+# (3) the refresh cohort, oldest evidence first: all 26 remaining
+#     r5-green rows (their CORRECTNESS_r05 order), then the 19 oldest
+#     r6-green rows (their CORRECTNESS_r06 order) — after a 50/50 round
+#     no registered query carries pre-r6 evidence except the 13
+#     youngest r6 rows, and the union of driver-green rows stays N/N.
+# --- round-12 window rationale (kept for history) ---
 # (1) the four evidence holes VERDICT r11 named: semantic_dedup_survivors
 #     (registered below the frozen r11 window, never driver-checked),
 #     embedding_dim_correlation_top (the last never-driver-green query —
@@ -135,6 +160,67 @@ def _modules():
 #     whole persist-sweep family in dedup/similarity; the global_order
 #     consumers after its cache-registry change;
 # (3) canaries; (4) stalest green rows rotated in.
+_R13_WINDOW = (
+    # (1) the two queries registered this round
+    "incremental_semantic_dedup_new_batch",
+    "semantic_index_roundtrip",
+    # (2) re-proofs for the kmeans_fit routing refactor + the two-level
+    # coarse_nprobe default change (the first two double as the oldest
+    # kmeans-family refresh — both r7-green)
+    "kmeans_cell_profile",
+    "kmeans_ivf_topk_vec0",
+    "kmeans_two_level_assign_profile",
+    # (3a) all 26 remaining r5-green rows, in their CORRECTNESS_r05 order
+    "nation_customer_supplier_counts",
+    "sql_api_revenue_by_status",
+    "q14_promo_revenue_ratio",
+    "q2_min_price_per_brand",
+    "q19_disjunctive_revenue",
+    "customer_ids_parsed",
+    "orders_by_year",
+    "latest_event_per_user",
+    "p5_guarded_date_roundtrip",
+    "p6_empty_url_normalization",
+    "value_correlation",
+    "q6_forecast_revenue",
+    "q10_returned_item_customers",
+    "q18_large_volume_orders",
+    "ivf_assign_nearest_centroid",
+    "srp_ann_multiprobe_vec0",
+    "ann_recall_at_k",
+    "ivf_topk_vec0",
+    "ivf_recall_at_k",
+    "fact_fk_orphans",
+    "tpch_fk_orphans",
+    "srp_banded_ann_vec0",
+    "dedup_keep_best",
+    "events_hourly_gapfill",
+    "events_zorder_two_dim_slice",
+    "doc_chunking",
+    # (3b) the 19 oldest r6-green rows, in their CORRECTNESS_r06 order
+    "doc_unigram_logprob",
+    "bpe_pair_merge_round",
+    "incremental_dedup_new_batch",
+    "term_pagerank_topk",
+    "erasure_cascade_audit",
+    "corpus_temperature_mix",
+    "multimodal_image_augment",
+    "lang_id_metrics",
+    "quality_weighted_sample",
+    "user_event_entropy",
+    "quality_percentile_by_source",
+    "term_zipf_ranks",
+    "corpus_token_budget_sample",
+    "customer_balance_quartiles",
+    "rm_dim_character_after_mutation",
+    "rm_dim_character_three_batches",
+    "multimodal_features",
+    "decimal_revenue_exact",
+    "events_props_map",
+)
+
+
+# --- round-12 window (kept for history; superseded by _R13_WINDOW) ---
 _R12_WINDOW = (
     # (1) the four evidence holes, in VERDICT r11's order
     "semantic_dedup_survivors",
@@ -260,12 +346,12 @@ _R11_WINDOW = (
 
 
 def _ordered_names(merged: dict, oracles: dict) -> list[str]:
-    unknown = set(_R12_WINDOW) - merged.keys()
+    unknown = set(_R13_WINDOW) - merged.keys()
     if unknown:
         # Fail fast: a stale/misspelled window entry would otherwise
         # silently lose its gate slot (this masked a missing query in r4).
         raise ValueError(f"window names not in registry: {sorted(unknown)}")
-    order: list[str] = list(_R12_WINDOW)
+    order: list[str] = list(_R13_WINDOW)
     seen = set(order)
     # remainder: r3/r4-proven rows, oracled before rows-only
     rest = [n for n in merged if n not in seen]
