@@ -551,7 +551,7 @@ def append_to_ivf_index(
     batch ids are unique per actual batch."""
     import uuid
 
-    from data_platform_spark.functions.similarity import ivf_assign
+    from data_platform_spark.functions.similarity import assign_to_centroids
 
     spark = new_emb.sparkSession
     if batch_id is not None and IO.batch_done(path, batch_id):
@@ -566,7 +566,12 @@ def append_to_ivf_index(
             "contains a different dimensionality"
         )
     codebook = spark.read.parquet(f"{path}/centroids")
-    assign = ivf_assign(new_emb, codebook, id_col, vec_col)
+    # shared flat/two-level routing (k from params, no distinct-count):
+    # an n_cells ∝ corpus index must not broadcast its full centroid
+    # set on the APPEND path either; flat below the bound, bit-identical
+    assign = assign_to_centroids(
+        new_emb, codebook, id_col, vec_col, n_iter=p["n_iter"], k=p["k"]
+    )
     bid = batch_id if batch_id is not None else uuid.uuid4().hex[:12]
     stage = f"{path}/.append-stage-{bid}"
     if batch_id is not None:
@@ -594,14 +599,23 @@ def ivf_index_distortion(
     the data ⇒ probes stop finding true neighbors). ``sample_mod``
     bounds the scan to the deterministic hash sample; an EMPTY sample
     falls back to the full scan (only possible when the corpus holds
-    ~sample_mod rows or fewer — see pq_index_distortion)."""
-    from data_platform_spark.functions.similarity import ivf_assign
+    ~sample_mod rows or fewer — see pq_index_distortion).
+
+    Assignment routes through the shared flat/two-level rule (k from
+    params): past IVF_ASSIGN_FLAT_MAX the per-batch drift check must
+    not broadcast the full centroid set; the two-level distance is an
+    upper bound on the exact one there (nprobe mis-routes inflate
+    dist2 slightly), which only makes the drift signal conservative."""
+    from data_platform_spark.functions.similarity import assign_to_centroids
 
     spark = emb.sparkSession
+    p = read_ivf_params(spark, path)
     codebook = spark.read.parquet(f"{path}/centroids")
 
     def _eval(probe: DataFrame) -> int:
-        assign = ivf_assign(probe, codebook, id_col, vec_col)
+        assign = assign_to_centroids(
+            probe, codebook, id_col, vec_col, n_iter=p["n_iter"], k=p["k"]
+        )
         row = assign.agg(
             F.floor(F.avg(F.col("dist2") * 1_000_000) + F.lit(0.5))
             .cast("long")

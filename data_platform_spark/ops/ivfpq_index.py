@@ -51,7 +51,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_platform_spark.functions.similarity import (
-    ivf_assign,
+    assign_to_centroids,
     kmeans_fit,
     pq_dist_table,
     pq_encode,
@@ -249,7 +249,13 @@ def append_to_ivfpq_index(
         )
     centroids = spark.read.parquet(f"{path}/centroids")
     codebook = spark.read.parquet(f"{path}/codebook")
-    assign = ivf_assign(new_emb, centroids, id_col, vec_col)
+    # shared flat/two-level routing (k from params): the append path
+    # must not broadcast an n_cells ∝ corpus centroid set; flat below
+    # IVF_ASSIGN_FLAT_MAX, bit-identical for every existing consumer
+    assign = assign_to_centroids(
+        new_emb, centroids, id_col, vec_col,
+        n_iter=p["n_iter"], k=p["n_cells"],
+    )
     dist = pq_dist_table(
         new_emb,
         p["n_sub"],
