@@ -287,6 +287,116 @@ def append_semantic_batch(
         IO.finish_batch(path, batch_id)
 
 
+def rebuild_semantic_if_drifted(
+    spark: SparkSession,
+    path: str,
+    threshold: float = 1.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_mod: int | None = None,
+    seed_by_hash: bool = False,
+    rebuild_marker: str | None = None,
+) -> dict:
+    """Drift-triggered rebuild for the semantic-dedup index — the
+    maintenance leg every sibling index family already carries
+    (rebuild_if_drifted / rebuild_ivf_if_drifted /
+    rebuild_ivfpq_if_drifted), with two semantic-specific contracts:
+
+    - **Re-layout, never re-decide.** Keep/drop decisions are
+      append-ORDERED facts (keep-first history): re-running the
+      fixpoint over fresh cells could flip past verdicts whenever the
+      new geometry co-locates survivors that old cell boundaries kept
+      apart. The ``survivors/`` ledger therefore carries forward
+      VERBATIM — only the geometry (centroids, cell partitions, the
+      distortion baseline) retrains. Cross-boundary survivor pairs the
+      new layout co-locates stay grandfathered (standard SemDeDup:
+      the standing set is immutable); FUTURE batches are checked
+      against both.
+    - **k is recomputed, not copied.** Unlike the fixed-k IVF rebuild,
+      the n_cells ∝ corpus posture must re-derive
+      k = ceil(n_survivors / cell_pop) so per-cell population — and
+      the next batch's pair fan-out — stays constant as the corpus
+      grows. Non-survivor rows from the INITIAL build are dropped in
+      the rewrite (serving semi-joins survivors anyway — pure IO
+      savings; appends only ever fold kept vectors).
+
+    Drift signal = assignment distortion of the SURVIVING corpus vs
+    the params baseline (ivf_index_distortion — routed through the
+    shared flat/two-level rule; ``sample_mod`` bounds the per-check
+    scan). Staged sibling + atomic swap, batch/rebuild markers carried
+    forward, refuses over in-flight appends, heals via
+    :func:`recover_semantic_index` — the shared _index_io discipline.
+    ``rebuild_marker`` stamps ``rebuilds/<marker>`` into the stage so
+    streaming ledgers survive crash replays (ADVICE r10 precedent)."""
+    import os
+
+    from data_platform_spark.ops.ann_index import ivf_index_distortion
+
+    p = read_ivf_params(spark, path)
+    dp = read_semantic_params(spark, path)
+    base = p.get("base_distortion_micro")
+    if base is None:
+        raise ValueError(
+            f"index at {path} predates the distortion baseline sidecar; "
+            "rebuild it once with build_semantic_dedup_index"
+        )
+    surv_ids = (
+        spark.read.parquet(f"{path}/survivors")
+        .filter(F.col("survivor"))
+        .select(id_col)
+    )
+    kept = (
+        spark.read.parquet(f"{path}/vectors")
+        .drop("cell")
+        .join(surv_ids, id_col, "left_semi")
+    )
+    current = ivf_index_distortion(kept, path, id_col, vec_col, sample_mod)
+    ratio = current / base if base > 0 else float("inf")
+    if base > 0 and current <= threshold * base:
+        return {
+            "rebuilt": False,
+            "base_micro": base,
+            "current_micro": current,
+            "ratio": round(ratio, 4),
+        }
+    IO.assert_no_inflight_appends(path)
+    stage = f"{path}{IO.STAGE_SUFFIX}"
+    shutil.rmtree(stage, ignore_errors=True)
+    n = kept.count()
+    k = max(1, -(-n // dp["cell_pop"]))
+    build_ivf_index(
+        kept, stage, k=k, n_iter=p["n_iter"], id_col=id_col,
+        vec_col=vec_col, sample_mod=sample_mod, seed_by_hash=seed_by_hash,
+    )
+    # decision ledger + dedup geometry forward VERBATIM (never re-decide)
+    shutil.copytree(f"{path}/survivors", f"{stage}/survivors")
+    shutil.copytree(f"{path}/dedup_params", f"{stage}/dedup_params")
+    # the rebuilt corpus includes every appended batch by construction;
+    # carrying the markers forward keeps replayed appends no-ops
+    if os.path.isdir(f"{path}/batches"):
+        shutil.copytree(f"{path}/batches", f"{stage}/batches")
+    if os.path.isdir(f"{path}/{IO.REBUILDS_DIR}"):
+        shutil.copytree(
+            f"{path}/{IO.REBUILDS_DIR}", f"{stage}/{IO.REBUILDS_DIR}"
+        )
+    if rebuild_marker is not None:
+        IO.stage_rebuild_marker(path, rebuild_marker)
+    IO.mark_stage_complete(path)
+    IO.swap_in_stage(path)
+    return {
+        "rebuilt": True,
+        "base_micro": base,
+        "current_micro": current,
+        "ratio": round(ratio, 4),
+        "k": k,
+    }
+
+
+def recover_semantic_index(path: str) -> str:
+    """Heal an interrupted semantic-index rebuild swap (ops/_index_io)."""
+    return IO.recover_index_dir(path)
+
+
 def compact_semantic_index(
     spark: SparkSession, path: str, n_files: int = 1
 ) -> dict:

@@ -68,6 +68,12 @@ def _modules():
 #     r6-green rows (their CORRECTNESS_r06 order) — after a 50/50 round
 #     no registered query carries pre-r6 evidence except the 13
 #     youngest r6 rows, and the union of driver-green rows stays N/N.
+# NOT in this window, first in line for r14 (the
+# semantic_dedup_survivors precedent — registered BELOW the frozen
+# window with local deep-compare evidence at both gate SFs):
+# kmeans_two_level_multiprobe_profile — the two-level assignment at the
+# r13 measured production default coarse_nprobe=2, its oracle the same
+# full unroll with the probe rank bound widened to 2.
 # --- round-12 window rationale (kept for history) ---
 # (1) the four evidence holes VERDICT r11 named: semantic_dedup_survivors
 #     (registered below the frozen r11 window, never driver-checked),

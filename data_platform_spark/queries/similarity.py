@@ -938,7 +938,7 @@ def kmeans_two_level_assign_profile(
 QUERIES["kmeans_two_level_assign_profile"] = kmeans_two_level_assign_profile
 
 
-def _two_level_oracle() -> str:
+def _two_level_oracle(nprobe: int = 1) -> str:
     ctes_o, flat_assign, final_cents = _kmeans_ctes(KMEANS_K, KMEANS_ITER)
     ctes_c, coarse_assign, coarse_cents = _kmeans_ctes(
         TWO_LEVEL_COARSE_K, KMEANS_ITER, src="cent_wide", prefix="c_"
@@ -972,7 +972,7 @@ def _two_level_oracle() -> str:
                            ORDER BY cdist2 ASC, label ASC
                        ) AS crk
                 FROM cdist
-            ) WHERE crk <= 1
+            ) WHERE crk <= {nprobe}
         ),
         cents_c AS (
             SELECT a.label AS coarse, f.label, f.pos, f.centroid_val
@@ -1007,6 +1007,61 @@ def _two_level_oracle() -> str:
 
 
 ORACLE["kmeans_two_level_assign_profile"] = _two_level_oracle()
+
+
+def kmeans_two_level_multiprobe_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The two-level assignment at the PRODUCTION operating point —
+    coarse_nprobe=2, the r13 measured default (PLANS.md multiprobe
+    sweep; VERDICT r12 item 7) — under the oracle gate: same
+    construction as kmeans_two_level_assign_profile (outer k-means,
+    coarse-over-coarse quantizer on the pivoted centroids, live-cell
+    routing, within-candidate argmin) but each vector probes its TWO
+    nearest live coarse cells before the exact argmin, so the
+    ``n_disagree`` column reports the residual routing error AT the
+    default the scale path actually runs (monotonically ≤ the nprobe=1
+    profile's). The oracle is the same full unroll with the probe rank
+    bound at 2 — every distance, seed, tie-break and the widened
+    candidate union must agree bit-for-bit.
+
+    Registered BELOW the frozen r13 window with local deep-compare
+    evidence at both gate SFs (the semantic_dedup_survivors precedent)
+    — first in line for an r14 slot."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"), spark)
+    cents, flat = S.kmeans_fit(emb, k=KMEANS_K, n_iter=KMEANS_ITER)
+    two = S.ivf_assign_two_level(
+        emb,
+        cents,
+        coarse_k=TWO_LEVEL_COARSE_K,
+        n_iter=KMEANS_ITER,
+        coarse_nprobe=2,
+    )
+    joined = two.alias("t").join(
+        flat.alias("f").select(
+            "vec_id", F.col("assigned_label").alias("flat_label")
+        ),
+        "vec_id",
+    )
+    return joined.groupBy(
+        F.col("t.assigned_label").alias("cell")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        pround(F.avg("t.dist2"), 4).alias("avg_dist2"),
+        F.sum(
+            F.when(
+                F.col("t.assigned_label") != F.col("flat_label"), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_disagree"),
+    )
+
+
+QUERIES["kmeans_two_level_multiprobe_profile"] = (
+    kmeans_two_level_multiprobe_profile
+)
+ORACLE["kmeans_two_level_multiprobe_profile"] = _two_level_oracle(nprobe=2)
 
 
 # ---------------------------------------------------------------------------

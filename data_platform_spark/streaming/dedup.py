@@ -118,6 +118,8 @@ def semantic_dedup_stream_sink(
     schema: str = "dwh",
     decisions_table: str = "semantic_dedup_decisions",
     compact_every: int | None = None,
+    drift_threshold: float | None = None,
+    sample_mod: int | None = 16,
 ):
     """foreachBatch sink over an embedding stream (vec_id, embedding,
     plus whatever columns the index was BUILT with — appends pin to the
@@ -147,11 +149,25 @@ def semantic_dedup_stream_sink(
     ``compact_every=N`` runs compact_semantic_index after every Nth
     batch (appends add one file per touched cell plus one ledger file
     per batch otherwise); bit-identity-preserving and replay-safe, the
-    family convention."""
+    family convention. ``drift_threshold`` (None = off) additionally
+    runs the drift-rebuild leg after each fold —
+    ops.semantic_dedup.rebuild_semantic_if_drifted: re-layout at the
+    recomputed k = ceil(n_survivors/cell_pop) when sampled assignment
+    distortion crosses the threshold, survivors ledger carried forward
+    VERBATIM (decisions are history, never recomputed);
+    ``sample_mod`` bounds that per-batch check, the ann_ingest_sink
+    posture. Interrupted rebuild swaps heal once at construction."""
     from data_platform_spark.ops.semantic_dedup import (
         append_semantic_batch,
         incremental_semantic_dedup,
+        rebuild_semantic_if_drifted,
+        recover_semantic_index,
     )
+
+    try:
+        recover_semantic_index(index_path)
+    except FileNotFoundError:
+        pass  # nothing at the path yet — the first decide will say so loudly
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         from data_platform_spark.cache import release_caches
@@ -183,6 +199,14 @@ def semantic_dedup_stream_sink(
             append_semantic_batch(
                 batch_df, index_path, report, batch_id=bid
             )
+            if drift_threshold is not None:
+                rebuild_semantic_if_drifted(
+                    spark,
+                    index_path,
+                    threshold=drift_threshold,
+                    sample_mod=sample_mod,
+                    rebuild_marker=bid,
+                )
             if compact_every and (batch_id + 1) % compact_every == 0:
                 from data_platform_spark.ops.semantic_dedup import (
                     compact_semantic_index,

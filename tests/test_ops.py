@@ -3064,3 +3064,89 @@ def test_append_semantic_batch_grows_and_replays_idempotently(spark, tmp_path):
     assert after == before
     assert after == {1: True, 2: True, 10: False, 11: True, 12: True,
                      13: False, 20: False, 21: True}
+
+
+def test_semantic_rebuild_relayouts_without_redeciding(spark, tmp_path):
+    """rebuild_semantic_if_drifted: the geometry retrains at the
+    RECOMPUTED k = ceil(n_survivors/cell_pop), non-survivor rows drop
+    out of vectors/, the decision ledger carries forward VERBATIM
+    (keep-first history is never recomputed), batch markers survive
+    (replayed appends stay no-ops), and serving works across the
+    swap."""
+    from data_platform_spark.ops import _index_io as IO
+    from data_platform_spark.ops.ann_index import read_ivf_params
+    from data_platform_spark.ops.semantic_dedup import (
+        append_semantic_batch,
+        build_semantic_dedup_index,
+        incremental_semantic_dedup,
+        read_semantic_params,
+        rebuild_semantic_if_drifted,
+    )
+
+    def _mk(rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    # ids chosen so the two smallest-id SEEDS are orthogonal (1, 2) and
+    # the near-duplicate pair is (1, 4): 4 is removed at build time
+    initial = _mk([
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+        (4, [1.0, 0.02, 0.0, 0.0]),
+    ])
+    path = str(tmp_path / "sem_idx")
+    build_semantic_dedup_index(initial, path, cell_pop=2, max_iterations=8)
+    assert read_ivf_params(spark, path)["k"] == 2  # ceil(4/2)
+
+    b1 = _mk([
+        (10, [0.0, 0.0, 0.0, 1.0]),      # novel
+        (11, [0.0, 0.0, 0.999, 0.05]),   # dups survivor 3
+    ])
+    r1 = incremental_semantic_dedup(spark, path, b1)
+    append_semantic_batch(b1, path, r1, batch_id="b1")
+    b2 = _mk([
+        (20, [-1.0, 0.0, 0.0, 0.0]),     # novel (cos -1 / 0)
+        (21, [0.0, -1.0, 0.0, 0.0]),     # novel
+    ])
+    r2 = incremental_semantic_dedup(spark, path, b2)
+    append_semantic_batch(b2, path, r2, batch_id="b2")
+
+    def ledger():
+        return {
+            r.vec_id: r.survivor
+            for r in spark.read.parquet(f"{path}/survivors").collect()
+        }
+
+    before = ledger()
+    assert before == {1: True, 2: True, 3: True, 4: False,
+                      10: True, 11: False, 20: True, 21: True}
+
+    # skip path: never reaches a retrain under the threshold
+    res = rebuild_semantic_if_drifted(spark, path, threshold=1e9)
+    assert not res["rebuilt"] and read_ivf_params(spark, path)["k"] == 2
+
+    # forced rebuild: k recomputed from the 6 SURVIVORS at cell_pop=2
+    res = rebuild_semantic_if_drifted(spark, path, threshold=1e-9)
+    assert res["rebuilt"] and res["k"] == 3
+    assert read_ivf_params(spark, path)["k"] == 3
+    assert read_semantic_params(spark, path)["cell_pop"] == 2
+    assert ledger() == before  # decisions are history — carried verbatim
+    vec_ids = {
+        r.vec_id
+        for r in spark.read.parquet(f"{path}/vectors").collect()
+    }
+    assert vec_ids == {1, 2, 3, 10, 20, 21}  # dead rows dropped
+
+    # markers carried: a replayed append is still a byte-level no-op
+    assert IO.batch_done(path, "b1")
+    n_vec = spark.read.parquet(f"{path}/vectors").count()
+    append_semantic_batch(b1, path, r1, batch_id="b1")
+    assert spark.read.parquet(f"{path}/vectors").count() == n_vec
+
+    # serving across the swap: a dup of an APPENDED survivor is caught
+    b3 = _mk([(30, [0.0, 0.0, 0.05, 0.999])])  # dups survivor 10
+    r3 = {r.vec_id: r for r in
+          incremental_semantic_dedup(spark, path, b3).collect()}
+    assert not r3[30].keep and r3[30].best_match_id == 10
