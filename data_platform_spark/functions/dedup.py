@@ -628,9 +628,15 @@ def within_cell_dup_pairs(
     cosine verify, so pair fan-out is bounded by cell population and
     the wide embedding column never rides the pair shuffle. Returns
     (cell, src, dst) with src < dst and cosine ≥ ``threshold`` — the
-    exact pair algebra the oracle-gated semantic_dedup_cells family
-    pins (queries/dedup.py), shared here by the persisted-index build
-    and the incremental decision core (VERDICT r12 item 1)."""
+    same pair algebra the oracle-gated semantic_dedup_cells family
+    pins. Shared by the persisted-index build, the incremental decision
+    core, and the incremental gate query (VERDICT r12 item 1). The
+    three pre-r13 gate queries (semantic_dedup_cells / _survivors /
+    _cells_survivors) deliberately KEEP their inline pair stages: their
+    bodies are frozen driver-gated shapes, and every copy — theirs and
+    this one — is pinned to an independent hand-written DuckDB dual, so
+    an algebra drift in any copy hash-fails its own oracle rather than
+    diverging silently."""
     from data_platform_spark.functions.similarity import as_double, cosine
 
     ids = cells.select(cell_col, id_col)

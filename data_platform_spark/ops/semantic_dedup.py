@@ -152,6 +152,26 @@ def build_semantic_dedup_index(
         [(int(cell_pop), int(round(threshold * 1_000_000)))],
         "cell_pop int, threshold_micro long",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/dedup_params")
+    # re-baseline the drift sidecar over the SURVIVOR population
+    # (review r13): build_ivf_index averaged dist2 over ALL vectors
+    # including the near-duplicates the fixpoint just removed —
+    # duplicates cluster at centroid cores and pull that baseline DOWN,
+    # so rebuild_semantic_if_drifted's survivor-only evaluation would
+    # read a spurious ratio > 1 on a duplicate-heavy corpus with zero
+    # actual drift. Baseline and check must cover the same population.
+    from data_platform_spark.ops.ann_index import ivf_index_distortion
+
+    kept = vectors.select(id_col, vec_col).join(
+        decisions.filter(F.col("survivor")).select(id_col),
+        id_col,
+        "left_semi",
+    )
+    base = ivf_index_distortion(kept, path, id_col, vec_col)
+    p = read_ivf_params(spark, path)
+    spark.createDataFrame(
+        [(p["k"], p["n_iter"], p["dim"], base)],
+        "k int, n_iter int, dim int, base_distortion_micro long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
 
 
 def incremental_semantic_dedup(
@@ -222,8 +242,19 @@ def incremental_semantic_dedup(
         .filter(F.col("survivor"))
         .select(id_col)
     )
-    standing_surv = standing.select(id_col, "cell", vec_col).join(
-        surv_ids, id_col, "left_semi"
+    standing_surv = (
+        standing.select(id_col, "cell", vec_col)
+        .join(surv_ids, id_col, "left_semi")
+        # the standing set EXCLUDES the batch's own ids: a crash-retry
+        # that re-decides after this very batch's halves landed (but
+        # before its marker promoted) must reproduce the ORIGINAL
+        # report byte-for-byte — without this, the batch's own kept
+        # vectors would surface as standing survivors and silently
+        # shift the match STATS (keep flags are stable either way: the
+        # kept set is an independent set). A no-op whenever batch and
+        # standing ids are disjoint (the gate split), so the reused
+        # oracle is untouched.
+        .join(new_emb.select(id_col), id_col, "left_anti")
     )
     return semantic_dedup_decide(
         batch_cells,

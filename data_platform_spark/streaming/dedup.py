@@ -137,11 +137,12 @@ def semantic_dedup_stream_sink(
     Effectively-once: both index halves move under ONE two-phase
     ``stream-<batch_id>`` marker (append_semantic_batch) — a replayed
     completed batch is a no-op, and a crashed PARTIAL append retries
-    safely because the decision report is deterministic given the
-    index state, which a partial append does not observably change:
-    the vectors half moves BEFORE the survivors half, and the standing
-    side is the survivor-SEMI-JOINED vector set, so half-landed
-    vectors without ledger rows are invisible to the recomputation.
+    safely because the decision report is deterministic EVEN when the
+    crash landed both halves before the marker promoted: the standing
+    side excludes the batch's own ids outright
+    (incremental_semantic_dedup's anti-join), on top of the
+    vectors-before-ledger move order that keeps half-landed vectors
+    invisible to the survivor semi-join.
     The decisions table upserts on vec_id. Unlike the MinHash sink
     there is no separate intra-batch pre-pass — within-batch
     keep-first is part of the decision core's contract.
@@ -208,11 +209,16 @@ def semantic_dedup_stream_sink(
                     rebuild_marker=bid,
                 )
             if compact_every and (batch_id + 1) % compact_every == 0:
+                from data_platform_spark.ops import _index_io as _IO
                 from data_platform_spark.ops.semantic_dedup import (
                     compact_semantic_index,
                 )
 
                 compact_semantic_index(spark, index_path)
+                # rebuild markers otherwise accumulate forever (every
+                # rebuild copies rebuilds/ forward) — the ann/ivfpq
+                # sinks' cadence (ADVICE r11; review r13)
+                _IO.prune_rebuild_markers(index_path, batch_id)
         finally:
             # the decision core scope-persists its pair relations; each
             # batch drains its caches on the way out (cache.py) — and

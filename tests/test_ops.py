@@ -3150,3 +3150,54 @@ def test_semantic_rebuild_relayouts_without_redeciding(spark, tmp_path):
     r3 = {r.vec_id: r for r in
           incremental_semantic_dedup(spark, path, b3).collect()}
     assert not r3[30].keep and r3[30].best_match_id == 10
+
+
+def test_semantic_incremental_redecide_stable_after_partial_append(
+    spark, tmp_path
+):
+    """Crash-retry determinism (r13 review finding): a retry that
+    re-decides AFTER both index halves landed but BEFORE the batch
+    marker promoted must reproduce the original report byte-for-byte —
+    the standing side excludes the batch's own ids, so the batch's
+    half-appended kept vectors cannot shift the match stats. Simulated
+    by appending with batch_id=None (halves move, no marker) and
+    re-deciding."""
+    from data_platform_spark.ops.semantic_dedup import (
+        append_semantic_batch,
+        build_semantic_dedup_index,
+        incremental_semantic_dedup,
+    )
+
+    standing = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    path = str(tmp_path / "sem_idx")
+    build_semantic_dedup_index(standing, path)
+    # u < v within-batch duplicates, neither matching standing: the
+    # original report records v removed WITH zero standing matches;
+    # after u lands in the index a naive re-decide would report
+    # n_matches_standing=1/best_match_id=u for v instead
+    batch = spark.createDataFrame(
+        [(10, [0.0, 0.0, 1.0, 0.0]), (11, [0.0, 0.0, 0.999, 0.05])],
+        "vec_id long, embedding array<double>",
+    )
+
+    def report():
+        return sorted(
+            (r.vec_id, r.cell, r.n_matches_standing, r.best_cosine,
+             r.best_match_id, r.keep)
+            for r in incremental_semantic_dedup(spark, path, batch).collect()
+        )
+
+    first = report()
+    assert [(v, k) for v, _, _, _, _, k in first] == [
+        (10, True), (11, False)
+    ]
+    assert first[1][2] == 0 and first[1][4] is None  # within-batch kill
+    # both halves land, marker never promotes (batch_id=None)
+    append_semantic_batch(
+        batch, path,
+        incremental_semantic_dedup(spark, path, batch), batch_id=None,
+    )
+    assert report() == first  # the retry's re-decide is byte-stable
