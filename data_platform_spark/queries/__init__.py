@@ -73,7 +73,11 @@ def _modules():
 # window with local deep-compare evidence at both gate SFs):
 # kmeans_two_level_multiprobe_profile — the two-level assignment at the
 # r13 measured production default coarse_nprobe=2, its oracle the same
-# full unroll with the probe rank bound widened to 2.
+# full unroll with the probe rank bound widened to 2 — and
+# semantic_rebuild_roundtrip — the drift-rebuild lifecycle end-to-end
+# (build → forced re-layout at recomputed k with the ledger verbatim →
+# batch decide against the rebuilt geometry), its oracle TWO k-means
+# unrolls + TWO survivor fixpoints in one WITH block.
 # --- round-12 window rationale (kept for history) ---
 # (1) the four evidence holes VERDICT r11 named: semantic_dedup_survivors
 #     (registered below the frozen r11 window, never driver-checked),

@@ -3416,6 +3416,231 @@ ORACLE["semantic_index_roundtrip"] = ORACLE[
 ]
 
 
+def semantic_rebuild_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The semantic index's DRIFT-REBUILD leg under the CORRECTNESS
+    GATE: build the persisted index from the standing corpus, FORCE the
+    rebuild (threshold=0 — re-layout at the recomputed
+    k = ceil(n_survivors/cell_pop), survivors ledger carried VERBATIM,
+    dead initial rows dropped), then run the daily batch check against
+    the REBUILT geometry. The oracle re-derives the whole maintenance
+    lifecycle in one WITH block: the standing k-means unroll, the
+    standing survivor fixpoint, a SECOND k-means unroll over the
+    SURVIVOR set (the rebuild — `_kmeans_ctes(prefix="r_",
+    src=surv_emb)` with its own data-dependent k), the batch's
+    nearest-centroid assignment against the REBUILT centroids, the
+    bipartite verify against survivors in their NEW cells, and the
+    within-batch fixpoint — two k-means unrolls and two fixpoints
+    composed, so every seed, Lloyd mean, 6-dp distance, survivor round
+    and 4-dp cosine across the swap must agree bit-for-bit. This is
+    the driver-gated proof that the rebuild re-lays-out WITHOUT
+    re-deciding (the ledger rows feeding the bipartite stage are the
+    pre-rebuild fixpoint's, while the cells are the post-rebuild
+    quantizer's). Evidence for the pytest-only half of
+    tests/test_ops.py test_semantic_rebuild_relayouts_without_redeciding."""
+    import tempfile
+
+    from data_platform_spark.ops.semantic_dedup import (
+        build_semantic_dedup_index,
+        incremental_semantic_dedup,
+        rebuild_semantic_if_drifted,
+    )
+    from data_platform_spark.queries.similarity import KMEANS_ITER
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    standing = emb.filter(F.col("vec_id") % INCR_NEW_MOD != 0)
+    batch = emb.filter(F.col("vec_id") % INCR_NEW_MOD == 0)
+    base = tempfile.mkdtemp(prefix="dps_sem_rb_")
+    path = f"{base}/sem"
+    build_semantic_dedup_index(
+        standing,
+        path,
+        cell_pop=SEMANTIC_CELL_POP,
+        n_iter=KMEANS_ITER,
+        threshold=SEMANTIC_DUP_THRESHOLD,
+        max_iterations=SEMANTIC_SURVIVOR_ROUNDS,
+    )
+    res = rebuild_semantic_if_drifted(spark, path, threshold=0.0)
+    if not res["rebuilt"]:  # pragma: no cover — zero-distortion corpus
+        raise RuntimeError(
+            "forced rebuild did not trigger (corpus distortion is 0); "
+            "the oracle models the rebuilt geometry"
+        )
+    return incremental_semantic_dedup(
+        spark, path, batch, max_iterations=SEMANTIC_SURVIVOR_ROUNDS
+    )
+
+
+QUERIES["semantic_rebuild_roundtrip"] = semantic_rebuild_roundtrip
+
+
+def _semantic_rebuild_oracle() -> str:
+    from data_platform_spark.queries.similarity import (
+        DIM,
+        KMEANS_ITER,
+        _kmeans_ctes,
+    )
+
+    ctes1, assign1, _cents1 = _kmeans_ctes(
+        0,
+        KMEANS_ITER,
+        k_sql=(
+            "SELECT greatest(1, CAST(ceil(count(*) / "
+            f"{SEMANTIC_CELL_POP}.0) AS BIGINT)) FROM standing"
+        ),
+        src="standing",
+    )
+    ctes2, assign2, cents2 = _kmeans_ctes(
+        0,
+        KMEANS_ITER,
+        k_sql=(
+            "SELECT greatest(1, CAST(ceil(count(*) / "
+            f"{SEMANTIC_CELL_POP}.0) AS BIGINT)) FROM surv_emb"
+        ),
+        src="surv_emb",
+        prefix="r_",
+    )
+    cos = (
+        "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
+        "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
+        "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
+    )
+    d6 = sql_round(
+        "sum((v.x - c.centroid_val) * (v.x - c.centroid_val))", 6
+    )
+    st_rounds, st_final = _survivor_round_ctes(pairs="sp", prefix="st_")
+    bt_rounds, bt_final = _survivor_round_ctes(pairs="bp", prefix="bt_")
+    return f"""
+        WITH standing AS MATERIALIZED (
+            SELECT vec_id, embedding FROM embeddings
+            WHERE vec_id % {INCR_NEW_MOD} <> 0
+        ),
+        batch AS MATERIALIZED (
+            SELECT vec_id, embedding FROM embeddings
+            WHERE vec_id % {INCR_NEW_MOD} = 0
+        ),
+        {ctes1},
+        s_ids AS MATERIALIZED (
+            SELECT vec_id, label AS cell FROM {assign1}
+        ),
+        s_scored AS MATERIALIZED (
+            SELECT ia.cell, ia.vec_id AS src, ib.vec_id AS dst,
+                   {sql_round(cos, 4)} AS cosine
+            FROM s_ids ia
+            JOIN s_ids ib
+              ON ia.cell = ib.cell AND ia.vec_id < ib.vec_id
+            JOIN embeddings a ON a.vec_id = ia.vec_id
+            JOIN embeddings b ON b.vec_id = ib.vec_id
+        ),
+        sp AS MATERIALIZED (
+            SELECT src, dst FROM s_scored
+            WHERE cosine >= {SEMANTIC_DUP_THRESHOLD}
+        ),
+        s_nodes AS (
+            SELECT DISTINCT id
+            FROM (SELECT src AS id FROM sp UNION ALL SELECT dst FROM sp)
+        ),
+        st_s0 AS (SELECT id, CAST(NULL AS BOOLEAN) AS surv FROM s_nodes),
+        {st_rounds},
+        surv_emb AS MATERIALIZED (
+            SELECT i.vec_id, e.embedding
+            FROM s_ids i
+            JOIN embeddings e ON e.vec_id = i.vec_id
+            LEFT JOIN {st_final} s ON s.id = i.vec_id
+            WHERE coalesce(s.surv, TRUE)
+        ),
+        {ctes2},
+        r_ids AS MATERIALIZED (
+            SELECT vec_id, label AS cell FROM {assign2}
+        ),
+        b_long AS (
+            SELECT vec_id, i - 1 AS pos, embedding[i]::DOUBLE AS x
+            FROM batch, generate_series(1, {DIM}) AS t(i)
+        ),
+        b_dist AS (
+            SELECT v.vec_id, c.label, {d6} AS dist2
+            FROM b_long v JOIN {cents2} c ON v.pos = c.pos
+            GROUP BY v.vec_id, c.label
+        ),
+        b_cells AS MATERIALIZED (
+            SELECT vec_id, label AS cell FROM (
+                SELECT vec_id, label,
+                       row_number() OVER (
+                           PARTITION BY vec_id
+                           ORDER BY dist2 ASC, label ASC
+                       ) AS rk
+                FROM b_dist
+            ) WHERE rk = 1
+        ),
+        bs AS MATERIALIZED (
+            SELECT * FROM (
+                SELECT bc.vec_id AS b_id, sc.vec_id AS s_id,
+                       {sql_round(cos, 4)} AS cosine
+                FROM b_cells bc
+                JOIN r_ids sc
+                  ON sc.cell = bc.cell AND sc.vec_id <> bc.vec_id
+                JOIN embeddings a ON a.vec_id = bc.vec_id
+                JOIN embeddings b ON b.vec_id = sc.vec_id
+            ) WHERE cosine >= {SEMANTIC_DUP_THRESHOLD}
+        ),
+        ranked AS (
+            SELECT b_id, s_id, cosine,
+                   row_number() OVER (
+                       PARTITION BY b_id
+                       ORDER BY cosine DESC, s_id ASC
+                   ) AS rk,
+                   count(*) OVER (PARTITION BY b_id) AS cnt
+            FROM bs
+        ),
+        per_b AS (
+            SELECT b_id,
+                   cnt::BIGINT AS n_matches_standing,
+                   cosine AS best_cosine,
+                   s_id::BIGINT AS best_match_id
+            FROM ranked WHERE rk = 1
+        ),
+        killed AS (SELECT DISTINCT b_id FROM bs),
+        alive AS (
+            SELECT bc.vec_id, bc.cell
+            FROM b_cells bc LEFT JOIN killed k ON k.b_id = bc.vec_id
+            WHERE k.b_id IS NULL
+        ),
+        bb_scored AS (
+            SELECT ia.vec_id AS src, ib.vec_id AS dst,
+                   {sql_round(cos, 4)} AS cosine
+            FROM alive ia
+            JOIN alive ib
+              ON ia.cell = ib.cell AND ia.vec_id < ib.vec_id
+            JOIN embeddings a ON a.vec_id = ia.vec_id
+            JOIN embeddings b ON b.vec_id = ib.vec_id
+        ),
+        bp AS MATERIALIZED (
+            SELECT src, dst FROM bb_scored
+            WHERE cosine >= {SEMANTIC_DUP_THRESHOLD}
+        ),
+        b_nodes AS (
+            SELECT DISTINCT id
+            FROM (SELECT src AS id FROM bp UNION ALL SELECT dst FROM bp)
+        ),
+        bt_s0 AS (SELECT id, CAST(NULL AS BOOLEAN) AS surv FROM b_nodes),
+        {bt_rounds}
+        SELECT bc.vec_id,
+               bc.cell,
+               coalesce(p.n_matches_standing, 0)::BIGINT
+                   AS n_matches_standing,
+               p.best_cosine,
+               p.best_match_id,
+               CASE WHEN k.b_id IS NOT NULL THEN FALSE
+                    ELSE coalesce(fs.surv, TRUE) END AS keep
+        FROM b_cells bc
+        LEFT JOIN per_b p ON p.b_id = bc.vec_id
+        LEFT JOIN killed k ON k.b_id = bc.vec_id
+        LEFT JOIN {bt_final} fs ON fs.id = bc.vec_id
+    """
+
+
+ORACLE["semantic_rebuild_roundtrip"] = _semantic_rebuild_oracle()
+
+
 def corpus_dup_quality_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Does duplication correlate with quality? Documents split into
     'unique' (document FINGERPRINT — the md5 of the normalized 64-char
