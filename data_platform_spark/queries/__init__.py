@@ -77,7 +77,12 @@ def _modules():
 # semantic_rebuild_roundtrip — the drift-rebuild lifecycle end-to-end
 # (build → forced re-layout at recomputed k with the ledger verbatim →
 # batch decide against the rebuilt geometry), its oracle TWO k-means
-# unrolls + TWO survivor fixpoints in one WITH block.
+# unrolls + TWO survivor fixpoints in one WITH block — and
+# leakage_safe_split — the component-aware train/val/test split (near-dup
+# groups hash as a unit, so no verified pair can straddle train and an
+# eval split; the query computes both straddle counters from the data:
+# naive doc-hash split leaks, group split provably 0), its oracle the
+# components + pairs unrolls composed with the md5-bucket split CASE.
 # --- round-12 window rationale (kept for history) ---
 # (1) the four evidence holes VERDICT r11 named: semantic_dedup_survivors
 #     (registered below the frozen r11 window, never driver-checked),

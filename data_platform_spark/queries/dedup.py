@@ -3814,3 +3814,183 @@ ORACLE["source_prefix_template_topk"] = f"""
     ORDER BY n_docs DESC, fp ASC
     LIMIT {PREFIX_TEMPLATE_TOPK}
 """
+
+
+def _split_case_sql(key: str) -> str:
+    """DuckDB rendering of the deterministic md5-bucket split used by
+    queries/text.corpus_split_assignment — identical byte stream hashed
+    (decimal rendering of a BIGINT key), identical thresholds."""
+    from data_platform_spark.queries.text import SPLIT_TRAIN_PCT, SPLIT_VAL_PCT
+
+    b = f"(('0x' || substr(md5(({key})::VARCHAR), 1, 8))::UBIGINT % 100)"
+    return (
+        f"CASE WHEN {b} < {SPLIT_TRAIN_PCT} THEN 'train' "
+        f"WHEN {b} < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val' "
+        f"ELSE 'test' END"
+    )
+
+
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: documents are assigned to
+    splits by hashing their near-dup GROUP, not their own id, so a
+    near-duplicate pair can never straddle train and an eval split —
+    the contamination channel a doc-level hash split leaves wide open
+    (a paraphrased/boilerplate-shifted copy of a training document
+    lands in test and inflates eval). Composition of the verified-LSH
+    component machinery (neardup_components) with the deterministic
+    md5-bucket split (corpus_split_assignment): every document's group
+    key is its connected-component representative (min reachable
+    doc_id) when it has one, else its own doc_id, and the split is the
+    pure md5 function of that key — stable across runs, machines, and
+    corpus growth.
+
+    Output is the per-split audit: doc/group/dup-member counts, the
+    number of verified near-dup pairs whose component landed in the
+    split, and the two straddle counters that justify the operator —
+    ``cross_pairs_naive`` (pairs split apart by the doc-level hash;
+    nonzero whenever near-dups exist) vs ``cross_pairs_group`` (the
+    same count under the group split — provably zero by construction,
+    and the query computes it from the data rather than asserting it).
+
+    Determinism: the bucket is the first 8 hex chars of md5 of the
+    decimal key rendering mod 100 — identical bytes hashed in both
+    engines; components are the exact min-label fixpoint. Scale shape:
+    the heavy lifting is the standard bucketed LSH stack (shingles →
+    signatures → banded candidates → verified Jaccard) plus the
+    O(log diameter) component rounds; everything after is one LEFT
+    join of docs against the (tiny) component relation, two
+    3-row-domain aggregations, and a 1-row broadcast total — no new
+    corpus-scale shuffle beyond the pair stack it reuses.
+    """
+    from data_platform_spark.queries.text import SPLIT_TRAIN_PCT, SPLIT_VAL_PCT
+
+    def split_of(key):
+        bucket = (
+            F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            % 100
+        )
+        return (
+            F.when(bucket < SPLIT_TRAIN_PCT, F.lit("train"))
+            .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, F.lit("val"))
+            .otherwise(F.lit("test"))
+        )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    doc_sh = D.shingle_array_df(docs).transform(scoped_persist)
+    sig = D.minhash_signatures(doc_sh).transform(scoped_persist)
+    cand = D.lsh_candidate_pairs(sig)
+    pairs = (
+        D.verified_jaccard(doc_sh, cand, threshold=JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+        .transform(scoped_persist)
+    )
+    comp = D.connected_components(pairs).transform(scoped_persist)
+
+    assigned = (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("group_key"),
+            F.col("component").isNotNull().cast("long").alias("is_dup"),
+        )
+        .withColumn("split", split_of(F.col("group_key")))
+    )
+    per = assigned.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_distinct("group_key").cast("long").alias("n_groups"),
+        F.sum("is_dup").cast("long").alias("n_dup_docs"),
+    )
+
+    ca = comp.select(
+        F.col("doc_id").alias("doc_a"), F.col("component").alias("comp_a")
+    )
+    cb = comp.select(
+        F.col("doc_id").alias("doc_b"), F.col("component").alias("comp_b")
+    )
+    pair_audit = (
+        pairs.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select(
+            split_of(F.col("comp_a")).alias("split"),
+            (split_of(F.col("doc_a")) != split_of(F.col("doc_b")))
+            .cast("long")
+            .alias("cross_naive"),
+            (split_of(F.col("comp_a")) != split_of(F.col("comp_b")))
+            .cast("long")
+            .alias("cross_group"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("cross_naive").cast("long").alias("cross_pairs_naive"),
+            F.sum("cross_group").cast("long").alias("cross_pairs_group"),
+        )
+    )
+    total = per.agg(F.sum("n_docs").alias("corpus_docs"))
+    return (
+        per.join(pair_audit, "split", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "split",
+            "n_docs",
+            "n_groups",
+            "n_dup_docs",
+            F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce(F.col("cross_pairs_naive"), F.lit(0))
+            .cast("long")
+            .alias("cross_pairs_naive"),
+            F.coalesce(F.col("cross_pairs_group"), F.lit(0))
+            .cast("long")
+            .alias("cross_pairs_group"),
+            pround(F.col("n_docs") / F.col("corpus_docs"), 6).alias("doc_share"),
+        )
+    )
+
+
+QUERIES["leakage_safe_split"] = leakage_safe_split
+
+ORACLE["leakage_safe_split"] = f"""
+    WITH comp AS ({ORACLE["neardup_components"]}),
+    pairs AS (
+        SELECT doc_a, doc_b FROM ({ORACLE["neardup_pairs_lsh"]}) vp
+    ),
+    assigned AS (
+        SELECT COALESCE(c.component, d.doc_id) AS group_key,
+               CASE WHEN c.doc_id IS NULL THEN 0 ELSE 1 END AS is_dup
+        FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    ),
+    lab AS (
+        SELECT group_key, is_dup,
+               {_split_case_sql("group_key")} AS split
+        FROM assigned
+    ),
+    per AS (
+        SELECT split,
+               count(*)::BIGINT AS n_docs,
+               count(DISTINCT group_key)::BIGINT AS n_groups,
+               sum(is_dup)::BIGINT AS n_dup_docs
+        FROM lab GROUP BY split
+    ),
+    pa AS (
+        SELECT {_split_case_sql("ca.component")} AS split,
+               count(*)::BIGINT AS n_pairs,
+               sum(CASE WHEN {_split_case_sql("p.doc_a")}
+                        <> {_split_case_sql("p.doc_b")}
+                   THEN 1 ELSE 0 END)::BIGINT AS cross_pairs_naive,
+               sum(CASE WHEN {_split_case_sql("ca.component")}
+                        <> {_split_case_sql("cb.component")}
+                   THEN 1 ELSE 0 END)::BIGINT AS cross_pairs_group
+        FROM pairs p
+        JOIN comp ca ON ca.doc_id = p.doc_a
+        JOIN comp cb ON cb.doc_id = p.doc_b
+        GROUP BY 1
+    ),
+    tot AS (SELECT count(*)::BIGINT AS corpus_docs FROM documents)
+    SELECT per.split, per.n_docs, per.n_groups, per.n_dup_docs,
+           COALESCE(pa.n_pairs, 0)::BIGINT AS n_pairs,
+           COALESCE(pa.cross_pairs_naive, 0)::BIGINT AS cross_pairs_naive,
+           COALESCE(pa.cross_pairs_group, 0)::BIGINT AS cross_pairs_group,
+           {sql_round("per.n_docs * 1.0 / tot.corpus_docs", 6)} AS doc_share
+    FROM per LEFT JOIN pa USING (split) CROSS JOIN tot
+"""

@@ -3201,3 +3201,31 @@ def test_semantic_incremental_redecide_stable_after_partial_append(
         incremental_semantic_dedup(spark, path, batch), batch_id=None,
     )
     assert report() == first  # the retry's re-decide is byte-stable
+
+
+def test_leakage_safe_split_guarantee(spark):
+    """The group split never separates a verified near-dup pair
+    (cross_pairs_group == 0 row-for-row, computed from the data), while
+    the naive doc-hash split does on this corpus (the audit column
+    bites); counts reconcile with the corpus."""
+    from data_platform_spark.queries.dedup import leakage_safe_split
+    from data_platform_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = leakage_safe_split(spark, SF_SMOKE).collect()
+    assert {r.split for r in rows} <= {"train", "val", "test"}
+    assert all(r.cross_pairs_group == 0 for r in rows)
+    # near-dups exist at sf0.001 and some pair straddles the naive split
+    assert sum(r.n_pairs for r in rows) > 0
+    assert sum(r.cross_pairs_naive for r in rows) > 0
+    n_docs = load_table(spark, SF_SMOKE, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    # groups partition the corpus: each group lands in exactly one split
+    assert sum(r.n_groups for r in rows) >= len(rows)
+    for r in rows:
+        # a split's pairs all live inside its dup-member set (cliques at
+        # most): 2 <= members, pairs <= C(members, 2)
+        if r.n_pairs > 0:
+            assert r.n_dup_docs >= 2
+            assert r.n_pairs <= r.n_dup_docs * (r.n_dup_docs - 1) // 2
+
