@@ -5088,3 +5088,117 @@ ORACLE["orders_priority_value_anova"] = f"""
            )} AS priority_r2
     FROM per p CROSS JOIN tot t
 """
+
+
+def order_customer_view_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental join-view maintenance, gate-checked end-to-end: the
+    denormalized orders ⋈ customer view maintained through the delta
+    rule ΔV = ΔF ⋈ D ∪ F ⋈ ΔD (ops/join_view.py) instead of re-joined
+    per batch — the O(batch + touched-keys) refresh a 100 TB enrichment
+    view needs. The simulated history exercises every maintenance leg:
+
+    1. first load + one fact batch (orders with o_orderkey mod 3 ∈
+       {0, 1}) against a PARTIAL dim image (customers with c_custkey
+       mod 5 ≠ 0) — orders referencing the missing customers park in
+       the orphan ledger instead of dropping;
+    2. one dim-upsert batch: the missing mod-5 customers INSERT
+       (promoting their orphans into the view) and the mod-7 customers
+       UPDATE in place (c_acctbal + 100, c_mktsegment ‖ '_V2') —
+       already-landed view rows from step 1 must refresh to the new
+       image without touching any unaffected row;
+    3. the last fact batch (mod 3 = 2) against the final dim image.
+
+    The oracle is the ONE-SHOT join of all orders against the final
+    (mutated) customer image: maintenance must be indistinguishable
+    from full recompute. Scale shape: fact batches join only the batch
+    (dim side broadcast-sized); the dim delta touches only rows whose
+    key changed via semi-join probes; the per-segment aggregate is one
+    map-side-combined groupBy on a bounded domain."""
+    from data_platform_spark.ops.join_view import (
+        apply_dim_upsert,
+        apply_fact_batch,
+        init_join_view,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    dim_payload = ["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+
+    mutated_bal = F.col("c_acctbal") + F.when(
+        F.pmod("c_custkey", F.lit(7)) == 0, F.lit(100.0)
+    ).otherwise(F.lit(0.0))
+    mutated_seg = F.when(
+        F.pmod("c_custkey", F.lit(7)) == 0,
+        F.concat(F.col("c_mktsegment"), F.lit("_V2")),
+    ).otherwise(F.col("c_mktsegment"))
+
+    dim0 = cust.filter(F.pmod("c_custkey", F.lit(5)) != 0)
+    state = init_join_view(
+        orders.filter(F.pmod("o_orderkey", F.lit(3)) == 0),
+        dim0,
+        "o_custkey",
+        "c_custkey",
+    )
+    state = apply_fact_batch(
+        state,
+        orders.filter(F.pmod("o_orderkey", F.lit(3)) == 1),
+        dim0,
+        "o_custkey",
+        "c_custkey",
+        "o_orderkey",
+    )
+    upserts = cust.filter(
+        (F.pmod("c_custkey", F.lit(5)) == 0) | (F.pmod("c_custkey", F.lit(7)) == 0)
+    ).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        mutated_bal.alias("c_acctbal"),
+        mutated_seg.alias("c_mktsegment"),
+    )
+    state = apply_dim_upsert(
+        state, upserts, "o_custkey", "c_custkey", "o_orderkey", dim_payload
+    )
+    dim1 = cust.select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        mutated_bal.alias("c_acctbal"),
+        mutated_seg.alias("c_mktsegment"),
+    )
+    state = apply_fact_batch(
+        state,
+        orders.filter(F.pmod("o_orderkey", F.lit(3)) == 2),
+        dim1,
+        "o_custkey",
+        "c_custkey",
+        "o_orderkey",
+    )
+    return state.view.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        pround(F.sum("o_totalprice")).alias("total_price"),
+        pround(F.sum("c_acctbal")).alias("acctbal_sum"),
+        F.count_distinct("o_custkey").cast("long").alias("n_customers"),
+    )
+
+
+QUERIES["order_customer_view_incremental"] = order_customer_view_incremental
+
+ORACLE["order_customer_view_incremental"] = f"""
+    WITH dim AS (
+        SELECT c_custkey,
+               c_acctbal + CASE WHEN c_custkey % 7 = 0
+                                THEN 100 ELSE 0 END AS c_acctbal,
+               CASE WHEN c_custkey % 7 = 0
+                    THEN c_mktsegment || '_V2'
+                    ELSE c_mktsegment END AS c_mktsegment
+        FROM customer
+    )
+    SELECT d.c_mktsegment,
+           count(*)::BIGINT AS n_orders,
+           {sql_round("sum(o.o_totalprice)")} AS total_price,
+           {sql_round("sum(d.c_acctbal)")} AS acctbal_sum,
+           count(DISTINCT o.o_custkey)::BIGINT AS n_customers
+    FROM orders o JOIN dim d ON d.c_custkey = o.o_custkey
+    GROUP BY 1
+"""

@@ -3229,3 +3229,107 @@ def test_leakage_safe_split_guarantee(spark):
             assert r.n_dup_docs >= 2
             assert r.n_pairs <= r.n_dup_docs * (r.n_dup_docs - 1) // 2
 
+def _jv_frames(spark):
+    from data_platform_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    cust = load_table(spark, SF_SMOKE, "customer")
+    return orders, cust
+
+
+def test_join_view_orphans_park_and_promote(spark):
+    """Fact rows referencing a missing dim key park in the orphan ledger
+    (never dropped), then promote into the view when the key arrives;
+    view ∪ orphans always partitions the fact rows seen."""
+    from pyspark.sql import functions as F
+
+    from data_platform_spark.ops.join_view import (
+        apply_dim_upsert,
+        init_join_view,
+    )
+
+    orders, cust = _jv_frames(spark)
+    dim0 = cust.filter(F.pmod("c_custkey", F.lit(5)) != 0)
+    st = init_join_view(orders, dim0, "o_custkey", "c_custkey")
+    n_orders = orders.count()
+    n_view0, n_orph0 = st.view.count(), st.orphans.count()
+    assert n_view0 + n_orph0 == n_orders
+    assert n_orph0 > 0  # mod-5 customers exist in the corpus
+    # every orphan references a missing dim key
+    assert (
+        st.orphans.filter(F.pmod("o_custkey", F.lit(5)) != 0).count() == 0
+    )
+    missing = cust.filter(F.pmod("c_custkey", F.lit(5)) == 0)
+    st2 = apply_dim_upsert(
+        st,
+        missing,
+        "o_custkey",
+        "c_custkey",
+        "o_orderkey",
+        ["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+    )
+    assert st2.orphans.count() == 0
+    assert st2.view.count() == n_orders
+
+
+def test_join_view_fact_replay_idempotent(spark):
+    """Re-delivering the same fact batch leaves the state unchanged
+    (upsert by fact key), the property an at-least-once feed needs."""
+    from pyspark.sql import functions as F
+
+    from data_platform_spark.ops.join_view import (
+        apply_fact_batch,
+        init_join_view,
+    )
+
+    orders, cust = _jv_frames(spark)
+    b0 = orders.filter(F.pmod("o_orderkey", F.lit(3)) == 0)
+    b1 = orders.filter(F.pmod("o_orderkey", F.lit(3)) == 1)
+    st = init_join_view(b0, cust, "o_custkey", "c_custkey")
+    once = apply_fact_batch(st, b1, cust, "o_custkey", "c_custkey", "o_orderkey")
+    twice = apply_fact_batch(
+        once, b1, cust, "o_custkey", "c_custkey", "o_orderkey"
+    )
+    assert twice.view.count() == once.view.count()
+    assert (
+        twice.view.exceptAll(once.view).count() == 0
+        and once.view.exceptAll(twice.view).count() == 0
+    )
+
+
+def test_join_view_dim_update_refreshes_only_touched_rows(spark):
+    """A dim UPDATE rewrites exactly the view rows referencing the
+    changed keys — refreshed rows carry the new image, all other rows
+    are byte-identical to the pre-update view."""
+    from pyspark.sql import functions as F
+
+    from data_platform_spark.ops.join_view import (
+        apply_dim_upsert,
+        init_join_view,
+    )
+
+    orders, cust = _jv_frames(spark)
+    st = init_join_view(orders, cust, "o_custkey", "c_custkey")
+    upd = cust.filter(F.pmod("c_custkey", F.lit(7)) == 0).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+        F.concat(F.col("c_mktsegment"), F.lit("_V2")).alias("c_mktsegment"),
+    )
+    st2 = apply_dim_upsert(
+        st,
+        upd,
+        "o_custkey",
+        "c_custkey",
+        "o_orderkey",
+        ["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+    )
+    touched = st2.view.filter(F.pmod("o_custkey", F.lit(7)) == 0)
+    untouched = st2.view.filter(F.pmod("o_custkey", F.lit(7)) != 0)
+    assert touched.count() > 0
+    assert touched.filter(~F.col("c_mktsegment").endswith("_V2")).count() == 0
+    before_untouched = st.view.filter(F.pmod("o_custkey", F.lit(7)) != 0)
+    assert untouched.exceptAll(before_untouched).count() == 0
+    assert before_untouched.exceptAll(untouched).count() == 0
