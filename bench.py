@@ -115,6 +115,13 @@ HEADLINE = [
     # inclusion (the gate shape retrains the standing side per call —
     # production serves from ops/semantic_dedup.py's persisted index)
     "incremental_semantic_dedup_new_batch",
+    # round 13 (cont.): the component-aware train/val/test split (the
+    # leakage audit composes the full LSH pair stack + components with
+    # the md5-bucket split — its x4 ratio rides the pair stack's), and
+    # incremental join-view maintenance (delta rules over fact batches +
+    # dim upserts; joins and bounded aggregates only — linear scan term)
+    "leakage_safe_split",
+    "order_customer_view_incremental",
 ]
 
 

@@ -133,3 +133,220 @@ def apply_dim_upsert(
             changed, state.orphans[fact_on] == changed[dim_on], "left_anti"
         ),
     )
+
+
+# --- persisted variant (Warehouse-backed) -----------------------------------
+#
+# The same delta rules applied to stored tables: the view lives at
+# ``schema.table`` and the orphan ledger at ``schema.table__orphans``, both
+# hive-partitioned on a caller-chosen fact column that is STABLE per fact
+# key (Warehouse.merge's pruning contract — a date/bucket column derived
+# from the immutable fact row, e.g. the order month). Fact batches touch
+# only the partitions present in the batch; dim upserts touch only the
+# partitions containing rows that reference a changed key. At 100 TB the
+# dim-probe leg additionally wants the view laid out by the JOIN KEY
+# (ops/layout.cluster_write on ``fact_on``) so the semi-join probe skips
+# files by footer stats instead of scanning the view.
+
+_ORPHANS_SUFFIX = "__orphans"
+_DEL = "_jv_delete"
+
+
+def _has_data(wh, schema: str, table: str, partition_col: str) -> bool:
+    """True when the table exists AND holds at least one partition dir.
+    A merge whose deletes empty the table removes every partition dir but
+    leaves the table root — unreadable by a schemaless parquet scan, so
+    every consumer here must treat it as absent (the next write recreates
+    it through the normal swap)."""
+    import os
+
+    p = wh.path(schema, table)
+    return os.path.isdir(p) and any(
+        e.startswith(f"{partition_col}=") for e in os.listdir(p)
+    )
+
+
+def _null_like(df: DataFrame, template: DataFrame, cols: list[str]) -> DataFrame:
+    """Extend ``df`` with NULL columns typed from ``template`` so it can
+    union with full-width rows (merge delete rows only need key +
+    partition values — the payload is dropped before write)."""
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.lit(None).cast(template.schema[c].dataType))
+    return out
+
+
+def incremental_join_view(
+    spark,
+    wh,
+    schema: str,
+    table: str,
+    fact_batch: DataFrame,
+    dim: DataFrame,
+    *,
+    fact_on: str,
+    dim_on: str,
+    fact_key: str,
+    dim_payload: list[str],
+    partition_col: str,
+    batch_id: str | None = None,
+) -> list[str]:
+    """Fold one fact batch into the stored view against the CURRENT dim
+    image. Matched rows upsert into the view; unmatched rows upsert into
+    the orphan ledger; each batch key is evicted from the OTHER table
+    (cross-ledger move on fact re-delivery, mirroring the in-memory
+    algebra). Replays skip via ``batch_id`` markers (recorded after the
+    journaled merges commit — the at-least-once window is the merge's
+    own crash contract, which can never tear a table).
+
+    Returns the rewritten partition list (``[]`` for a skipped replay).
+    """
+    from data_platform_spark.ops.incremental import _marker_dir, applied_batches
+
+    if batch_id is not None and batch_id in applied_batches(wh, schema, table):
+        return []
+    matched = fact_batch.join(
+        dim, fact_batch[fact_on] == dim[dim_on], "inner"
+    ).drop(dim_on)
+    unmatched = fact_batch.join(
+        dim, fact_batch[fact_on] == dim[dim_on], "left_anti"
+    )
+    written: list[str] = []
+    orph_table = table + _ORPHANS_SUFFIX
+
+    if not _has_data(wh, schema, table, partition_col):
+        wh.write(matched, schema, table, partition_by=[partition_col])
+        written.append(f"first-load {schema}/{table}")
+    else:
+        ups = matched.withColumn(_DEL, F.lit(False)).unionByName(
+            _null_like(unmatched, matched, dim_payload).withColumn(
+                _DEL, F.lit(True)
+            )
+        )
+        written += wh.merge(
+            spark, schema, table, ups, [fact_key], partition_col, delete_col=_DEL
+        )
+
+    if not _has_data(wh, schema, orph_table, partition_col):
+        if unmatched.limit(1).count():
+            wh.write(unmatched, schema, orph_table, partition_by=[partition_col])
+            written.append(f"first-load {schema}/{orph_table}")
+    else:
+        orph_ups = unmatched.withColumn(_DEL, F.lit(False)).unionByName(
+            matched.select(*unmatched.columns).withColumn(_DEL, F.lit(True))
+        )
+        written += wh.merge(
+            spark,
+            schema,
+            orph_table,
+            orph_ups,
+            [fact_key],
+            partition_col,
+            delete_col=_DEL,
+        )
+
+    if batch_id is not None:
+        import os
+
+        d = _marker_dir(wh, schema, table)
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, batch_id), "w", encoding="utf-8"):
+            pass
+    return written
+
+
+def join_view_dim_upsert_persisted(
+    spark,
+    wh,
+    schema: str,
+    table: str,
+    dim_upserts: DataFrame,
+    *,
+    fact_on: str,
+    dim_on: str,
+    fact_key: str,
+    dim_payload: list[str],
+    partition_col: str,
+    batch_id: str | None = None,
+) -> list[str]:
+    """Fold a batch of dimension inserts/updates into the stored view:
+    re-derive exactly the view rows referencing a changed key and promote
+    exactly the orphans it claims. The dim batch is dimension-sized —
+    both probes broadcast it. ``batch_id`` markers share the view's
+    marker dir with the fact batches (callers namespace them, e.g.
+    ``dim-<n>`` vs ``b<n>``)."""
+    from data_platform_spark.ops.incremental import _marker_dir, applied_batches
+
+    if batch_id is not None and batch_id in applied_batches(wh, schema, table):
+        return []
+    changed = dim_upserts.select(dim_on).distinct()
+    written: list[str] = []
+    orph_table = table + _ORPHANS_SUFFIX
+
+    view = (
+        wh.read(spark, schema, table)
+        if _has_data(wh, schema, table, partition_col)
+        else None
+    )
+    parts: list[DataFrame] = []
+    if view is not None:
+        parts.append(
+            view.join(
+                F.broadcast(changed), view[fact_on] == changed[dim_on], "left_semi"
+            ).drop(*dim_payload)
+        )
+    orphans = (
+        wh.read(spark, schema, orph_table)
+        if _has_data(wh, schema, orph_table, partition_col)
+        else None
+    )
+    touched_orphans = None
+    if orphans is not None:
+        touched_orphans = orphans.join(
+            F.broadcast(changed),
+            orphans[fact_on] == changed[dim_on],
+            "left_semi",
+        )
+        parts.append(touched_orphans.select(*parts[0].columns) if parts else touched_orphans)
+    if not parts:
+        return written
+    to_rejoin = parts[0]
+    for p in parts[1:]:
+        to_rejoin = to_rejoin.unionByName(p)
+    refreshed = to_rejoin.join(
+        F.broadcast(dim_upserts), to_rejoin[fact_on] == dim_upserts[dim_on], "inner"
+    ).drop(dim_on)
+
+    if refreshed.limit(1).count():
+        if _has_data(wh, schema, table, partition_col):
+            written += wh.merge(
+                spark, schema, table, refreshed, [fact_key], partition_col
+            )
+        else:
+            wh.write(refreshed, schema, table, partition_by=[partition_col])
+            written.append(f"first-load {schema}/{table}")
+    if touched_orphans is not None:
+        dels = touched_orphans.withColumn(_DEL, F.lit(True)).unionByName(
+            # zero-row keep leg so the merge never sees an all-delete batch
+            # with a mismatched schema
+            touched_orphans.withColumn(_DEL, F.lit(False)).limit(0)
+        )
+        if dels.limit(1).count():
+            written += wh.merge(
+                spark,
+                schema,
+                orph_table,
+                dels,
+                [fact_key],
+                partition_col,
+                delete_col=_DEL,
+            )
+
+    if batch_id is not None:
+        import os
+
+        d = _marker_dir(wh, schema, table)
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, batch_id), "w", encoding="utf-8"):
+            pass
+    return written

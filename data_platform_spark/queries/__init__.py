@@ -82,7 +82,12 @@ def _modules():
 # groups hash as a unit, so no verified pair can straddle train and an
 # eval split; the query computes both straddle counters from the data:
 # naive doc-hash split leaks, group split provably 0), its oracle the
-# components + pairs unrolls composed with the md5-bucket split CASE.
+# components + pairs unrolls composed with the md5-bucket split CASE —
+# and order_customer_view_incremental — incremental join-view
+# maintenance (ops/join_view.py delta rules ΔV = ΔF⋈D ∪ F⋈ΔD driven
+# through a partial-dim first load, fact batches, a dim insert+update
+# batch promoting orphans and refreshing landed rows in place), its
+# oracle the one-shot join against the final dim image.
 # --- round-12 window rationale (kept for history) ---
 # (1) the four evidence holes VERDICT r11 named: semantic_dedup_survivors
 #     (registered below the frozen r11 window, never driver-checked),

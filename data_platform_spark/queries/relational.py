@@ -5114,11 +5114,24 @@ def order_customer_view_incremental(spark: SparkSession, sf_dir: str) -> DataFra
     (dim side broadcast-sized); the dim delta touches only rows whose
     key changed via semi-join probes; the per-segment aggregate is one
     map-side-combined groupBy on a bounded domain."""
+    from data_platform_spark.cache import scoped_persist
     from data_platform_spark.ops.join_view import (
+        JoinViewState,
         apply_dim_upsert,
         apply_fact_batch,
         init_join_view,
     )
+
+    def checkpointed(state: JoinViewState) -> JoinViewState:
+        # each maintenance step references the prior state several times
+        # (upsert anti-join + semi-join probes); persisting both ledgers
+        # per step keeps the plan depth constant in the number of batches
+        # (the connected_components discipline) instead of re-deriving
+        # the whole history per branch
+        return JoinViewState(
+            view=scoped_persist(state.view),
+            orphans=scoped_persist(state.orphans),
+        )
 
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
@@ -5133,12 +5146,12 @@ def order_customer_view_incremental(spark: SparkSession, sf_dir: str) -> DataFra
     ).otherwise(F.col("c_mktsegment"))
 
     dim0 = cust.filter(F.pmod("c_custkey", F.lit(5)) != 0)
-    state = init_join_view(
+    state = checkpointed(init_join_view(
         orders.filter(F.pmod("o_orderkey", F.lit(3)) == 0),
         dim0,
         "o_custkey",
         "c_custkey",
-    )
+    ))
     state = apply_fact_batch(
         state,
         orders.filter(F.pmod("o_orderkey", F.lit(3)) == 1),
@@ -5147,6 +5160,7 @@ def order_customer_view_incremental(spark: SparkSession, sf_dir: str) -> DataFra
         "c_custkey",
         "o_orderkey",
     )
+    state = checkpointed(state)
     upserts = cust.filter(
         (F.pmod("c_custkey", F.lit(5)) == 0) | (F.pmod("c_custkey", F.lit(7)) == 0)
     ).select(
@@ -5156,9 +5170,9 @@ def order_customer_view_incremental(spark: SparkSession, sf_dir: str) -> DataFra
         mutated_bal.alias("c_acctbal"),
         mutated_seg.alias("c_mktsegment"),
     )
-    state = apply_dim_upsert(
+    state = checkpointed(apply_dim_upsert(
         state, upserts, "o_custkey", "c_custkey", "o_orderkey", dim_payload
-    )
+    ))
     dim1 = cust.select(
         "c_custkey",
         "c_name",

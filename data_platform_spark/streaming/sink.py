@@ -107,3 +107,52 @@ def stream_merge_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def join_view_stream_sink(
+    stream_fact: DataFrame,
+    wh: Warehouse,
+    schema: str,
+    table: str,
+    dim: DataFrame,
+    *,
+    fact_on: str,
+    dim_on: str,
+    fact_key: str,
+    dim_payload: list[str],
+    partition_col: str,
+    checkpoint_dir: str,
+):
+    """foreachBatch sink maintaining a denormalized join view: each fact
+    micro-batch folds through ops/join_view.incremental_join_view
+    (matched rows upsert the view, unmatched rows park in the orphan
+    ledger) keyed by the deterministic foreachBatch batch id — replays
+    skip on the marker, effectively-once on top of at-least-once
+    delivery. ``dim`` is the static current dimension image; dimension
+    upserts run OUT-OF-BAND between triggers via
+    ops/join_view.join_view_dim_upsert_persisted (they carry their own
+    namespaced batch ids), promoting any orphans the stream parked."""
+    from data_platform_spark.ops.join_view import incremental_join_view
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        incremental_join_view(
+            batch_df.sparkSession,
+            wh,
+            schema,
+            table,
+            batch_df,
+            dim,
+            fact_on=fact_on,
+            dim_on=dim_on,
+            fact_key=fact_key,
+            dim_payload=dim_payload,
+            partition_col=partition_col,
+            batch_id=f"b{batch_id}",
+        )
+
+    return (
+        stream_fact.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -138,3 +138,127 @@ def test_only_touched_partitions_rewrite(spark, wh):
         row[other]["count_event_id"]
         == ev.filter(F.col("event_type") == other).count()
     )
+
+
+def _jv_mutated_cust(cust):
+    from pyspark.sql import functions as F
+
+    bal = F.col("c_acctbal") + F.when(
+        F.pmod("c_custkey", F.lit(7)) == 0, F.lit(100.0)
+    ).otherwise(F.lit(0.0))
+    seg = F.when(
+        F.pmod("c_custkey", F.lit(7)) == 0,
+        F.concat(F.col("c_mktsegment"), F.lit("_V2")),
+    ).otherwise(F.col("c_mktsegment"))
+    return cust.select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        bal.alias("c_acctbal"),
+        seg.alias("c_mktsegment"),
+    )
+
+
+def _jv_kwargs():
+    return dict(
+        fact_on="o_custkey",
+        dim_on="c_custkey",
+        fact_key="o_orderkey",
+        dim_payload=["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+        partition_col="o_month",
+    )
+
+
+def test_persisted_join_view_equals_oneshot(spark, tmp_path):
+    """The stored view after the full simulated history (partial dim,
+    two fact batches, a dim insert+update batch, a last fact batch)
+    equals the one-shot join against the final dim image, and the
+    orphan ledger is empty — the persisted twin of the oracle-gated
+    order_customer_view_incremental."""
+    from pyspark.sql import functions as F
+
+    from data_platform_spark.ops.join_view import (
+        incremental_join_view,
+        join_view_dim_upsert_persisted,
+    )
+    from data_platform_spark.pipeline import Warehouse
+    from data_platform_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    orders = load_table(spark, SF_SMOKE, "orders").withColumn(
+        "o_month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    cust = load_table(spark, SF_SMOKE, "customer")
+    dim0 = cust.filter(F.pmod("c_custkey", F.lit(5)) != 0)
+    dim1 = _jv_mutated_cust(cust)
+    upserts = _jv_mutated_cust(
+        cust.filter(
+            (F.pmod("c_custkey", F.lit(5)) == 0)
+            | (F.pmod("c_custkey", F.lit(7)) == 0)
+        )
+    )
+    kw = _jv_kwargs()
+    for i, dim in ((0, dim0), (1, dim0)):
+        incremental_join_view(
+            spark, wh, "dwh", "order_cust", 
+            orders.filter(F.pmod("o_orderkey", F.lit(3)) == i),
+            dim, batch_id=f"b{i}", **kw,
+        )
+    join_view_dim_upsert_persisted(
+        spark, wh, "dwh", "order_cust", upserts, batch_id="dim-0", **kw
+    )
+    incremental_join_view(
+        spark, wh, "dwh", "order_cust",
+        orders.filter(F.pmod("o_orderkey", F.lit(3)) == 2),
+        dim1, batch_id="b2", **kw,
+    )
+    view = wh.read(spark, "dwh", "order_cust")
+    oneshot = orders.join(
+        dim1, orders["o_custkey"] == dim1["c_custkey"], "inner"
+    ).drop("c_custkey")
+    assert view.count() == oneshot.count()
+    v = view.select(*sorted(view.columns))
+    o = oneshot.select(*sorted(view.columns))
+    assert v.exceptAll(o).count() == 0 and o.exceptAll(v).count() == 0
+    from data_platform_spark.ops.join_view import _has_data
+
+    assert not _has_data(wh, "dwh", "order_cust__orphans", "o_month")
+
+
+def test_persisted_join_view_replay_skips(spark, tmp_path):
+    """A replayed batch_id is a no-op for both the fact and dim legs."""
+    from pyspark.sql import functions as F
+
+    from data_platform_spark.ops.join_view import (
+        incremental_join_view,
+        join_view_dim_upsert_persisted,
+    )
+    from data_platform_spark.pipeline import Warehouse
+    from data_platform_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    orders = load_table(spark, SF_SMOKE, "orders").withColumn(
+        "o_month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    cust = load_table(spark, SF_SMOKE, "customer")
+    kw = _jv_kwargs()
+    b0 = orders.filter(F.pmod("o_orderkey", F.lit(3)) == 0)
+    incremental_join_view(
+        spark, wh, "dwh", "oc", b0, cust, batch_id="b0", **kw
+    )
+    n = wh.read(spark, "dwh", "oc").count()
+    assert (
+        incremental_join_view(
+            spark, wh, "dwh", "oc", b0, cust, batch_id="b0", **kw
+        )
+        == []
+    )
+    assert (
+        join_view_dim_upsert_persisted(
+            spark, wh, "dwh", "oc", _jv_mutated_cust(cust), batch_id="b0", **kw
+        )
+        == []
+    )
+    assert wh.read(spark, "dwh", "oc").count() == n

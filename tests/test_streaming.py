@@ -1719,3 +1719,111 @@ def test_semantic_dedup_stream_sink_matches_batch_ops(spark, tmp_path):
     }
     assert got2 == ref_decisions
     shutil.rmtree(str(tmp_path / "ckpt2"), ignore_errors=True)
+
+
+def test_join_view_stream_equals_batch(spark, tmp_path):
+    """Stream-vs-batch equality for the join-view sink: the view
+    maintained by streaming fact micro-batches (plus one out-of-band dim
+    upsert) equals the sequential batch operator over the same batches,
+    and a fresh-checkpoint full replay changes nothing (marker skips)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_platform_spark.ops.join_view import (
+        _has_data,
+        incremental_join_view,
+        join_view_dim_upsert_persisted,
+    )
+    from data_platform_spark.pipeline import Warehouse
+    from data_platform_spark.sources.tables import load_table
+    from data_platform_spark.streaming.sink import join_view_stream_sink
+    from tests.conftest import SF_SMOKE
+
+    orders = load_table(spark, SF_SMOKE, "orders").withColumn(
+        "o_month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    cust = load_table(spark, SF_SMOKE, "customer")
+    dim0 = cust.filter(F.pmod("c_custkey", F.lit(5)) != 0)
+    late = cust.filter(F.pmod("c_custkey", F.lit(5)) == 0)
+    kw = dict(
+        fact_on="o_custkey",
+        dim_on="c_custkey",
+        fact_key="o_orderkey",
+        dim_payload=["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+        partition_col="o_month",
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    batches = [
+        orders.filter(F.pmod("o_orderkey", F.lit(3)) == i) for i in range(3)
+    ]
+    fact_schema = (
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, "
+        "o_orderpriority string, o_month string"
+    )
+    for i, b in enumerate(batches):
+        b.coalesce(1).write.mode("overwrite").json(f"{src}/b{i}")
+        os.utime(f"{src}/b{i}", (1_000_000 + i, 1_000_000 + i))
+        for e in os.listdir(f"{src}/b{i}"):
+            os.utime(
+                os.path.join(f"{src}/b{i}", e), (1_000_000 + i, 1_000_000 + i)
+            )
+
+    # streaming leg
+    wh_s = Warehouse(str(tmp_path / "wh_s"))
+    stream = (
+        spark.readStream.schema(fact_schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(f"{src}/b*")
+    )
+    q = join_view_stream_sink(
+        stream, wh_s, "dwh", "oc", dim0,
+        checkpoint_dir=str(tmp_path / "ckpt1"), **kw,
+    )
+    q.awaitTermination(180)
+    join_view_dim_upsert_persisted(
+        spark, wh_s, "dwh", "oc", late, batch_id="dim-0", **kw
+    )
+
+    # batch leg: same batches, same order, same ops
+    wh_b = Warehouse(str(tmp_path / "wh_b"))
+    # json round-trips timestamps as strings; align the batch leg to the
+    # streamed dtypes by reading the same files
+    for i in range(3):
+        b = spark.read.schema(fact_schema).json(f"{src}/b{i}")
+        incremental_join_view(
+            spark, wh_b, "dwh", "oc", b, dim0, batch_id=f"b{i}", **kw
+        )
+    join_view_dim_upsert_persisted(
+        spark, wh_b, "dwh", "oc", late, batch_id="dim-0", **kw
+    )
+
+    vs = wh_s.read(spark, "dwh", "oc")
+    vb = wh_b.read(spark, "dwh", "oc")
+    cols = sorted(vs.columns)
+    assert vs.count() == vb.count() > 0
+    assert vs.select(*cols).exceptAll(vb.select(*cols)).count() == 0
+    assert vb.select(*cols).exceptAll(vs.select(*cols)).count() == 0
+    orph_equal = _has_data(wh_s, "dwh", "oc__orphans", "o_month") == _has_data(
+        wh_b, "dwh", "oc__orphans", "o_month"
+    )
+    assert orph_equal
+
+    # fresh-checkpoint full replay: markers make every batch a no-op
+    before = vs.count()
+    stream2 = (
+        spark.readStream.schema(fact_schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(f"{src}/b*")
+    )
+    q2 = join_view_stream_sink(
+        stream2, wh_s, "dwh", "oc", dim0,
+        checkpoint_dir=str(tmp_path / "ckpt2"), **kw,
+    )
+    q2.awaitTermination(180)
+    after = wh_s.read(spark, "dwh", "oc")
+    assert after.count() == before
+    assert after.select(*cols).exceptAll(vb.select(*cols)).count() == 0
