@@ -87,7 +87,12 @@ def _modules():
 # maintenance (ops/join_view.py delta rules ΔV = ΔF⋈D ∪ F⋈ΔD driven
 # through a partial-dim first load, fact batches, a dim insert+update
 # batch promoting orphans and refreshing landed rows in place), its
-# oracle the one-shot join against the final dim image.
+# oracle the one-shot join against the final dim image — and
+# orders_customer_point_in_time — the point-in-time SCD2 enrichment
+# (every order joins the dimension VERSION valid on its order date;
+# equi-join on the key with the validity range as a residual predicate,
+# plan-checked BroadcastHashJoin), its oracle the CASE-rebuilt version
+# image around the same min(o_orderdate)+800d cutoff.
 # --- round-12 window rationale (kept for history) ---
 # (1) the four evidence holes VERDICT r11 named: semantic_dedup_survivors
 #     (registered below the frozen r11 window, never driver-checked),

@@ -5216,3 +5216,100 @@ ORACLE["order_customer_view_incremental"] = f"""
     FROM orders o JOIN dim d ON d.c_custkey = o.o_custkey
     GROUP BY 1
 """
+
+
+def orders_customer_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time SCD2 enrichment: every order joins the dimension
+    VERSION that was valid on its order date — the temporal join a
+    warehouse fact load runs against an SCD2 dimension (the J2/P9
+    family generalized from is_current to as-of-date), and the lookup
+    the reference's SK-resolution join approximates with is_current
+    (dags/dwh_fact_charer_location.py:107-112 — correct only for
+    current-dated facts; this query is the correct form for backfills
+    and late-arriving facts).
+
+    The versioned dimension is derived deterministically so the oracle
+    can rebuild it: version 1 is the raw customer row valid
+    [-inf, cutoff), version 2 applies the standard mod-7 mutation
+    (c_acctbal + 100, c_mktsegment ‖ '_V2') valid [cutoff, +inf), with
+    cutoff = min(o_orderdate) + 800 days (a 1-row broadcast, the q15
+    scalar pattern — mid-history, so both versions receive orders).
+    Unchanged (non-mod-7) customers carry one logical image in both
+    versions; orders on either side of the cutoff must resolve
+    identically for them.
+
+    Scale shape: the version table is 2× dimension-sized — still a
+    broadcast; the join is an EQUI-join on the customer key with the
+    validity range as a residual predicate (BroadcastHashJoin + filter,
+    never a range-only BNLJ); the per-segment rollup is one map-side-
+    combined groupBy on a bounded domain."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+
+    cutoff = orders.agg(
+        (F.min("o_orderdate") + F.expr("INTERVAL 800 DAYS")).alias("__cutoff")
+    )
+    lo = F.to_timestamp(F.lit("1000-01-01"))
+    hi = F.to_timestamp(F.lit("5000-01-01"))
+    mutated_bal = F.col("c_acctbal") + F.when(
+        F.pmod("c_custkey", F.lit(7)) == 0, F.lit(100.0)
+    ).otherwise(F.lit(0.0))
+    mutated_seg = F.when(
+        F.pmod("c_custkey", F.lit(7)) == 0,
+        F.concat(F.col("c_mktsegment"), F.lit("_V2")),
+    ).otherwise(F.col("c_mktsegment"))
+
+    v1 = cust.crossJoin(F.broadcast(cutoff)).select(
+        "c_custkey",
+        F.col("c_acctbal").alias("bal"),
+        F.col("c_mktsegment").alias("segment"),
+        lo.alias("valid_from"),
+        F.col("__cutoff").alias("valid_to"),
+    )
+    v2 = cust.crossJoin(F.broadcast(cutoff)).select(
+        "c_custkey",
+        mutated_bal.alias("bal"),
+        mutated_seg.alias("segment"),
+        F.col("__cutoff").alias("valid_from"),
+        hi.alias("valid_to"),
+    )
+    dim = v1.unionByName(v2)
+    joined = orders.join(
+        F.broadcast(dim),
+        (orders["o_custkey"] == dim["c_custkey"])
+        & (orders["o_orderdate"] >= dim["valid_from"])
+        & (orders["o_orderdate"] < dim["valid_to"]),
+        "inner",
+    )
+    return joined.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        pround(F.sum("o_totalprice")).alias("total_price"),
+        pround(F.sum("bal")).alias("bal_sum"),
+    )
+
+
+QUERIES["orders_customer_point_in_time"] = orders_customer_point_in_time
+
+ORACLE["orders_customer_point_in_time"] = f"""
+    WITH cut AS (
+        SELECT min(o_orderdate) + INTERVAL 800 DAY AS c FROM orders
+    ),
+    enriched AS (
+        SELECT
+            CASE WHEN o.o_orderdate >= cut.c AND c_custkey % 7 = 0
+                 THEN d.c_mktsegment || '_V2'
+                 ELSE d.c_mktsegment END AS segment,
+            CASE WHEN o.o_orderdate >= cut.c AND c_custkey % 7 = 0
+                 THEN d.c_acctbal + 100 ELSE d.c_acctbal END AS bal,
+            o.o_totalprice
+        FROM orders o
+        JOIN customer d ON d.c_custkey = o.o_custkey
+        CROSS JOIN cut
+    )
+    SELECT segment,
+           count(*)::BIGINT AS n_orders,
+           {sql_round("sum(o_totalprice)")} AS total_price,
+           {sql_round("sum(bal)")} AS bal_sum
+    FROM enriched
+    GROUP BY segment
+"""
