@@ -22,11 +22,11 @@ dimension attributes per batch rather than per full table):
   upsert by fact key. Cost is O(fact rows referencing changed keys),
   independent of view size.
 
-Supported dim mutations are INSERT and UPDATE (the SCD1 surface: the key
-set may grow, attributes may change in place). Dim DELETEs are out of
-scope — a deleted dimension key under inner-join semantics demotes its
-view rows back to orphans, which composes from the same primitives but is
-not a shape the curation pipelines here produce.
+Supported dim mutations are INSERT, UPDATE and DELETE (the full SCD1
+surface): the key set may grow, attributes may change in place, and a
+deleted dimension key — which under inner-join semantics has no image —
+DEMOTES its view rows back to the orphan ledger (apply_dim_delete), so
+delete → re-insert is a lossless round trip.
 
 Invariant (pinned by tests and the oracle-gated
 ``order_customer_view_incremental``): after any interleaving of fact
@@ -339,6 +339,89 @@ def join_view_dim_upsert_persisted(
                 dels,
                 [fact_key],
                 partition_col,
+                delete_col=_DEL,
+            )
+
+    if batch_id is not None:
+        import os
+
+        d = _marker_dir(wh, schema, table)
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, batch_id), "w", encoding="utf-8"):
+            pass
+    return written
+
+
+def apply_dim_delete(
+    state: JoinViewState,
+    deleted_keys: DataFrame,
+    fact_on: str,
+    dim_on: str,
+    dim_payload: list[str],
+) -> JoinViewState:
+    """Fold a batch of dimension DELETEs into the state: under inner-join
+    semantics a deleted dimension key has no image, so its view rows
+    DEMOTE to the orphan ledger (fact columns only) — never silently
+    drop; a later re-insert of the key (apply_dim_upsert) restores them,
+    making delete → re-insert a lossless round trip. ``deleted_keys``
+    carries just the key column; orphans already referencing a deleted
+    key are unaffected (they were never joined)."""
+    keys = deleted_keys.select(dim_on).distinct()
+    demoted = state.view.join(
+        keys, state.view[fact_on] == keys[dim_on], "left_semi"
+    ).drop(*dim_payload)
+    return JoinViewState(
+        view=state.view.join(
+            keys, state.view[fact_on] == keys[dim_on], "left_anti"
+        ),
+        orphans=state.orphans.unionByName(demoted),
+    )
+
+
+def join_view_dim_delete_persisted(
+    spark,
+    wh,
+    schema: str,
+    table: str,
+    deleted_keys: DataFrame,
+    *,
+    fact_on: str,
+    dim_on: str,
+    fact_key: str,
+    dim_payload: list[str],
+    partition_col: str,
+    batch_id: str | None = None,
+) -> list[str]:
+    """Persisted dim-DELETE leg: demote the stored view's rows for the
+    deleted keys into the orphan ledger (merge-delete from the view,
+    upsert into orphans — ordered orphans-first so a crash between the
+    two merges leaves the row in BOTH tables, where the replayed delete
+    or a later upsert reconciles it, never in NEITHER)."""
+    from data_platform_spark.ops.incremental import _marker_dir, applied_batches
+
+    if batch_id is not None and batch_id in applied_batches(wh, schema, table):
+        return []
+    written: list[str] = []
+    orph_table = table + _ORPHANS_SUFFIX
+    keys = deleted_keys.select(dim_on).distinct()
+
+    if _has_data(wh, schema, table, partition_col):
+        view = wh.read(spark, schema, table)
+        demoted_full = view.join(
+            F.broadcast(keys), view[fact_on] == keys[dim_on], "left_semi"
+        )
+        demoted = demoted_full.drop(*dim_payload)
+        if demoted.limit(1).count():
+            if _has_data(wh, schema, orph_table, partition_col):
+                written += wh.merge(
+                    spark, schema, orph_table, demoted, [fact_key], partition_col
+                )
+            else:
+                wh.write(demoted, schema, orph_table, partition_by=[partition_col])
+                written.append(f"first-load {schema}/{orph_table}")
+            dels = demoted_full.withColumn(_DEL, F.lit(True))
+            written += wh.merge(
+                spark, schema, table, dels, [fact_key], partition_col,
                 delete_col=_DEL,
             )
 

@@ -262,3 +262,87 @@ def test_persisted_join_view_replay_skips(spark, tmp_path):
         == []
     )
     assert wh.read(spark, "dwh", "oc").count() == n
+
+
+def test_join_view_dim_delete_roundtrip_inmemory(spark):
+    """Dim DELETE demotes the key's view rows to orphans; re-inserting
+    the same dim rows restores the exact original view (lossless
+    round trip) — in-memory algebra."""
+    from pyspark.sql import functions as F
+
+    from data_platform_spark.ops.join_view import (
+        apply_dim_delete,
+        apply_dim_upsert,
+        init_join_view,
+    )
+    from data_platform_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    cust = load_table(spark, SF_SMOKE, "customer")
+    payload = ["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    st = init_join_view(orders, cust, "o_custkey", "c_custkey")
+    n0_view, n0_orph = st.view.count(), st.orphans.count()
+    doomed = cust.filter(F.pmod("c_custkey", F.lit(6)) == 0)
+    st1 = apply_dim_delete(st, doomed, "o_custkey", "c_custkey", payload)
+    n_demoted = st.view.filter(F.pmod("o_custkey", F.lit(6)) == 0).count()
+    assert n_demoted > 0
+    assert st1.view.count() == n0_view - n_demoted
+    assert st1.orphans.count() == n0_orph + n_demoted
+    st2 = apply_dim_upsert(
+        st1, doomed, "o_custkey", "c_custkey", "o_orderkey", payload
+    )
+    cols = sorted(st.view.columns)
+    a, b = st2.view.select(*cols), st.view.select(*cols)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    assert st2.orphans.count() == n0_orph
+
+
+def test_join_view_dim_delete_roundtrip_persisted(spark, tmp_path):
+    """Same round trip through the stored tables, plus replay skip."""
+    from pyspark.sql import functions as F
+
+    from data_platform_spark.ops.join_view import (
+        incremental_join_view,
+        join_view_dim_delete_persisted,
+        join_view_dim_upsert_persisted,
+    )
+    from data_platform_spark.pipeline import Warehouse
+    from data_platform_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    orders = load_table(spark, SF_SMOKE, "orders").withColumn(
+        "o_month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    cust = load_table(spark, SF_SMOKE, "customer")
+    kw = _jv_kwargs()
+    incremental_join_view(
+        spark, wh, "dwh", "oc", orders, cust, batch_id="b0", **kw
+    )
+    before = wh.read(spark, "dwh", "oc")
+    n0 = before.count()
+    snapshot = [tuple(r) for r in before.select(*sorted(before.columns)).collect()]
+    doomed = cust.filter(F.pmod("c_custkey", F.lit(6)) == 0)
+    join_view_dim_delete_persisted(
+        spark, wh, "dwh", "oc", doomed, batch_id="del-0", **kw
+    )
+    mid = wh.read(spark, "dwh", "oc")
+    assert mid.count() < n0
+    assert mid.filter(F.pmod("o_custkey", F.lit(6)) == 0).count() == 0
+    orph = wh.read(spark, "dwh", "oc__orphans")
+    assert orph.count() == n0 - mid.count()
+    # replayed delete is a no-op
+    assert (
+        join_view_dim_delete_persisted(
+            spark, wh, "dwh", "oc", doomed, batch_id="del-0", **kw
+        )
+        == []
+    )
+    join_view_dim_upsert_persisted(
+        spark, wh, "dwh", "oc", doomed, batch_id="dim-1", **kw
+    )
+    after = wh.read(spark, "dwh", "oc")
+    assert sorted(
+        tuple(r) for r in after.select(*sorted(after.columns)).collect()
+    ) == sorted(snapshot)
