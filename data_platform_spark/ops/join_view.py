@@ -43,6 +43,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+
+_DIM_KEY = "_jv_dim_key"
+
+
+def _dim_keyed(dim: DataFrame, dim_on: str) -> DataFrame:
+    """Rename the dim join key to a reserved internal name before joining.
+    Dropping the dim-side key after an equi-join is otherwise fragile:
+    drop-by-name removes BOTH columns when fact and dim share the key
+    name, and drop-by-reference silently no-ops when the two frames share
+    lineage (a dim filtered out of an earlier join product). The rename
+    makes the post-join drop unambiguous for any column names."""
+    return dim.withColumnRenamed(dim_on, _DIM_KEY)
+
+
 @dataclass
 class JoinViewState:
     """Maintained state: the denormalized view (fact + dim columns) and
@@ -63,8 +77,11 @@ def init_join_view(
 ) -> JoinViewState:
     """First load: split the initial fact image into matched view rows and
     orphans. One join on the dim key — at scale the dim side broadcasts."""
-    matched = fact.join(dim, fact[fact_on] == dim[dim_on], "inner").drop(dim_on)
-    orphans = fact.join(dim, fact[fact_on] == dim[dim_on], "left_anti")
+    dimr = _dim_keyed(dim, dim_on)
+    matched = fact.join(
+        dimr, fact[fact_on] == F.col(_DIM_KEY), "inner"
+    ).drop(_DIM_KEY)
+    orphans = fact.join(dimr, fact[fact_on] == F.col(_DIM_KEY), "left_anti")
     return JoinViewState(view=matched, orphans=orphans)
 
 
@@ -79,13 +96,23 @@ def apply_fact_batch(
     """Fold one batch of fact rows into the state against the CURRENT dim
     image. O(batch): the standing view is touched only by the fact-key
     upsert (an anti-join probe — partition-prunable on the fact key)."""
-    matched = batch.join(dim, batch[fact_on] == dim[dim_on], "inner").drop(dim_on)
-    unmatched = batch.join(dim, batch[fact_on] == dim[dim_on], "left_anti")
+    dimr = _dim_keyed(dim, dim_on)
+    matched = batch.join(
+        dimr, batch[fact_on] == F.col(_DIM_KEY), "inner"
+    ).drop(_DIM_KEY)
+    unmatched = batch.join(dimr, batch[fact_on] == F.col(_DIM_KEY), "left_anti")
+    # a replayed/updated fact key must not linger in BOTH ledgers:
+    # matched batch rows evict their key from orphans, unmatched ones from
+    # the view (cross-ledger moves on fact re-delivery — the in-memory
+    # twin of the persisted _DEL legs)
     return JoinViewState(
-        view=_upsert(state.view, matched, fact_key),
-        # a replayed/updated fact key must not linger in BOTH ledgers:
-        # matched batch rows evict their key from orphans, unmatched ones
-        # from the view (cross-ledger moves on fact re-delivery)
+        view=_upsert(
+            state.view.join(
+                unmatched.select(fact_key), [fact_key], "left_anti"
+            ),
+            matched,
+            fact_key,
+        ),
         orphans=_upsert(
             state.orphans.join(matched.select(fact_key), [fact_key], "left_anti"),
             unmatched,
@@ -122,9 +149,10 @@ def apply_dim_upsert(
         changed, state.orphans[fact_on] == changed[dim_on], "left_semi"
     )
     to_rejoin = touched_view_facts.unionByName(touched_orphans)
+    upsr = _dim_keyed(dim_upserts, dim_on)
     refreshed = to_rejoin.join(
-        dim_upserts, to_rejoin[fact_on] == dim_upserts[dim_on], "inner"
-    ).drop(dim_on)
+        upsr, to_rejoin[fact_on] == F.col(_DIM_KEY), "inner"
+    ).drop(_DIM_KEY)
 
     return JoinViewState(
         view=_upsert(state.view, refreshed, fact_key),
@@ -205,12 +233,19 @@ def incremental_join_view(
 
     if batch_id is not None and batch_id in applied_batches(wh, schema, table):
         return []
-    matched = fact_batch.join(
-        dim, fact_batch[fact_on] == dim[dim_on], "inner"
-    ).drop(dim_on)
-    unmatched = fact_batch.join(
-        dim, fact_batch[fact_on] == dim[dim_on], "left_anti"
+    # each merge runs several actions over its updates (partition-value
+    # collect, staged write, emptied-partition probe) and both ledgers
+    # reuse both halves — checkpoint the batch split so the batch ⋈ dim
+    # join executes once per call, not once per action
+    dimr = _dim_keyed(dim, dim_on)
+    matched = (
+        fact_batch.join(dimr, fact_batch[fact_on] == F.col(_DIM_KEY), "inner")
+        .drop(_DIM_KEY)
+        .localCheckpoint()
     )
+    unmatched = fact_batch.join(
+        dimr, fact_batch[fact_on] == F.col(_DIM_KEY), "left_anti"
+    ).localCheckpoint()
     written: list[str] = []
     orph_table = table + _ORPHANS_SUFFIX
 
@@ -302,20 +337,28 @@ def join_view_dim_upsert_persisted(
     )
     touched_orphans = None
     if orphans is not None:
+        # reused by both the refresh leg and the delete leg below
         touched_orphans = orphans.join(
             F.broadcast(changed),
             orphans[fact_on] == changed[dim_on],
             "left_semi",
-        )
+        ).localCheckpoint()
         parts.append(touched_orphans.select(*parts[0].columns) if parts else touched_orphans)
     if not parts:
         return written
     to_rejoin = parts[0]
     for p in parts[1:]:
         to_rejoin = to_rejoin.unionByName(p)
-    refreshed = to_rejoin.join(
-        F.broadcast(dim_upserts), to_rejoin[fact_on] == dim_upserts[dim_on], "inner"
-    ).drop(dim_on)
+    upsr = _dim_keyed(dim_upserts, dim_on)
+    refreshed = (
+        to_rejoin.join(
+            F.broadcast(upsr),
+            to_rejoin[fact_on] == F.col(_DIM_KEY),
+            "inner",
+        )
+        .drop(_DIM_KEY)
+        .localCheckpoint()
+    )
 
     if refreshed.limit(1).count():
         if _has_data(wh, schema, table, partition_col):
@@ -326,11 +369,7 @@ def join_view_dim_upsert_persisted(
             wh.write(refreshed, schema, table, partition_by=[partition_col])
             written.append(f"first-load {schema}/{table}")
     if touched_orphans is not None:
-        dels = touched_orphans.withColumn(_DEL, F.lit(True)).unionByName(
-            # zero-row keep leg so the merge never sees an all-delete batch
-            # with a mismatched schema
-            touched_orphans.withColumn(_DEL, F.lit(False)).limit(0)
-        )
+        dels = touched_orphans.withColumn(_DEL, F.lit(True))
         if dels.limit(1).count():
             written += wh.merge(
                 spark,
@@ -409,7 +448,7 @@ def join_view_dim_delete_persisted(
         view = wh.read(spark, schema, table)
         demoted_full = view.join(
             F.broadcast(keys), view[fact_on] == keys[dim_on], "left_semi"
-        )
+        ).localCheckpoint()
         demoted = demoted_full.drop(*dim_payload)
         if demoted.limit(1).count():
             if _has_data(wh, schema, orph_table, partition_col):

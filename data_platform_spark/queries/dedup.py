@@ -3862,19 +3862,7 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-row-domain aggregations, and a 1-row broadcast total — no new
     corpus-scale shuffle beyond the pair stack it reuses.
     """
-    from data_platform_spark.queries.text import SPLIT_TRAIN_PCT, SPLIT_VAL_PCT
-
-    def split_of(key):
-        bucket = (
-            F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10)
-            .cast("long")
-            % 100
-        )
-        return (
-            F.when(bucket < SPLIT_TRAIN_PCT, F.lit("train"))
-            .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, F.lit("val"))
-            .otherwise(F.lit("test"))
-        )
+    from data_platform_spark.queries.text import split_of
 
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
     doc_sh = D.shingle_array_df(docs).transform(scoped_persist)

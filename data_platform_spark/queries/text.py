@@ -3582,6 +3582,25 @@ SPLIT_TRAIN_PCT = 90
 SPLIT_VAL_PCT = 5  # test gets the remaining 5
 
 
+def split_of(key):
+    """THE deterministic split expression: md5-bucket of the decimal
+    rendering of ``key`` (a Column) mod 100 → train/val/test. Shared by
+    corpus_split_assignment (doc-level key) and dedup.leakage_safe_split
+    (component-level key) — the leakage audit's naive-vs-group comparison
+    is only meaningful while both use the byte-identical formula, so
+    there is exactly one copy."""
+    bucket = (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return (
+        F.when(bucket < SPLIT_TRAIN_PCT, F.lit("train"))
+        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
 def corpus_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split audit: every document hashes
     to a bucket in [0, 100) via md5(doc_id) — train < 90, val < 95,
@@ -3599,20 +3618,9 @@ def corpus_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy on the (source × 3) domain; the per-source totals relation
     is bounded by the source domain (broadcast)."""
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
-    bucket = (
-        F.conv(
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
-        ).cast("long")
-        % 100
-    )
-    split = (
-        F.when(bucket < SPLIT_TRAIN_PCT, F.lit("train"))
-        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
     assigned = docs.select(
         "source",
-        split.alias("split"),
+        split_of(F.col("doc_id")).alias("split"),
         X.token_count(F.col("text")).cast("long").alias("n_tokens"),
     )
     per = assigned.groupBy("source", "split").agg(
@@ -4053,19 +4061,8 @@ def doc_quality_by_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_platform_spark.ops.global_order import grouped_percentile
 
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
-    bucket = (
-        F.conv(
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
-        ).cast("long")
-        % 100
-    )
-    split = (
-        F.when(bucket < SPLIT_TRAIN_PCT, F.lit("train"))
-        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
     scored = docs.select(
-        split.alias("split"),
+        split_of(F.col("doc_id")).alias("split"),
         F.floor(X.quality_score(F.col("text")) * 10_000 + F.lit(0.5))
         .cast("long")
         .alias("q"),

@@ -346,3 +346,37 @@ def test_join_view_dim_delete_roundtrip_persisted(spark, tmp_path):
     assert sorted(
         tuple(r) for r in after.select(*sorted(after.columns)).collect()
     ) == sorted(snapshot)
+
+
+def test_join_view_redelivery_to_missing_dim_moves_ledger(spark):
+    """A fact key re-delivered while the current dim image lacks its
+    join key must MOVE from the view to the orphan ledger (never linger
+    in both) — the in-memory twin of the persisted _DEL legs."""
+    from pyspark.sql import functions as F
+
+    from data_platform_spark.ops.join_view import (
+        apply_fact_batch,
+        init_join_view,
+    )
+    from data_platform_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    cust = load_table(spark, SF_SMOKE, "customer")
+    st = init_join_view(orders, cust, "o_custkey", "c_custkey")
+    assert st.orphans.count() == 0
+    n = st.view.count()
+    # re-deliver the mod-4 orders against a dim image missing their keys
+    redelivered = orders.filter(F.pmod("o_custkey", F.lit(4)) == 0)
+    n_re = redelivered.count()
+    assert n_re > 0
+    shrunk = cust.filter(F.pmod("c_custkey", F.lit(4)) != 0)
+    st2 = apply_fact_batch(
+        st, redelivered, shrunk, "o_custkey", "c_custkey", "o_orderkey"
+    )
+    assert st2.orphans.count() == n_re
+    assert st2.view.count() == n - n_re
+    # no key in both ledgers
+    assert (
+        st2.view.join(st2.orphans, ["o_orderkey"], "left_semi").count() == 0
+    )
