@@ -357,6 +357,11 @@ def join_view_dim_upsert_persisted(
             "inner",
         )
         .drop(_DIM_KEY)
+        # a crash between the view merge and the orphan delete leaves the
+        # promoted key in BOTH ledgers; the replay then sees two identical
+        # copies of its fact row in to_rejoin — dedupe by key so the
+        # replayed merge upserts one row instead of inserting both
+        .dropDuplicates([fact_key])
         .localCheckpoint()
     )
 

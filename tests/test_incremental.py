@@ -380,3 +380,82 @@ def test_join_view_redelivery_to_missing_dim_moves_ledger(spark):
     assert (
         st2.view.join(st2.orphans, ["o_orderkey"], "left_semi").count() == 0
     )
+
+
+def test_join_view_dim_upsert_crash_between_merges_reconciles(
+    spark, tmp_path, monkeypatch
+):
+    """Crash window: the dim-upsert leg merges the view FIRST, then
+    deletes promoted orphans. A crash between the two leaves the
+    promoted key in BOTH ledgers with no marker; the replay must
+    reconcile to exactly the uncrashed result (no double-insert of the
+    promoted row, orphans drained)."""
+    from pyspark.sql import functions as F
+
+    import data_platform_spark.pipeline as pl
+    from data_platform_spark.ops.join_view import (
+        incremental_join_view,
+        join_view_dim_upsert_persisted,
+    )
+    from data_platform_spark.pipeline import Warehouse
+    from data_platform_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    orders = load_table(spark, SF_SMOKE, "orders").withColumn(
+        "o_month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    cust = load_table(spark, SF_SMOKE, "customer")
+    dim0 = cust.filter(F.pmod("c_custkey", F.lit(5)) != 0)
+    late = cust.filter(F.pmod("c_custkey", F.lit(5)) == 0)
+    kw = _jv_kwargs()
+
+    def build(wh):
+        incremental_join_view(
+            spark, wh, "dwh", "oc", orders, dim0, batch_id="b0", **kw
+        )
+
+    # reference: uncrashed run
+    wh_ref = Warehouse(str(tmp_path / "ref"))
+    build(wh_ref)
+    join_view_dim_upsert_persisted(
+        spark, wh_ref, "dwh", "oc", late, batch_id="dim-0", **kw
+    )
+    ref = wh_ref.read(spark, "dwh", "oc")
+    cols = sorted(ref.columns)
+    ref_rows = sorted(tuple(r) for r in ref.select(*cols).collect())
+
+    # crashed run: merge raises AFTER the first (view) merge commits
+    wh = Warehouse(str(tmp_path / "crash"))
+    build(wh)
+    real_merge = Warehouse.merge
+    calls = {"n": 0}
+
+    def flaky_merge(self, *a, **k):
+        out = real_merge(self, *a, **k)
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("simulated crash after view merge")
+        return out
+
+    monkeypatch.setattr(pl.Warehouse, "merge", flaky_merge)
+    try:
+        join_view_dim_upsert_persisted(
+            spark, wh, "dwh", "oc", late, batch_id="dim-0", **kw
+        )
+        raise AssertionError("expected simulated crash")
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(pl.Warehouse, "merge", real_merge)
+    # the window: promoted keys in BOTH ledgers, no marker
+    orph_mid = wh.read(spark, "dwh", "oc__orphans")
+    assert orph_mid.count() > 0
+    # replay with the same batch id completes and reconciles
+    join_view_dim_upsert_persisted(
+        spark, wh, "dwh", "oc", late, batch_id="dim-0", **kw
+    )
+    got = wh.read(spark, "dwh", "oc")
+    got_rows = sorted(tuple(r) for r in got.select(*cols).collect())
+    assert got_rows == ref_rows
+    from data_platform_spark.ops.join_view import _has_data
+
+    assert not _has_data(wh, "dwh", "oc__orphans", "o_month")
