@@ -9,6 +9,9 @@ constant identical across sizes):
   write upsert)
 - stream_rollup_sink → ``incremental_rollup`` (pruned read + combine +
   pruned merge, replay-marker keyed)
+- join_view_stream_sink → ``incremental_join_view`` (batch ⋈ dim split,
+  view upsert + orphan-ledger merge, replay-marker keyed; the dim here
+  deliberately misses 10% of keys so every batch exercises BOTH merges)
 
 Two sweeps:
 1. TABLE size grows at fixed batch size — the O(batch) claim: latency
@@ -35,6 +38,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from pyspark.sql import functions as F  # noqa: E402
 
 from data_platform_spark.ops.incremental import incremental_rollup  # noqa: E402
+from data_platform_spark.ops.join_view import incremental_join_view  # noqa: E402
 from data_platform_spark.pipeline import Warehouse  # noqa: E402
 from data_platform_spark.session import get_spark  # noqa: E402
 
@@ -99,6 +103,40 @@ def time_rollup(spark, root: str, table_rows: int, batch_rows: int) -> float:
     return round(statistics.median(times), 3)
 
 
+def _dim_df(spark, n_keys: int = 900):
+    # 900 of the 1000 user values -> ~10% of every batch parks as orphans
+    return spark.range(n_keys).select(
+        F.col("id").alias("d_user"),
+        (F.col("id") % 7).cast("int").alias("tier"),
+        (F.col("id") * 1.5).alias("score"),
+    )
+
+
+def time_join_view(spark, root: str, table_rows: int, batch_rows: int) -> float:
+    wh = Warehouse(root)
+    dim = _dim_df(spark)
+    kw = dict(
+        fact_on="user", dim_on="d_user", fact_key="event_id",
+        dim_payload=["tier", "score"], partition_col="day",
+    )
+    incremental_join_view(
+        spark, wh, "dwh", "ev_user", _table_df(spark, table_rows), dim,
+        batch_id="seed", **kw,
+    )
+    times = []
+    for i in range(3):
+        batch = _batch_df(
+            spark, batch_rows, key_offset=table_rows - batch_rows // 2 + i
+        )
+        t0 = time.perf_counter()
+        incremental_join_view(
+            spark, wh, "dwh", "ev_user", batch, dim,
+            batch_id=f"jv{table_rows}-{batch_rows}-{i}", **kw,
+        )
+        times.append(time.perf_counter() - t0)
+    return round(statistics.median(times), 3)
+
+
 def main() -> None:
     spark = get_spark(app_name="dps-stream-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -111,6 +149,9 @@ def main() -> None:
             out["fixed_batch"][f"table={table_rows}"] = {
                 "merge_s": time_merge(spark, str(d / "m"), table_rows, 20_000),
                 "rollup_s": time_rollup(spark, str(d / "r"), table_rows, 20_000),
+                "join_view_s": time_join_view(
+                    spark, str(d / "j"), table_rows, 20_000
+                ),
             }
         # sweep 2: batch grows 4x, table fixed
         for batch_rows in (10_000, 20_000, 40_000):
@@ -118,6 +159,9 @@ def main() -> None:
             out["fixed_table"][f"batch={batch_rows}"] = {
                 "merge_s": time_merge(spark, str(d / "m"), 400_000, batch_rows),
                 "rollup_s": time_rollup(spark, str(d / "r"), 400_000, batch_rows),
+                "join_view_s": time_join_view(
+                    spark, str(d / "j"), 400_000, batch_rows
+                ),
             }
     finally:
         shutil.rmtree(work, ignore_errors=True)
