@@ -95,7 +95,9 @@ def apply_fact_batch(
 ) -> JoinViewState:
     """Fold one batch of fact rows into the state against the CURRENT dim
     image. O(batch): the standing view is touched only by the fact-key
-    upsert (an anti-join probe — partition-prunable on the fact key)."""
+    upsert (an anti-join probe — partition-prunable on the fact key).
+    Like the persisted twin, ``batch`` must be unique per ``fact_key``
+    (intra-batch duplicate resolution is an upstream concern)."""
     dimr = _dim_keyed(dim, dim_on)
     matched = batch.join(
         dimr, batch[fact_on] == F.col(_DIM_KEY), "inner"
