@@ -33,6 +33,14 @@ Invariant (pinned by tests and the oracle-gated
 batches and dim upserts, ``view ∪ orphans`` partitions the fact rows seen
 so far, and ``view`` equals the one-shot ``fact ⋈ current-dim`` — the
 maintained state is indistinguishable from a full recompute.
+
+Crash posture (persisted legs): every cross-ledger move lands its INSERT
+half before its DELETE half, so a crash between merges can leave a fact
+key transiently in BOTH ledgers — where the marker-less replay or the
+next batch reconciles it — but NEVER in neither. Readers of the crash
+window therefore see ``view ∪ orphans`` as a superset of the facts (a
+re-delivered key may appear twice across the ledgers until replay), not
+a partition with a hole.
 """
 
 from __future__ import annotations
@@ -141,6 +149,11 @@ def apply_dim_upsert(
     Touches only rows referencing a changed key: two semi-join probes
     (view, orphans) + one join of the touched fact rows against the
     (dimension-sized, broadcastable) upsert batch.
+
+    Like the fact batches' unique-``fact_key`` contract, ``dim_upserts``
+    must be unique per ``dim_on`` — one new image per changed key per
+    batch (duplicate images would fan the re-join out and insert
+    duplicate fact keys into the view; resolution is upstream).
     """
     changed = dim_upserts.select(dim_on).distinct()
 
@@ -180,6 +193,29 @@ def apply_dim_upsert(
 
 _ORPHANS_SUFFIX = "__orphans"
 _DEL = "_jv_delete"
+
+
+def _leg_done(wh, schema: str, table: str, kind: str, batch_id: str) -> bool:
+    """Replay check for one maintenance leg. Markers are namespaced PER
+    LEG (``fact:<id>`` / ``dim:<id>`` / ``del:<id>``) inside the shared
+    marker dir, so an out-of-band dim batch id that happens to collide
+    with a streaming fact batch id (``b<n>``) can never silently skip the
+    other leg's work — the collision is structurally impossible instead
+    of a caller naming convention."""
+    from data_platform_spark.ops.incremental import applied_batches
+
+    return f"{kind}:{batch_id}" in applied_batches(wh, schema, table)
+
+
+def _mark_leg(wh, schema: str, table: str, kind: str, batch_id: str) -> None:
+    import os
+
+    from data_platform_spark.ops.incremental import _marker_dir
+
+    d = _marker_dir(wh, schema, table)
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, f"{kind}:{batch_id}"), "w", encoding="utf-8"):
+        pass
 
 
 def _has_data(wh, schema: str, table: str, partition_col: str) -> bool:
@@ -225,15 +261,23 @@ def incremental_join_view(
     image. Matched rows upsert into the view; unmatched rows upsert into
     the orphan ledger; each batch key is evicted from the OTHER table
     (cross-ledger move on fact re-delivery, mirroring the in-memory
-    algebra). Replays skip via ``batch_id`` markers (recorded after the
-    journaled merges commit — the at-least-once window is the merge's
-    own crash contract, which can never tear a table).
+    algebra). Replays skip via ``batch_id`` markers, namespaced
+    ``fact:<id>`` internally (recorded after the journaled merges commit
+    — the at-least-once window is the merge's own crash contract, which
+    can never tear a table).
+
+    Merge order is inserts-before-deletes (module invariant note): the
+    view upsert of matched rows lands first, then the orphans merge
+    (unmatched inserts + matched-key deletes), then — only when the
+    batch actually has unmatched rows — the view delete of their keys.
+    A crash between any two leaves a re-delivered key transiently in
+    BOTH ledgers (replay reconciles), never in neither; in the common
+    all-matched case the third merge is skipped and the batch costs the
+    same two merges as before.
 
     Returns the rewritten partition list (``[]`` for a skipped replay).
     """
-    from data_platform_spark.ops.incremental import _marker_dir, applied_batches
-
-    if batch_id is not None and batch_id in applied_batches(wh, schema, table):
+    if batch_id is not None and _leg_done(wh, schema, table, "fact", batch_id):
         return []
     # each merge runs several actions over its updates (partition-value
     # collect, staged write, emptied-partition probe) and both ledgers
@@ -248,24 +292,26 @@ def incremental_join_view(
     unmatched = fact_batch.join(
         dimr, fact_batch[fact_on] == F.col(_DIM_KEY), "left_anti"
     ).localCheckpoint()
+    has_unmatched = bool(unmatched.limit(1).count())
     written: list[str] = []
     orph_table = table + _ORPHANS_SUFFIX
 
-    if not _has_data(wh, schema, table, partition_col):
+    # 1) view INSERT half: matched rows upsert (no delete leg yet)
+    view_existed = _has_data(wh, schema, table, partition_col)
+    if not view_existed:
         wh.write(matched, schema, table, partition_by=[partition_col])
         written.append(f"first-load {schema}/{table}")
     else:
-        ups = matched.withColumn(_DEL, F.lit(False)).unionByName(
-            _null_like(unmatched, matched, dim_payload).withColumn(
-                _DEL, F.lit(True)
-            )
-        )
         written += wh.merge(
-            spark, schema, table, ups, [fact_key], partition_col, delete_col=_DEL
+            spark, schema, table, matched, [fact_key], partition_col
         )
 
+    # 2) orphans merge: unmatched INSERTs + matched-key deletes (the
+    #    matched keys' orphan eviction rides along — by this point their
+    #    view rows are committed, so the delete can only shrink BOTH to
+    #    exactly-one)
     if not _has_data(wh, schema, orph_table, partition_col):
-        if unmatched.limit(1).count():
+        if has_unmatched:
             wh.write(unmatched, schema, orph_table, partition_by=[partition_col])
             written.append(f"first-load {schema}/{orph_table}")
     else:
@@ -282,13 +328,20 @@ def incremental_join_view(
             delete_col=_DEL,
         )
 
-    if batch_id is not None:
-        import os
+    # 3) view DELETE half: evict re-delivered keys that went unmatched —
+    #    their orphan rows are committed above, so the delete shrinks
+    #    BOTH to exactly-one; skipped entirely for all-matched batches
+    #    and for a first load (no stale rows can exist yet)
+    if has_unmatched and view_existed:
+        dels = _null_like(unmatched, matched, dim_payload).withColumn(
+            _DEL, F.lit(True)
+        )
+        written += wh.merge(
+            spark, schema, table, dels, [fact_key], partition_col, delete_col=_DEL
+        )
 
-        d = _marker_dir(wh, schema, table)
-        os.makedirs(d, exist_ok=True)
-        with open(os.path.join(d, batch_id), "w", encoding="utf-8"):
-            pass
+    if batch_id is not None:
+        _mark_leg(wh, schema, table, "fact", batch_id)
     return written
 
 
@@ -309,12 +362,16 @@ def join_view_dim_upsert_persisted(
     """Fold a batch of dimension inserts/updates into the stored view:
     re-derive exactly the view rows referencing a changed key and promote
     exactly the orphans it claims. The dim batch is dimension-sized —
-    both probes broadcast it. ``batch_id`` markers share the view's
-    marker dir with the fact batches (callers namespace them, e.g.
-    ``dim-<n>`` vs ``b<n>``)."""
-    from data_platform_spark.ops.incremental import _marker_dir, applied_batches
+    both probes broadcast it. ``batch_id`` markers are namespaced
+    ``dim:<id>`` internally, so they can never collide with a fact or
+    delete leg's id in the shared marker dir.
 
-    if batch_id is not None and batch_id in applied_batches(wh, schema, table):
+    Like the fact batches' unique-``fact_key`` contract, ``dim_upserts``
+    must be unique per ``dim_on`` — each changed key carries exactly ONE
+    new image per batch (intra-batch duplicate resolution is an upstream
+    concern; two images for one key in one batch has no well-defined
+    "new image" to refresh to)."""
+    if batch_id is not None and _leg_done(wh, schema, table, "dim", batch_id):
         return []
     changed = dim_upserts.select(dim_on).distinct()
     written: list[str] = []
@@ -389,12 +446,7 @@ def join_view_dim_upsert_persisted(
             )
 
     if batch_id is not None:
-        import os
-
-        d = _marker_dir(wh, schema, table)
-        os.makedirs(d, exist_ok=True)
-        with open(os.path.join(d, batch_id), "w", encoding="utf-8"):
-            pass
+        _mark_leg(wh, schema, table, "dim", batch_id)
     return written
 
 
@@ -442,10 +494,9 @@ def join_view_dim_delete_persisted(
     deleted keys into the orphan ledger (merge-delete from the view,
     upsert into orphans — ordered orphans-first so a crash between the
     two merges leaves the row in BOTH tables, where the replayed delete
-    or a later upsert reconciles it, never in NEITHER)."""
-    from data_platform_spark.ops.incremental import _marker_dir, applied_batches
-
-    if batch_id is not None and batch_id in applied_batches(wh, schema, table):
+    or a later upsert reconciles it, never in NEITHER). ``batch_id``
+    markers are namespaced ``del:<id>`` internally."""
+    if batch_id is not None and _leg_done(wh, schema, table, "del", batch_id):
         return []
     written: list[str] = []
     orph_table = table + _ORPHANS_SUFFIX
@@ -472,10 +523,5 @@ def join_view_dim_delete_persisted(
             )
 
     if batch_id is not None:
-        import os
-
-        d = _marker_dir(wh, schema, table)
-        os.makedirs(d, exist_ok=True)
-        with open(os.path.join(d, batch_id), "w", encoding="utf-8"):
-            pass
+        _mark_leg(wh, schema, table, "del", batch_id)
     return written

@@ -227,7 +227,10 @@ def test_persisted_join_view_equals_oneshot(spark, tmp_path):
 
 
 def test_persisted_join_view_replay_skips(spark, tmp_path):
-    """A replayed batch_id is a no-op for both the fact and dim legs."""
+    """A replayed batch_id is a no-op for its OWN leg, and the markers
+    are namespaced per leg: a dim batch whose id collides with an
+    earlier fact batch id still RUNS (it is different work), it does
+    not silently skip on the foreign marker."""
     from pyspark.sql import functions as F
 
     from data_platform_spark.ops.join_view import (
@@ -255,6 +258,16 @@ def test_persisted_join_view_replay_skips(spark, tmp_path):
         )
         == []
     )
+    # same id, DIFFERENT leg: must not skip on the fact marker — the
+    # mutated dim images land (this was a silent drop before markers
+    # were namespaced per leg)
+    assert (
+        join_view_dim_upsert_persisted(
+            spark, wh, "dwh", "oc", _jv_mutated_cust(cust), batch_id="b0", **kw
+        )
+        != []
+    )
+    # ...and replaying the dim leg's own id now skips
     assert (
         join_view_dim_upsert_persisted(
             spark, wh, "dwh", "oc", _jv_mutated_cust(cust), batch_id="b0", **kw
@@ -459,3 +472,106 @@ def test_join_view_dim_upsert_crash_between_merges_reconciles(
     from data_platform_spark.ops.join_view import _has_data
 
     assert not _has_data(wh, "dwh", "oc__orphans", "o_month")
+
+
+def test_join_view_fact_crash_never_in_neither(spark, tmp_path, monkeypatch):
+    """The fact leg's cross-ledger eviction lands inserts BEFORE deletes:
+    a fact key re-delivered while the dim lost its join key moves
+    view → orphans via (orphans insert, then view delete). A crash
+    between the two merges must leave the key in BOTH ledgers — never
+    in neither (the pre-r14 ordering merged the view's delete first, so
+    the crash window dropped the key entirely); the marker-less replay
+    reconciles to exactly the uncrashed result."""
+    from pyspark.sql import functions as F
+
+    import data_platform_spark.pipeline as pl
+    from data_platform_spark.ops.join_view import incremental_join_view
+    from data_platform_spark.pipeline import Warehouse
+    from data_platform_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    orders = load_table(spark, SF_SMOKE, "orders").withColumn(
+        "o_month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    cust = load_table(spark, SF_SMOKE, "customer")
+    kw = _jv_kwargs()
+    batch = orders.filter(F.pmod("o_orderkey", F.lit(3)) == 0)
+    shrunk = cust.filter(F.pmod("c_custkey", F.lit(2)) == 0)
+    redelivered = batch.join(
+        shrunk, batch["o_custkey"] == shrunk["c_custkey"], "left_anti"
+    )
+    red_keys = {r[0] for r in redelivered.select("o_orderkey").collect()}
+    assert red_keys
+
+    def build(wh):
+        incremental_join_view(
+            spark, wh, "dwh", "oc", batch, cust, batch_id="b0", **kw
+        )
+
+    # reference: uncrashed re-delivery against the shrunk dim
+    wh_ref = Warehouse(str(tmp_path / "ref"))
+    build(wh_ref)
+    incremental_join_view(
+        spark, wh_ref, "dwh", "oc", redelivered, shrunk, batch_id="b1", **kw
+    )
+    ref_orph = {
+        r[0]
+        for r in wh_ref.read(spark, "dwh", "oc__orphans")
+        .select("o_orderkey")
+        .collect()
+    }
+    assert ref_orph == red_keys
+
+    # crashed run: the re-delivery's merge sequence is (1) view
+    # matched-upsert (empty here), (2) orphans insert (a first-load
+    # WRITE in this scenario), (3) view delete — crash just BEFORE the
+    # second merge call, i.e. after the orphan rows are committed and
+    # before the view delete runs
+    wh = Warehouse(str(tmp_path / "crash"))
+    build(wh)
+    real_merge = Warehouse.merge
+    calls = {"n": 0}
+
+    def flaky_merge(self, *a, **k):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated crash before the view delete")
+        return real_merge(self, *a, **k)
+
+    monkeypatch.setattr(pl.Warehouse, "merge", flaky_merge)
+    try:
+        incremental_join_view(
+            spark, wh, "dwh", "oc", redelivered, shrunk, batch_id="b1", **kw
+        )
+        raise AssertionError("expected simulated crash")
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(pl.Warehouse, "merge", real_merge)
+    # the window: every re-delivered key is in BOTH ledgers, none lost
+    view_mid = {
+        r[0]
+        for r in wh.read(spark, "dwh", "oc").select("o_orderkey").collect()
+    }
+    orph_mid = {
+        r[0]
+        for r in wh.read(spark, "dwh", "oc__orphans")
+        .select("o_orderkey")
+        .collect()
+    }
+    assert red_keys <= view_mid and red_keys <= orph_mid
+    # marker-less replay reconciles to the uncrashed state
+    incremental_join_view(
+        spark, wh, "dwh", "oc", redelivered, shrunk, batch_id="b1", **kw
+    )
+    got_view = {
+        r[0]
+        for r in wh.read(spark, "dwh", "oc").select("o_orderkey").collect()
+    }
+    got_orph = {
+        r[0]
+        for r in wh.read(spark, "dwh", "oc__orphans")
+        .select("o_orderkey")
+        .collect()
+    }
+    assert got_orph == red_keys
+    assert got_view.isdisjoint(red_keys)
