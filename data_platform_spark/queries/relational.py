@@ -5313,3 +5313,186 @@ ORACLE["orders_customer_point_in_time"] = f"""
     FROM enriched
     GROUP BY segment
 """
+
+
+def order_customer_scd2_view_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SCD2-versioned incremental join-view maintenance, gate-checked
+    end-to-end (ops/scd2_join_view.py): the denormalized orders ⋈
+    customer view where the dimension is VERSIONED and every order
+    resolves against the version valid on its order date — the
+    maintained form of ``orders_customer_point_in_time`` and the correct
+    incremental SK-resolution join for backfills/late facts (the
+    reference's is_current join, dags/dwh_fact_charer_location.py:107-112,
+    is the current-dated special case). The simulated history exercises
+    every temporal maintenance leg:
+
+    1. first load + one fact batch (o_orderkey mod 3 ∈ {0, 1}) against
+       the PRE-batch version table: one open version per key, raw
+       image, mod-5 customers ABSENT (their orders park as orphans);
+    2. one SCD2 dim batch at cutoff 1998-01-01: mod-7 keys close v1 and
+       open a mutated v2 (c_acctbal + 100, c_mktsegment ‖ '_V2'),
+       mod-11 keys (not mod-7) are SOFT-CLOSED with no successor (their
+       post-cutoff facts demote to orphans), mod-5 keys insert
+       BACKDATED (valid_from below the cutoff — their parked orphans
+       promote at the version covering each order date). Only
+       future-dated view rows of touched keys are re-resolved; facts on
+       closed versions are never read;
+    3. the last fact batch (mod 3 = 2) against the final version table —
+       its pre-cutoff orders of mod-7 customers resolve to the CLOSED
+       v1 image (the late-arriving-fact case is_current gets wrong).
+
+    The oracle CASE-rebuilds the as-of resolution of ALL orders against
+    the final version table: maintenance must be indistinguishable from
+    the one-shot temporal join, orphans included (the ``__ORPHANED``
+    rows). ``n_v2`` pins the view's ``valid_from`` column — the count of
+    rows resolved to the reopened version.
+
+    Scale shape: fact batches as-of join only the batch (version table
+    broadcast — equi-join on the key, validity range as a residual
+    predicate, never a range BNLJ); the dim delta touches only
+    future-dated rows of touched keys via semi-join probes — strictly
+    fewer rows than the SCD1 dim delta; the final rollup is one
+    map-side-combined groupBy on a bounded domain."""
+    import datetime
+
+    from data_platform_spark.cache import scoped_persist
+    from data_platform_spark.ops.scd2_join_view import (
+        apply_fact_batch_scd2,
+        apply_scd2_dim_batch,
+        init_scd2_join_view,
+    )
+
+    def checkpointed(state):
+        from data_platform_spark.ops.join_view import JoinViewState
+
+        return JoinViewState(
+            view=scoped_persist(state.view),
+            orphans=scoped_persist(state.orphans),
+        )
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    payload = ["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    lo = F.to_timestamp(F.lit("1000-01-01"))
+    hi = F.to_timestamp(F.lit("5000-01-01"))
+    cut_lit = "1998-01-01"
+    cut = F.to_timestamp(F.lit(cut_lit))
+    is7 = F.pmod("c_custkey", F.lit(7)) == 0
+    is11 = F.pmod("c_custkey", F.lit(11)) == 0
+
+    # pre-batch version table: one open raw version per key, mod-5 absent
+    v0 = cust.filter(F.pmod("c_custkey", F.lit(5)) != 0).select(
+        "c_custkey", *payload, lo.alias("valid_from"), hi.alias("valid_to")
+    )
+    # post-batch version table: mod-7 close+reopen mutated, mod-11 (not
+    # mod-7) soft-close, mod-5 insert backdated, everyone else untouched
+    v1a = cust.select(
+        "c_custkey",
+        *payload,
+        lo.alias("valid_from"),
+        F.when(is7 | is11, cut).otherwise(hi).alias("valid_to"),
+    )
+    v1b = cust.filter(is7).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        (F.col("c_acctbal") + F.lit(100.0)).alias("c_acctbal"),
+        F.concat(F.col("c_mktsegment"), F.lit("_V2")).alias("c_mktsegment"),
+        cut.alias("valid_from"),
+        hi.alias("valid_to"),
+    )
+    v1 = v1a.unionByName(v1b)
+    touched = cust.filter(
+        (F.pmod("c_custkey", F.lit(5)) == 0) | is7 | is11
+    ).select("c_custkey")
+
+    state = checkpointed(init_scd2_join_view(
+        orders.filter(F.pmod("o_orderkey", F.lit(3)) == 0),
+        v0, "o_custkey", "c_custkey", "o_orderdate",
+    ))
+    state = checkpointed(apply_fact_batch_scd2(
+        state,
+        orders.filter(F.pmod("o_orderkey", F.lit(3)) == 1),
+        v0, "o_custkey", "c_custkey", "o_orderkey", "o_orderdate",
+    ))
+    state = checkpointed(apply_scd2_dim_batch(
+        state, v1, touched, datetime.datetime(1998, 1, 1),
+        "o_custkey", "c_custkey", "o_orderkey", "o_orderdate", payload,
+    ))
+    state = apply_fact_batch_scd2(
+        state,
+        orders.filter(F.pmod("o_orderkey", F.lit(3)) == 2),
+        v1, "o_custkey", "c_custkey", "o_orderkey", "o_orderdate",
+    )
+
+    era = F.col("o_orderdate") >= cut
+    view_agg = state.view.groupBy(
+        F.col("c_mktsegment").alias("segment"),
+        era.alias("post_cutoff"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        pround(F.sum("o_totalprice")).alias("total_price"),
+        pround(F.sum("c_acctbal")).alias("bal_sum"),
+        F.count_distinct("o_custkey").cast("long").alias("n_customers"),
+        F.sum(F.when(F.col("valid_from") == cut, 1).otherwise(0))
+        .cast("long")
+        .alias("n_v2"),
+    )
+    orph_agg = state.orphans.groupBy(era.alias("post_cutoff")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        pround(F.sum("o_totalprice")).alias("total_price"),
+        F.count_distinct("o_custkey").cast("long").alias("n_customers"),
+    ).select(
+        F.lit("__ORPHANED").alias("segment"),
+        "post_cutoff",
+        "n_orders",
+        "total_price",
+        F.lit(None).cast("double").alias("bal_sum"),
+        "n_customers",
+        F.lit(0).cast("long").alias("n_v2"),
+    )
+    return view_agg.unionByName(orph_agg)
+
+
+QUERIES["order_customer_scd2_view_incremental"] = (
+    order_customer_scd2_view_incremental
+)
+
+ORACLE["order_customer_scd2_view_incremental"] = f"""
+    WITH enriched AS (
+        SELECT
+            o.o_custkey,
+            o.o_totalprice,
+            o.o_orderdate >= TIMESTAMP '1998-01-01' AS post_cutoff,
+            CASE WHEN o.o_orderdate >= TIMESTAMP '1998-01-01'
+                      AND c.c_custkey % 11 = 0 AND c.c_custkey % 7 <> 0
+                 THEN NULL
+                 WHEN o.o_orderdate >= TIMESTAMP '1998-01-01'
+                      AND c.c_custkey % 7 = 0
+                 THEN c.c_mktsegment || '_V2'
+                 ELSE c.c_mktsegment END AS segment,
+            CASE WHEN o.o_orderdate >= TIMESTAMP '1998-01-01'
+                      AND c.c_custkey % 11 = 0 AND c.c_custkey % 7 <> 0
+                 THEN NULL
+                 WHEN o.o_orderdate >= TIMESTAMP '1998-01-01'
+                      AND c.c_custkey % 7 = 0
+                 THEN c.c_acctbal + 100
+                 ELSE c.c_acctbal END AS bal,
+            CASE WHEN o.o_orderdate >= TIMESTAMP '1998-01-01'
+                      AND c.c_custkey % 7 = 0
+                 THEN 1 ELSE 0 END AS to_v2
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+    )
+    SELECT coalesce(segment, '__ORPHANED') AS segment,
+           post_cutoff,
+           count(*)::BIGINT AS n_orders,
+           {sql_round("sum(o_totalprice)")} AS total_price,
+           {sql_round("sum(bal)")} AS bal_sum,
+           count(DISTINCT o_custkey)::BIGINT AS n_customers,
+           sum(CASE WHEN segment IS NULL THEN 0 ELSE to_v2 END)::BIGINT AS n_v2
+    FROM enriched
+    GROUP BY 1, 2
+"""

@@ -575,3 +575,249 @@ def test_join_view_fact_crash_never_in_neither(spark, tmp_path, monkeypatch):
     }
     assert got_orph == red_keys
     assert got_view.isdisjoint(red_keys)
+
+
+# --- SCD2-versioned join view -----------------------------------------------
+
+
+def _scd2_versions(cust, *, include_mod5: bool, closed: bool):
+    """Deterministic SCD2 version table over the customer dim.
+
+    ``closed=False`` → the pre-dim-batch state: one open version per key,
+    raw image, valid [lo, hi). ``closed=True`` → the post-batch state:
+    mod-7 keys close v1 at the cutoff and open a mutated v2; mod-11 keys
+    (that are not mod-7) are soft-closed at the cutoff with NO successor;
+    everyone else keeps v1 open. ``include_mod5`` drops/keeps the mod-5
+    keys (they insert late, backdated)."""
+    from pyspark.sql import functions as F
+
+    lo = F.to_timestamp(F.lit("1000-01-01"))
+    hi = F.to_timestamp(F.lit("5000-01-01"))
+    cut = F.to_timestamp(F.lit(_SCD2_CUTOFF))
+    base = cust if include_mod5 else cust.filter(F.pmod("c_custkey", F.lit(5)) != 0)
+    payload = ["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    if not closed:
+        return base.select(
+            "c_custkey", *payload, lo.alias("valid_from"), hi.alias("valid_to")
+        )
+    is7 = F.pmod("c_custkey", F.lit(7)) == 0
+    is11 = F.pmod("c_custkey", F.lit(11)) == 0
+    v1 = base.select(
+        "c_custkey",
+        *payload,
+        lo.alias("valid_from"),
+        F.when(is7 | is11, cut).otherwise(hi).alias("valid_to"),
+    )
+    v2 = base.filter(is7).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        (F.col("c_acctbal") + F.lit(100.0)).alias("c_acctbal"),
+        F.concat(F.col("c_mktsegment"), F.lit("_V2")).alias("c_mktsegment"),
+        cut.alias("valid_from"),
+        hi.alias("valid_to"),
+    )
+    return v1.unionByName(v2)
+
+
+_SCD2_CUTOFF = "1998-01-01"
+
+
+def _scd2_rows(df, cols):
+    return sorted(tuple(r) for r in df.select(*sorted(cols)).collect())
+
+
+def test_scd2_join_view_equals_oneshot_inmemory(spark):
+    """The maintained SCD2 view after interleaved fact/dim batches —
+    including a LATE fact batch whose pre-cutoff rows must resolve to a
+    version that is already CLOSED — equals the one-shot as-of join of
+    all facts against the final version table, and the orphan ledgers
+    agree (mod-11 keys' post-cutoff facts demoted, mod-5 keys' orphans
+    promoted by the backdated insert)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from data_platform_spark.ops.scd2_join_view import (
+        apply_fact_batch_scd2,
+        apply_scd2_dim_batch,
+        init_scd2_join_view,
+    )
+    from data_platform_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    cust = load_table(spark, SF_SMOKE, "customer")
+    v0 = _scd2_versions(cust, include_mod5=False, closed=False)
+    v1 = _scd2_versions(cust, include_mod5=True, closed=True)
+    touched = cust.filter(
+        (F.pmod("c_custkey", F.lit(5)) == 0)
+        | (F.pmod("c_custkey", F.lit(7)) == 0)
+        | (F.pmod("c_custkey", F.lit(11)) == 0)
+    ).select("c_custkey")
+    cut = datetime.datetime(1998, 1, 1)
+
+    st = init_scd2_join_view(
+        orders.filter(F.pmod("o_orderkey", F.lit(3)) == 0),
+        v0, "o_custkey", "c_custkey", "o_orderdate",
+    )
+    st = apply_fact_batch_scd2(
+        st,
+        orders.filter(F.pmod("o_orderkey", F.lit(3)) == 1),
+        v0, "o_custkey", "c_custkey", "o_orderkey", "o_orderdate",
+    )
+    st = apply_scd2_dim_batch(
+        st, v1, touched, cut,
+        "o_custkey", "c_custkey", "o_orderkey", "o_orderdate",
+        ["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+    )
+    # LATE batch: contains pre-cutoff orders of mod-7 customers, which
+    # must resolve to the CLOSED v1 image
+    st = apply_fact_batch_scd2(
+        st,
+        orders.filter(F.pmod("o_orderkey", F.lit(3)) == 2),
+        v1, "o_custkey", "c_custkey", "o_orderkey", "o_orderdate",
+    )
+
+    ref = init_scd2_join_view(orders, v1, "o_custkey", "c_custkey", "o_orderdate")
+    cols = st.view.columns
+    assert _scd2_rows(st.view, cols) == _scd2_rows(ref.view, cols)
+    ocols = st.orphans.columns
+    assert _scd2_rows(st.orphans, ocols) == _scd2_rows(ref.orphans, ocols)
+    # the scenario actually exercises all three ledger motions
+    assert st.orphans.count() > 0
+    late_closed = st.view.filter(
+        (F.pmod("o_custkey", F.lit(7)) == 0)
+        & (F.col("o_orderdate") < F.lit(cut))
+        & (F.pmod("o_orderkey", F.lit(3)) == 2)
+    )
+    assert late_closed.count() > 0
+    assert (
+        late_closed.filter(F.col("c_mktsegment").endswith("_V2")).count() == 0
+    )
+
+
+def test_scd2_join_view_demotes_on_soft_close(spark):
+    """A soft-closed key (open version closed at the cutoff, no
+    successor) demotes exactly its post-cutoff view rows to orphans;
+    pre-cutoff rows stay resolved to the closed version."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from data_platform_spark.ops.scd2_join_view import (
+        apply_scd2_dim_batch,
+        init_scd2_join_view,
+    )
+    from data_platform_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    cust = load_table(spark, SF_SMOKE, "customer")
+    v0 = _scd2_versions(cust, include_mod5=True, closed=False)
+    v1 = _scd2_versions(cust, include_mod5=True, closed=True)
+    cut = datetime.datetime(1998, 1, 1)
+    is_mod11_only = (F.pmod("o_custkey", F.lit(11)) == 0) & (
+        F.pmod("o_custkey", F.lit(7)) != 0
+    )
+
+    st = init_scd2_join_view(orders, v0, "o_custkey", "c_custkey", "o_orderdate")
+    assert st.orphans.count() == 0
+    touched = cust.filter(
+        (F.pmod("c_custkey", F.lit(7)) == 0)
+        | (F.pmod("c_custkey", F.lit(11)) == 0)
+    ).select("c_custkey")
+    st = apply_scd2_dim_batch(
+        st, v1, touched, cut,
+        "o_custkey", "c_custkey", "o_orderkey", "o_orderdate",
+        ["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+    )
+    expected = orders.filter(
+        is_mod11_only & (F.col("o_orderdate") >= F.lit(cut))
+    )
+    got = {r[0] for r in st.orphans.select("o_orderkey").collect()}
+    want = {r[0] for r in expected.select("o_orderkey").collect()}
+    assert want and got == want
+    # pre-cutoff rows of the soft-closed keys stay in the view
+    kept = st.view.filter(is_mod11_only)
+    assert kept.count() == orders.filter(
+        is_mod11_only & (F.col("o_orderdate") < F.lit(cut))
+    ).count()
+
+
+def test_persisted_scd2_join_view_equals_oneshot(spark, tmp_path):
+    """Persisted twin: the stored SCD2 view after the interleaved history
+    equals the in-memory one-shot as-of join against the final version
+    table; replays of both legs skip on their namespaced markers."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from data_platform_spark.ops.scd2_join_view import (
+        incremental_scd2_join_view,
+        init_scd2_join_view,
+        scd2_join_view_dim_persisted,
+    )
+    from data_platform_spark.pipeline import Warehouse
+    from data_platform_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    orders = load_table(spark, SF_SMOKE, "orders").withColumn(
+        "o_month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    cust = load_table(spark, SF_SMOKE, "customer")
+    v0 = _scd2_versions(cust, include_mod5=False, closed=False)
+    v1 = _scd2_versions(cust, include_mod5=True, closed=True)
+    touched = cust.filter(
+        (F.pmod("c_custkey", F.lit(5)) == 0)
+        | (F.pmod("c_custkey", F.lit(7)) == 0)
+        | (F.pmod("c_custkey", F.lit(11)) == 0)
+    ).select("c_custkey")
+    cut = datetime.datetime(1998, 1, 1)
+    kw = dict(
+        fact_on="o_custkey",
+        dim_on="c_custkey",
+        fact_key="o_orderkey",
+        event_col="o_orderdate",
+        dim_payload=["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+        partition_col="o_month",
+    )
+
+    for i, dimv in ((0, v0), (1, v0)):
+        incremental_scd2_join_view(
+            spark, wh, "dwh", "oc2",
+            orders.filter(F.pmod("o_orderkey", F.lit(3)) == i),
+            dimv, batch_id=f"b{i}", **kw,
+        )
+    scd2_join_view_dim_persisted(
+        spark, wh, "dwh", "oc2", v1, touched, cut, batch_id="d0", **kw
+    )
+    incremental_scd2_join_view(
+        spark, wh, "dwh", "oc2",
+        orders.filter(F.pmod("o_orderkey", F.lit(3)) == 2),
+        v1, batch_id="b2", **kw,
+    )
+
+    ref = init_scd2_join_view(orders, v1, "o_custkey", "c_custkey", "o_orderdate")
+    view = wh.read(spark, "dwh", "oc2").drop("o_month")
+    cols = view.columns
+    assert _scd2_rows(view, cols) == _scd2_rows(ref.view.select(*cols), cols)
+    orph = wh.read(spark, "dwh", "oc2__orphans").drop("o_month")
+    ocols = orph.columns
+    assert _scd2_rows(orph, ocols) == _scd2_rows(ref.orphans.select(*ocols), ocols)
+    # namespaced replays skip
+    assert (
+        incremental_scd2_join_view(
+            spark, wh, "dwh", "oc2",
+            orders.filter(F.pmod("o_orderkey", F.lit(3)) == 2),
+            v1, batch_id="b2", **kw,
+        )
+        == []
+    )
+    assert (
+        scd2_join_view_dim_persisted(
+            spark, wh, "dwh", "oc2", v1, touched, cut, batch_id="d0", **kw
+        )
+        == []
+    )
