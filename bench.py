@@ -129,6 +129,37 @@ WARMUP_SF_DIR = "/root/testdata/sf0.001"
 _REPO = os.path.dirname(os.path.abspath(__file__))
 
 
+def _calibration_anchor(spark, runs: int = 3) -> dict:
+    """Fixed, data-independent CPU-bound probe (VERDICT r13 "What's
+    wrong" #1): the same 2B-row range plan every round — an iterated
+    integer hash mix + trig/sqrt chain folded into two scalar
+    aggregates, no input files, no shuffle beyond the final 32→1
+    partial-agg exchange. Because the plan (and the data it generates)
+    is byte-identical across rounds, the anchor's wall-clock measures
+    the HOST, not the repo: dividing two rounds' anchor medians gives
+    the host-speed factor needed to normalize cross-round query
+    comparisons without a worktree A/B. One untimed run pays the
+    whole-stage-codegen compile; the timed median then measures steady-
+    state CPU throughput. DO NOT change this plan — a changed anchor
+    can't calibrate against prior artifacts (start a second, versioned
+    anchor instead)."""
+
+    def _run():
+        t0 = time.perf_counter()
+        spark.range(0, 2_000_000_000, 1, 32).selectExpr(
+            "sum(bit_count(hash(id, 41) * 2654435761)) AS mix",
+            "sum(sqrt(abs(sin(cast(id % 1000003 AS DOUBLE))))) AS rt",
+        ).write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 3)
+
+    _run()  # codegen warmup, untimed
+    samples = [_run() for _ in range(runs)]
+    return {
+        "calibration_anchor_s": round(statistics.median(samples), 3),
+        "calibration_anchor_runs": samples,
+    }
+
+
 def _materialize(queries, name, spark, sf_dir) -> float:
     """One timed end-to-end run: build, noop-write, release caches."""
     t0 = time.perf_counter()
@@ -249,6 +280,10 @@ def main() -> None:
     spark = get_spark(app_name="dps-bench")
     queries = all_queries()
 
+    # host-speed anchor: measured FIRST (cold-adjacent, before any query
+    # touches data) so its conditions are as reproducible as possible
+    anchor = _calibration_anchor(spark)
+
     # JIT/codegen warmup: run each query shape once on the tiny SF so the
     # timed runs measure execution, not whole-stage-codegen compilation
     # (same generated code is reused across scale factors).
@@ -296,6 +331,7 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    out.update(anchor)
     out.update(sections)
     # Full blob first, compact summary LAST: the driver's tail capture
     # keeps the END of stdout, so the line that must survive goes last.
@@ -335,6 +371,7 @@ def main() -> None:
         "median_time_ratio": (sections.get("scaling") or {}).get(
             "median_time_ratio"
         ),
+        "calibration_anchor_s": anchor["calibration_anchor_s"],
         "queries": timings,
     }
     line = json.dumps(compact)
