@@ -233,7 +233,8 @@ def incremental_semantic_dedup(
     vectors = spark.read.parquet(f"{path}/vectors")
     if len(cells) <= PRUNE_CELLS_COLLECT_MAX:
         standing = vectors.filter(F.col("cell").isin(cells))
-    else:  # pragma: no cover — exercised only at corpus-scale batches
+    else:  # decision-identical to the IN path (pinned by
+        # test_semantic_incremental_prune_fallback_identical)
         standing = vectors.join(
             batch_cells.select("cell").distinct(), "cell", "left_semi"
         )

@@ -3333,3 +3333,43 @@ def test_join_view_dim_update_refreshes_only_touched_rows(spark):
     before_untouched = st.view.filter(F.pmod("o_custkey", F.lit(7)) != 0)
     assert untouched.exceptAll(before_untouched).count() == 0
     assert before_untouched.exceptAll(untouched).count() == 0
+
+
+def test_semantic_incremental_prune_fallback_identical(
+    spark, tmp_path, monkeypatch
+):
+    """Corpus-scale cell pruning: when the batch touches more distinct
+    cells than PRUNE_CELLS_COLLECT_MAX allows to collect, the standing
+    scan falls back from the driver-sized IN partition filter to a
+    cell-keyed semi-join. The fallback must produce decisions IDENTICAL
+    to the collect path — same keep flags, same match stats, row for
+    row."""
+    import data_platform_spark.ops.semantic_dedup as SD
+    from data_platform_spark.ops.semantic_dedup import (
+        build_semantic_dedup_index,
+        incremental_semantic_dedup,
+    )
+    from data_platform_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    standing = emb.filter(F.col("vec_id") % 10 != 0)
+    batch = emb.filter(F.col("vec_id") % 10 == 0)
+    path = str(tmp_path / "sem_idx")
+    build_semantic_dedup_index(standing, path, max_iterations=8)
+
+    collect_rows = sorted(
+        tuple(r)
+        for r in incremental_semantic_dedup(spark, path, batch)
+        .select("vec_id", "cell", "n_matches_standing", "best_cosine",
+                "best_match_id", "keep")
+        .collect()
+    )
+    monkeypatch.setattr(SD, "PRUNE_CELLS_COLLECT_MAX", 0)
+    fallback_rows = sorted(
+        tuple(r)
+        for r in incremental_semantic_dedup(spark, path, batch)
+        .select("vec_id", "cell", "n_matches_standing", "best_cosine",
+                "best_match_id", "keep")
+        .collect()
+    )
+    assert collect_rows == fallback_rows and collect_rows
