@@ -525,3 +525,69 @@ def join_view_dim_delete_persisted(
     if batch_id is not None:
         _mark_leg(wh, schema, table, "del", batch_id)
     return written
+
+
+def compact_join_view(
+    spark, wh, schema: str, table: str, partition_col: str
+) -> dict:
+    """Compact both join-view ledgers (the view and its orphans table) to
+    one file per partition — the warehouse-table counterpart of the
+    index families' ``compact_*`` surface (ops/compaction.py). Every
+    maintenance batch merges one new file into each touched partition,
+    so a long-lived view accumulates O(batches) small files per
+    partition; compaction rewrites each table through the journaled
+    atomic swap (``Warehouse.write`` — old snapshots retained per the
+    warehouse retention config, so time travel survives) with rows
+    hash-clustered by the partition column, yielding exactly one file
+    per partition dir. Content is bit-identical — compaction changes
+    layout, never rows.
+
+    Refuses while a merge journal for either ledger is pending (an
+    in-flight or crashed merge — run ``Warehouse.recover`` first), the
+    index families' refuse-over-in-flight-markers convention. Replay
+    markers live in a SIBLING dir of the table (``<table>._batches``),
+    untouched by the swap, so replayed batch ids still skip after
+    compaction.
+
+    Returns ``{table: {"files_before": n, "files_after": m}}`` for each
+    compacted ledger.
+    """
+    import json
+    import os
+
+    tables = [table, table + _ORPHANS_SUFFIX]
+    sdir = os.path.join(wh.root, schema)
+    for entry in os.listdir(sdir) if os.path.isdir(sdir) else []:
+        if entry.startswith(".merge-journal-"):
+            with open(os.path.join(sdir, entry)) as f:
+                t = json.load(f).get("table")
+            if t in tables:
+                raise RuntimeError(
+                    f"in-flight merge journal for {schema}.{t}: refusing "
+                    "to compact (run Warehouse.recover first)"
+                )
+
+    def _file_count(path: str) -> int:
+        n = 0
+        for _root, _dirs, files in os.walk(path):
+            n += sum(1 for fn in files if fn.endswith(".parquet"))
+        return n
+
+    out: dict = {}
+    for t in tables:
+        if not _has_data(wh, schema, t, partition_col):
+            continue
+        before = _file_count(wh.path(schema, t))
+        df = wh.read(spark, schema, t)
+        # one task per partition value -> one file per partition dir
+        wh.write(
+            df.repartition(F.col(partition_col)),
+            schema,
+            t,
+            partition_by=[partition_col],
+        )
+        out[t] = {
+            "files_before": before,
+            "files_after": _file_count(wh.path(schema, t)),
+        }
+    return out

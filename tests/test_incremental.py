@@ -821,3 +821,79 @@ def test_persisted_scd2_join_view_equals_oneshot(spark, tmp_path):
         )
         == []
     )
+
+
+def test_compact_join_view_files_and_bit_identity(spark, tmp_path):
+    """Compaction collapses each ledger to one file per partition,
+    preserves content row-for-row, keeps replay markers working, and
+    refuses while a merge journal for either ledger is pending."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_platform_spark.ops.join_view import (
+        compact_join_view,
+        incremental_join_view,
+    )
+    from data_platform_spark.pipeline import Warehouse
+    from data_platform_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    orders = load_table(spark, SF_SMOKE, "orders").withColumn(
+        "o_month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    cust = load_table(spark, SF_SMOKE, "customer")
+    dim0 = cust.filter(F.pmod("c_custkey", F.lit(5)) != 0)
+    kw = _jv_kwargs()
+    for i in range(4):
+        incremental_join_view(
+            spark, wh, "dwh", "oc", 
+            orders.filter(F.pmod("o_orderkey", F.lit(4)) == i),
+            dim0, batch_id=f"b{i}", **kw,
+        )
+    before_view = sorted(
+        tuple(r) for r in wh.read(spark, "dwh", "oc").collect()
+    )
+    before_orph = sorted(
+        tuple(r) for r in wh.read(spark, "dwh", "oc__orphans").collect()
+    )
+
+    # refusal: a pending merge journal for the orphans ledger blocks it
+    jpath = os.path.join(wh.root, "dwh", ".merge-journal-deadbeef")
+    with open(jpath, "w", encoding="utf-8") as f:
+        json.dump({"table": "oc__orphans", "tmp": "/nope", "swaps": []}, f)
+    try:
+        compact_join_view(spark, wh, "dwh", "oc", "o_month")
+        raise AssertionError("expected refusal over pending journal")
+    except RuntimeError as e:
+        assert "refusing" in str(e)
+    os.remove(jpath)
+
+    out = compact_join_view(spark, wh, "dwh", "oc", "o_month")
+    for t in ("oc", "oc__orphans"):
+        n_parts = len(
+            [
+                e
+                for e in os.listdir(wh.path("dwh", t))
+                if e.startswith("o_month=")
+            ]
+        )
+        assert out[t]["files_after"] == n_parts
+        assert out[t]["files_before"] > out[t]["files_after"]
+    assert before_view == sorted(
+        tuple(r) for r in wh.read(spark, "dwh", "oc").collect()
+    )
+    assert before_orph == sorted(
+        tuple(r) for r in wh.read(spark, "dwh", "oc__orphans").collect()
+    )
+    # replay markers survive the swap (sibling dir)
+    assert (
+        incremental_join_view(
+            spark, wh, "dwh", "oc",
+            orders.filter(F.pmod("o_orderkey", F.lit(4)) == 0),
+            dim0, batch_id="b0", **kw,
+        )
+        == []
+    )
