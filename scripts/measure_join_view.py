@@ -140,6 +140,134 @@ def main() -> None:
         shutil.rmtree(tmp, ignore_errors=True)
     print(json.dumps({"metric": "join_view_maintenance_scale", **results}))
 
+    measure_scd2(spark, orders, cust, stride, n_batch)
+
+
+def _versions(cust, closed: bool):
+    """Version table over the customer dim: one open raw version per key;
+    with ``closed`` the mod-7 keys close v1 at the cutoff and open a
+    mutated v2 (the measurement's SCD2 dim batch)."""
+    lo = F.to_timestamp(F.lit("1000-01-01"))
+    hi = F.to_timestamp(F.lit("5000-01-01"))
+    cut = F.to_timestamp(F.lit("1998-01-01"))
+    payload = ["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    if not closed:
+        return cust.select(
+            "c_custkey", *payload, lo.alias("valid_from"), hi.alias("valid_to")
+        )
+    is7 = F.pmod("c_custkey", F.lit(7)) == 0
+    v1 = cust.select(
+        "c_custkey",
+        *payload,
+        lo.alias("valid_from"),
+        F.when(is7, cut).otherwise(hi).alias("valid_to"),
+    )
+    v2 = cust.filter(is7).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+        F.concat(F.col("c_mktsegment"), F.lit("_V2")).alias("c_mktsegment"),
+        cut.alias("valid_from"),
+        hi.alias("valid_to"),
+    )
+    return v1.unionByName(v2)
+
+
+def measure_scd2(spark, orders, cust, stride: int, n_batch: int) -> None:
+    """SCD2 twin of the SCD1 measurement (VERDICT r13 item 7): fold a
+    fixed time-local batch as the standing view grows x{1,20,60}; run
+    one SCD2 dim batch (mod-7 keys close+reopen at the cutoff — its
+    honest cost is the standing rows of changed keys dated ON OR AFTER
+    the cutoff, about half the SCD1 dim delta here since facts on
+    closed versions are never read); and the naive one-shot as-of
+    re-join of the full standing fact for the column alongside."""
+    import datetime
+
+    from data_platform_spark.ops.scd2_join_view import (
+        incremental_scd2_join_view,
+        scd2_join_view_dim_persisted,
+    )
+
+    kw = dict(
+        fact_on="o_custkey",
+        dim_on="c_custkey",
+        fact_key="o_orderkey",
+        event_col="o_orderdate",
+        dim_payload=["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+        partition_col="o_month",
+    )
+    v0 = _versions(cust, closed=False).localCheckpoint()
+    v1 = _versions(cust, closed=True).localCheckpoint()
+    touched = cust.filter(F.pmod("c_custkey", F.lit(7)) == 0).select(
+        "c_custkey"
+    )
+    cut = datetime.datetime(1998, 1, 1)
+
+    # warmup on a scratch warehouse
+    wtmp = tempfile.mkdtemp(prefix="jv2_warm_")
+    wwh = Warehouse(wtmp + "/wh")
+    incremental_scd2_join_view(
+        spark, wwh, "dwh", "oc2", orders, v0, batch_id="w0", **kw
+    )
+    scd2_join_view_dim_persisted(
+        spark, wwh, "dwh", "oc2", v1, touched, cut, batch_id="wd", **kw
+    )
+    shutil.rmtree(wtmp, ignore_errors=True)
+
+    results = {}
+    for mult in (1, 20, 60):
+        tmp = tempfile.mkdtemp(prefix="jv2_scale_")
+        wh = Warehouse(tmp + "/wh")
+        standing = replicate(orders, mult, stride).localCheckpoint()
+        incremental_scd2_join_view(
+            spark, wh, "dwh", "oc2", standing, v0, batch_id="seed", **kw
+        )
+        fresh = (
+            orders.withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(mult * stride)
+            )
+            .withColumn("o_month", F.lit("2030-01"))
+            .localCheckpoint()
+        )
+
+        t0 = time.monotonic()
+        incremental_scd2_join_view(
+            spark, wh, "dwh", "oc2", fresh, v0, batch_id="probe", **kw
+        )
+        t_fact = time.monotonic() - t0
+
+        t0 = time.monotonic()
+        scd2_join_view_dim_persisted(
+            spark, wh, "dwh", "oc2", v1, touched, cut, batch_id="dim-probe",
+            **kw,
+        )
+        t_dim = time.monotonic() - t0
+
+        all_fact = standing.unionByName(fresh)
+        t0 = time.monotonic()
+        dimr = v1.withColumnRenamed("c_custkey", "_k")
+        full = all_fact.join(
+            dimr,
+            (all_fact["o_custkey"] == dimr["_k"])
+            & (all_fact["o_orderdate"] >= dimr["valid_from"])
+            & (all_fact["o_orderdate"] < dimr["valid_to"]),
+            "inner",
+        ).drop("_k", "valid_to")
+        wh.write(full, "dwh", "oc2_naive", partition_by=["o_month"])
+        t_naive = time.monotonic() - t0
+
+        results[f"x{mult}"] = {
+            "standing_rows": n_batch * mult,
+            "fold_fresh_batch_s": round(t_fact, 3),
+            "scd2_dim_batch_s": round(t_dim, 3),
+            "naive_full_asof_rejoin_s": round(t_naive, 3),
+        }
+        shutil.rmtree(tmp, ignore_errors=True)
+    print(
+        json.dumps({"metric": "scd2_join_view_maintenance_scale", **results})
+    )
+
 
 if __name__ == "__main__":
     main()
