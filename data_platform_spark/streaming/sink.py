@@ -156,3 +156,59 @@ def join_view_stream_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def scd2_join_view_stream_sink(
+    stream_fact: DataFrame,
+    wh: Warehouse,
+    schema: str,
+    table: str,
+    dim_versions: DataFrame,
+    *,
+    fact_on: str,
+    dim_on: str,
+    fact_key: str,
+    event_col: str,
+    dim_payload: list[str],
+    partition_col: str,
+    checkpoint_dir: str,
+):
+    """foreachBatch sink maintaining an SCD2-versioned join view: each
+    fact micro-batch folds through
+    ops/scd2_join_view.incremental_scd2_join_view — every row resolves
+    against the dimension VERSION valid at its own event date (late
+    facts land on closed versions; rows with no valid version park in
+    the orphan ledger) — keyed by the deterministic foreachBatch batch
+    id, so replays skip on the namespaced ``fact:b<n>`` marker.
+    ``dim_versions`` is the static current version table; SCD2 dim
+    batches run OUT-OF-BAND between triggers via
+    ops/scd2_join_view.scd2_join_view_dim_persisted (their own
+    ``dim:<id>`` markers), re-resolving only future-dated rows of the
+    touched keys."""
+    from data_platform_spark.ops.scd2_join_view import (
+        incremental_scd2_join_view,
+    )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        incremental_scd2_join_view(
+            batch_df.sparkSession,
+            wh,
+            schema,
+            table,
+            batch_df,
+            dim_versions,
+            fact_on=fact_on,
+            dim_on=dim_on,
+            fact_key=fact_key,
+            event_col=event_col,
+            dim_payload=dim_payload,
+            partition_col=partition_col,
+            batch_id=f"b{batch_id}",
+        )
+
+    return (
+        stream_fact.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

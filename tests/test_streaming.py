@@ -1827,3 +1827,118 @@ def test_join_view_stream_equals_batch(spark, tmp_path):
     after = wh_s.read(spark, "dwh", "oc")
     assert after.count() == before
     assert after.select(*cols).exceptAll(vb.select(*cols)).count() == 0
+
+
+def test_scd2_join_view_stream_equals_batch(spark, tmp_path):
+    """Stream-vs-batch equality for the SCD2 join-view sink: streamed
+    fact micro-batches against the open version table, one out-of-band
+    SCD2 dim batch (mod-7 close+reopen at the cutoff), equals the
+    sequential batch operator over the same files; a fresh-checkpoint
+    full replay changes nothing."""
+    import datetime
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_platform_spark.ops.scd2_join_view import (
+        incremental_scd2_join_view,
+        scd2_join_view_dim_persisted,
+    )
+    from data_platform_spark.pipeline import Warehouse
+    from data_platform_spark.sources.tables import load_table
+    from data_platform_spark.streaming.sink import scd2_join_view_stream_sink
+    from tests.conftest import SF_SMOKE
+    from tests.test_incremental import _scd2_versions
+
+    orders = load_table(spark, SF_SMOKE, "orders").withColumn(
+        "o_month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    cust = load_table(spark, SF_SMOKE, "customer")
+    v0 = _scd2_versions(cust, include_mod5=True, closed=False)
+    v1 = _scd2_versions(cust, include_mod5=True, closed=True)
+    touched = cust.filter(
+        (F.pmod("c_custkey", F.lit(7)) == 0)
+        | (F.pmod("c_custkey", F.lit(11)) == 0)
+    ).select("c_custkey")
+    cut = datetime.datetime(1998, 1, 1)
+    kw = dict(
+        fact_on="o_custkey",
+        dim_on="c_custkey",
+        fact_key="o_orderkey",
+        event_col="o_orderdate",
+        dim_payload=["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+        partition_col="o_month",
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    batches = [
+        orders.filter(F.pmod("o_orderkey", F.lit(3)) == i) for i in range(3)
+    ]
+    fact_schema = (
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, "
+        "o_orderpriority string, o_month string"
+    )
+    for i, b in enumerate(batches):
+        b.coalesce(1).write.mode("overwrite").json(f"{src}/b{i}")
+        os.utime(f"{src}/b{i}", (1_000_000 + i, 1_000_000 + i))
+        for e in os.listdir(f"{src}/b{i}"):
+            os.utime(
+                os.path.join(f"{src}/b{i}", e), (1_000_000 + i, 1_000_000 + i)
+            )
+
+    # streaming leg: micro-batches against v0, then the SCD2 dim batch
+    wh_s = Warehouse(str(tmp_path / "wh_s"))
+    stream = (
+        spark.readStream.schema(fact_schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(f"{src}/b*")
+    )
+    q = scd2_join_view_stream_sink(
+        stream, wh_s, "dwh", "oc2", v0,
+        checkpoint_dir=str(tmp_path / "ckpt1"), **kw,
+    )
+    q.awaitTermination(180)
+    scd2_join_view_dim_persisted(
+        spark, wh_s, "dwh", "oc2", v1, touched, cut, batch_id="d0", **kw
+    )
+
+    # batch leg: identical files, identical order
+    wh_b = Warehouse(str(tmp_path / "wh_b"))
+    for i in range(3):
+        b = spark.read.schema(fact_schema).json(f"{src}/b{i}")
+        incremental_scd2_join_view(
+            spark, wh_b, "dwh", "oc2", b, v0, batch_id=f"b{i}", **kw
+        )
+    scd2_join_view_dim_persisted(
+        spark, wh_b, "dwh", "oc2", v1, touched, cut, batch_id="d0", **kw
+    )
+
+    vs = wh_s.read(spark, "dwh", "oc2")
+    vb = wh_b.read(spark, "dwh", "oc2")
+    cols = sorted(vs.columns)
+    assert vs.count() == vb.count() > 0
+    assert vs.select(*cols).exceptAll(vb.select(*cols)).count() == 0
+    assert vb.select(*cols).exceptAll(vs.select(*cols)).count() == 0
+    os_ = wh_s.read(spark, "dwh", "oc2__orphans")
+    ob = wh_b.read(spark, "dwh", "oc2__orphans")
+    ocols = sorted(os_.columns)
+    assert os_.count() == ob.count() > 0
+    assert os_.select(*ocols).exceptAll(ob.select(*ocols)).count() == 0
+
+    # fresh-checkpoint full replay: namespaced markers skip every batch
+    before = vs.count()
+    stream2 = (
+        spark.readStream.schema(fact_schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(f"{src}/b*")
+    )
+    q2 = scd2_join_view_stream_sink(
+        stream2, wh_s, "dwh", "oc2", v0,
+        checkpoint_dir=str(tmp_path / "ckpt2"), **kw,
+    )
+    q2.awaitTermination(180)
+    after = wh_s.read(spark, "dwh", "oc2")
+    assert after.count() == before
+    assert after.select(*cols).exceptAll(vb.select(*cols)).count() == 0
