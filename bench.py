@@ -122,6 +122,11 @@ HEADLINE = [
     # dim upserts; joins and bounded aggregates only — linear scan term)
     "leakage_safe_split",
     "order_customer_view_incremental",
+    # round 14: the SCD2-versioned join view — the temporal delta rules
+    # (as-of fact resolution + future-dated-only dim re-resolution);
+    # joins and bounded aggregates only, linear scan term like its SCD1
+    # sibling
+    "order_customer_scd2_view_incremental",
 ]
 
 

@@ -41,7 +41,92 @@ def _modules():
 
 
 # The driver's correctness gate checks the FIRST ~50 registered queries, in
-# dict order. Round-13 window, built by the standing evidence-age policy
+# dict order. Round-14 window, built by the standing evidence-age policy
+# (QUERIES.md): never-driver-green queries first, then re-proofs, then the
+# oldest green rows.
+# (1) the five r13 below-window registrations (VERDICT r13 item 1, in its
+#     order) — all oracled, all locally deep-compared at both gate SFs,
+#     zero driver evidence until this window drains them:
+#     order_customer_view_incremental (doubles as the re-proof slot for
+#     this round's ops/join_view.py changes — marker namespacing and the
+#     inserts-before-deletes merge ordering touch only the PERSISTED
+#     legs, while the query drives the in-memory algebra, but the shared
+#     module warrants the fresh row), orders_customer_point_in_time,
+#     leakage_safe_split, semantic_rebuild_roundtrip,
+#     kmeans_two_level_multiprobe_profile;
+# (2) the ONE query registered this round (cap: well under the window's
+#     absorption after the 5-hole drain): order_customer_scd2_view_
+#     incremental — the SCD2-versioned incremental join-view (VERDICT
+#     r13 item 2; ops/scd2_join_view.py), its oracle the CASE-rebuilt
+#     one-shot as-of join of all orders against the final version table,
+#     orphans included;
+# (3) the refresh cohort, oldest evidence first: all 13 remaining
+#     r6-green rows (their CORRECTNESS_r06 order), all 27 r7-green rows
+#     (their CORRECTNESS_r07 order), then the 4 oldest r8-green rows
+#     (their CORRECTNESS_r08 order) — after a 50/50 round the union of
+#     driver-green rows is 291/291 and no registered query carries
+#     pre-r8 evidence.
+_R14_WINDOW = (
+    # (1) the five below-window queries, VERDICT r13 item 1's order
+    "order_customer_view_incremental",
+    "orders_customer_point_in_time",
+    "leakage_safe_split",
+    "semantic_rebuild_roundtrip",
+    "kmeans_two_level_multiprobe_profile",
+    # (2) registered this round
+    "order_customer_scd2_view_incremental",
+    # (3a) the 13 remaining r6-green rows, in their CORRECTNESS_r06 order
+    "grouping_sets_orders",
+    "monthly_order_calendar",
+    "nationkeys_except_all",
+    "nationkeys_intersect_all",
+    "order_price_histogram",
+    "q22_idle_customers",
+    "q7_nation_trade_volume",
+    "q8_market_share",
+    "rank_vs_dense_rank_orders",
+    "doc_text_stats",
+    "events_hourly_by_type",
+    "events_running_total",
+    "events_session_window_builtin",
+    # (3b) all 27 r7-green rows, in their CORRECTNESS_r07 order
+    "chunk_hybrid_rrf_topk",
+    "quality_rule_funnel",
+    "corpus_vocab_drift",
+    "term_cooccurrence_pmi",
+    "embedding_centroid_drift",
+    "event_transition_matrix",
+    "orders_revenue_growth",
+    "events_dow_hour_profile",
+    "events_user_ema",
+    "purchase_attribution",
+    "purchase_prior_click_counts",
+    "corpus_shard_summary",
+    "chunk_bm25_topk",
+    "pq_code_histogram",
+    "pq_adc_topk_vec0",
+    "pq_rerank_topk_vec0",
+    "dedup_exact_groups",
+    "doc_quality",
+    "lang_id_confusion",
+    "minhash_signatures",
+    "multimodal_image_decode",
+    "doc_length_histogram",
+    "doc_top_terms_tfidf",
+    "doc_fingerprint",
+    "customer_order_ids_array",
+    "embedding_vector_stats",
+    "events_downsample_gapfill",
+    # (3c) the 4 oldest r8-green rows, in their CORRECTNESS_r08 order
+    "order_value_iqr_outliers",
+    "customer_cohort_ltv",
+    "events_weekly_active_users",
+    "term_burstiness",
+)
+
+
+# --- round-13 window rationale (kept for history) ---
+# Round-13 window, built by the standing evidence-age policy
 # (QUERIES.md; VERDICT r12 item 2): new + changed queries first, then the
 # oldest green rows.
 # (1) the two queries REGISTERED this round (VERDICT r12 items 1): the
@@ -185,6 +270,7 @@ def _modules():
 #     whole persist-sweep family in dedup/similarity; the global_order
 #     consumers after its cache-registry change;
 # (3) canaries; (4) stalest green rows rotated in.
+# --- round-13 window (kept for history; superseded by _R14_WINDOW) ---
 _R13_WINDOW = (
     # (1) the two queries registered this round
     "incremental_semantic_dedup_new_batch",
@@ -371,12 +457,12 @@ _R11_WINDOW = (
 
 
 def _ordered_names(merged: dict, oracles: dict) -> list[str]:
-    unknown = set(_R13_WINDOW) - merged.keys()
+    unknown = set(_R14_WINDOW) - merged.keys()
     if unknown:
         # Fail fast: a stale/misspelled window entry would otherwise
         # silently lose its gate slot (this masked a missing query in r4).
         raise ValueError(f"window names not in registry: {sorted(unknown)}")
-    order: list[str] = list(_R13_WINDOW)
+    order: list[str] = list(_R14_WINDOW)
     seen = set(order)
     # remainder: r3/r4-proven rows, oracled before rows-only
     rest = [n for n in merged if n not in seen]
