@@ -64,8 +64,17 @@ def _modules():
 #     r6-green rows (their CORRECTNESS_r06 order), all 27 r7-green rows
 #     (their CORRECTNESS_r07 order), then the 4 oldest r8-green rows
 #     (their CORRECTNESS_r08 order) — after a 50/50 round the union of
-#     driver-green rows is 291/291 and no registered query carries
-#     pre-r8 evidence.
+#     driver-green rows is 291/291 of the windowed registry and no
+#     registered query carries pre-r8 evidence.
+# NOT in this window, first in line for r15 (the standing below-window
+# precedent — registered with local deep-compare evidence at BOTH gate
+# SFs): order_customer_view_persisted_roundtrip and
+# order_customer_scd2_view_persisted_roundtrip — the PERSISTED
+# maintenance legs (journaled merges, namespaced markers,
+# inserts-before-deletes ordering) + compact_join_view driven end-to-end
+# into a temp warehouse, results bit-identical to the in-memory gate
+# queries, oracles reused verbatim (the semantic_index_roundtrip
+# discipline applied to both join-view families).
 _R14_WINDOW = (
     # (1) the five below-window queries, VERDICT r13 item 1's order
     "order_customer_view_incremental",

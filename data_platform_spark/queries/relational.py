@@ -5496,3 +5496,206 @@ ORACLE["order_customer_scd2_view_incremental"] = f"""
     FROM enriched
     GROUP BY 1, 2
 """
+
+
+def order_customer_view_persisted_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The PERSISTED join-view surface under the CORRECTNESS GATE: the
+    same simulated history as ``order_customer_view_incremental`` —
+    partial-dim first load, two fact batches, one dim insert+update
+    batch, a final fact batch — driven through the Warehouse-backed legs
+    (ops/join_view.incremental_join_view /
+    join_view_dim_upsert_persisted: partition-pruned journaled merges,
+    inserts-before-deletes crash ordering, namespaced replay markers)
+    into a temp warehouse, then COMPACTED (compact_join_view — one file
+    per partition through the journaled swap) and read back. Identical
+    history and final aggregate make the result bit-identical to the
+    in-memory gate query, so its oracle is REUSED verbatim: the driver
+    verifies the stored maintenance + compaction end-to-end (the
+    semantic_index_roundtrip discipline applied to the join-view
+    family)."""
+    import tempfile
+
+    from data_platform_spark.ops.join_view import (
+        compact_join_view,
+        incremental_join_view,
+        join_view_dim_upsert_persisted,
+    )
+    from data_platform_spark.pipeline import Warehouse
+
+    base = tempfile.mkdtemp(prefix="dps_jv_rt_")
+    wh = Warehouse(base + "/wh")
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    kw = dict(
+        fact_on="o_custkey",
+        dim_on="c_custkey",
+        fact_key="o_orderkey",
+        dim_payload=["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+        partition_col="o_month",
+    )
+    mutated_bal = F.col("c_acctbal") + F.when(
+        F.pmod("c_custkey", F.lit(7)) == 0, F.lit(100.0)
+    ).otherwise(F.lit(0.0))
+    mutated_seg = F.when(
+        F.pmod("c_custkey", F.lit(7)) == 0,
+        F.concat(F.col("c_mktsegment"), F.lit("_V2")),
+    ).otherwise(F.col("c_mktsegment"))
+    dim0 = cust.filter(F.pmod("c_custkey", F.lit(5)) != 0)
+    dim1 = cust.select(
+        "c_custkey", "c_name", "c_nationkey",
+        mutated_bal.alias("c_acctbal"), mutated_seg.alias("c_mktsegment"),
+    )
+    upserts = dim1.filter(
+        (F.pmod("c_custkey", F.lit(5)) == 0)
+        | (F.pmod("c_custkey", F.lit(7)) == 0)
+    )
+    for i, dim in ((0, dim0), (1, dim0)):
+        incremental_join_view(
+            spark, wh, "dwh", "oc",
+            orders.filter(F.pmod("o_orderkey", F.lit(3)) == i),
+            dim, batch_id=f"b{i}", **kw,
+        )
+    join_view_dim_upsert_persisted(
+        spark, wh, "dwh", "oc", upserts, batch_id="d0", **kw
+    )
+    incremental_join_view(
+        spark, wh, "dwh", "oc",
+        orders.filter(F.pmod("o_orderkey", F.lit(3)) == 2),
+        dim1, batch_id="b2", **kw,
+    )
+    compact_join_view(spark, wh, "dwh", "oc", "o_month")
+    view = wh.read(spark, "dwh", "oc")
+    return view.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        pround(F.sum("o_totalprice")).alias("total_price"),
+        pround(F.sum("c_acctbal")).alias("acctbal_sum"),
+        F.count_distinct("o_custkey").cast("long").alias("n_customers"),
+    )
+
+
+QUERIES["order_customer_view_persisted_roundtrip"] = (
+    order_customer_view_persisted_roundtrip
+)
+# bit-identical to the in-memory maintained history: oracle reused verbatim
+ORACLE["order_customer_view_persisted_roundtrip"] = ORACLE[
+    "order_customer_view_incremental"
+]
+
+
+def order_customer_scd2_view_persisted_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The persisted SCD2 join-view surface under the gate: the same
+    temporal history as ``order_customer_scd2_view_incremental`` driven
+    through ops/scd2_join_view's Warehouse-backed legs (as-of fact
+    merges, the future-dated-only dim re-resolution, demotions and
+    backdated promotions across the stored ledgers), compacted, and read
+    back — result bit-identical to the in-memory gate query, oracle
+    reused verbatim. Driver-verifies the stored temporal maintenance +
+    compaction end-to-end."""
+    import datetime
+    import tempfile
+
+    from data_platform_spark.ops.join_view import compact_join_view
+    from data_platform_spark.ops.scd2_join_view import (
+        incremental_scd2_join_view,
+        scd2_join_view_dim_persisted,
+    )
+    from data_platform_spark.pipeline import Warehouse
+
+    base = tempfile.mkdtemp(prefix="dps_jv2_rt_")
+    wh = Warehouse(base + "/wh")
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    payload = ["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    lo = F.to_timestamp(F.lit("1000-01-01"))
+    hi = F.to_timestamp(F.lit("5000-01-01"))
+    cut = F.to_timestamp(F.lit("1998-01-01"))
+    is7 = F.pmod("c_custkey", F.lit(7)) == 0
+    is11 = F.pmod("c_custkey", F.lit(11)) == 0
+    v0 = cust.filter(F.pmod("c_custkey", F.lit(5)) != 0).select(
+        "c_custkey", *payload, lo.alias("valid_from"), hi.alias("valid_to")
+    )
+    v1a = cust.select(
+        "c_custkey", *payload, lo.alias("valid_from"),
+        F.when(is7 | is11, cut).otherwise(hi).alias("valid_to"),
+    )
+    v1b = cust.filter(is7).select(
+        "c_custkey", "c_name", "c_nationkey",
+        (F.col("c_acctbal") + F.lit(100.0)).alias("c_acctbal"),
+        F.concat(F.col("c_mktsegment"), F.lit("_V2")).alias("c_mktsegment"),
+        cut.alias("valid_from"), hi.alias("valid_to"),
+    )
+    v1 = v1a.unionByName(v1b)
+    touched = cust.filter(
+        (F.pmod("c_custkey", F.lit(5)) == 0) | is7 | is11
+    ).select("c_custkey")
+    kw = dict(
+        fact_on="o_custkey",
+        dim_on="c_custkey",
+        fact_key="o_orderkey",
+        event_col="o_orderdate",
+        dim_payload=payload,
+        partition_col="o_month",
+    )
+    for i, dimv in ((0, v0), (1, v0)):
+        incremental_scd2_join_view(
+            spark, wh, "dwh", "oc2",
+            orders.filter(F.pmod("o_orderkey", F.lit(3)) == i),
+            dimv, batch_id=f"b{i}", **kw,
+        )
+    scd2_join_view_dim_persisted(
+        spark, wh, "dwh", "oc2", v1, touched,
+        datetime.datetime(1998, 1, 1), batch_id="d0", **kw,
+    )
+    incremental_scd2_join_view(
+        spark, wh, "dwh", "oc2",
+        orders.filter(F.pmod("o_orderkey", F.lit(3)) == 2),
+        v1, batch_id="b2", **kw,
+    )
+    compact_join_view(spark, wh, "dwh", "oc2", "o_month")
+    view = wh.read(spark, "dwh", "oc2")
+    orphans = wh.read(spark, "dwh", "oc2__orphans")
+
+    era = F.col("o_orderdate") >= cut
+    view_agg = view.groupBy(
+        F.col("c_mktsegment").alias("segment"),
+        era.alias("post_cutoff"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        pround(F.sum("o_totalprice")).alias("total_price"),
+        pround(F.sum("c_acctbal")).alias("bal_sum"),
+        F.count_distinct("o_custkey").cast("long").alias("n_customers"),
+        F.sum(F.when(F.col("valid_from") == cut, 1).otherwise(0))
+        .cast("long")
+        .alias("n_v2"),
+    )
+    orph_agg = orphans.groupBy(era.alias("post_cutoff")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        pround(F.sum("o_totalprice")).alias("total_price"),
+        F.count_distinct("o_custkey").cast("long").alias("n_customers"),
+    ).select(
+        F.lit("__ORPHANED").alias("segment"),
+        "post_cutoff",
+        "n_orders",
+        "total_price",
+        F.lit(None).cast("double").alias("bal_sum"),
+        "n_customers",
+        F.lit(0).cast("long").alias("n_v2"),
+    )
+    return view_agg.unionByName(orph_agg)
+
+
+QUERIES["order_customer_scd2_view_persisted_roundtrip"] = (
+    order_customer_scd2_view_persisted_roundtrip
+)
+# bit-identical to the in-memory maintained history: oracle reused verbatim
+ORACLE["order_customer_scd2_view_persisted_roundtrip"] = ORACLE[
+    "order_customer_scd2_view_incremental"
+]
