@@ -12,6 +12,9 @@ constant identical across sizes):
 - join_view_stream_sink → ``incremental_join_view`` (batch ⋈ dim split,
   view upsert + orphan-ledger merge, replay-marker keyed; the dim here
   deliberately misses 10% of keys so every batch exercises BOTH merges)
+- scd2_join_view_stream_sink → ``incremental_scd2_join_view`` (as-of
+  split against a two-version dim — event timestamps straddle the
+  version boundary, same 10% missing keys)
 
 Two sweeps:
 1. TABLE size grows at fixed batch size — the O(batch) claim: latency
@@ -39,6 +42,9 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from data_platform_spark.ops.incremental import incremental_rollup  # noqa: E402
 from data_platform_spark.ops.join_view import incremental_join_view  # noqa: E402
+from data_platform_spark.ops.scd2_join_view import (  # noqa: E402
+    incremental_scd2_join_view,
+)
 from data_platform_spark.pipeline import Warehouse  # noqa: E402
 from data_platform_spark.session import get_spark  # noqa: E402
 
@@ -137,6 +143,68 @@ def time_join_view(spark, root: str, table_rows: int, batch_rows: int) -> float:
     return round(statistics.median(times), 3)
 
 
+def _versioned_dim_df(spark, n_keys: int = 900):
+    # two versions per key around a 2000-01-01 boundary; same 10%-missing
+    # key share as the SCD1 dim
+    lo = F.to_timestamp(F.lit("1970-01-01"))
+    mid = F.to_timestamp(F.lit("2000-01-01"))
+    hi = F.to_timestamp(F.lit("5000-01-01"))
+    base = spark.range(n_keys)
+    v1 = base.select(
+        F.col("id").alias("d_user"),
+        (F.col("id") % 7).cast("int").alias("tier"),
+        (F.col("id") * 1.5).alias("score"),
+        lo.alias("valid_from"),
+        mid.alias("valid_to"),
+    )
+    v2 = base.select(
+        F.col("id").alias("d_user"),
+        (F.col("id") % 7).cast("int").alias("tier"),
+        (F.col("id") * 2.5).alias("score"),
+        mid.alias("valid_from"),
+        hi.alias("valid_to"),
+    )
+    return v1.unionByName(v2)
+
+
+def _with_event_ts(df):
+    # event timestamps straddle the 2000-01-01 version boundary
+    return df.withColumn(
+        "event_ts",
+        F.timestamp_seconds(
+            F.lit(946_684_800 - 30 * 86_400) + (F.col("event_id") % 60) * 86_400
+        ),
+    )
+
+
+def time_scd2_join_view(
+    spark, root: str, table_rows: int, batch_rows: int
+) -> float:
+    wh = Warehouse(root)
+    dimv = _versioned_dim_df(spark)
+    kw = dict(
+        fact_on="user", dim_on="d_user", fact_key="event_id",
+        event_col="event_ts", dim_payload=["tier", "score"],
+        partition_col="day",
+    )
+    incremental_scd2_join_view(
+        spark, wh, "dwh", "ev_user2", _with_event_ts(_table_df(spark, table_rows)),
+        dimv, batch_id="seed", **kw,
+    )
+    times = []
+    for i in range(3):
+        batch = _with_event_ts(_batch_df(
+            spark, batch_rows, key_offset=table_rows - batch_rows // 2 + i
+        ))
+        t0 = time.perf_counter()
+        incremental_scd2_join_view(
+            spark, wh, "dwh", "ev_user2", batch, dimv,
+            batch_id=f"jv2-{table_rows}-{batch_rows}-{i}", **kw,
+        )
+        times.append(time.perf_counter() - t0)
+    return round(statistics.median(times), 3)
+
+
 def main() -> None:
     spark = get_spark(app_name="dps-stream-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -152,6 +220,9 @@ def main() -> None:
                 "join_view_s": time_join_view(
                     spark, str(d / "j"), table_rows, 20_000
                 ),
+                "scd2_join_view_s": time_scd2_join_view(
+                    spark, str(d / "j2"), table_rows, 20_000
+                ),
             }
         # sweep 2: batch grows 4x, table fixed
         for batch_rows in (10_000, 20_000, 40_000):
@@ -161,6 +232,9 @@ def main() -> None:
                 "rollup_s": time_rollup(spark, str(d / "r"), 400_000, batch_rows),
                 "join_view_s": time_join_view(
                     spark, str(d / "j"), 400_000, batch_rows
+                ),
+                "scd2_join_view_s": time_scd2_join_view(
+                    spark, str(d / "j2"), 400_000, batch_rows
                 ),
             }
     finally:

@@ -897,3 +897,125 @@ def test_compact_join_view_files_and_bit_identity(spark, tmp_path):
         )
         == []
     )
+
+
+def test_scd2_dim_crash_between_merges_reconciles(spark, tmp_path, monkeypatch):
+    """SCD2 dim-batch crash window: the persisted leg lands INSERT halves
+    (view refresh, orphan demotions) before the cross-ledger DELETEs, so
+    a crash mid-sequence leaves moved keys in BOTH ledgers — never in
+    neither — and the marker-less replay reconciles to exactly the
+    uncrashed result (the probe's dropDuplicates absorbs the doubled
+    rows)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    import data_platform_spark.pipeline as pl
+    from data_platform_spark.ops.scd2_join_view import (
+        incremental_scd2_join_view,
+        scd2_join_view_dim_persisted,
+    )
+    from data_platform_spark.pipeline import Warehouse
+    from data_platform_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    orders = load_table(spark, SF_SMOKE, "orders").withColumn(
+        "o_month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    cust = load_table(spark, SF_SMOKE, "customer")
+    v0 = _scd2_versions(cust, include_mod5=True, closed=False)
+    v1 = _scd2_versions(cust, include_mod5=True, closed=True)
+    touched = cust.filter(
+        (F.pmod("c_custkey", F.lit(7)) == 0)
+        | (F.pmod("c_custkey", F.lit(11)) == 0)
+    ).select("c_custkey")
+    cut = datetime.datetime(1998, 1, 1)
+    kw = dict(
+        fact_on="o_custkey",
+        dim_on="c_custkey",
+        fact_key="o_orderkey",
+        event_col="o_orderdate",
+        dim_payload=["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+        partition_col="o_month",
+    )
+
+    def build(wh):
+        incremental_scd2_join_view(
+            spark, wh, "dwh", "oc2", orders, v0, batch_id="b0", **kw
+        )
+
+    # reference: uncrashed dim batch
+    wh_ref = Warehouse(str(tmp_path / "ref"))
+    build(wh_ref)
+    scd2_join_view_dim_persisted(
+        spark, wh_ref, "dwh", "oc2", v1, touched, cut, batch_id="d0", **kw
+    )
+    vcols = sorted(wh_ref.read(spark, "dwh", "oc2").columns)
+    ref_view = sorted(
+        tuple(r)
+        for r in wh_ref.read(spark, "dwh", "oc2").select(*vcols).collect()
+    )
+    ocols = sorted(wh_ref.read(spark, "dwh", "oc2__orphans").columns)
+    ref_orph = sorted(
+        tuple(r)
+        for r in wh_ref.read(spark, "dwh", "oc2__orphans")
+        .select(*ocols)
+        .collect()
+    )
+    demoted_keys = {r[0] for r in wh_ref.read(
+        spark, "dwh", "oc2__orphans").select("o_orderkey").collect()}
+    assert demoted_keys  # mod-11 soft-close produces demotions
+
+    # crashed run: the dim leg's merge sequence here is (1) view refresh
+    # upsert, (2) orphans demotion first-load WRITE (no orphans table
+    # yet), (3) view delete of demoted keys — crash just BEFORE merge
+    # call 2, i.e. after the demotion rows landed, before the view
+    # delete
+    wh = Warehouse(str(tmp_path / "crash"))
+    build(wh)
+    real_merge = Warehouse.merge
+    calls = {"n": 0}
+
+    def flaky_merge(self, *a, **k):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated crash before the view delete")
+        return real_merge(self, *a, **k)
+
+    monkeypatch.setattr(pl.Warehouse, "merge", flaky_merge)
+    try:
+        scd2_join_view_dim_persisted(
+            spark, wh, "dwh", "oc2", v1, touched, cut, batch_id="d0", **kw
+        )
+        raise AssertionError("expected simulated crash")
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(pl.Warehouse, "merge", real_merge)
+    # the window: demoted keys present in BOTH ledgers, none lost
+    view_mid = {
+        r[0]
+        for r in wh.read(spark, "dwh", "oc2").select("o_orderkey").collect()
+    }
+    orph_mid = {
+        r[0]
+        for r in wh.read(spark, "dwh", "oc2__orphans")
+        .select("o_orderkey")
+        .collect()
+    }
+    assert demoted_keys <= view_mid and demoted_keys <= orph_mid
+    # marker-less replay reconciles both ledgers to the uncrashed state
+    scd2_join_view_dim_persisted(
+        spark, wh, "dwh", "oc2", v1, touched, cut, batch_id="d0", **kw
+    )
+    got_view = sorted(
+        tuple(r)
+        for r in wh.read(spark, "dwh", "oc2").select(*vcols).collect()
+    )
+    got_orph = sorted(
+        tuple(r)
+        for r in wh.read(spark, "dwh", "oc2__orphans")
+        .select(*ocols)
+        .collect()
+    )
+    assert got_view == ref_view
+    assert got_orph == ref_orph
