@@ -328,6 +328,14 @@ def main() -> None:
         except Exception as e:  # scaling evidence must never sink the artifact
             sections[key] = {"err": f"{type(e).__name__}: {e}"}
 
+    # second anchor reading AFTER the scaling sections: the x4/x10 passes
+    # are single-shot for >2s queries, so a transient host-contention
+    # window there is otherwise invisible — a post-anchor diverging from
+    # the pre-anchor flags the run's scaling ratios as suspect (this
+    # round's PLANS.md adjudication: three one-shot x4 ratios read
+    # 13.5/7.9/7.8 in one run and 2.4/0.8/1.1 re-measured median-of-3)
+    anchor_post = _calibration_anchor(spark)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_suite_wall_clock",
@@ -337,6 +345,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     out.update(anchor)
+    out["calibration_anchor_post_s"] = anchor_post["calibration_anchor_s"]
     out.update(sections)
     # Full blob first, compact summary LAST: the driver's tail capture
     # keeps the END of stdout, so the line that must survive goes last.
