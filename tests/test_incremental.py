@@ -1019,3 +1019,98 @@ def test_scd2_dim_crash_between_merges_reconciles(spark, tmp_path, monkeypatch):
     )
     assert got_view == ref_view
     assert got_orph == ref_orph
+
+
+def test_scd2_apply_composes_with_temporal_join_view(spark):
+    """The composition claim end-to-end: a dimension maintained by
+    ops/scd2.scd2_apply (first load at T1, one change batch at the
+    cutoff mutating the mod-7 keys) feeds its version table straight
+    into the temporal join view, and the maintained view equals the
+    one-shot as-of join against the final SCD2 state. ``touched_keys``
+    is deliberately the FULL snapshot key set — the documented
+    superset-is-safe contract (unchanged keys re-resolve to themselves)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from data_platform_spark.ops.scd2 import scd2_apply
+    from data_platform_spark.ops.scd2_join_view import (
+        apply_fact_batch_scd2,
+        apply_scd2_dim_batch,
+        init_scd2_join_view,
+    )
+    from data_platform_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    cust = load_table(spark, SF_SMOKE, "customer")
+    tracked = ["c_acctbal", "c_mktsegment"]
+    carried = ["c_name", "c_nationkey"]
+    payload = tracked + carried
+    t1 = F.to_timestamp(F.lit("1000-01-01"))
+    cut_dt = datetime.datetime(1998, 1, 1)
+    cut = F.to_timestamp(F.lit("1998-01-01"))
+
+    stg1 = cust.select("c_custkey", *payload)
+    dim1 = scd2_apply(
+        None, stg1, "c_custkey", tracked, carried, "c_sk", batch_ts=t1
+    ).localCheckpoint()
+    stg2 = cust.select(
+        "c_custkey",
+        (
+            F.col("c_acctbal")
+            + F.when(F.pmod("c_custkey", F.lit(7)) == 0, 100.0).otherwise(0.0)
+        ).alias("c_acctbal"),
+        F.when(
+            F.pmod("c_custkey", F.lit(7)) == 0,
+            F.concat(F.col("c_mktsegment"), F.lit("_V2")),
+        ).otherwise(F.col("c_mktsegment")).alias("c_mktsegment"),
+        "c_name",
+        "c_nationkey",
+    )
+    dim2 = scd2_apply(
+        dim1, stg2, "c_custkey", tracked, carried, "c_sk", batch_ts=cut
+    ).localCheckpoint()
+
+    def versions(dim):
+        return dim.select(
+            "c_custkey", *payload, "valid_from", "valid_to"
+        )
+
+    st = init_scd2_join_view(
+        orders.filter(F.pmod("o_orderkey", F.lit(2)) == 0),
+        versions(dim1), "o_custkey", "c_custkey", "o_orderdate",
+    )
+    st = apply_scd2_dim_batch(
+        st, versions(dim2), stg2.select("c_custkey"), cut_dt,
+        "o_custkey", "c_custkey", "o_orderkey", "o_orderdate", payload,
+    )
+    st = apply_fact_batch_scd2(
+        st,
+        orders.filter(F.pmod("o_orderkey", F.lit(2)) == 1),
+        versions(dim2), "o_custkey", "c_custkey", "o_orderkey", "o_orderdate",
+    )
+
+    ref = init_scd2_join_view(
+        orders, versions(dim2), "o_custkey", "c_custkey", "o_orderdate"
+    )
+    cols = st.view.columns
+    assert _scd2_rows(st.view, cols) == _scd2_rows(ref.view, cols)
+    assert st.orphans.count() == 0 == ref.orphans.count()
+    # the mutation is visible exactly era-side: a mod-7 post-cutoff row
+    # carries the _V2 image, its pre-cutoff sibling the original
+    mod7 = st.view.filter(F.pmod("o_custkey", F.lit(7)) == 0)
+    assert (
+        mod7.filter(
+            (F.col("o_orderdate") >= cut)
+            & ~F.col("c_mktsegment").endswith("_V2")
+        ).count()
+        == 0
+    )
+    assert (
+        mod7.filter(
+            (F.col("o_orderdate") < cut)
+            & F.col("c_mktsegment").endswith("_V2")
+        ).count()
+        == 0
+    )
