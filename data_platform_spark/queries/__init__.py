@@ -74,7 +74,11 @@ def _modules():
 # inserts-before-deletes ordering) + compact_join_view driven end-to-end
 # into a temp warehouse, results bit-identical to the in-memory gate
 # queries, oracles reused verbatim (the semantic_index_roundtrip
-# discipline applied to both join-view families).
+# discipline applied to both join-view families); plus
+# warehouse_time_travel_roundtrip (snapshot retention + read_version
+# after two corrupting overwrites — the O2 family's first oracle) and
+# merge_schema_evolution_roundtrip (allow_new_columns MERGE widening —
+# the O6 family's first oracle), both deep-compared at both gate SFs.
 _R14_WINDOW = (
     # (1) the five below-window queries, VERDICT r13 item 1's order
     "order_customer_view_incremental",

@@ -5699,3 +5699,131 @@ QUERIES["order_customer_scd2_view_persisted_roundtrip"] = (
 ORACLE["order_customer_scd2_view_persisted_roundtrip"] = ORACLE[
     "order_customer_scd2_view_incremental"
 ]
+
+
+def warehouse_time_travel_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Snapshot retention + time travel under the CORRECTNESS GATE (the
+    O2 transactional-storage family, driver-unreachable until now): a
+    per-status revenue rollup is written to a temp warehouse with
+    ``retain_versions=2``, then OVERWRITTEN twice with deliberately
+    perturbed images (revenue zeroed, then counts zeroed). The query
+    reads snapshot v1 back via ``Warehouse.read_version`` — the
+    PRE-overwrite image — and returns it alongside the current corrupted
+    image's row count, proving the atomic-swap retention keeps bit-exact
+    history while the live table moved on (the training-data rollback
+    path: a bad pipeline run is recoverable by snapshot, SURVEY §2 O2).
+    Oracle = the v1 rollup recomputed from source, with the live-table
+    drift columns CASE-rebuilt."""
+    import tempfile
+
+    from data_platform_spark.pipeline import Warehouse
+
+    base = tempfile.mkdtemp(prefix="dps_tt_rt_")
+    wh = Warehouse(base + "/wh", retain_versions=2)
+    orders = load_table(spark, sf_dir, "orders")
+    rollup = orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        pround(F.sum("o_totalprice")).alias("revenue"),
+    )
+    wh.write(rollup, "mart", "status_rollup")
+    wh.write(
+        rollup.withColumn("revenue", F.lit(0.0)), "mart", "status_rollup"
+    )
+    wh.write(
+        rollup.withColumn("n_orders", F.lit(0).cast("long")),
+        "mart",
+        "status_rollup",
+    )
+    v1 = wh.read_version(spark, "mart", "status_rollup", 1)
+    live = wh.read(spark, "mart", "status_rollup")
+    live_drift = live.agg(
+        F.sum("n_orders").cast("long").alias("live_n_orders_sum"),
+        pround(F.sum("revenue")).alias("live_revenue_sum"),
+    )
+    return v1.crossJoin(F.broadcast(live_drift))
+
+
+QUERIES["warehouse_time_travel_roundtrip"] = warehouse_time_travel_roundtrip
+
+ORACLE["warehouse_time_travel_roundtrip"] = f"""
+    WITH v1 AS (
+        SELECT o_orderstatus,
+               count(*)::BIGINT AS n_orders,
+               {sql_round("sum(o_totalprice)")} AS revenue
+        FROM orders
+        GROUP BY 1
+    )
+    SELECT v1.*,
+           0::BIGINT AS live_n_orders_sum,
+           {sql_round("(SELECT sum(revenue) FROM v1)")} AS live_revenue_sum
+    FROM v1
+"""
+
+
+def merge_schema_evolution_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Schema evolution on MERGE under the gate (the O6 family,
+    driver-unreachable until now): a per-month order rollup lands in a
+    temp warehouse, then a batch carrying a NEW column (priority_flag,
+    present only for 1998+ months) merges with ``allow_new_columns`` —
+    the Delta mergeSchema analog. Old partitions' rows must read back
+    NULL-filled, merged rows carry the flag, untouched-month rows keep
+    their original measures. Oracle = the widened table CASE-rebuilt
+    from source."""
+    import tempfile
+
+    from data_platform_spark.pipeline import Warehouse
+
+    base = tempfile.mkdtemp(prefix="dps_evo_rt_")
+    wh = Warehouse(base + "/wh")
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    rollup = orders.groupBy("o_month").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        pround(F.sum("o_totalprice")).alias("revenue"),
+    )
+    wh.write(rollup, "mart", "monthly", partition_by=["o_month"])
+    widened = (
+        orders.filter(F.col("o_month") >= "1998")
+        .groupBy("o_month")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            pround(F.sum("o_totalprice")).alias("revenue"),
+            F.sum(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_urgent"),
+        )
+    )
+    wh.merge(
+        spark,
+        "mart",
+        "monthly",
+        widened,
+        keys=["o_month"],
+        partition_col="o_month",
+        allow_new_columns=True,
+    )
+    return wh.read(spark, "mart", "monthly").select(
+        "o_month", "n_orders", "revenue", "n_urgent"
+    )
+
+
+QUERIES["merge_schema_evolution_roundtrip"] = merge_schema_evolution_roundtrip
+
+ORACLE["merge_schema_evolution_roundtrip"] = f"""
+    SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+           count(*)::BIGINT AS n_orders,
+           {sql_round("sum(o_totalprice)")} AS revenue,
+           CASE WHEN strftime(o_orderdate, '%Y-%m') >= '1998'
+                THEN sum(CASE WHEN o_orderpriority = '1-URGENT'
+                              THEN 1 ELSE 0 END)::BIGINT
+                ELSE NULL END AS n_urgent
+    FROM orders
+    GROUP BY 1
+"""
