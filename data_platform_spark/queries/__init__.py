@@ -41,7 +41,101 @@ def _modules():
 
 
 # The driver's correctness gate checks the FIRST ~50 registered queries, in
-# dict order. Round-14 window, built by the standing evidence-age policy
+# dict order. Round-15 window, built by the standing evidence-age policy
+# (QUERIES.md): never-driver-green queries first, then re-proofs, then the
+# oldest green rows. The arithmetic closes exactly (VERDICT r14 item 1):
+# (1) the four r14 below-window registrations, in VERDICT r14 item 1's
+#     order — all oracled, all locally deep-compared at both gate SFs,
+#     zero driver evidence until this window drains them:
+#     order_customer_view_persisted_roundtrip,
+#     order_customer_scd2_view_persisted_roundtrip (the persisted
+#     join-view legs + compact_join_view end-to-end; these two double as
+#     the re-proof slots for this round's ops/join_view.py changes —
+#     the ADVICE r14 fixes touch the marker filenames, legacy-marker
+#     acceptance, and the compaction lock, all of which these queries
+#     drive), warehouse_time_travel_roundtrip (O2 snapshot retention's
+#     first oracle) and merge_schema_evolution_roundtrip (O6 schema
+#     evolution's first oracle);
+# (2) ZERO new registrations inside the window (the drain takes every
+#     remaining slot; this round's new queries are registered BELOW the
+#     window per the standing precedent — see the NOT-in-this-window
+#     note below);
+# (3) the refresh cohort, oldest evidence first: all 44 remaining
+#     r8-green rows (their CORRECTNESS_r08 order), then the 2 oldest
+#     r10-green rows (their CORRECTNESS_r10 order) — after a 50/50
+#     round the union of driver-green rows is 295/295 (the first time
+#     the FULL registry holds driver rows) and no registered query
+#     carries pre-r10 evidence.
+# NOT in this window, first in line for r16 (the standing below-window
+# precedent — registered with local deep-compare evidence at BOTH gate
+# SFs): pipeline_manifest_publish_roundtrip — the cross-table atomic
+# publish (VERDICT r14 item 2): dims and facts committed through a
+# warehouse-level manifest by one atomic rename, a crash injected
+# between table publishes, a reader pinned at the committed manifest
+# proving the consistent pre-crash snapshot, then recovery completing
+# the publish; and substring_duplicate_spans — exact-substring dedup
+# (VERDICT r14 item 6): fixed-k anchor n-grams (df-capped) → candidate
+# pairs → per-pair extension verify → duplicate spans with char
+# offsets, composing a keep/strip decision with documents_after_dedup.
+_R15_WINDOW = (
+    # (1) the four below-window roundtrips, VERDICT r14 item 1's order
+    "order_customer_view_persisted_roundtrip",
+    "order_customer_scd2_view_persisted_roundtrip",
+    "warehouse_time_travel_roundtrip",
+    "merge_schema_evolution_roundtrip",
+    # (3a) all 44 remaining r8-green rows, in their CORRECTNESS_r08 order
+    "doc_readability_scores",
+    "corpus_dedup_cost_curve",
+    "pq_subspace_distortion",
+    "events_interarrival_histogram",
+    "simhash_signatures",
+    "source_token_percentiles",
+    "session_quality_by_day",
+    "events_daily_quality",
+    "order_price_stats",
+    "user_cadence_stats",
+    "events_anomaly_zscore",
+    "neardup_pairs_lsh",
+    "documents_after_dedup",
+    "neardup_keep_best",
+    "neardup_components",
+    "neardup_triangle_count",
+    "neardup_embedding_consistency",
+    "simhash_neardup_pairs",
+    "incremental_neardup_new_batch",
+    "dedup_decision_report",
+    "curation_pipeline_summary",
+    "minhash_estimate_calibration",
+    "neardup_degree_histogram",
+    "dedup_savings_by_source",
+    "ngram_containment_pairs",
+    "knn_within_buckets",
+    "srp_bucket_histogram",
+    "customer_rfm_segments",
+    "bm25_topk",
+    "hybrid_rrf_topk",
+    "corpus_pack_sequences",
+    "corpus_mix_by_source",
+    "bigram_top20",
+    "cosine_topk_vec0",
+    "doc_lang_id",
+    "embedding_label_centroids",
+    "embedding_neardup_pairs",
+    "events_json_extract",
+    "chunk_dedup_stats",
+    "ngram_jaccard_pairs",
+    "simhash32_signatures",
+    "stratified_sample_docs",
+    "events_user_daily_sequences",
+    "customer_revenue_pareto",
+    # (3b) the 2 oldest r10-green rows, in their CORRECTNESS_r10 order
+    "nation_trade_balance",
+    "customer_spend_band_migration",
+)
+
+
+# --- round-14 window rationale (kept for history) ---
+# Round-14 window, built by the standing evidence-age policy
 # (QUERIES.md): never-driver-green queries first, then re-proofs, then the
 # oldest green rows.
 # (1) the five r13 below-window registrations (VERDICT r13 item 1, in its
@@ -79,6 +173,7 @@ def _modules():
 # after two corrupting overwrites — the O2 family's first oracle) and
 # merge_schema_evolution_roundtrip (allow_new_columns MERGE widening —
 # the O6 family's first oracle), both deep-compared at both gate SFs.
+# --- round-14 window (kept for history; superseded by _R15_WINDOW) ---
 _R14_WINDOW = (
     # (1) the five below-window queries, VERDICT r13 item 1's order
     "order_customer_view_incremental",
@@ -283,7 +378,7 @@ _R14_WINDOW = (
 #     whole persist-sweep family in dedup/similarity; the global_order
 #     consumers after its cache-registry change;
 # (3) canaries; (4) stalest green rows rotated in.
-# --- round-13 window (kept for history; superseded by _R14_WINDOW) ---
+# --- round-13 window (kept for history; superseded by _R15_WINDOW) ---
 _R13_WINDOW = (
     # (1) the two queries registered this round
     "incremental_semantic_dedup_new_batch",
@@ -470,12 +565,12 @@ _R11_WINDOW = (
 
 
 def _ordered_names(merged: dict, oracles: dict) -> list[str]:
-    unknown = set(_R14_WINDOW) - merged.keys()
+    unknown = set(_R15_WINDOW) - merged.keys()
     if unknown:
         # Fail fast: a stale/misspelled window entry would otherwise
         # silently lose its gate slot (this masked a missing query in r4).
         raise ValueError(f"window names not in registry: {sorted(unknown)}")
-    order: list[str] = list(_R14_WINDOW)
+    order: list[str] = list(_R15_WINDOW)
     seen = set(order)
     # remainder: r3/r4-proven rows, oracled before rows-only
     rest = [n for n in merged if n not in seen]
