@@ -360,6 +360,14 @@ def main() -> None:
         top = sorted(tr.items(), key=lambda kv: -kv[1])[:3]
         return dict(top)
 
+    # Both anchors + their ratio ride the tail-surviving lines (VERDICT
+    # r14 item 4): the driver keeps the LAST 2000 chars of stdout, which
+    # beheads the FRONT of this line — so the anchors sit at the END of
+    # the dict here and also in the final compact line. A post/pre ratio
+    # well above ~1.1 marks every single-shot scaling reading in this
+    # artifact as suspect (contended host window).
+    _pre = anchor["calibration_anchor_s"]
+    _post = anchor_post["calibration_anchor_s"]
     scaling_compact = {
         "metric": "scaling_evidence",
         "scaling_x4_median": (sections.get("scaling") or {}).get(
@@ -375,6 +383,10 @@ def main() -> None:
         "scaling_x10_dedup_ratios": (
             sections.get("scaling_x10_dedup") or {}
         ).get("time_ratio"),
+        # anchors LAST so they survive the tail's front-beheading
+        "calibration_anchor_s": _pre,
+        "calibration_anchor_post_s": _post,
+        "anchor_post_pre_ratio": round(_post / _pre, 3) if _pre else None,
     }
     print(json.dumps(scaling_compact))
     compact = {
@@ -385,7 +397,9 @@ def main() -> None:
         "median_time_ratio": (sections.get("scaling") or {}).get(
             "median_time_ratio"
         ),
-        "calibration_anchor_s": anchor["calibration_anchor_s"],
+        "calibration_anchor_s": _pre,
+        "calibration_anchor_post_s": _post,
+        "anchor_post_pre_ratio": round(_post / _pre, 3) if _pre else None,
         "queries": timings,
     }
     line = json.dumps(compact)
