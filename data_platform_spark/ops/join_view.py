@@ -197,14 +197,34 @@ _DEL = "_jv_delete"
 
 def _leg_done(wh, schema: str, table: str, kind: str, batch_id: str) -> bool:
     """Replay check for one maintenance leg. Markers are namespaced PER
-    LEG (``fact:<id>`` / ``dim:<id>`` / ``del:<id>``) inside the shared
+    LEG (``fact--<id>`` / ``dim--<id>`` / ``del--<id>``) inside the shared
     marker dir, so an out-of-band dim batch id that happens to collide
     with a streaming fact batch id (``b<n>``) can never silently skip the
     other leg's work — the collision is structurally impossible instead
-    of a caller naming convention."""
+    of a caller naming convention.
+
+    Two LEGACY marker spellings from earlier layouts are also accepted,
+    so a warehouse written by previous code keeps its replay protection
+    after upgrade (nothing rewrites old markers):
+
+    - ``<kind>:<id>`` — the first namespaced form. Same semantics; only
+      the separator changed (``:`` is invalid in Windows filenames and
+      awkward on some object-store gateways).
+    - bare ``<id>`` — the pre-namespacing form. A bare marker cannot say
+      WHICH leg applied the batch, so it skips every leg of that id —
+      exactly the pre-upgrade behavior for pre-upgrade batches (the
+      cross-leg ambiguity it carries is the bug namespacing fixed; it is
+      preserved here only for markers that already exist on disk — every
+      new marker is namespaced).
+    """
     from data_platform_spark.ops.incremental import applied_batches
 
-    return f"{kind}:{batch_id}" in applied_batches(wh, schema, table)
+    done = applied_batches(wh, schema, table)
+    return (
+        f"{kind}--{batch_id}" in done
+        or f"{kind}:{batch_id}" in done
+        or batch_id in done
+    )
 
 
 def _mark_leg(wh, schema: str, table: str, kind: str, batch_id: str) -> None:
@@ -214,7 +234,9 @@ def _mark_leg(wh, schema: str, table: str, kind: str, batch_id: str) -> None:
 
     d = _marker_dir(wh, schema, table)
     os.makedirs(d, exist_ok=True)
-    with open(os.path.join(d, f"{kind}:{batch_id}"), "w", encoding="utf-8"):
+    # '--' separator: portable across Windows filesystems and object-store
+    # gateways, unlike the ':' the first namespaced layout used.
+    with open(os.path.join(d, f"{kind}--{batch_id}"), "w", encoding="utf-8"):
         pass
 
 
@@ -262,7 +284,7 @@ def incremental_join_view(
     the orphan ledger; each batch key is evicted from the OTHER table
     (cross-ledger move on fact re-delivery, mirroring the in-memory
     algebra). Replays skip via ``batch_id`` markers, namespaced
-    ``fact:<id>`` internally (recorded after the journaled merges commit
+    ``fact--<id>`` internally (recorded after the journaled merges commit
     — the at-least-once window is the merge's own crash contract, which
     can never tear a table).
 
@@ -363,7 +385,7 @@ def join_view_dim_upsert_persisted(
     re-derive exactly the view rows referencing a changed key and promote
     exactly the orphans it claims. The dim batch is dimension-sized —
     both probes broadcast it. ``batch_id`` markers are namespaced
-    ``dim:<id>`` internally, so they can never collide with a fact or
+    ``dim--<id>`` internally, so they can never collide with a fact or
     delete leg's id in the shared marker dir.
 
     Like the fact batches' unique-``fact_key`` contract, ``dim_upserts``
@@ -495,7 +517,7 @@ def join_view_dim_delete_persisted(
     upsert into orphans — ordered orphans-first so a crash between the
     two merges leaves the row in BOTH tables, where the replayed delete
     or a later upsert reconciles it, never in NEITHER). ``batch_id``
-    markers are namespaced ``del:<id>`` internally."""
+    markers are namespaced ``del--<id>`` internally."""
     if batch_id is not None and _leg_done(wh, schema, table, "del", batch_id):
         return []
     written: list[str] = []
@@ -544,10 +566,16 @@ def compact_join_view(
 
     Refuses while a merge journal for either ledger is pending (an
     in-flight or crashed merge — run ``Warehouse.recover`` first), the
-    index families' refuse-over-in-flight-markers convention. Replay
-    markers live in a SIBLING dir of the table (``<table>._batches``),
-    untouched by the swap, so replayed batch ids still skip after
-    compaction.
+    index families' refuse-over-in-flight-markers convention. The
+    journal scan, the full-table read and the rewrite of each ledger all
+    happen UNDER that ledger's exclusive table lock (``wh._table_lock``
+    is reentrant, so the inner ``Warehouse.write`` re-acquire is fine):
+    a concurrent merge can no longer start after the scan and commit
+    partition swaps mid-rewrite that the compaction's last-writer-wins
+    table swap would silently discard — it serializes before or after
+    the whole compaction of that ledger. Replay markers live in a
+    SIBLING dir of the table (``<table>._batches``), untouched by the
+    swap, so replayed batch ids still skip after compaction.
 
     Returns ``{table: {"files_before": n, "files_after": m}}`` for each
     compacted ledger.
@@ -556,16 +584,18 @@ def compact_join_view(
     import os
 
     tables = [table, table + _ORPHANS_SUFFIX]
-    sdir = os.path.join(wh.root, schema)
-    for entry in os.listdir(sdir) if os.path.isdir(sdir) else []:
-        if entry.startswith(".merge-journal-"):
-            with open(os.path.join(sdir, entry)) as f:
-                t = json.load(f).get("table")
-            if t in tables:
-                raise RuntimeError(
-                    f"in-flight merge journal for {schema}.{t}: refusing "
-                    "to compact (run Warehouse.recover first)"
-                )
+
+    def _refuse_if_journal_pending(t: str) -> None:
+        sdir = os.path.join(wh.root, schema)
+        for entry in os.listdir(sdir) if os.path.isdir(sdir) else []:
+            if entry.startswith(".merge-journal-"):
+                with open(os.path.join(sdir, entry)) as f:
+                    jt = json.load(f).get("table")
+                if jt == t:
+                    raise RuntimeError(
+                        f"in-flight merge journal for {schema}.{t}: "
+                        "refusing to compact (run Warehouse.recover first)"
+                    )
 
     def _file_count(path: str) -> int:
         n = 0
@@ -573,21 +603,32 @@ def compact_join_view(
             n += sum(1 for fn in files if fn.endswith(".parquet"))
         return n
 
+    # fail-fast BEFORE touching either ledger: a pending journal on one
+    # refuses the whole compaction (the two ledgers are one logical view,
+    # so refusal is all-or-nothing)
+    for t in tables:
+        _refuse_if_journal_pending(t)
+
     out: dict = {}
     for t in tables:
-        if not _has_data(wh, schema, t, partition_col):
-            continue
-        before = _file_count(wh.path(schema, t))
-        df = wh.read(spark, schema, t)
-        # one task per partition value -> one file per partition dir
-        wh.write(
-            df.repartition(F.col(partition_col)),
-            schema,
-            t,
-            partition_by=[partition_col],
-        )
-        out[t] = {
-            "files_before": before,
-            "files_after": _file_count(wh.path(schema, t)),
-        }
+        # lock, then RE-scan the journal inside the hold — the up-front
+        # scan is advisory; this one closes the check-then-act window
+        # between scan and rewrite (a merge serializes on the same lock)
+        with wh._table_lock(schema, t):
+            _refuse_if_journal_pending(t)
+            if not _has_data(wh, schema, t, partition_col):
+                continue
+            before = _file_count(wh.path(schema, t))
+            df = wh.read(spark, schema, t)
+            # one task per partition value -> one file per partition dir
+            wh.write(
+                df.repartition(F.col(partition_col)),
+                schema,
+                t,
+                partition_by=[partition_col],
+            )
+            out[t] = {
+                "files_before": before,
+                "files_after": _file_count(wh.path(schema, t)),
+            }
     return out

@@ -235,7 +235,7 @@ def incremental_scd2_join_view(
     """Fold one fact batch into the stored SCD2 view (as-of resolution
     against the current version table). Same merge discipline as
     ops/join_view.incremental_join_view — inserts before cross-ledger
-    deletes, ``fact:<id>`` replay markers, partition-pruned journaled
+    deletes, ``fact--<id>`` replay markers, partition-pruned journaled
     merges. Returns the rewritten partition list (``[]`` for a replay)."""
     if batch_id is not None and _leg_done(wh, schema, table, "fact", batch_id):
         return []
@@ -309,7 +309,7 @@ def scd2_join_view_dim_persisted(
     rows of touched keys plus their orphans against the new version
     table. Promotions land in the view, demotions (a soft-closed key
     with no successor version) land in orphans — inserts before the
-    cross-ledger deletes, ``dim:<id>`` replay markers."""
+    cross-ledger deletes, ``dim--<id>`` replay markers."""
     if batch_id is not None and _leg_done(wh, schema, table, "dim", batch_id):
         return []
     keys = touched_keys.select(dim_on).distinct()

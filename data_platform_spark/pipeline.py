@@ -19,6 +19,7 @@ import json
 import math
 import os
 import shutil
+import threading
 import uuid
 from contextlib import contextmanager
 from datetime import datetime, timezone
@@ -36,6 +37,13 @@ class Warehouse:
     """Directory-per-table parquet warehouse: <root>/<schema>/<table>/."""
 
     SCHEMAS = ("raw", "stg", "dwh", "datamart")
+
+    # process-wide reentrancy registry for _table_lock: lock file path ->
+    # [owner thread ident, flock'd file object, hold count]. Class-level
+    # (not per-instance) because two Warehouse objects over the same root
+    # must see each other's holds.
+    _held_locks: dict[str, list] = {}
+    _held_locks_guard = threading.Lock()
 
     def __init__(self, root: str, retain_versions: int = 0):
         self.root = root
@@ -430,13 +438,44 @@ class Warehouse:
 
     @contextmanager
     def _table_lock(self, schema: str, table: str):
+        """Per-table exclusive lock: flock(2) across processes, REENTRANT
+        within the owning thread. Reentrancy lets a maintenance driver
+        (e.g. ``compact_join_view``) hold the lock across a
+        check-then-act sequence — journal scan, full-table read, swap —
+        whose inner steps (``write``/``merge``) take the lock themselves;
+        without it the inner flock on a fresh fd would deadlock against
+        our own outer hold (Linux flock treats separate fds of one file
+        as independent lockers even within a process). Other threads and
+        processes still serialize on the flock."""
         lock_path = os.path.join(self.root, schema, f".{table}.lock")
-        with open(lock_path, "w") as lk:
-            fcntl.flock(lk, fcntl.LOCK_EX)
+        me = threading.get_ident()
+        with Warehouse._held_locks_guard:
+            held = Warehouse._held_locks.get(lock_path)
+            reentered = held is not None and held[0] == me
+            if reentered:
+                held[2] += 1
+        # the guard must NOT be held across the yield: the nested exit's
+        # decrement re-acquires it (threading.Lock is not reentrant)
+        if reentered:
             try:
                 yield
             finally:
+                with Warehouse._held_locks_guard:
+                    held[2] -= 1
+            return
+        lk = open(lock_path, "w")
+        try:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            with Warehouse._held_locks_guard:
+                Warehouse._held_locks[lock_path] = [me, lk, 1]
+            try:
+                yield
+            finally:
+                with Warehouse._held_locks_guard:
+                    del Warehouse._held_locks[lock_path]
                 fcntl.flock(lk, fcntl.LOCK_UN)
+        finally:
+            lk.close()
 
 
 class BucketedWarehouse:
@@ -517,12 +556,43 @@ def _batch_ts_lit(run_ts: datetime):
     return F.lit(run_ts.replace(tzinfo=None))
 
 
+class _TxSink:
+    """Warehouse-shaped adapter that routes run_pipeline's dwh/datamart
+    I/O through one ManifestTransaction (ops/manifest.py).
+
+    ``write`` stages an immutable version dir; ``read`` resolves
+    staged-this-run first (facts join the dims written moments earlier),
+    then the committed manifest, then the LIVE table dir — the migration
+    path for a warehouse whose earlier runs predate the manifest: its
+    live image is treated as the pre-manifest snapshot."""
+
+    def __init__(self, wh: Warehouse, tx):
+        self.wh = wh
+        self.tx = tx
+
+    def write(
+        self,
+        df: DataFrame,
+        schema: str,
+        table: str,
+        partition_by: list[str] | None = None,
+    ) -> None:
+        self.tx.write(df, schema, table, partition_by=partition_by)
+
+    def read(
+        self, spark: SparkSession, schema: str, table: str
+    ) -> DataFrame | None:
+        df = self.tx.read(spark, schema, table)
+        return df if df is not None else self.wh.read(spark, schema, table)
+
+
 def run_pipeline(
     spark: SparkSession,
     wh: Warehouse,
     bronze: dict[str, DataFrame],
     run_ts: datetime | None = None,
     validate_fk: bool = True,
+    atomic_dwh: bool = False,
 ) -> None:
     """Full refresh: bronze upsert → staging → dims → facts.
 
@@ -537,6 +607,19 @@ def run_pipeline(
     """
     run_ts = run_ts or datetime.now(timezone.utc)
     ts = _batch_ts_lit(run_ts)
+
+    # Cross-table atomic publish (SURVEY §3.3; the reference's unsolved
+    # cross-DAG ordering): with ``atomic_dwh`` every dwh/datamart table
+    # stages as an immutable manifest version and ONE manifest rename
+    # publishes them all — a crash mid-run can never expose new-dim +
+    # old-fact to a reader pinned at the committed manifest. Raw/stg
+    # stay per-table swaps (idempotent upserts, re-runnable).
+    if atomic_dwh:
+        from data_platform_spark.ops.manifest import ManifestCatalog
+
+        sink = _TxSink(wh, ManifestCatalog(wh).transaction())
+    else:
+        sink = wh
 
     # ---- raw (S4 last-writer-wins upsert)
     for entity, incoming in bronze.items():
@@ -594,38 +677,38 @@ def run_pipeline(
 
     # ---- dwh dims (SCD2)
     if stg_ch is not None:
-        wh.write(
+        sink.write(
             L_dwh.build_dim_character(
-                wh.read(spark, "dwh", "dim_character"), stg_ch, ts
+                sink.read(spark, "dwh", "dim_character"), stg_ch, ts
             ),
             "dwh", "dim_character",
         )
     if stg_loc is not None:
-        wh.write(
+        sink.write(
             L_dwh.build_dim_location(
-                wh.read(spark, "dwh", "dim_location"), stg_loc, spark, ts
+                sink.read(spark, "dwh", "dim_location"), stg_loc, spark, ts
             ),
             "dwh", "dim_location",
         )
     if stg_ep is not None:
-        wh.write(
+        sink.write(
             L_dwh.build_dim_episode(
-                wh.read(spark, "dwh", "dim_episode"), stg_ep, ts
+                sink.read(spark, "dwh", "dim_episode"), stg_ep, ts
             ),
             "dwh", "dim_episode",
         )
-    wh.write(L_dwh.dim_location_role(spark), "dwh", "dim_location_role")
+    sink.write(L_dwh.dim_location_role(spark), "dwh", "dim_location_role")
 
     # ---- dwh facts (incremental anti-join)
-    dim_ch = wh.read(spark, "dwh", "dim_character")
-    dim_loc = wh.read(spark, "dwh", "dim_location")
-    dim_ep = wh.read(spark, "dwh", "dim_episode")
+    dim_ch = sink.read(spark, "dwh", "dim_character")
+    dim_loc = sink.read(spark, "dwh", "dim_location")
+    dim_ep = sink.read(spark, "dwh", "dim_episode")
 
     from data_platform_spark.ops.integrity import FkSpec, require_fk
 
     if all(x is not None for x in (stg_ch, stg_ep, dim_ch, dim_ep)):
         fact_ce_df = L_dwh.build_fact_char_ep(
-            wh.read(spark, "dwh", "fact_char_ep"),
+            sink.read(spark, "dwh", "fact_char_ep"),
             wh.read(spark, "stg", "episode_ch"),
             wh.read(spark, "stg", "character_ep"),
             stg_ch, stg_ep, dim_ch, dim_ep, ts,
@@ -639,12 +722,12 @@ def run_pipeline(
                            dim_ep, "dim_episode", "episode_sk"),
                 ]
             )
-        wh.write(fact_ce_df, "dwh", "fact_char_ep")
+        sink.write(fact_ce_df, "dwh", "fact_char_ep")
         fact_ce_df.unpersist()
     if all(x is not None for x in (stg_ch, dim_ch, dim_loc)):
         role = L_dwh.dim_location_role(spark)
         fact_cl_df = L_dwh.build_fact_char_loc(
-            wh.read(spark, "dwh", "fact_char_loc"),
+            sink.read(spark, "dwh", "fact_char_loc"),
             wh.read(spark, "stg", "location_ch"),
             wh.read(spark, "stg", "character_loc"),
             stg_ch, dim_ch, dim_loc, role, ts,
@@ -660,23 +743,29 @@ def run_pipeline(
                            role, "dim_location_role", "role_id"),
                 ]
             )
-        wh.write(fact_cl_df, "dwh", "fact_char_loc")
+        sink.write(fact_cl_df, "dwh", "fact_char_loc")
         fact_cl_df.unpersist()
 
     # ---- datamart (the layer the reference declares but never populates)
-    fact_ce = wh.read(spark, "dwh", "fact_char_ep")
-    fact_cl = wh.read(spark, "dwh", "fact_char_loc")
+    fact_ce = sink.read(spark, "dwh", "fact_char_ep")
+    fact_cl = sink.read(spark, "dwh", "fact_char_loc")
     if dim_ch is not None:
-        wh.write(L_dm.status_summary(dim_ch), "datamart", "status_summary")
+        sink.write(L_dm.status_summary(dim_ch), "datamart", "status_summary")
         if fact_ce is not None:
-            wh.write(
+            sink.write(
                 L_dm.character_episode_counts(dim_ch, fact_ce),
                 "datamart", "character_episode_counts",
             )
     if dim_loc is not None and fact_cl is not None:
-        wh.write(
+        sink.write(
             L_dm.location_population(
                 dim_loc, fact_cl, L_dwh.dim_location_role(spark)
             ),
             "datamart", "location_population",
         )
+
+    if atomic_dwh:
+        # one rename publishes every dwh/datamart table of this run;
+        # a crash before this line leaves readers on the previous
+        # manifest (recover() sweeps the staged dirs, a re-run replays)
+        sink.tx.commit()

@@ -39,3 +39,31 @@ def fan_out(df, spark):
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+_SCRATCH_ROOT: str | None = None
+
+
+def scratch_dir(prefix: str) -> str:
+    """Session-scoped scratch dir for roundtrip queries' temp warehouses
+    and index builds.
+
+    Roundtrip queries return LAZY DataFrames that read from the temp
+    path, so the path must outlive the call — a per-call try/finally
+    rmtree would break the driver's later collect. Instead every scratch
+    dir nests under ONE session root registered for removal at
+    interpreter exit: repeated gate/bench runs stop accumulating
+    multi-MB ``/tmp/dps_*`` directories (ADVICE r14), while every
+    DataFrame handed out this session stays readable.
+    """
+    global _SCRATCH_ROOT
+    if _SCRATCH_ROOT is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="dps_scratch_")
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, True)
+    import tempfile
+
+    return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT)

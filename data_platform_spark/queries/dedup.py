@@ -2385,7 +2385,7 @@ def band_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical to the full re-derivation, so that oracle is REUSED
     verbatim: the driver verifies build + persisted search + report
     end-to-end (the index-roundtrip discipline for the dedup family)."""
-    import tempfile
+    from data_platform_spark.queries._util import scratch_dir
 
     from data_platform_spark.ops.neardup_index import (
         build_band_index,
@@ -2395,7 +2395,7 @@ def band_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     standing = docs.filter(F.col("doc_id") % INCR_NEW_MOD != 0)
     new_batch = docs.filter(F.col("doc_id") % INCR_NEW_MOD == 0)
-    base = tempfile.mkdtemp(prefix="dps_band_rt_")
+    base = scratch_dir("dps_band_rt_")
     build_band_index(standing, f"{base}/band")
     return incremental_neardup_report(
         spark, f"{base}/band", new_batch, threshold=JACCARD_THRESHOLD
@@ -3379,7 +3379,7 @@ def semantic_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver verifies build + persisted serving + decisions end-to-end
     (the band_index_roundtrip discipline, extended to the semantic
     family)."""
-    import tempfile
+    from data_platform_spark.queries._util import scratch_dir
 
     from data_platform_spark.ops.semantic_dedup import (
         build_semantic_dedup_index,
@@ -3390,7 +3390,7 @@ def semantic_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     standing = emb.filter(F.col("vec_id") % INCR_NEW_MOD != 0)
     batch = emb.filter(F.col("vec_id") % INCR_NEW_MOD == 0)
-    base = tempfile.mkdtemp(prefix="dps_sem_rt_")
+    base = scratch_dir("dps_sem_rt_")
     build_semantic_dedup_index(
         standing,
         f"{base}/sem",
@@ -3437,7 +3437,7 @@ def semantic_rebuild_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-rebuild fixpoint's, while the cells are the post-rebuild
     quantizer's). Evidence for the pytest-only half of
     tests/test_ops.py test_semantic_rebuild_relayouts_without_redeciding."""
-    import tempfile
+    from data_platform_spark.queries._util import scratch_dir
 
     from data_platform_spark.ops.semantic_dedup import (
         build_semantic_dedup_index,
@@ -3449,7 +3449,7 @@ def semantic_rebuild_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     standing = emb.filter(F.col("vec_id") % INCR_NEW_MOD != 0)
     batch = emb.filter(F.col("vec_id") % INCR_NEW_MOD == 0)
-    base = tempfile.mkdtemp(prefix="dps_sem_rb_")
+    base = scratch_dir("dps_sem_rb_")
     path = f"{base}/sem"
     build_semantic_dedup_index(
         standing,

@@ -742,12 +742,12 @@ def events_clustered_time_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast rather than a literal; production time slices use literal
     bounds, which push into the scan and prune to the files whose footer
     range overlaps (footer-stat evidence in tests/test_layout.py)."""
-    import tempfile
+    from data_platform_spark.queries._util import scratch_dir
 
     from data_platform_spark.ops.layout import cluster_write
 
     ev = load_table(spark, sf_dir, "events")
-    path = tempfile.mkdtemp(prefix="dps_layout_") + "/ev_by_ts"
+    path = scratch_dir("dps_layout_") + "/ev_by_ts"
     cluster_write(ev, path, ["ts"], n_files=8)
     back = spark.read.parquet(path)
     # 1-row broadcast crossJoin for the cutoff (q15's scalar pattern) —
@@ -877,12 +877,12 @@ def events_zorder_two_dim_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     Literals push into the parquet scan; two-dimensional footer-pruning
     evidence lives in tests/test_layout.py. The oracle runs the same
     slice on the RAW table: layout must never change results."""
-    import tempfile
+    from data_platform_spark.queries._util import scratch_dir
 
     from data_platform_spark.ops.layout import zorder_write
 
     ev = load_table(spark, sf_dir, "events")
-    path = tempfile.mkdtemp(prefix="dps_layout_") + "/ev_z"
+    path = scratch_dir("dps_layout_") + "/ev_z"
     zorder_write(ev, path, ["user_id", "value"], n_files=8)
     back = spark.read.parquet(path)
     sliced = back.filter(

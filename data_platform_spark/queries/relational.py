@@ -5515,7 +5515,7 @@ def order_customer_view_persisted_roundtrip(
     verifies the stored maintenance + compaction end-to-end (the
     semantic_index_roundtrip discipline applied to the join-view
     family)."""
-    import tempfile
+    from data_platform_spark.queries._util import scratch_dir
 
     from data_platform_spark.ops.join_view import (
         compact_join_view,
@@ -5524,7 +5524,7 @@ def order_customer_view_persisted_roundtrip(
     )
     from data_platform_spark.pipeline import Warehouse
 
-    base = tempfile.mkdtemp(prefix="dps_jv_rt_")
+    base = scratch_dir("dps_jv_rt_")
     wh = Warehouse(base + "/wh")
     orders = load_table(spark, sf_dir, "orders").withColumn(
         "o_month", F.date_format("o_orderdate", "yyyy-MM")
@@ -5598,7 +5598,7 @@ def order_customer_scd2_view_persisted_roundtrip(
     reused verbatim. Driver-verifies the stored temporal maintenance +
     compaction end-to-end."""
     import datetime
-    import tempfile
+    from data_platform_spark.queries._util import scratch_dir
 
     from data_platform_spark.ops.join_view import compact_join_view
     from data_platform_spark.ops.scd2_join_view import (
@@ -5607,7 +5607,7 @@ def order_customer_scd2_view_persisted_roundtrip(
     )
     from data_platform_spark.pipeline import Warehouse
 
-    base = tempfile.mkdtemp(prefix="dps_jv2_rt_")
+    base = scratch_dir("dps_jv2_rt_")
     wh = Warehouse(base + "/wh")
     orders = load_table(spark, sf_dir, "orders").withColumn(
         "o_month", F.date_format("o_orderdate", "yyyy-MM")
@@ -5716,11 +5716,11 @@ def warehouse_time_travel_roundtrip(
     path: a bad pipeline run is recoverable by snapshot, SURVEY §2 O2).
     Oracle = the v1 rollup recomputed from source, with the live-table
     drift columns CASE-rebuilt."""
-    import tempfile
+    from data_platform_spark.queries._util import scratch_dir
 
     from data_platform_spark.pipeline import Warehouse
 
-    base = tempfile.mkdtemp(prefix="dps_tt_rt_")
+    base = scratch_dir("dps_tt_rt_")
     wh = Warehouse(base + "/wh", retain_versions=2)
     orders = load_table(spark, sf_dir, "orders")
     rollup = orders.groupBy("o_orderstatus").agg(
@@ -5773,11 +5773,11 @@ def merge_schema_evolution_roundtrip(
     NULL-filled, merged rows carry the flag, untouched-month rows keep
     their original measures. Oracle = the widened table CASE-rebuilt
     from source."""
-    import tempfile
+    from data_platform_spark.queries._util import scratch_dir
 
     from data_platform_spark.pipeline import Warehouse
 
-    base = tempfile.mkdtemp(prefix="dps_evo_rt_")
+    base = scratch_dir("dps_evo_rt_")
     wh = Warehouse(base + "/wh")
     orders = load_table(spark, sf_dir, "orders").withColumn(
         "o_month", F.date_format("o_orderdate", "yyyy-MM")
@@ -5826,4 +5826,118 @@ ORACLE["merge_schema_evolution_roundtrip"] = f"""
                 ELSE NULL END AS n_urgent
     FROM orders
     GROUP BY 1
+"""
+
+
+def pipeline_manifest_publish_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-table ATOMIC publish under the CORRECTNESS GATE (VERDICT r14
+    item 2 — the warehouse-manifest catalog, ops/manifest.py): dims and
+    facts commit through a table→version manifest flipped by ONE atomic
+    rename, so a crash between table publishes can never expose new-dim +
+    old-fact (the torn snapshot run_pipeline's per-table swaps allowed,
+    and the reference's implicit cross-DAG ordering never solved —
+    SURVEY §3.3). The query drives the full lifecycle into a temp
+    warehouse: tx1 publishes (dim v1 = full customer image, fact v1 =
+    orders with o_orderkey%3 < 2); tx2 — dim v2 (accounts %7==0 get
+    +100 balance and a _V2 segment) plus the FULL fact image — is
+    CRASHED after staging the dim, before the commit. A reader pinned at
+    the committed manifest then aggregates the dim⋈fact join: it must
+    see tx1's CONSISTENT pair (phase ``pre_crash`` — old dim AND old
+    fact, never the staged dim). ``recover()`` sweeps the uncommitted
+    version dir, the publish replays to completion, and the same reader
+    at the new manifest sees tx2's pair (phase ``replayed``). Oracle =
+    both phases' aggregates CASE-rebuilt from source."""
+    from data_platform_spark.ops.manifest import ManifestCatalog
+    from data_platform_spark.pipeline import Warehouse
+    from data_platform_spark.queries._util import scratch_dir
+
+    base = scratch_dir("dps_man_rt_")
+    cat = ManifestCatalog(Warehouse(base + "/wh"))
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    fact_v1 = orders.filter(F.pmod("o_orderkey", F.lit(3)) < 2)
+    dim_v2 = cust.select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        (
+            F.col("c_acctbal")
+            + F.when(F.pmod("c_custkey", F.lit(7)) == 0, F.lit(100.0))
+            .otherwise(F.lit(0.0))
+        ).alias("c_acctbal"),
+        F.when(
+            F.pmod("c_custkey", F.lit(7)) == 0,
+            F.concat(F.col("c_mktsegment"), F.lit("_V2")),
+        )
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+    )
+    cat.publish({("dwh", "dim"): cust, ("dwh", "fact"): fact_v1})
+    try:
+        cat.publish(
+            {("dwh", "dim"): dim_v2, ("dwh", "fact"): orders},
+            crash_after=1,  # dim staged, fact NOT, manifest NOT flipped
+        )
+    except RuntimeError:
+        pass
+
+    def _phase(m: dict, name: str) -> DataFrame:
+        dim = cat.read(spark, "dwh", "dim", m)
+        fact = cat.read(spark, "dwh", "fact", m)
+        return (
+            fact.join(
+                dim, fact["o_custkey"] == dim["c_custkey"], "inner"
+            )
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                pround(F.sum("o_totalprice")).alias("total_price"),
+                pround(F.sum("c_acctbal")).alias("acctbal_sum"),
+            )
+            .withColumn("phase", F.lit(name))
+        )
+
+    pre_crash = _phase(cat.load(), "pre_crash")
+    cat.recover()
+    cat.publish({("dwh", "dim"): dim_v2, ("dwh", "fact"): orders})
+    replayed = _phase(cat.load(), "replayed")
+    return pre_crash.unionByName(replayed)
+
+
+QUERIES["pipeline_manifest_publish_roundtrip"] = (
+    pipeline_manifest_publish_roundtrip
+)
+
+ORACLE["pipeline_manifest_publish_roundtrip"] = f"""
+    WITH dim_v2 AS (
+        SELECT c_custkey,
+               c_acctbal + CASE WHEN c_custkey % 7 = 0
+                                THEN 100.0 ELSE 0.0 END AS c_acctbal,
+               CASE WHEN c_custkey % 7 = 0
+                    THEN c_mktsegment || '_V2'
+                    ELSE c_mktsegment END AS c_mktsegment
+        FROM customer
+    ),
+    pre_crash AS (
+        SELECT c.c_mktsegment,
+               count(*)::BIGINT AS n_orders,
+               {sql_round("sum(o.o_totalprice)")} AS total_price,
+               {sql_round("sum(c.c_acctbal)")} AS acctbal_sum,
+               'pre_crash' AS phase
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE o.o_orderkey % 3 < 2
+        GROUP BY 1
+    ),
+    replayed AS (
+        SELECT c.c_mktsegment,
+               count(*)::BIGINT AS n_orders,
+               {sql_round("sum(o.o_totalprice)")} AS total_price,
+               {sql_round("sum(c.c_acctbal)")} AS acctbal_sum,
+               'replayed' AS phase
+        FROM orders o JOIN dim_v2 c ON o.o_custkey = c.c_custkey
+        GROUP BY 1
+    )
+    SELECT * FROM pre_crash UNION ALL SELECT * FROM replayed
 """

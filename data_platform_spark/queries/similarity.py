@@ -1997,7 +1997,7 @@ def ivf_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels (metadata-scale scalars). kmeans_ivf_topk_vec0 keeps the
     in-memory derivation under the gate; this keeps the PRODUCTION
     serve path honest against the same math."""
-    import tempfile
+    from data_platform_spark.queries._util import scratch_dir
 
     from data_platform_spark.ops.ann_index import (
         build_ivf_index,
@@ -2005,7 +2005,7 @@ def ivf_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    base = tempfile.mkdtemp(prefix="dps_ivf_rt_")
+    base = scratch_dir("dps_ivf_rt_")
     build_ivf_index(emb, f"{base}/ivf", k=KMEANS_K, n_iter=KMEANS_ITER)
     qvec = [
         float(x)
@@ -2044,7 +2044,7 @@ def pq_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     persist + compressed-domain serve end-to-end, completing the
     index-roundtrip family (lexical, band, IVF, hybrid, PQ: all five
     persisted serving paths now sit under the oracle gate)."""
-    import tempfile
+    from data_platform_spark.queries._util import scratch_dir
 
     from data_platform_spark.ops.ann_index import (
         build_pq_index,
@@ -2052,7 +2052,7 @@ def pq_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    base = tempfile.mkdtemp(prefix="dps_pq_rt_")
+    base = scratch_dir("dps_pq_rt_")
     build_pq_index(emb, f"{base}/pq", n_sub=PQ_M, n_codes=PQ_K)
     qvec = [
         float(x)
@@ -2091,7 +2091,7 @@ def ivfpq_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The .collects are the 1-row query vector and the ≤nprobe probe
     labels (metadata-scale scalars)."""
-    import tempfile
+    from data_platform_spark.queries._util import scratch_dir
 
     from data_platform_spark.ops.ivfpq_index import (
         build_ivfpq_index,
@@ -2099,7 +2099,7 @@ def ivfpq_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    base = tempfile.mkdtemp(prefix="dps_ivfpq_rt_")
+    base = scratch_dir("dps_ivfpq_rt_")
     build_ivfpq_index(
         emb, f"{base}/ivfpq", n_cells=KMEANS_K, n_sub=PQ_M, n_codes=PQ_K
     )

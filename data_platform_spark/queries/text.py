@@ -3509,7 +3509,7 @@ def hybrid_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     accepted scalar pattern). Builds amortize in production (they're
     the persisted-index point); re-building per call here is what puts
     the full derivation under the oracle, same as kmeans_ivf_topk."""
-    import tempfile
+    from data_platform_spark.queries._util import scratch_dir
 
     from data_platform_spark.ops.ann_index import build_ivf_index
     from data_platform_spark.ops.hybrid_index import hybrid_search_index
@@ -3517,7 +3517,7 @@ def hybrid_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
-    base = tempfile.mkdtemp(prefix="dps_hybrid_rt_")
+    base = scratch_dir("dps_hybrid_rt_")
     lex_path = f"{base}/lex"
     ivf_path = f"{base}/ivf"
     build_lexical_index(docs, lex_path)
@@ -3556,7 +3556,7 @@ def lexical_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, so that oracle is REUSED verbatim: the driver verifies
     tokenize + persist + pruned serve end-to-end (the index-roundtrip
     discipline for the lexical family)."""
-    import tempfile
+    from data_platform_spark.queries._util import scratch_dir
 
     from data_platform_spark.ops.lexical_index import (
         bm25_search_index,
@@ -3564,7 +3564,7 @@ def lexical_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    base = tempfile.mkdtemp(prefix="dps_lex_rt_")
+    base = scratch_dir("dps_lex_rt_")
     build_lexical_index(docs, f"{base}/lex")
     return bm25_search_index(
         spark, f"{base}/lex", BM25_QUERY_TERMS, topk=BM25_TOPK

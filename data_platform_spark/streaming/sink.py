@@ -179,11 +179,11 @@ def scd2_join_view_stream_sink(
     against the dimension VERSION valid at its own event date (late
     facts land on closed versions; rows with no valid version park in
     the orphan ledger) — keyed by the deterministic foreachBatch batch
-    id, so replays skip on the namespaced ``fact:b<n>`` marker.
+    id, so replays skip on the namespaced ``fact--b<n>`` marker.
     ``dim_versions`` is the static current version table; SCD2 dim
     batches run OUT-OF-BAND between triggers via
     ops/scd2_join_view.scd2_join_view_dim_persisted (their own
-    ``dim:<id>`` markers), re-resolving only future-dated rows of the
+    ``dim--<id>`` markers), re-resolving only future-dated rows of the
     touched keys."""
     from data_platform_spark.ops.scd2_join_view import (
         incremental_scd2_join_view,

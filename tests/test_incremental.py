@@ -1114,3 +1114,114 @@ def test_scd2_apply_composes_with_temporal_join_view(spark):
         ).count()
         == 0
     )
+
+def test_legacy_marker_spellings_still_skip(spark, tmp_path):
+    """ADVICE r14: a warehouse written by PREVIOUS marker layouts keeps
+    its replay protection after upgrade. Both legacy spellings —
+    ``fact:b0`` (the first namespaced form) and bare ``b0`` (the
+    pre-namespacing form) — must short-circuit a replay; new markers are
+    written with the portable ``--`` separator."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_platform_spark.ops.incremental import _marker_dir
+    from data_platform_spark.ops.join_view import incremental_join_view
+    from data_platform_spark.pipeline import Warehouse
+    from data_platform_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    orders = load_table(spark, SF_SMOKE, "orders").withColumn(
+        "o_month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    cust = load_table(spark, SF_SMOKE, "customer")
+    kw = _jv_kwargs()
+    b0 = orders.filter(F.pmod("o_orderkey", F.lit(3)) == 0)
+    incremental_join_view(spark, wh, "dwh", "oc", b0, cust, batch_id="b0", **kw)
+    d = _marker_dir(wh, "dwh", "oc")
+    # the new layout writes the portable separator
+    assert "fact--b0" in os.listdir(d)
+    # simulate a pre-upgrade warehouse: swap in each legacy spelling
+    os.remove(os.path.join(d, "fact--b0"))
+    for legacy in ("fact:b1", "b2"):
+        open(os.path.join(d, legacy), "w").close()
+    b1 = orders.filter(F.pmod("o_orderkey", F.lit(3)) == 1)
+    assert (
+        incremental_join_view(
+            spark, wh, "dwh", "oc", b1, cust, batch_id="b1", **kw
+        )
+        == []
+    )
+    assert (
+        incremental_join_view(
+            spark, wh, "dwh", "oc", b1, cust, batch_id="b2", **kw
+        )
+        == []
+    )
+    # and b0, whose marker we removed, re-runs (idempotent re-apply)
+    assert (
+        incremental_join_view(
+            spark, wh, "dwh", "oc", b0, cust, batch_id="b0", **kw
+        )
+        != []
+    )
+
+
+def test_table_lock_reentrant_and_compaction_holds_it(spark, tmp_path):
+    """The per-table lock is reentrant within the owning thread (so
+    compact_join_view can hold it across journal scan + read + write
+    while the inner Warehouse.write re-acquires), and still EXCLUDES
+    other threads for the duration of the hold."""
+    import threading
+    import time
+
+    from pyspark.sql import functions as F
+
+    from data_platform_spark.ops.join_view import (
+        compact_join_view,
+        incremental_join_view,
+    )
+    from data_platform_spark.pipeline import Warehouse
+    from data_platform_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    # reentrancy: nested acquisition of the same table lock must not
+    # deadlock, and the inner exit must not release the outer hold
+    acquired_by_other: list[float] = []
+
+    def _contender():
+        with wh._table_lock("dwh", "t"):
+            acquired_by_other.append(time.monotonic())
+
+    with wh._table_lock("dwh", "t"):
+        with wh._table_lock("dwh", "t"):
+            pass
+        th = threading.Thread(target=_contender)
+        th.start()
+        time.sleep(0.3)
+        # inner exit above must NOT have released the lock for the thread
+        assert not acquired_by_other
+        released_at = time.monotonic()
+    th.join(timeout=10)
+    assert acquired_by_other and acquired_by_other[0] >= released_at
+
+    # compaction drives the reentrant path end-to-end (outer hold +
+    # inner Warehouse.write acquire) and stays bit-identical
+    orders = load_table(spark, SF_SMOKE, "orders").withColumn(
+        "o_month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    cust = load_table(spark, SF_SMOKE, "customer")
+    kw = _jv_kwargs()
+    for i in range(2):
+        incremental_join_view(
+            spark, wh, "dwh", "oc",
+            orders.filter(F.pmod("o_orderkey", F.lit(2)) == i),
+            cust, batch_id=f"b{i}", **kw,
+        )
+    before = wh.read(spark, "dwh", "oc").orderBy("o_orderkey").collect()
+    out = compact_join_view(spark, wh, "dwh", "oc", "o_month")
+    assert out["oc"]["files_after"] <= out["oc"]["files_before"]
+    after = wh.read(spark, "dwh", "oc").orderBy("o_orderkey").collect()
+    assert before == after
