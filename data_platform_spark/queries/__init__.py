@@ -73,10 +73,13 @@ def _modules():
 # warehouse-level manifest by one atomic rename, a crash injected
 # between table publishes, a reader pinned at the committed manifest
 # proving the consistent pre-crash snapshot, then recovery completing
-# the publish; and substring_duplicate_spans — exact-substring dedup
-# (VERDICT r14 item 6): fixed-k anchor n-grams (df-capped) → candidate
-# pairs → per-pair extension verify → duplicate spans with char
-# offsets, composing a keep/strip decision with documents_after_dedup.
+# the publish; substring_duplicate_spans — exact-substring dedup
+# (VERDICT r14 item 6): df-capped character k-grams → pair join →
+# maximal shared spans via the diagonal gaps-and-islands formulation
+# (pure DataFrame algebra, oracle mirrors it operator for operator);
+# and substring_strip_decisions — the per-doc keep/strip composition
+# (interval-union coverage of every span, strip above 50%). All three
+# deep-compared green at both gate SFs.
 _R15_WINDOW = (
     # (1) the four below-window roundtrips, VERDICT r14 item 1's order
     "order_customer_view_persisted_roundtrip",

@@ -3982,3 +3982,267 @@ ORACLE["leakage_safe_split"] = f"""
            {sql_round("per.n_docs * 1.0 / tot.corpus_docs", 6)} AS doc_share
     FROM per LEFT JOIN pa USING (split) CROSS JOIN tot
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring dedup (VERDICT r14 item 6): long VERBATIM substrings
+# embedded in otherwise-different documents — boilerplate, licenses, quoted
+# chunks — the dedup modality exact-hash (whole doc) and MinHash (global
+# similarity) both miss. The publicly standard corpus tool is a suffix
+# array (Lee et al., "Deduplicating Training Data Makes Language Models
+# Better"); the Spark-scalable re-expression here is relational: a shared
+# substring of length >= k appears as a DIAGONAL RUN of matching character
+# k-grams (pos_a - pos_b constant, consecutive pos_a), so maximal shared
+# spans fall out of the gaps-and-islands trick — pure DataFrame algebra,
+# no UDF, and the DuckDB oracle mirrors it operator for operator.
+# Scale posture: grams are df-capped BEFORE the pair join (a gram shared
+# by more than SUBSTR_DF_CAP docs is dropped — bounded fan-out, at most
+# C(cap,2) pairs per gram, never a hot-key blowup; at 100 TB the cap
+# also sheds exactly the mega-boilerplate grams a winnowed anchor scheme
+# would sample away). The window partitions by (doc_a, doc_b, diag) —
+# millions of tiny partitions, never a single-partition sort.
+
+SUBSTR_K = 20  # anchor gram width (chars)
+SUBSTR_DF_CAP = 8  # max docs sharing a gram before it is shed
+SUBSTR_MIN_LEN = 24  # minimal reported span (>= 5 consecutive grams)
+
+
+def _char_grams(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, gram): every k-char gram with its 1-based offset."""
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.greatest(F.length("text") - (SUBSTR_K - 1), F.lit(0))
+                )
+            ).alias("pos"),
+            F.col("text"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.col("text").substr(F.col("pos"), F.lit(SUBSTR_K)).alias("gram"),
+        )
+    )
+
+
+def substring_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal verbatim shared substrings (char offsets) between document
+    pairs: k-gram positions join on gram text (df-capped), matches on one
+    diagonal (pos_a - pos_b) coalesce into islands of consecutive
+    positions, and each island reports its maximal span. A df-capped-out
+    gram inside a long span splits it deterministically in BOTH engines
+    (the cap is part of the operator's definition, not an approximation
+    mismatch)."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    grams = _char_grams(docs)
+    capped = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= SUBSTR_DF_CAP))
+        .select("gram")
+    )
+    # persisted: both sides of the pair self-join read the capped grams
+    g = scoped_persist(grams.join(capped, "gram", "left_semi"))
+    a = g.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("pos").alias("pos_a"),
+        "gram",
+    )
+    b = g.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("pos").alias("pos_b"),
+        "gram",
+    )
+    m = a.join(b, "gram").filter(F.col("doc_a") < F.col("doc_b"))
+    from pyspark.sql import Window
+
+    diag = (F.col("pos_a") - F.col("pos_b")).alias("diag")
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    isl = m.select("doc_a", "doc_b", "pos_a", "pos_b", diag).withColumn(
+        "island", F.col("pos_a") - F.row_number().over(w)
+    )
+    spans = (
+        isl.groupBy("doc_a", "doc_b", "diag", "island")
+        .agg(
+            F.min("pos_a").cast("long").alias("a_start"),
+            F.min("pos_b").cast("long").alias("b_start"),
+            (F.max("pos_a") - F.min("pos_a") + SUBSTR_K)
+            .cast("long")
+            .alias("match_len"),
+        )
+        .filter(F.col("match_len") >= SUBSTR_MIN_LEN)
+        .select("doc_a", "doc_b", "a_start", "b_start", "match_len")
+    )
+    return spans
+
+
+QUERIES["substring_duplicate_spans"] = substring_duplicate_spans
+
+ORACLE["substring_duplicate_spans"] = f"""
+    WITH g0 AS (
+        SELECT doc_id, u.i AS pos, substr(text, u.i, {SUBSTR_K}) AS gram
+        FROM documents,
+             LATERAL unnest(
+                 range(1, greatest(length(text) - {SUBSTR_K - 1}, 0) + 1)
+             ) AS u(i)
+    ),
+    capped AS (
+        SELECT gram
+        FROM (SELECT gram, count(DISTINCT doc_id) AS df FROM g0 GROUP BY 1)
+        WHERE df BETWEEN 2 AND {SUBSTR_DF_CAP}
+    ),
+    g AS (SELECT g0.* FROM g0 SEMI JOIN capped USING (gram)),
+    m AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.pos AS pos_a, b.pos AS pos_b
+        FROM g a JOIN g b USING (gram)
+        WHERE a.doc_id < b.doc_id
+    ),
+    isl AS (
+        SELECT doc_a, doc_b, pos_a, pos_b, pos_a - pos_b AS diag,
+               pos_a - row_number() OVER (
+                   PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a
+               ) AS island
+        FROM m
+    )
+    SELECT doc_a, doc_b,
+           min(pos_a)::BIGINT AS a_start,
+           min(pos_b)::BIGINT AS b_start,
+           (max(pos_a) - min(pos_a) + {SUBSTR_K})::BIGINT AS match_len
+    FROM isl
+    GROUP BY doc_a, doc_b, diag, island
+    HAVING max(pos_a) - min(pos_a) + {SUBSTR_K} >= {SUBSTR_MIN_LEN}
+"""
+
+
+SUBSTR_STRIP_RATIO = 0.5  # docs more than half-covered by verbatim spans
+
+
+def substring_strip_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keep/strip decision from verbatim-span coverage: every
+    span contributes an interval to BOTH its documents, overlapping
+    intervals merge (classic running-max interval union — one windowed
+    pass partitioned per doc), and a doc whose merged duplicated coverage
+    exceeds SUBSTR_STRIP_RATIO of its length is marked ``strip`` — the
+    substring-dedup composition of ``documents_after_dedup``'s
+    keep-decision shape. Only docs carrying at least one span appear
+    (everything else is implicitly ``keep`` with zero coverage)."""
+    from pyspark.sql import Window
+
+    spans = substring_duplicate_spans(spark, sf_dir)
+    ivals = spans.select(
+        F.col("doc_a").alias("doc_id"),
+        F.col("a_start").alias("s"),
+        (F.col("a_start") + F.col("match_len")).alias("e"),
+    ).unionByName(
+        spans.select(
+            F.col("doc_b").alias("doc_id"),
+            F.col("b_start").alias("s"),
+            (F.col("b_start") + F.col("match_len")).alias("e"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("s", "e")
+    prev_max_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    grouped = ivals.withColumn(
+        "new_group",
+        F.when(
+            prev_max_e.isNull() | (F.col("s") > prev_max_e), F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "grp",
+        F.sum("new_group").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    covered = (
+        grouped.groupBy("doc_id", "grp")
+        .agg((F.max("e") - F.min("s")).alias("chars"))
+        .groupBy("doc_id")
+        .agg(F.sum("chars").cast("long").alias("dup_chars"))
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return covered.join(docs, "doc_id").select(
+        "doc_id",
+        "dup_chars",
+        pround(F.col("dup_chars") / F.col("n_chars"), 4).alias("dup_ratio"),
+        F.when(
+            F.col("dup_chars") / F.col("n_chars") > SUBSTR_STRIP_RATIO,
+            F.lit("strip"),
+        )
+        .otherwise(F.lit("keep"))
+        .alias("decision"),
+    )
+
+
+QUERIES["substring_strip_decisions"] = substring_strip_decisions
+
+ORACLE["substring_strip_decisions"] = f"""
+    WITH g0 AS (
+        SELECT doc_id, u.i AS pos, substr(text, u.i, {SUBSTR_K}) AS gram
+        FROM documents,
+             LATERAL unnest(
+                 range(1, greatest(length(text) - {SUBSTR_K - 1}, 0) + 1)
+             ) AS u(i)
+    ),
+    capped AS (
+        SELECT gram
+        FROM (SELECT gram, count(DISTINCT doc_id) AS df FROM g0 GROUP BY 1)
+        WHERE df BETWEEN 2 AND {SUBSTR_DF_CAP}
+    ),
+    g AS (SELECT g0.* FROM g0 SEMI JOIN capped USING (gram)),
+    m AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.pos AS pos_a, b.pos AS pos_b
+        FROM g a JOIN g b USING (gram)
+        WHERE a.doc_id < b.doc_id
+    ),
+    isl AS (
+        SELECT doc_a, doc_b, pos_a, pos_b, pos_a - pos_b AS diag,
+               pos_a - row_number() OVER (
+                   PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a
+               ) AS island
+        FROM m
+    ),
+    spans AS (
+        SELECT doc_a, doc_b,
+               min(pos_a) AS a_start, min(pos_b) AS b_start,
+               max(pos_a) - min(pos_a) + {SUBSTR_K} AS match_len
+        FROM isl
+        GROUP BY doc_a, doc_b, diag, island
+        HAVING max(pos_a) - min(pos_a) + {SUBSTR_K} >= {SUBSTR_MIN_LEN}
+    ),
+    ivals AS (
+        SELECT doc_a AS doc_id, a_start AS s, a_start + match_len AS e
+        FROM spans
+        UNION ALL
+        SELECT doc_b, b_start, b_start + match_len FROM spans
+    ),
+    grouped AS (
+        SELECT doc_id, s, e,
+               sum(CASE WHEN prev_max_e IS NULL OR s > prev_max_e
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY s, e
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS grp
+        FROM (
+            SELECT doc_id, s, e,
+                   max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS prev_max_e
+            FROM ivals
+        )
+    ),
+    covered AS (
+        SELECT doc_id, sum(chars)::BIGINT AS dup_chars
+        FROM (
+            SELECT doc_id, grp, max(e) - min(s) AS chars
+            FROM grouped GROUP BY doc_id, grp
+        )
+        GROUP BY doc_id
+    )
+    SELECT c.doc_id, c.dup_chars,
+           {sql_round("c.dup_chars / d.n_chars", 4)} AS dup_ratio,
+           CASE WHEN c.dup_chars / d.n_chars > {SUBSTR_STRIP_RATIO}
+                THEN 'strip' ELSE 'keep' END AS decision
+    FROM covered c JOIN documents d USING (doc_id)
+"""

@@ -3373,3 +3373,66 @@ def test_semantic_incremental_prune_fallback_identical(
         .collect()
     )
     assert collect_rows == fallback_rows and collect_rows
+
+
+def test_substring_spans_planted_duplicates(spark, tmp_path):
+    """Exact-substring dedup on PLANTED data: two docs sharing one long
+    verbatim chunk inside otherwise-different text must yield exactly one
+    maximal span with the right offsets and length; a doc pair sharing
+    nothing long enough yields no span; a gram shared by more docs than
+    the df cap is shed."""
+    import os
+
+    from data_platform_spark.queries.dedup import (
+        SUBSTR_DF_CAP,
+        SUBSTR_K,
+        SUBSTR_MIN_LEN,
+        substring_duplicate_spans,
+        substring_strip_decisions,
+    )
+
+    # distinct low-entropy fillers (no k-gram collisions between them)
+    filler_a = "".join(chr(ord("a") + (i * 7 + 1) % 26) for i in range(80))
+    filler_b = "".join(chr(ord("A") + (i * 11 + 3) % 26) for i in range(80))
+    chunk = "This exact boilerplate sentence is shared verbatim by two documents."
+    assert len(chunk) >= SUBSTR_MIN_LEN
+    boiler = "x" * (SUBSTR_K + 6)  # shared by MANY docs -> df-capped away
+    rows = [
+        (0, filler_a + chunk + filler_a[:40], "en", "s", 0),
+        (1, filler_b + chunk + filler_b[:40], "en", "s", 0),
+        (2, "".join(chr(ord("a") + (i * 17 + 5) % 26) for i in range(60)),
+         "en", "s", 0),
+    ]
+    # df-cap probe: boilerplate gram in > SUBSTR_DF_CAP docs
+    for i in range(SUBSTR_DF_CAP + 2):
+        rows.append((10 + i, f"unique{i:02d}prefix" + boiler, "en", "s", 0))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df = df.withColumn("n_chars", F.length("text").cast("long"))
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    df.coalesce(1).write.parquet(sf + "/documents")
+    os.rename(
+        sf + "/documents/" + [
+            f for f in os.listdir(sf + "/documents") if f.endswith(".parquet")
+        ][0],
+        sf + "/documents.parquet",
+    )
+
+    spans = {
+        (r.doc_a, r.doc_b): r
+        for r in substring_duplicate_spans(spark, sf).collect()
+    }
+    # exactly the planted pair; boilerplate docs produce NO spans (df cap)
+    assert set(spans) == {(0, 1)}
+    s = spans[(0, 1)]
+    # 1-based offsets: chunk starts right after each 80-char filler
+    assert s.a_start == 81 and s.b_start == 81
+    assert s.match_len == len(chunk)
+
+    dec = {r.doc_id: r for r in substring_strip_decisions(spark, sf).collect()}
+    assert set(dec) == {0, 1}
+    assert dec[0].dup_chars == len(chunk)
+    # doc 0: 80 + 69 + 40 chars -> coverage ~0.365 -> keep
+    assert dec[0].decision == "keep"
