@@ -550,7 +550,12 @@ def join_view_dim_delete_persisted(
 
 
 def compact_join_view(
-    spark, wh, schema: str, table: str, partition_col: str
+    spark,
+    wh,
+    schema: str,
+    table: str,
+    partition_col: str,
+    expire_orphans_below: str | None = None,
 ) -> dict:
     """Compact both join-view ledgers (the view and its orphans table) to
     one file per partition — the warehouse-table counterpart of the
@@ -577,8 +582,24 @@ def compact_join_view(
     SIBLING dir of the table (``<table>._batches``), untouched by the
     swap, so replayed batch ids still skip after compaction.
 
+    Orphan retention (``expire_orphans_below``): the orphan ledger grows
+    monotonically under soft-close-heavy workloads — demotions insert,
+    promotions delete, but a key whose dimension row never (re)arrives
+    lives forever. Passing a ``partition_col`` cutoff drops orphan rows
+    whose partition value sorts BELOW it during the orphans-ledger
+    rewrite (for a ``yyyy-MM`` month column that is an age policy; the
+    cutoff prunes whole hive partitions). This deliberately WEAKENS the
+    module invariant for expired rows: ``view ∪ orphans`` then partitions
+    only the facts seen since the horizon — a late dimension insert can
+    no longer claim an expired orphan (the fact is forgotten, exactly
+    like ``Warehouse`` retention dropping an old snapshot). Replay
+    markers make expiry durable: a re-delivered old batch id still skips,
+    so expired orphans are not resurrected by at-least-once delivery.
+    Without the cutoff, compaction keeps its bit-identical contract.
+
     Returns ``{table: {"files_before": n, "files_after": m}}`` for each
-    compacted ledger.
+    compacted ledger, plus ``"orphans_expired": k`` when a cutoff was
+    given.
     """
     import json
     import os
@@ -620,6 +641,13 @@ def compact_join_view(
                 continue
             before = _file_count(wh.path(schema, t))
             df = wh.read(spark, schema, t)
+            if (
+                expire_orphans_below is not None
+                and t.endswith(_ORPHANS_SUFFIX)
+            ):
+                n0 = df.count()
+                df = df.filter(F.col(partition_col) >= expire_orphans_below)
+                out["orphans_expired"] = n0 - df.count()
             # one task per partition value -> one file per partition dir
             wh.write(
                 df.repartition(F.col(partition_col)),

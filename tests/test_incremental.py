@@ -1225,3 +1225,74 @@ def test_table_lock_reentrant_and_compaction_holds_it(spark, tmp_path):
     assert out["oc"]["files_after"] <= out["oc"]["files_before"]
     after = wh.read(spark, "dwh", "oc").orderBy("o_orderkey").collect()
     assert before == after
+
+
+def test_compact_join_view_orphan_expiry_and_replay(spark, tmp_path):
+    """Orphan retention: compaction with ``expire_orphans_below`` drops
+    only orphan rows below the partition cutoff (the view ledger is
+    untouched), a replayed fact batch does NOT resurrect expired
+    orphans (markers skip it), and a later dim insert claims only the
+    surviving orphans."""
+    from pyspark.sql import functions as F
+
+    from data_platform_spark.ops.join_view import (
+        compact_join_view,
+        incremental_join_view,
+        join_view_dim_upsert_persisted,
+    )
+    from data_platform_spark.pipeline import Warehouse
+    from data_platform_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    orders = load_table(spark, SF_SMOKE, "orders").withColumn(
+        "o_month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    cust = load_table(spark, SF_SMOKE, "customer")
+    kw = _jv_kwargs()
+    # partial dim -> every order of a %5==0 customer parks as an orphan
+    dim0 = cust.filter(F.pmod("c_custkey", F.lit(5)) != 0)
+    b0 = orders.filter(F.pmod("o_orderkey", F.lit(2)) == 0)
+    incremental_join_view(spark, wh, "dwh", "oc", b0, dim0, batch_id="b0", **kw)
+    orph = wh.read(spark, "dwh", "oc__orphans")
+    n_orph = orph.count()
+    cutoff = "1997-01"
+    n_old = orph.filter(F.col("o_month") < cutoff).count()
+    assert 0 < n_old < n_orph  # the cutoff splits the ledger both ways
+    n_view = wh.read(spark, "dwh", "oc").count()
+
+    out = compact_join_view(
+        spark, wh, "dwh", "oc", "o_month", expire_orphans_below=cutoff
+    )
+    assert out["orphans_expired"] == n_old
+    kept = wh.read(spark, "dwh", "oc__orphans")
+    assert kept.count() == n_orph - n_old
+    assert kept.filter(F.col("o_month") < cutoff).count() == 0
+    assert wh.read(spark, "dwh", "oc").count() == n_view  # view untouched
+
+    # replaying the SAME fact batch skips on its marker: expiry is
+    # durable against at-least-once delivery
+    assert (
+        incremental_join_view(
+            spark, wh, "dwh", "oc", b0, dim0, batch_id="b0", **kw
+        )
+        == []
+    )
+    assert wh.read(spark, "dwh", "oc__orphans").count() == n_orph - n_old
+
+    # a late dim insert claims ONLY surviving orphans; expired facts of
+    # the same keys stay forgotten
+    missing = cust.filter(F.pmod("c_custkey", F.lit(5)) == 0)
+    n_claimable = kept.join(
+        missing, kept["o_custkey"] == missing["c_custkey"], "left_semi"
+    ).count()
+    join_view_dim_upsert_persisted(
+        spark, wh, "dwh", "oc", missing, batch_id="d0", **kw
+    )
+    final_view = wh.read(spark, "dwh", "oc")
+    assert final_view.count() == n_view + n_claimable
+    # all surviving orphans were claimable at sf0.001 -> ledger emptied
+    # (an empty merge leaves the table root with no partition dirs)
+    from data_platform_spark.ops.join_view import _has_data
+
+    assert not _has_data(wh, "dwh", "oc__orphans", "o_month")
