@@ -4142,7 +4142,15 @@ def substring_strip_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b_start").alias("s"),
             (F.col("b_start") + F.col("match_len")).alias("e"),
         )
-    )
+    ).distinct()
+    # distinct makes (s, e) UNIQUE per doc partition, which makes the two
+    # window passes below order-deterministic: with duplicate intervals,
+    # the running-max pass and the cumulative-sum pass may sort ties in
+    # different physical orders, letting the new_group=1 row land AFTER
+    # its twin in the second pass and split one merged island into two
+    # (coverage double-count — caught as an intermittent oracle-parity
+    # flake; the union of duplicate intervals is the same set, so
+    # distinct changes no semantics)
     w = Window.partitionBy("doc_id").orderBy("s", "e")
     prev_max_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
     grouped = ivals.withColumn(
@@ -4212,10 +4220,14 @@ ORACLE["substring_strip_decisions"] = f"""
         HAVING max(pos_a) - min(pos_a) + {SUBSTR_K} >= {SUBSTR_MIN_LEN}
     ),
     ivals AS (
-        SELECT doc_a AS doc_id, a_start AS s, a_start + match_len AS e
-        FROM spans
-        UNION ALL
-        SELECT doc_b, b_start, b_start + match_len FROM spans
+        -- DISTINCT: unique (s, e) per doc keeps the two window passes'
+        -- tie order from disagreeing (see the Spark twin's note)
+        SELECT DISTINCT * FROM (
+            SELECT doc_a AS doc_id, a_start AS s, a_start + match_len AS e
+            FROM spans
+            UNION ALL
+            SELECT doc_b, b_start, b_start + match_len FROM spans
+        )
     ),
     grouped AS (
         SELECT doc_id, s, e,
