@@ -70,11 +70,43 @@ class ManifestCatalog:
 
     def _commit(self, manifest: dict) -> None:
         """Single-rename commit: stage the JSON, then ``os.replace`` it
-        over the live pointer (atomic on POSIX)."""
+        over the live pointer (atomic on POSIX). The committed manifest
+        is ALSO archived as ``MANIFEST.v<id>`` — the multi-table snapshot
+        log: ``load_version(id)`` pins the exact cross-table state any
+        past commit published (the manifest-level generalization of
+        ``Warehouse.read_version``'s single-table time travel). Archive
+        first, pointer second: a crash between the two leaves a stale
+        archive that the next commit of the same id overwrites."""
+        blob = json.dumps(manifest)
         tmp = os.path.join(self.dir, f"{_MANIFEST}.tmp-{uuid.uuid4().hex[:8]}")
         with open(tmp, "w", encoding="utf-8") as f:
-            json.dump(manifest, f)
-        os.replace(tmp, os.path.join(self.dir, _MANIFEST))
+            f.write(blob)
+        os.replace(tmp, os.path.join(self.dir, f"{_MANIFEST}.v{manifest['id']}"))
+        tmp2 = os.path.join(self.dir, f"{_MANIFEST}.tmp-{uuid.uuid4().hex[:8]}")
+        with open(tmp2, "w", encoding="utf-8") as f:
+            f.write(blob)
+        os.replace(tmp2, os.path.join(self.dir, _MANIFEST))
+
+    def versions(self) -> list[int]:
+        """Archived manifest ids, oldest first."""
+        out = []
+        prefix = f"{_MANIFEST}.v"
+        for entry in os.listdir(self.dir):
+            if entry.startswith(prefix) and entry[len(prefix):].isdigit():
+                out.append(int(entry[len(prefix):]))
+        return sorted(out)
+
+    def load_version(self, version: int) -> dict:
+        """A historical manifest, for cross-table time travel: pass the
+        returned dict to ``read`` to pin every table at that commit.
+        Tables whose version dirs were since ``prune``d raise at read."""
+        p = os.path.join(self.dir, f"{_MANIFEST}.v{version}")
+        if not os.path.isfile(p):
+            raise FileNotFoundError(
+                f"no archived manifest v{version} (have {self.versions()})"
+            )
+        with open(p, encoding="utf-8") as f:
+            return json.load(f)
 
     def _alloc_txid(self) -> int:
         """Allocate a UNIQUE monotonic txid (persisted ``NEXT`` counter,
@@ -172,29 +204,37 @@ class ManifestCatalog:
                 actions.append(f"swept _manifest/{entry}")
         return actions
 
-    def prune(self, keep_versions: int = 1) -> list[str]:
-        """Retention for committed history: per table, keep the manifest-
-        referenced version plus the newest ``keep_versions - 1`` older
-        ones; drop the rest. Never touches dirs newer than the manifest
+    def prune(self, keep_manifests: int = 1) -> list[str]:
+        """Retention for committed history, aligned with the snapshot
+        log: keep every version dir referenced by the newest
+        ``keep_manifests`` archived manifests (the live pointer's
+        snapshot is always among them); drop every other dir at or below
+        the committed id, plus the expired archive files themselves —
+        so ``load_version``/time travel works exactly as far back as
+        retention promises, never a dangling table ref in a kept
+        manifest. Never touches dirs newer than the committed manifest
         (that's ``recover``'s job)."""
         committed = self.load()
+        kept_ids = self.versions()[-max(1, keep_manifests):]
+        referenced: set[tuple[str, int]] = set()
+        for mid in kept_ids:
+            m = self.load_version(mid)
+            for key, vid in m["tables"].items():
+                referenced.add((key, vid))
+        for key, vid in committed["tables"].items():
+            referenced.add((key, vid))
         actions: list[str] = []
-        by_table: dict[tuple[str, str], list[tuple[int, str]]] = {}
         for schema, entry, vid, full in self._version_dirs():
             table = entry[: entry.rindex(_MV)]
-            by_table.setdefault((schema, table), []).append((vid, full))
-        for (schema, table), vs in by_table.items():
-            ref = committed["tables"].get(f"{schema}/{table}")
-            keep = {ref} if ref is not None else set()
-            older = sorted(
-                (v for v, _ in vs if v not in keep and v <= committed["id"]),
-                reverse=True,
-            )
-            keep.update(older[: max(0, keep_versions - 1)])
-            for vid, full in vs:
-                if vid not in keep and vid <= committed["id"]:
-                    shutil.rmtree(full, ignore_errors=True)
-                    actions.append(f"pruned {schema}/{table}{_MV}{vid}")
+            if vid > committed["id"]:
+                continue
+            if (f"{schema}/{table}", vid) not in referenced:
+                shutil.rmtree(full, ignore_errors=True)
+                actions.append(f"pruned {schema}/{table}{_MV}{vid}")
+        for mid in self.versions():
+            if mid not in kept_ids:
+                os.remove(os.path.join(self.dir, f"{_MANIFEST}.v{mid}"))
+                actions.append(f"pruned _manifest/{_MANIFEST}.v{mid}")
         return actions
 
     def _schema_dirs(self) -> list[str]:
@@ -276,13 +316,15 @@ class ManifestTransaction:
 
     def commit(self) -> int:
         """Single-rename commit of every staged table at once. The
-        manifest id is monotonic (``max``) even when transactions commit
-        out of allocation order, so ``recover``'s newer-than-committed
-        sweep can never drop a committed version."""
+        committed manifest id is STRICTLY increasing per commit — a
+        transaction that commits after a higher-txid sibling takes
+        ``current_id + 1`` instead of its own txid — so ``recover``'s
+        newer-than-committed sweep can never drop a committed version
+        and every archived ``MANIFEST.v<id>`` is a distinct snapshot."""
         with self._lock():
             current = self.cat.load()
             manifest = {
-                "id": max(current["id"], self.txid),
+                "id": max(current["id"] + 1, self.txid),
                 "tables": {**current["tables"], **self.staged},
             }
             self.cat._commit(manifest)

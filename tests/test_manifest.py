@@ -94,8 +94,8 @@ def test_pinned_manifest_survives_later_commit(spark, tmp_path):
     live = cat.load()
     assert cat.read(spark, "dwh", "dim", live).count() == 3
     assert cat.read(spark, "dwh", "fact", live).count() == 7
-    # prune with keep_versions=1 drops the unreferenced v1 dirs
-    cat.prune(keep_versions=1)
+    # prune to the newest archived manifest: v1's dirs drop
+    cat.prune(keep_manifests=1)
     assert cat.read(spark, "dwh", "dim", live).count() == 3
     leftover = [e for e in os.listdir(cat.wh.root + "/dwh") if ".mv1" in e]
     assert not leftover
@@ -165,3 +165,31 @@ def test_run_pipeline_atomic_dwh_equals_plain(spark, tmp_path):
         assert bv.exceptAll(av).count() == 0
         # the live dwh dir was never swapped by the transactional run
         assert wh_b.read(spark, schema, table) is None
+
+
+def test_manifest_time_travel_and_prune_alignment(spark, tmp_path):
+    """Every commit archives its manifest: load_version pins the exact
+    cross-table state of any past commit (multi-table time travel), and
+    prune(keep_manifests=k) keeps precisely the dirs those k snapshots
+    reference — a kept manifest never dangles."""
+    import pytest as _pt
+
+    cust, orders = _dims_facts(spark)
+    cat = ManifestCatalog(Warehouse(str(tmp_path / "wh")))
+    cat.publish({("dwh", "dim"): cust, ("dwh", "fact"): orders})
+    cat.publish({("dwh", "fact"): orders.limit(10)})  # dim carried forward
+    cat.publish({("dwh", "dim"): cust.limit(3), ("dwh", "fact"): orders.limit(7)})
+    assert cat.versions() == [1, 2, 3]
+    m2 = cat.load_version(2)
+    # snapshot 2: fact replaced, dim still v1 (carry-forward)
+    assert cat.read(spark, "dwh", "fact", m2).count() == 10
+    assert cat.read(spark, "dwh", "dim", m2).count() == cust.count()
+    # keep the last two snapshots: v2's carried-forward dim v1 SURVIVES
+    # (referenced by a kept manifest) while the v1 fact dir drops
+    acts = cat.prune(keep_manifests=2)
+    assert cat.versions() == [2, 3]
+    assert cat.read(spark, "dwh", "dim", m2).count() == cust.count()
+    assert cat.read(spark, "dwh", "fact", m2).count() == 10
+    assert any("fact.mv1" in a for a in acts)
+    with _pt.raises(FileNotFoundError):
+        cat.load_version(1)
