@@ -127,6 +127,11 @@ HEADLINE = [
     # joins and bounded aggregates only, linear scan term like its SCD1
     # sibling
     "order_customer_scd2_view_incremental",
+    # round 15: exact-substring dedup — the diagonal gaps-and-islands
+    # span extraction over df-capped char k-grams; its x4 ratio carries
+    # the bounded-fan-out claim (pairs per gram <= C(cap,2), cost tracks
+    # emitted span density like the LSH leg, never n^2)
+    "substring_duplicate_spans",
 ]
 
 
