@@ -77,9 +77,13 @@ def _modules():
 # (VERDICT r14 item 6): df-capped character k-grams → pair join →
 # maximal shared spans via the diagonal gaps-and-islands formulation
 # (pure DataFrame algebra, oracle mirrors it operator for operator);
-# and substring_strip_decisions — the per-doc keep/strip composition
-# (interval-union coverage of every span, strip above 50%). All three
-# deep-compared green at both gate SFs.
+# substring_strip_decisions — the per-doc keep/strip composition
+# (interval-union coverage of every span, strip above 50%); and
+# substring_duplicate_spans_winnowed — the production scale path
+# (md5-mod-w content-sampled anchors shrink the gram stream ~w before
+# any shuffle; gap-tolerant islands report lower-bound extents;
+# measured 1.6-1.8x over the stride-1 twin at sf0.1/x4, PLANS.md).
+# All four deep-compared green at both gate SFs.
 _R15_WINDOW = (
     # (1) the four below-window roundtrips, VERDICT r14 item 1's order
     "order_customer_view_persisted_roundtrip",

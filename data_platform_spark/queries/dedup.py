@@ -4258,3 +4258,143 @@ ORACLE["substring_strip_decisions"] = f"""
                 THEN 'strip' ELSE 'keep' END AS decision
     FROM covered c JOIN documents d USING (doc_id)
 """
+
+
+# Production scale path for substring dedup: at 100 TB the stride-1 gram
+# stream (rows ∝ corpus CHARS) is the cost driver, not the pair join.
+# Fingerprint sampling (the MOSS/winnowing family) keeps ~1/w of the
+# grams by CONTENT (md5-mod-w — the repo's engine-portable hash idiom, so
+# both docs of a shared span sample the SAME anchors at the same
+# in-span offsets), shrinking the gram stream, the df count, and the
+# pair join input by ~w before any of them shuffle. Sampled anchors on a
+# shared diagonal are no longer consecutive, so islands become
+# gap-tolerant (break when the anchor gap exceeds SUBSTR_GAP_MAX) and
+# the reported extent is a LOWER BOUND (max-min+k) — the full-extent
+# refinement is a per-pair extension only the flagged pairs would pay
+# for. Expected anchors in a span of length L: (L-k+1)/w, so spans at
+# the SUBSTR_MIN_LEN_W threshold carry ~7 anchors in expectation —
+# mod-sampling gives density in expectation, not winnowing's hard
+# per-window guarantee (documented trade: one window pass cheaper).
+
+SUBSTR_SAMPLE_W = 4  # expected anchor rate 1/w
+SUBSTR_GAP_MAX = 8 * SUBSTR_SAMPLE_W  # island break: anchor gap (chars)
+SUBSTR_MIN_LEN_W = 40  # minimal reported lower-bound extent
+
+
+def substring_duplicate_spans_winnowed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sampled-anchor twin of ``substring_duplicate_spans``: same df-cap
+    and diagonal-island algebra over the ~1/w content-sampled gram
+    stream; ``match_len_lb`` is the span's lower-bound extent."""
+    from pyspark.sql import Window
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    grams = _char_grams(docs)
+    h = F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long")
+    anchors = grams.filter(F.pmod(h, F.lit(SUBSTR_SAMPLE_W)) == 0)
+    capped = (
+        anchors.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= SUBSTR_DF_CAP))
+        .select("gram")
+    )
+    g = scoped_persist(anchors.join(capped, "gram", "left_semi"))
+    a = g.select(
+        F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a"), "gram"
+    )
+    b = g.select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b"), "gram"
+    )
+    m = a.join(b, "gram").filter(F.col("doc_a") < F.col("doc_b"))
+    diag = (F.col("pos_a") - F.col("pos_b")).alias("diag")
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    # pos_a is UNIQUE within (pair, diag), so both window passes sort a
+    # tie-free key — no distinct needed here (cf. the interval-union
+    # determinism note above)
+    gapped = (
+        m.select("doc_a", "doc_b", "pos_a", "pos_b", diag)
+        .withColumn(
+            "brk",
+            F.when(
+                F.col("pos_a") - F.lag("pos_a").over(w) > SUBSTR_GAP_MAX,
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "island",
+            F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    return (
+        gapped.groupBy("doc_a", "doc_b", "diag", "island")
+        .agg(
+            F.min("pos_a").cast("long").alias("a_start"),
+            F.min("pos_b").cast("long").alias("b_start"),
+            (F.max("pos_a") - F.min("pos_a") + SUBSTR_K)
+            .cast("long")
+            .alias("match_len_lb"),
+            F.count(F.lit(1)).cast("long").alias("n_anchors"),
+        )
+        .filter(F.col("match_len_lb") >= SUBSTR_MIN_LEN_W)
+        .select(
+            "doc_a", "doc_b", "a_start", "b_start", "match_len_lb", "n_anchors"
+        )
+    )
+
+
+QUERIES["substring_duplicate_spans_winnowed"] = (
+    substring_duplicate_spans_winnowed
+)
+
+ORACLE["substring_duplicate_spans_winnowed"] = f"""
+    WITH g0 AS (
+        SELECT doc_id, u.i AS pos, substr(text, u.i, {SUBSTR_K}) AS gram
+        FROM documents,
+             LATERAL unnest(
+                 range(1, greatest(length(text) - {SUBSTR_K - 1}, 0) + 1)
+             ) AS u(i)
+    ),
+    anchors AS (
+        SELECT * FROM g0
+        WHERE (('0x' || substr(md5(gram), 1, 8))::UBIGINT)::BIGINT
+              % {SUBSTR_SAMPLE_W} = 0
+    ),
+    capped AS (
+        SELECT gram
+        FROM (
+            SELECT gram, count(DISTINCT doc_id) AS df FROM anchors GROUP BY 1
+        )
+        WHERE df BETWEEN 2 AND {SUBSTR_DF_CAP}
+    ),
+    g AS (SELECT anchors.* FROM anchors SEMI JOIN capped USING (gram)),
+    m AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.pos AS pos_a, b.pos AS pos_b
+        FROM g a JOIN g b USING (gram)
+        WHERE a.doc_id < b.doc_id
+    ),
+    gapped AS (
+        SELECT doc_a, doc_b, pos_a, pos_b, pos_a - pos_b AS diag,
+               CASE WHEN pos_a - lag(pos_a) OVER (
+                        PARTITION BY doc_a, doc_b, pos_a - pos_b
+                        ORDER BY pos_a
+                    ) > {SUBSTR_GAP_MAX} THEN 1 ELSE 0 END AS brk
+        FROM m
+    ),
+    isl AS (
+        SELECT *, sum(brk) OVER (
+                   PARTITION BY doc_a, doc_b, diag ORDER BY pos_a
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS island
+        FROM gapped
+    )
+    SELECT doc_a, doc_b,
+           min(pos_a)::BIGINT AS a_start,
+           min(pos_b)::BIGINT AS b_start,
+           (max(pos_a) - min(pos_a) + {SUBSTR_K})::BIGINT AS match_len_lb,
+           count(*)::BIGINT AS n_anchors
+    FROM isl
+    GROUP BY doc_a, doc_b, diag, island
+    HAVING max(pos_a) - min(pos_a) + {SUBSTR_K} >= {SUBSTR_MIN_LEN_W}
+"""
