@@ -82,8 +82,12 @@ def _modules():
 # substring_duplicate_spans_winnowed — the production scale path
 # (md5-mod-w content-sampled anchors shrink the gram stream ~w before
 # any shuffle; gap-tolerant islands report lower-bound extents;
-# measured 1.6-1.8x over the stride-1 twin at sf0.1/x4, PLANS.md).
-# All four deep-compared green at both gate SFs.
+# measured 1.6-1.8x over the stride-1 twin at sf0.1/x4, PLANS.md);
+# plus incremental_substring_spans — the batch-vs-standing form
+# (bipartite gram join + batch self-join, standing never self-joins),
+# its oracle the one-shot spans restricted to batch-touching pairs
+# (the equivalence IS the incremental correctness claim).
+# All five deep-compared green at both gate SFs.
 _R15_WINDOW = (
     # (1) the four below-window roundtrips, VERDICT r14 item 1's order
     "order_customer_view_persisted_roundtrip",

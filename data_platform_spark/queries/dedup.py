@@ -4398,3 +4398,96 @@ ORACLE["substring_duplicate_spans_winnowed"] = f"""
     GROUP BY doc_a, doc_b, diag, island
     HAVING max(pos_a) - min(pos_a) + {SUBSTR_K} >= {SUBSTR_MIN_LEN_W}
 """
+
+
+def incremental_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental EXACT-SUBSTRING dedup: the new ingest batch's verbatim
+    spans against the standing corpus AND within itself — the substring
+    member of the incremental family (exact hash / near-dup / semantic
+    all have this shape). The candidate join is BIPARTITE (batch grams ×
+    standing grams) plus the small batch self-join — NEVER a
+    standing-corpus self-join: candidate cost is O(batch grams ⋈
+    df-capped postings), independent of standing size. NOTE: this
+    gate-checked query recomputes the union df-cap per call so the
+    DuckDB oracle can verify the full derivation (the
+    incremental_neardup_new_batch discipline); the production path
+    would serve the standing (gram → doc, pos) postings and df counts
+    from a persisted index with O(batch) appends.
+
+    Result = exactly the one-shot ``substring_duplicate_spans`` rows
+    where at least one side is a batch doc (doc_id % INCR_NEW_MOD == 0)
+    — the oracle pins that equivalence, which IS the incremental
+    correctness claim."""
+    from pyspark.sql import Window
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    grams = _char_grams(docs)
+    capped = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= SUBSTR_DF_CAP))
+        .select("gram")
+    )
+    g = scoped_persist(grams.join(capped, "gram", "left_semi"))
+    is_new = F.col("doc_id") % INCR_NEW_MOD == 0
+    batch = g.filter(is_new)
+    standing = g.filter(~is_new)
+
+    def _sides(df, side):
+        return df.select(
+            F.col("doc_id").alias(f"doc_{side}"),
+            F.col("pos").alias(f"pos_{side}"),
+            "gram",
+        )
+
+    # bipartite leg, BOTH orientations normalized to doc_a < doc_b,
+    # plus the batch self-join leg — standing never self-joins
+    bi = _sides(batch, "a").join(_sides(standing, "b"), "gram")
+    m = (
+        bi.filter(F.col("doc_a") < F.col("doc_b"))
+        .unionByName(
+            bi.filter(F.col("doc_a") > F.col("doc_b")).select(
+                F.col("doc_b").alias("doc_a"),
+                F.col("pos_b").alias("pos_a"),
+                F.col("doc_a").alias("doc_b"),
+                F.col("pos_a").alias("pos_b"),
+                "gram",
+            )
+        )
+        .unionByName(
+            _sides(batch, "a")
+            .join(_sides(batch, "b"), "gram")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+        )
+    )
+    diag = (F.col("pos_a") - F.col("pos_b")).alias("diag")
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    isl = m.select("doc_a", "doc_b", "pos_a", "pos_b", diag).withColumn(
+        "island", F.col("pos_a") - F.row_number().over(w)
+    )
+    return (
+        isl.groupBy("doc_a", "doc_b", "diag", "island")
+        .agg(
+            F.min("pos_a").cast("long").alias("a_start"),
+            F.min("pos_b").cast("long").alias("b_start"),
+            (F.max("pos_a") - F.min("pos_a") + SUBSTR_K)
+            .cast("long")
+            .alias("match_len"),
+        )
+        .filter(F.col("match_len") >= SUBSTR_MIN_LEN)
+        .select("doc_a", "doc_b", "a_start", "b_start", "match_len")
+    )
+
+
+QUERIES["incremental_substring_spans"] = incremental_substring_spans
+
+# oracle: the ONE-SHOT spans restricted to pairs touching the batch —
+# pinning the incremental derivation's equivalence to the full recompute
+ORACLE["incremental_substring_spans"] = (
+    "WITH one_shot AS ("
+    + ORACLE["substring_duplicate_spans"]
+    + f""")
+    SELECT * FROM one_shot
+    WHERE doc_a % {INCR_NEW_MOD} = 0 OR doc_b % {INCR_NEW_MOD} = 0
+"""
+)
