@@ -67,6 +67,39 @@ def shingle_array_df(
     )
 
 
+def char_gram_df(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+) -> DataFrame:
+    """(id, pos, gram): every k-CHAR gram with its 1-based offset — the
+    positional gram relation of exact-substring dedup (a shared substring
+    of length >= k is a diagonal run of matching grams). Docs shorter
+    than k carry no gram and are filtered BEFORE the explode: Spark's
+    ``sequence(1, 0)`` yields a DESCENDING ``[1, 0]`` (it never returns
+    empty), which would emit phantom pos-0/1 grams the relational oracle
+    mirror's empty ``range(1, 1)`` never produces (ADVICE r15). Narrow
+    per-row work; only the (id, pos, gram) relation ever shuffles."""
+    return (
+        docs.filter(F.length(text_col) >= k)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.greatest(F.length(text_col) - (k - 1), F.lit(0))
+                )
+            ).alias("pos"),
+            F.col(text_col),
+        )
+        .select(
+            F.col(id_col),
+            "pos",
+            F.col(text_col).substr(F.col("pos"), F.lit(k)).alias("gram"),
+        )
+    )
+
+
 def shingle_df(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
     """(doc_id, shingle) exploded distinct shingle relation (for callers
     that need the long layout, e.g. per-shingle document frequencies)."""

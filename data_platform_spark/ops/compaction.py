@@ -137,6 +137,37 @@ def compact_band_index(
     }
 
 
+def _df_partials_rollup(df: DataFrame) -> DataFrame:
+    """The substring index's per-batch (gram, df) partials collapse to
+    one exact row per gram: partials are LONG counts and every search
+    SUMS them after pruning, so the rolled-up sums reproduce every
+    future search bit-for-bit (the lexical stats-ledger discipline)."""
+    return df.groupBy("gbk", "gram").agg(
+        F.sum("df").cast("long").alias("df")
+    )
+
+
+def compact_substring_index(
+    spark: SparkSession, path: str, n_files: int = 1
+) -> dict:
+    """Compact the exact-substring gram-posting index: postings to one
+    file per gram bucket, per-batch df partials rolled up to one row
+    per gram (still one file per bucket)."""
+    IO.assert_no_inflight_appends(path)
+    return {
+        "postings": _compact_half(
+            spark, f"{path}/postings", partition_col="gbk", n_files=n_files
+        ),
+        "df": _compact_half(
+            spark,
+            f"{path}/df",
+            partition_col="gbk",
+            n_files=n_files,
+            agg=_df_partials_rollup,
+        ),
+    }
+
+
 def compact_ivf_index(
     spark: SparkSession, path: str, n_files: int = 1
 ) -> dict:

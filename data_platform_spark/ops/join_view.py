@@ -367,6 +367,85 @@ def incremental_join_view(
     return written
 
 
+def manifest_join_view_epoch(
+    spark,
+    cat,
+    schema: str,
+    table: str,
+    fact_batch: DataFrame,
+    dim: DataFrame,
+    *,
+    fact_on: str,
+    dim_on: str,
+    fact_key: str,
+    dim_payload: list[str],
+    partition_col: str,
+    epoch_id: int,
+    scope: str | None = None,
+    crash_between_ledgers: bool = False,
+) -> int | None:
+    """One ATOMIC (view, orphans) maintenance epoch through the manifest
+    catalog (VERDICT r15 item 3): the same fact-batch delta rules as
+    ``incremental_join_view``, but both ledgers stage as immutable
+    manifest versions (``ManifestTransaction.write_merged`` — partition-
+    pruned rewrites, unchanged partitions hard-linked) and ONE manifest
+    rename commits them together. The per-table sink's crash posture —
+    a re-delivered key transiently in BOTH ledgers between merges — is
+    eliminated for manifest-pinned readers: they see the pre-epoch
+    (view, orphans) pair or the post-epoch pair, never a mix
+    (``view ∪ orphans`` partitions the facts at EVERY pinned snapshot,
+    not just at rest).
+
+    Replay protection is the transaction mark, committed atomically
+    with the data (``tx.set_mark``): a replayed epoch (at-least-once
+    foreachBatch, or a fresh-checkpoint rerun) finds
+    ``cat.mark(scope) >= epoch_id`` and returns None without staging —
+    there is no marker-after-commit crash window at all, unlike the
+    marker-dir legs. ``crash_between_ledgers`` aborts after the view
+    stage, BEFORE the orphans stage and the commit: the test hook for
+    the torn-epoch window.
+
+    Returns the committed manifest id, or None for a skipped replay."""
+    scope = scope or f"jv--{schema}/{table}"
+    last = cat.mark(scope)
+    if last is not None and last >= epoch_id:
+        return None
+    tx = cat.transaction()
+    dimr = _dim_keyed(dim, dim_on)
+    matched = (
+        fact_batch.join(dimr, fact_batch[fact_on] == F.col(_DIM_KEY), "inner")
+        .drop(_DIM_KEY)
+        .localCheckpoint()
+    )
+    unmatched = fact_batch.join(
+        dimr, fact_batch[fact_on] == F.col(_DIM_KEY), "left_anti"
+    ).localCheckpoint()
+    orph_table = table + _ORPHANS_SUFFIX
+
+    # view: matched rows upsert; re-delivered keys now unmatched evict
+    view_upd = matched.withColumn(_DEL, F.lit(False)).unionByName(
+        _null_like(unmatched, matched, dim_payload).withColumn(
+            _DEL, F.lit(True)
+        )
+    )
+    tx.write_merged(
+        spark, view_upd, schema, table, [fact_key], partition_col,
+        delete_col=_DEL,
+    )
+    if crash_between_ledgers:
+        raise RuntimeError("injected crash between ledger stages")
+    # orphans: unmatched rows upsert; matched keys evict
+    orph_upd = unmatched.withColumn(_DEL, F.lit(False)).unionByName(
+        matched.select(*unmatched.columns).withColumn(_DEL, F.lit(True))
+    )
+    tx.write_merged(
+        spark, orph_upd, schema, orph_table, [fact_key], partition_col,
+        delete_col=_DEL,
+    )
+    tx.set_mark(scope, epoch_id)
+    return tx.commit()
+
+
 def join_view_dim_upsert_persisted(
     spark,
     wh,
@@ -556,6 +635,7 @@ def compact_join_view(
     table: str,
     partition_col: str,
     expire_orphans_below: str | None = None,
+    dry_run: bool = False,
 ) -> dict:
     """Compact both join-view ledgers (the view and its orphans table) to
     one file per partition — the warehouse-table counterpart of the
@@ -578,7 +658,12 @@ def compact_join_view(
     a concurrent merge can no longer start after the scan and commit
     partition swaps mid-rewrite that the compaction's last-writer-wins
     table swap would silently discard — it serializes before or after
-    the whole compaction of that ledger. Replay markers live in a
+    the whole compaction of that ledger. ``Warehouse.merge`` holds the
+    same lock across its OWN read-derive-stage-swap sequence (not just
+    the swap), so a merge can't read the pre-compaction image, wait out
+    the compaction, and then swap partitions derived from it — which
+    under ``expire_orphans_below`` would resurrect expired orphan rows
+    (ADVICE r15). Replay markers live in a
     SIBLING dir of the table (``<table>._batches``), untouched by the
     swap, so replayed batch ids still skip after compaction.
 
@@ -597,9 +682,16 @@ def compact_join_view(
     so expired orphans are not resurrected by at-least-once delivery.
     Without the cutoff, compaction keeps its bit-identical contract.
 
+    ``dry_run=True`` mutates NOTHING and returns the report a real run
+    would act on: per-ledger current file counts, and — with a cutoff —
+    the orphan rows that WOULD expire, total and by partition (VERDICT
+    r15 item 6: irreversible retention owes its operator a preview; the
+    subsequent real run drops exactly the reported rows, pinned by
+    test).
+
     Returns ``{table: {"files_before": n, "files_after": m}}`` for each
     compacted ledger, plus ``"orphans_expired": k`` when a cutoff was
-    given.
+    given (``"orphans_expired_by_partition"`` too in dry-run).
     """
     import json
     import os
@@ -629,6 +721,32 @@ def compact_join_view(
     # so refusal is all-or-nothing)
     for t in tables:
         _refuse_if_journal_pending(t)
+
+    if dry_run:
+        report: dict = {"dry_run": True}
+        for t in tables:
+            if _has_data(wh, schema, t, partition_col):
+                report[t] = {"files_before": _file_count(wh.path(schema, t))}
+        orph = table + _ORPHANS_SUFFIX
+        if expire_orphans_below is not None and _has_data(
+            wh, schema, orph, partition_col
+        ):
+            doomed = (
+                wh.read(spark, schema, orph)
+                .filter(F.col(partition_col) < expire_orphans_below)
+                .groupBy(partition_col)
+                .count()
+                .collect()
+            )
+            by_part = {str(r[0]): r[1] for r in doomed}
+            report["orphans_expired"] = sum(by_part.values())
+            report["orphans_expired_by_partition"] = dict(
+                sorted(by_part.items())
+            )
+        elif expire_orphans_below is not None:
+            report["orphans_expired"] = 0
+            report["orphans_expired_by_partition"] = {}
+        return report
 
     out: dict = {}
     for t in tables:

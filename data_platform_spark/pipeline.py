@@ -308,60 +308,72 @@ class Warehouse:
             self.write(live, schema, table, partition_by=[partition_col])
             return [f"first-load {schema}/{table}"]
 
-        # One collect of the DISTINCT partition values in the batch —
-        # bounded by the partition count (dates), never by row count.
-        part_vals = [
-            r[0] for r in updates.select(partition_col).distinct().collect()
-        ]
-        existing = spark.read.parquet(final).filter(
-            F.col(partition_col).isin(part_vals)
-        )
-        # hive dir names round-trip through partition-type inference (e.g.
-        # '2026-01-01' -> DATE); align the batch to the table's read type
-        # so the union and the rewritten dir names stay consistent
-        part_type = existing.schema[partition_col].dataType
-        live = live.withColumn(
-            partition_col, F.col(partition_col).cast(part_type)
-        )
-        if allow_new_columns:
-            aligned = live
-        else:
-            aligned = live.select(*existing.columns)
-        if order_col:
-            merged = _newest_per_key(
-                existing.unionByName(
-                    aligned, allowMissingColumns=allow_new_columns
-                ),
-                keys,
-                order_col,
-            )
-        else:
-            merged = existing.join(
-                updates.select(*keys).distinct(), keys, "left_anti"
-            ).unionByName(aligned, allowMissingColumns=allow_new_columns)
-
-        tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
-        merged.write.mode("overwrite").partitionBy(partition_col).parquet(tmp)
-
-        # Partition-dir names come from what Spark actually wrote (exact
-        # hive escaping, no reimplementation). A partition emptied by
-        # deletes appears in part_vals but not in tmp: probe its dir name
-        # by writing just the partition values through the same writer.
-        written = {
-            e for e in os.listdir(tmp)
-            if e.startswith(f"{partition_col}=")
-        }
-        probe = f"{final}.tmp-probe-{uuid.uuid4().hex[:8]}"
-        updates.select(partition_col).distinct().withColumn(
-            "_one", F.lit(1)
-        ).write.mode("overwrite").partitionBy(partition_col).parquet(probe)
-        affected = {
-            e for e in os.listdir(probe)
-            if e.startswith(f"{partition_col}=")
-        }
-        shutil.rmtree(probe, ignore_errors=True)
-
+        # The ENTIRE read-derive-stage-swap sequence holds the table
+        # lock (reentrant — compact_join_view's outer hold composes).
+        # Staging outside the lock would let a concurrent rewrite of the
+        # same table (another merge, or compact_join_view's
+        # expire_orphans_below retention pass) land between our read and
+        # our swap: the swap would then reinstall partition images
+        # derived from the pre-rewrite table — a lost update, and for
+        # expiry a resurrection of dropped rows (ADVICE r15). Merges to
+        # one table serialize; merges to different tables still run
+        # concurrently.
         with self._table_lock(schema, table):
+            # One collect of the DISTINCT partition values in the batch —
+            # bounded by the partition count (dates), never by row count.
+            part_vals = [
+                r[0] for r in updates.select(partition_col).distinct().collect()
+            ]
+            existing = spark.read.parquet(final).filter(
+                F.col(partition_col).isin(part_vals)
+            )
+            # hive dir names round-trip through partition-type inference
+            # (e.g. '2026-01-01' -> DATE); align the batch to the table's
+            # read type so the union and the rewritten dir names stay
+            # consistent
+            part_type = existing.schema[partition_col].dataType
+            live = live.withColumn(
+                partition_col, F.col(partition_col).cast(part_type)
+            )
+            if allow_new_columns:
+                aligned = live
+            else:
+                aligned = live.select(*existing.columns)
+            if order_col:
+                merged = _newest_per_key(
+                    existing.unionByName(
+                        aligned, allowMissingColumns=allow_new_columns
+                    ),
+                    keys,
+                    order_col,
+                )
+            else:
+                merged = existing.join(
+                    updates.select(*keys).distinct(), keys, "left_anti"
+                ).unionByName(aligned, allowMissingColumns=allow_new_columns)
+
+            tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
+            merged.write.mode("overwrite").partitionBy(partition_col).parquet(tmp)
+
+            # Partition-dir names come from what Spark actually wrote
+            # (exact hive escaping, no reimplementation). A partition
+            # emptied by deletes appears in part_vals but not in tmp:
+            # probe its dir name by writing just the partition values
+            # through the same writer.
+            written = {
+                e for e in os.listdir(tmp)
+                if e.startswith(f"{partition_col}=")
+            }
+            probe = f"{final}.tmp-probe-{uuid.uuid4().hex[:8]}"
+            updates.select(partition_col).distinct().withColumn(
+                "_one", F.lit(1)
+            ).write.mode("overwrite").partitionBy(partition_col).parquet(probe)
+            affected = {
+                e for e in os.listdir(probe)
+                if e.startswith(f"{partition_col}=")
+            }
+            shutil.rmtree(probe, ignore_errors=True)
+
             swaps = []
             for part in sorted(affected):
                 dst = os.path.join(final, part)
@@ -619,6 +631,28 @@ def run_pipeline(
 
         sink = _TxSink(wh, ManifestCatalog(wh).transaction())
     else:
+        # Mode-mixing guard (ADVICE r15, medium): an atomic_dwh run
+        # publishes dwh/datamart ONLY into manifest version dirs — the
+        # live <table> dirs stay empty. A later plain run on the same
+        # warehouse would read None via Warehouse.read, silently rebuild
+        # the SCD2 dims from scratch, and fork the warehouse into two
+        # divergent images. Once a committed manifest covers any
+        # dwh/datamart table, the warehouse is manifest-committed for
+        # those layers: refuse the plain run instead of forking.
+        manifest_p = os.path.join(wh.root, "_manifest", "MANIFEST")
+        if os.path.isfile(manifest_p):
+            with open(manifest_p, encoding="utf-8") as f:
+                committed = json.load(f).get("tables", {})
+            if any(
+                k.startswith(("dwh/", "datamart/")) for k in committed
+            ):
+                raise ValueError(
+                    "warehouse is manifest-committed (a previous "
+                    "run_pipeline(atomic_dwh=True) published dwh/datamart "
+                    "through ops/manifest.py): re-run with atomic_dwh=True "
+                    "— a plain run would ignore the committed snapshot and "
+                    "fork the warehouse"
+                )
         sink = wh
 
     # ---- raw (S4 last-writer-wins upsert)

@@ -41,7 +41,98 @@ def _modules():
 
 
 # The driver's correctness gate checks the FIRST ~50 registered queries, in
-# dict order. Round-15 window, built by the standing evidence-age policy
+# dict order. Round-16 window, built by the standing evidence-age policy
+# (QUERIES.md): never-driver-green queries first, then re-proofs, then the
+# oldest green rows. The arithmetic closes exactly (VERDICT r15 item 1):
+# (1) the five r15 below-window registrations, in VERDICT r15 item 1's
+#     exact order — all oracled, all locally deep-compared at both gate
+#     SFs, zero driver evidence until this window drains them:
+#     pipeline_manifest_publish_roundtrip (the cross-table atomic-publish
+#     lifecycle — doubles as the re-proof slot for this round's ADVICE
+#     fixes to ops/manifest.py commit-id semantics / recover's stale-
+#     archive sweep and pipeline.py's mode-mixing guard, all of which
+#     the query's publish/crash/recover/replay sequence drives), then
+#     substring_duplicate_spans, substring_strip_decisions,
+#     substring_duplicate_spans_winnowed, incremental_substring_spans
+#     (the four substring queries also re-prove this round's ADVICE fix
+#     to _char_grams — the sub-k sequence(1,0) phantom-gram guard, now
+#     filtered in both engines);
+# (2) ONE re-proof slot: merge_schema_evolution_roundtrip — this round
+#     moves Warehouse.merge's table-lock acquisition to cover the whole
+#     read-derive-stage-swap sequence (ADVICE r15 orphan-expiry race);
+#     the algebra is untouched (pure lock-scope change, results locally
+#     verified identical) and this query is the registry's most thorough
+#     merge exerciser (schema-evolution mode + delete legs);
+# (3) the refresh cohort, oldest evidence first: the 44 oldest of the 46
+#     r10-green rows (their CORRECTNESS_r10 order) — after a 50/50 round
+#     the union of driver-green rows is 300/300 (every pre-r16 query
+#     carries a driver row — the first full-registry union including the
+#     r15 registrations) and only 2 registered queries
+#     (srp_ann_topk_vec0, top_user_per_hour — first in line for r17)
+#     still carry r10 evidence.
+# NOT in this window, first in line for r17 (the standing below-window
+# precedent — registered with local deep-compare evidence at BOTH gate
+# SFs): this round's new registrations (see the r16 registration notes
+# at their definitions), then srp_ann_topk_vec0 and top_user_per_hour.
+_R16_WINDOW = (
+    # (1) the five below-window registrations, VERDICT r15 item 1's order
+    "pipeline_manifest_publish_roundtrip",
+    "substring_duplicate_spans",
+    "substring_strip_decisions",
+    "substring_duplicate_spans_winnowed",
+    "incremental_substring_spans",
+    # (2) re-proof: Warehouse.merge lock-scope change (ADVICE r15)
+    "merge_schema_evolution_roundtrip",
+    # (3) the 44 oldest r10-green rows, in their CORRECTNESS_r10 order
+    "part_type_market_share_by_region",
+    "ship_delay_monthly_trend",
+    "order_fulfilment_span",
+    "orders_priority_mix_shift",
+    "segment_priority_contingency",
+    "nation_self_trade_share",
+    "brand_unit_price_dispersion",
+    "events_bounce_rate_by_day",
+    "events_session_duration_by_entry",
+    "events_markov_logprob",
+    "purchase_attribution_time_decay",
+    "events_hourly_value_interpolated",
+    "events_value_autocorrelation",
+    "events_anomaly_mad",
+    "corpus_vocab_growth",
+    "positional_unigram_kl",
+    "source_bigram_cond_entropy",
+    "shingle_df_histogram",
+    "neardup_cluster_size_histogram",
+    "crosssource_exact_dup_matrix",
+    "embedding_quantization_error",
+    "term_graph_reciprocity",
+    "term_graph_clustering_coefficient",
+    "events_trimmed_value_stats",
+    "brand_price_size_slope",
+    "corpus_split_assignment",
+    "source_unigram_jsd",
+    "semantic_dedup_labels",
+    "ivfpq_index_roundtrip",
+    "term_graph_assortativity",
+    "nation_revenue_rank_shift",
+    "events_user_lifespan_histogram",
+    "corpus_dup_quality_lift",
+    "events_hourly_seasonality_strength",
+    "token_length_histogram",
+    "customer_repeat_rate_by_segment",
+    "event_value_topk_user_share",
+    "pq_index_roundtrip",
+    "events_sessionize",
+    "q1_pricing_summary",
+    "events_sliding_window_counts",
+    "multimodal_meta",
+    "q12_priority_by_month",
+    "retention_cohorts",
+)
+
+
+# --- round-15 window rationale (kept for history) ---
+# Round-15 window, built by the standing evidence-age policy
 # (QUERIES.md): never-driver-green queries first, then re-proofs, then the
 # oldest green rows. The arithmetic closes exactly (VERDICT r14 item 1):
 # (1) the four r14 below-window registrations, in VERDICT r14 item 1's
@@ -184,7 +275,7 @@ _R15_WINDOW = (
 # after two corrupting overwrites — the O2 family's first oracle) and
 # merge_schema_evolution_roundtrip (allow_new_columns MERGE widening —
 # the O6 family's first oracle), both deep-compared at both gate SFs.
-# --- round-14 window (kept for history; superseded by _R15_WINDOW) ---
+# --- round-14 window (kept for history; superseded by _R16_WINDOW) ---
 _R14_WINDOW = (
     # (1) the five below-window queries, VERDICT r13 item 1's order
     "order_customer_view_incremental",
@@ -389,7 +480,7 @@ _R14_WINDOW = (
 #     whole persist-sweep family in dedup/similarity; the global_order
 #     consumers after its cache-registry change;
 # (3) canaries; (4) stalest green rows rotated in.
-# --- round-13 window (kept for history; superseded by _R15_WINDOW) ---
+# --- round-13 window (kept for history; superseded by _R16_WINDOW) ---
 _R13_WINDOW = (
     # (1) the two queries registered this round
     "incremental_semantic_dedup_new_batch",
@@ -576,12 +667,12 @@ _R11_WINDOW = (
 
 
 def _ordered_names(merged: dict, oracles: dict) -> list[str]:
-    unknown = set(_R15_WINDOW) - merged.keys()
+    unknown = set(_R16_WINDOW) - merged.keys()
     if unknown:
         # Fail fast: a stale/misspelled window entry would otherwise
         # silently lose its gate slot (this masked a missing query in r4).
         raise ValueError(f"window names not in registry: {sorted(unknown)}")
-    order: list[str] = list(_R15_WINDOW)
+    order: list[str] = list(_R16_WINDOW)
     seen = set(order)
     # remainder: r3/r4-proven rows, oracled before rows-only
     rest = [n for n in merged if n not in seen]

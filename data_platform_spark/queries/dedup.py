@@ -4008,23 +4008,15 @@ SUBSTR_MIN_LEN = 24  # minimal reported span (>= 5 consecutive grams)
 
 
 def _char_grams(docs: DataFrame) -> DataFrame:
-    """(doc_id, pos, gram): every k-char gram with its 1-based offset."""
-    return (
-        docs.select(
-            "doc_id",
-            F.explode(
-                F.sequence(
-                    F.lit(1), F.greatest(F.length("text") - (SUBSTR_K - 1), F.lit(0))
-                )
-            ).alias("pos"),
-            F.col("text"),
-        )
-        .select(
-            "doc_id",
-            "pos",
-            F.col("text").substr(F.col("pos"), F.lit(SUBSTR_K)).alias("gram"),
-        )
-    )
+    """(doc_id, pos, gram): every SUBSTR_K-char gram with its 1-based
+    offset — the shared positional-gram relation
+    (functions.dedup.char_gram_df), which also guards the sub-k
+    phantom-gram case (ADVICE r15: Spark's ``sequence(1, 0)`` yields a
+    descending ``[1, 0]``; docs shorter than k are filtered before the
+    explode in BOTH engines)."""
+    from data_platform_spark.functions.dedup import char_gram_df
+
+    return char_gram_df(docs, "doc_id", "text", SUBSTR_K)
 
 
 def substring_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4087,6 +4079,7 @@ ORACLE["substring_duplicate_spans"] = f"""
              LATERAL unnest(
                  range(1, greatest(length(text) - {SUBSTR_K - 1}, 0) + 1)
              ) AS u(i)
+        WHERE length(text) >= {SUBSTR_K}
     ),
     capped AS (
         SELECT gram
@@ -4191,6 +4184,7 @@ ORACLE["substring_strip_decisions"] = f"""
              LATERAL unnest(
                  range(1, greatest(length(text) - {SUBSTR_K - 1}, 0) + 1)
              ) AS u(i)
+        WHERE length(text) >= {SUBSTR_K}
     ),
     capped AS (
         SELECT gram
@@ -4354,6 +4348,7 @@ ORACLE["substring_duplicate_spans_winnowed"] = f"""
              LATERAL unnest(
                  range(1, greatest(length(text) - {SUBSTR_K - 1}, 0) + 1)
              ) AS u(i)
+        WHERE length(text) >= {SUBSTR_K}
     ),
     anchors AS (
         SELECT * FROM g0
@@ -4489,5 +4484,146 @@ ORACLE["incremental_substring_spans"] = (
     + f""")
     SELECT * FROM one_shot
     WHERE doc_a % {INCR_NEW_MOD} = 0 OR doc_b % {INCR_NEW_MOD} = 0
+"""
+)
+
+
+def substring_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED gram-posting index under the CORRECTNESS GATE
+    (VERDICT r15 item 2 — the substring-dedup production triple,
+    ops/substring_index.py): build the on-disk (postings, df, params)
+    index from the standing corpus (doc_id % INCR_NEW_MOD != 0) into a
+    temp dir, then run the production daily-crawl check —
+    substring_search_index, whose candidate join reads the persisted
+    postings BUCKET-PRUNED to the batch grams' hash buckets and whose
+    union df-cap sums the persisted partials (the standing corpus is
+    never re-grammed or self-joined) — for the new batch
+    (doc_id % INCR_NEW_MOD == 0). Identical split/geometry to the
+    oracled incremental_substring_spans makes the spans bit-identical
+    to the full re-derivation, so that oracle is REUSED verbatim: the
+    driver verifies build + persisted search end-to-end (the
+    band_index_roundtrip discipline applied to the substring family).
+
+    Registered r16 BELOW the frozen window (the standing precedent),
+    local deep-compare evidence at both gate SFs; first in line for an
+    r17 slot."""
+    from data_platform_spark.ops.substring_index import (
+        build_substring_index,
+        substring_search_index,
+    )
+    from data_platform_spark.queries._util import scratch_dir
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    standing = docs.filter(F.col("doc_id") % INCR_NEW_MOD != 0)
+    batch = docs.filter(F.col("doc_id") % INCR_NEW_MOD == 0)
+    base = scratch_dir("dps_substr_rt_")
+    build_substring_index(
+        standing,
+        f"{base}/substr",
+        k=SUBSTR_K,
+        df_cap=SUBSTR_DF_CAP,
+        min_len=SUBSTR_MIN_LEN,
+    )
+    return substring_search_index(spark, f"{base}/substr", batch)
+
+
+QUERIES["substring_index_roundtrip"] = substring_index_roundtrip
+
+# bit-identical to the full re-derivation by construction — reuse the
+# oracle verbatim so the gate proves the persisted-index path
+ORACLE["substring_index_roundtrip"] = ORACLE["incremental_substring_spans"]
+
+
+def substring_index_report_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The persisted index's per-batch-doc KEEP/STRIP report under the
+    gate: build on the standing corpus, then
+    ops.substring_index.incremental_substring_report for the batch —
+    interval-union coverage of every span the persisted search returns,
+    one row per batch doc (zero-coverage docs get ``keep``). The oracle
+    rebuilds the same composition from the one-shot spans: a batch
+    doc's intervals in the FULL-corpus strip composition are exactly
+    its batch-touching spans (every span touching it touches the
+    batch), so the persisted O(batch) report must match the one-shot
+    derivation restricted to batch docs — that equivalence is the
+    incremental correctness claim, strip-decision form.
+
+    Registered r16 BELOW the frozen window (the standing precedent),
+    local deep-compare evidence at both gate SFs; first in line for an
+    r17 slot."""
+    from data_platform_spark.ops.substring_index import (
+        build_substring_index,
+        incremental_substring_report,
+    )
+    from data_platform_spark.queries._util import scratch_dir
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    standing = docs.filter(F.col("doc_id") % INCR_NEW_MOD != 0)
+    batch = docs.filter(F.col("doc_id") % INCR_NEW_MOD == 0)
+    base = scratch_dir("dps_substr_rpt_")
+    build_substring_index(
+        standing,
+        f"{base}/substr",
+        k=SUBSTR_K,
+        df_cap=SUBSTR_DF_CAP,
+        min_len=SUBSTR_MIN_LEN,
+    )
+    return incremental_substring_report(
+        spark, f"{base}/substr", batch, strip_ratio=SUBSTR_STRIP_RATIO
+    )
+
+
+QUERIES["substring_index_report_roundtrip"] = substring_index_report_roundtrip
+
+# oracle: the one-shot strip composition restricted to batch docs (their
+# interval sets are identical — every span touching a batch doc is
+# batch-touching), with zero-coverage keep rows for the batch docs no
+# span touches (the report's one-row-per-batch-doc contract)
+ORACLE["substring_index_report_roundtrip"] = (
+    "WITH one_shot AS ("
+    + ORACLE["substring_duplicate_spans"]
+    + f"""),
+    ivals AS (
+        SELECT DISTINCT * FROM (
+            SELECT doc_a AS doc_id, a_start AS s, a_start + match_len AS e
+            FROM one_shot WHERE doc_a % {INCR_NEW_MOD} = 0
+            UNION ALL
+            SELECT doc_b, b_start, b_start + match_len
+            FROM one_shot WHERE doc_b % {INCR_NEW_MOD} = 0
+        )
+    ),
+    grouped AS (
+        SELECT doc_id, s, e,
+               sum(CASE WHEN prev_max_e IS NULL OR s > prev_max_e
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY s, e
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS grp
+        FROM (
+            SELECT doc_id, s, e,
+                   max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS prev_max_e
+            FROM ivals
+        )
+    ),
+    covered AS (
+        SELECT doc_id, sum(chars)::BIGINT AS dup_chars
+        FROM (
+            SELECT doc_id, grp, max(e) - min(s) AS chars
+            FROM grouped GROUP BY doc_id, grp
+        )
+        GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(c.dup_chars, 0)::BIGINT AS dup_chars,
+           {sql_round("coalesce(c.dup_chars, 0) / length(d.text)", 4)}
+               AS dup_ratio,
+           CASE WHEN coalesce(c.dup_chars, 0) / length(d.text)
+                     > {SUBSTR_STRIP_RATIO}
+                THEN 'strip' ELSE 'keep' END AS decision
+    FROM documents d LEFT JOIN covered c USING (doc_id)
+    WHERE d.doc_id % {INCR_NEW_MOD} = 0
 """
 )

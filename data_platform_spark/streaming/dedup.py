@@ -110,6 +110,105 @@ def neardup_stream_sink(
     )
 
 
+def substring_stream_sink(
+    stream_docs: DataFrame,
+    wh: Warehouse,
+    index_path: str,
+    checkpoint_dir: str,
+    strip_ratio: float = 0.5,
+    schema: str = "dwh",
+    decisions_table: str = "substring_decisions",
+    compact_every: int | None = None,
+):
+    """foreachBatch sink over a document stream (doc_id, text): the
+    EXACT-SUBSTRING twin of ``neardup_stream_sink`` (VERDICT r15 item 2
+    completes the substring production triple) — each micro-batch is
+    checked against the standing gram-posting index
+    (ops/substring_index.py: O(batch) fresh gram work, bucket-pruned
+    postings/df reads, the standing corpus never self-joined or
+    re-grammed), per-doc keep/strip verdicts upsert into the decisions
+    table (doc_id, dup_chars, dup_ratio, decision), and ONLY the kept
+    docs fold into the index for the next batch to check against.
+
+    Effectively-once: the index append uses the two-phase
+    ``stream-<batch_id>`` markers (a replayed completed batch re-moves
+    only missing files — no duplicate postings or df partials, so no
+    double-counted document frequencies), and the decisions table
+    upserts on doc_id, so replays cannot double-report. The report is
+    computed BEFORE the append, so a batch never matches its own grams.
+
+    Unlike the near-dup sink there is no lowest-id-wins pre-pass: the
+    decision is COVERAGE-based (the substring_strip_decisions
+    semantics), and the batch self-leg is part of the oracled search —
+    so BOTH members of a fully-verbatim within-batch pair strip (each
+    is wholly covered by the other). That is the modality's contract —
+    strip docs that are mostly verbatim boilerplate — not keep-one
+    dedup; run the exact/near-dup sinks first when keep-one semantics
+    are wanted.
+
+    ``compact_every=N`` runs compact_substring_index after every Nth
+    batch (appends add one file per touched gram bucket per half
+    otherwise); postings compaction is bit-identity-preserving and the
+    df rollup sums partials — search-identical by construction — while
+    replay markers are untouched (the family convention)."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        from data_platform_spark.cache import release_caches
+
+        spark = batch_df.sparkSession
+        try:
+            if batch_df.limit(1).count() == 0:
+                return
+            bid = f"stream-{batch_id}"
+            from data_platform_spark.ops import _index_io as IO
+            from data_platform_spark.ops.substring_index import (
+                append_to_substring_index,
+                incremental_substring_report,
+            )
+
+            # a COMPLETED batch's replay (fresh checkpoint) skips
+            # entirely: its decisions were upserted before its append
+            # promoted the marker, and re-deciding against an index
+            # that now CONTAINS the batch would score every doc
+            # against its own indexed grams
+            if IO.batch_done(index_path, bid):
+                return
+            batch = batch_df.select("doc_id", "text").dropDuplicates(
+                ["doc_id"]
+            )
+            report = incremental_substring_report(
+                spark, index_path, batch, strip_ratio=strip_ratio
+            )
+            from data_platform_spark.streaming.monitors import (
+                upsert_keyed_rows,
+            )
+
+            upsert_keyed_rows(wh, schema, decisions_table, report, ["doc_id"])
+            survivors = batch.join(
+                report.filter(F.col("decision") == "keep").select("doc_id"),
+                "doc_id",
+            )
+            append_to_substring_index(survivors, index_path, batch_id=bid)
+            if compact_every and (batch_id + 1) % compact_every == 0:
+                from data_platform_spark.ops.compaction import (
+                    compact_substring_index,
+                )
+
+                compact_substring_index(spark, index_path)
+        finally:
+            # the search scope-persists its gram relations; each batch
+            # drains its caches on the way out (cache.py) — and MUST,
+            # because the index state mutates between batches
+            release_caches()
+
+    return (
+        stream_docs.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def semantic_dedup_stream_sink(
     stream_emb: DataFrame,
     wh: Warehouse,

@@ -158,6 +158,59 @@ def join_view_stream_sink(
     )
 
 
+def manifest_join_view_stream_sink(
+    stream_fact: DataFrame,
+    cat,
+    schema: str,
+    table: str,
+    dim: DataFrame,
+    *,
+    fact_on: str,
+    dim_on: str,
+    fact_key: str,
+    dim_payload: list[str],
+    partition_col: str,
+    checkpoint_dir: str,
+):
+    """foreachBatch sink maintaining a denormalized join view through
+    the MANIFEST CATALOG (VERDICT r15 item 3): each fact micro-batch
+    folds through ops/join_view.manifest_join_view_epoch — the view and
+    the orphan ledger stage as immutable versions and ONE manifest
+    rename commits them together, so a crash mid-epoch can never tear
+    view/orphan consistency for a manifest-pinned reader (the per-table
+    sink's transient both-ledgers window disappears; readers pin
+    ``cat.load()`` once and see a consistent pair at every snapshot).
+    Replays skip on the transaction mark committed atomically with the
+    data — effectively-once with NO marker-after-commit window. ``cat``
+    is a ManifestCatalog; ``dim`` is the static current dimension
+    image (dim upserts run out-of-band between triggers, staged
+    through their own transactions)."""
+    from data_platform_spark.ops.join_view import manifest_join_view_epoch
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        manifest_join_view_epoch(
+            batch_df.sparkSession,
+            cat,
+            schema,
+            table,
+            batch_df,
+            dim,
+            fact_on=fact_on,
+            dim_on=dim_on,
+            fact_key=fact_key,
+            dim_payload=dim_payload,
+            partition_col=partition_col,
+            epoch_id=batch_id,
+        )
+
+    return (
+        stream_fact.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def scd2_join_view_stream_sink(
     stream_fact: DataFrame,
     wh: Warehouse,

@@ -1227,6 +1227,53 @@ def test_table_lock_reentrant_and_compaction_holds_it(spark, tmp_path):
     assert before == after
 
 
+def test_merge_holds_lock_across_read_and_stage(spark, tmp_path):
+    """ADVICE r15: ``Warehouse.merge`` acquires the table lock BEFORE
+    reading/deriving, not just for the swap. Without that, a concurrent
+    rewrite of the table (another merge, or compact_join_view's
+    ``expire_orphans_below`` retention pass) can land between the
+    merge's read and its swap — the merge then reinstalls partition
+    images derived from the PRE-rewrite table, resurrecting dropped
+    rows. Pin: a merge launched while another thread holds the lock and
+    rewrites the table must fold its batch into the POST-rewrite image."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from data_platform_spark.pipeline import Warehouse
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    base = spark.range(1, 11).select(
+        F.col("id").alias("k"), F.lit("a").alias("p"), F.lit(0).alias("v")
+    )
+    wh.write(base, "dwh", "t", partition_by=["p"])
+
+    batch = spark.createDataFrame([(1, "a", 99)], "k long, p string, v int")
+    done = threading.Event()
+
+    def _merge():
+        wh.merge(spark, "dwh", "t", batch, ["k"], "p")
+        done.set()
+
+    with wh._table_lock("dwh", "t"):
+        th = threading.Thread(target=_merge)
+        th.start()
+        # the merge must be blocked BEFORE its read; give it time to
+        # (wrongly) race ahead, then rewrite the table under our hold
+        done.wait(timeout=1.0)
+        assert not done.is_set()
+        wh.write(
+            wh.read(spark, "dwh", "t").filter(F.col("k") != 5),
+            "dwh", "t", partition_by=["p"],
+        )
+    th.join(timeout=120)
+    assert done.is_set()
+    rows = {r.k: r.v for r in wh.read(spark, "dwh", "t").collect()}
+    assert 5 not in rows  # the concurrent delete survives the merge
+    assert rows[1] == 99  # and the merge's upsert landed
+    assert set(rows) == {1, 2, 3, 4, 6, 7, 8, 9, 10}
+
+
 def test_compact_join_view_orphan_expiry_and_replay(spark, tmp_path):
     """Orphan retention: compaction with ``expire_orphans_below`` drops
     only orphan rows below the partition cutoff (the view ledger is
@@ -1260,6 +1307,20 @@ def test_compact_join_view_orphan_expiry_and_replay(spark, tmp_path):
     n_old = orph.filter(F.col("o_month") < cutoff).count()
     assert 0 < n_old < n_orph  # the cutoff splits the ledger both ways
     n_view = wh.read(spark, "dwh", "oc").count()
+
+    # dry-run first (VERDICT r15 item 6): the preview reports exactly
+    # what the real run will drop — and mutates NOTHING
+    preview = compact_join_view(
+        spark, wh, "dwh", "oc", "o_month",
+        expire_orphans_below=cutoff, dry_run=True,
+    )
+    assert preview["dry_run"] and preview["orphans_expired"] == n_old
+    assert (
+        sum(preview["orphans_expired_by_partition"].values()) == n_old
+    )
+    assert all(p < cutoff for p in preview["orphans_expired_by_partition"])
+    assert wh.read(spark, "dwh", "oc__orphans").count() == n_orph
+    assert wh.read(spark, "dwh", "oc").count() == n_view
 
     out = compact_join_view(
         spark, wh, "dwh", "oc", "o_month", expire_orphans_below=cutoff

@@ -3406,6 +3406,14 @@ def test_substring_spans_planted_duplicates(spark, tmp_path):
     # df-cap probe: boilerplate gram in > SUBSTR_DF_CAP docs
     for i in range(SUBSTR_DF_CAP + 2):
         rows.append((10 + i, f"unique{i:02d}prefix" + boiler, "en", "s", 0))
+    # sub-k probe (ADVICE r15): identical docs SHORTER than the gram
+    # width carry no k-gram at all — Spark's sequence(1, 0) would
+    # otherwise yield a DESCENDING [1, 0] and emit phantom pos-0/1 grams
+    # the DuckDB oracle never produces
+    short = "tiny shared doc!"
+    assert len(short) < SUBSTR_K
+    rows.append((30, short, "en", "s", 0))
+    rows.append((31, short, "en", "s", 0))
     df = spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string, n_chars long"
     )
@@ -3420,11 +3428,21 @@ def test_substring_spans_planted_duplicates(spark, tmp_path):
         sf + "/documents.parquet",
     )
 
+    # sub-k docs yield ZERO gram rows (filtered before the explode) —
+    # in particular never a pos < 1
+    from data_platform_spark.queries.dedup import _char_grams
+
+    short_grams = _char_grams(
+        df.filter(F.col("doc_id").isin(30, 31))
+    ).collect()
+    assert short_grams == []
+
     spans = {
         (r.doc_a, r.doc_b): r
         for r in substring_duplicate_spans(spark, sf).collect()
     }
-    # exactly the planted pair; boilerplate docs produce NO spans (df cap)
+    # exactly the planted pair; boilerplate docs produce NO spans (df
+    # cap); the identical sub-k docs produce none either
     assert set(spans) == {(0, 1)}
     s = spans[(0, 1)]
     # 1-based offsets: chunk starts right after each 80-char filler
@@ -3436,3 +3454,268 @@ def test_substring_spans_planted_duplicates(spark, tmp_path):
     assert dec[0].dup_chars == len(chunk)
     # doc 0: 80 + 69 + 40 chars -> coverage ~0.365 -> keep
     assert dec[0].decision == "keep"
+
+
+def _rand_text(seed: int, n: int) -> str:
+    """Deterministic pseudo-random filler: no repeated or cross-seed
+    20-char gram w.h.p. (a periodic mod-26 generator would repeat its
+    own grams every 26 chars and spawn spurious extra diagonals)."""
+    import random
+
+    rng = random.Random(seed)
+    return "".join(
+        rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(n)
+    )
+
+
+def test_substring_persisted_index_matches_recompute(spark, tmp_path):
+    """The persisted gram-posting index (build once over the standing
+    corpus, search with O(batch) fresh gram work) must return the EXACT
+    span rows the oracled full-recompute query produces — and its
+    search plan must read parquet ONLY from the index (the standing
+    corpus' text is never re-grammed: the batch arrives as an in-memory
+    frame, so any other parquet scan would be the index's)."""
+    from data_platform_spark.ops.substring_index import (
+        build_substring_index,
+        read_substring_params,
+        substring_search_index,
+    )
+    from data_platform_spark.queries.dedup import (
+        INCR_NEW_MOD,
+        SUBSTR_DF_CAP,
+        SUBSTR_K,
+        SUBSTR_MIN_LEN,
+        incremental_substring_spans,
+    )
+    from data_platform_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    standing = docs.filter(F.col("doc_id") % INCR_NEW_MOD != 0)
+    path = str(tmp_path / "substr_index")
+    build_substring_index(
+        standing, path, k=SUBSTR_K, df_cap=SUBSTR_DF_CAP,
+        min_len=SUBSTR_MIN_LEN,
+    )
+    assert read_substring_params(spark, path) == {
+        "k": SUBSTR_K, "df_cap": SUBSTR_DF_CAP,
+        "min_len": SUBSTR_MIN_LEN, "n_gram_buckets": 64,
+    }
+
+    # batch as an IN-MEMORY frame: the search can only reach standing
+    # data through the persisted index
+    batch_rows = docs.filter(F.col("doc_id") % INCR_NEW_MOD == 0).select(
+        "doc_id", "text"
+    ).collect()
+    new_docs = spark.createDataFrame(batch_rows, "doc_id long, text string")
+
+    got = sorted(
+        tuple(r)
+        for r in substring_search_index(spark, path, new_docs).collect()
+    )
+    want = sorted(
+        tuple(r) for r in incremental_substring_spans(spark, sf).collect()
+    )
+    assert got == want and len(got) > 0
+
+    plan = substring_search_index(
+        spark, path, new_docs
+    )._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    scanned = set(re.findall(r"file:[^\]\s,]*", plan))
+    assert scanned, "expected parquet scans in the search plan"
+    assert all(s.startswith(f"file:{tmp_path}") for s in scanned), scanned
+
+
+def test_substring_index_append_folds_batch_in_and_poisoned_standing(
+    spark, tmp_path
+):
+    """The daily loop: search a batch, append it, and the NEXT search
+    must see the appended docs' grams as standing postings. Then the
+    poisoned-recompute pin: OVERWRITING the standing docs' source text
+    after build must not change any search result — the serve path
+    reads postings and df partials, never the corpus text."""
+    from data_platform_spark.ops.substring_index import (
+        append_to_substring_index,
+        build_substring_index,
+        substring_search_index,
+    )
+
+    base_txt = _rand_text(1, 120)
+    src = str(tmp_path / "standing")
+    spark.createDataFrame(
+        [(1, base_txt)], "doc_id long, text string"
+    ).write.parquet(src)
+    path = str(tmp_path / "idx")
+    build_substring_index(spark.read.parquet(src), path)
+
+    # day-1 doc shares nothing with standing: no spans; append it
+    day1_txt = _rand_text(2, 60) + base_txt[:30] + "Q" + _rand_text(3, 29)
+    day1 = spark.createDataFrame(
+        [(100, day1_txt)], "doc_id long, text string"
+    )
+    got1 = substring_search_index(spark, path, day1).collect()
+    # doc 100 shares base_txt[:30] with standing doc 1: one 30-char span
+    assert [(r.doc_a, r.doc_b, r.a_start, r.b_start, r.match_len)
+            for r in got1] == [(1, 100, 1, 61, 30)]
+    append_to_substring_index(day1, path, batch_id="day1")
+
+    # day-2 doc duplicates a chunk that exists ONLY in the appended doc
+    # "Q" breaks the span deterministically at the boundary (a random
+    # tail would extend it by one gram with probability 1/26)
+    day2 = spark.createDataFrame(
+        [(200, day1_txt[:40] + "Q" + _rand_text(4, 59))],
+        "doc_id long, text string",
+    )
+    got2 = sorted(
+        (r.doc_a, r.doc_b, r.match_len)
+        for r in substring_search_index(spark, path, day2).collect()
+    )
+    # 40-char prefix of day1 (appended), plus nothing vs doc 1 (the
+    # shared base chunk sits past position 40 in day1)
+    assert got2 == [(100, 200, 40)]
+
+    # poison the standing source text: search results must not move
+    spark.createDataFrame(
+        [(1, _rand_text(5, 120))], "doc_id long, text string"
+    ).write.mode("overwrite").parquet(src)
+    still = sorted(
+        (r.doc_a, r.doc_b, r.match_len)
+        for r in substring_search_index(spark, path, day2).collect()
+    )
+    assert still == got2
+    still1 = substring_search_index(spark, path, day1.select("doc_id", "text")).collect()
+    assert [(r.doc_a, r.doc_b, r.match_len) for r in still1] == [(1, 100, 30)]
+
+
+def test_substring_index_append_idempotent_with_batch_id(spark, tmp_path):
+    """A replayed append with the same batch_id is a no-op: postings and
+    df partials do not duplicate (a double-counted df would push grams
+    over the cap and silently drop spans)."""
+    from data_platform_spark.ops.substring_index import (
+        append_to_substring_index,
+        build_substring_index,
+        substring_search_index,
+    )
+
+    path = str(tmp_path / "idx")
+    build_substring_index(
+        spark.createDataFrame(
+            [(1, _rand_text(1, 100))], "doc_id long, text string"
+        ),
+        path,
+    )
+    batch = spark.createDataFrame(
+        [(10, _rand_text(2, 100))], "doc_id long, text string"
+    )
+    append_to_substring_index(batch, path, batch_id="b0")
+    post1 = spark.read.parquet(f"{path}/postings").count()
+    df1 = spark.read.parquet(f"{path}/df").groupBy().sum("df").collect()[0][0]
+    # replay: marker short-circuits, nothing moves
+    append_to_substring_index(batch, path, batch_id="b0")
+    assert spark.read.parquet(f"{path}/postings").count() == post1
+    assert (
+        spark.read.parquet(f"{path}/df").groupBy().sum("df").collect()[0][0]
+        == df1
+    )
+    # a probe that duplicates the appended doc still sees df=2, not 3
+    probe = spark.createDataFrame(
+        [(20, _rand_text(2, 100))], "doc_id long, text string"
+    )
+    hits = substring_search_index(spark, path, probe).collect()
+    assert [(r.doc_a, r.doc_b, r.match_len) for r in hits] == [(10, 20, 100)]
+
+
+def test_substring_index_compaction_bit_identical(spark, tmp_path):
+    """compact_substring_index: postings re-bucket bytes only; the df
+    rollup sums per-batch partials to one row per gram — searches are
+    bit-identical before and after, file counts drop, replay markers
+    survive."""
+    from data_platform_spark.ops import _index_io as IO
+    from data_platform_spark.ops.compaction import compact_substring_index
+    from data_platform_spark.ops.substring_index import (
+        append_to_substring_index,
+        build_substring_index,
+        substring_search_index,
+    )
+
+    path = str(tmp_path / "idx")
+    build_substring_index(
+        spark.createDataFrame(
+            [(1, _rand_text(1, 100))], "doc_id long, text string"
+        ),
+        path,
+    )
+    for i, seed in enumerate((2, 3, 4)):
+        append_to_substring_index(
+            spark.createDataFrame(
+                [(10 + i, _rand_text(seed, 100))],
+                "doc_id long, text string",
+            ),
+            path,
+            batch_id=f"b{i}",
+        )
+    probe = spark.createDataFrame(
+        [(99, _rand_text(3, 100))], "doc_id long, text string"
+    )
+    before = sorted(
+        tuple(r) for r in substring_search_index(spark, path, probe).collect()
+    )
+    out = compact_substring_index(spark, path)
+    assert out["postings"]["files_after"] < out["postings"]["files_before"]
+    assert out["df"]["files_after"] < out["df"]["files_before"]
+    after = sorted(
+        tuple(r) for r in substring_search_index(spark, path, probe).collect()
+    )
+    assert after == before and len(after) == 1
+    # df partials folded: exactly one row per (gbk, gram) now
+    dfh = spark.read.parquet(f"{path}/df")
+    assert dfh.count() == dfh.select("gram").distinct().count()
+    # replay markers survive compaction: a re-delivered batch is a no-op
+    assert IO.batch_done(path, "b1")
+    n = spark.read.parquet(f"{path}/postings").count()
+    append_to_substring_index(
+        spark.createDataFrame(
+            [(11, _rand_text(3, 100))], "doc_id long, text string"
+        ),
+        path,
+        batch_id="b1",
+    )
+    assert spark.read.parquet(f"{path}/postings").count() == n
+
+
+def test_incremental_substring_report_zero_coverage_rows(spark, tmp_path):
+    """The report has exactly one row per batch doc: covered docs carry
+    the interval-union coverage and the strip decision; untouched docs
+    get an explicit zero-coverage keep row."""
+    from data_platform_spark.ops.substring_index import (
+        build_substring_index,
+        incremental_substring_report,
+    )
+
+    base_txt = _rand_text(1, 120)
+    path = str(tmp_path / "idx")
+    build_substring_index(
+        spark.createDataFrame(
+            [(1, base_txt)], "doc_id long, text string"
+        ),
+        path,
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, base_txt[:80] + "Q" + _rand_text(2, 39)),  # 80/120 -> strip
+            (11, _rand_text(3, 120)),                 # novel -> keep
+            (12, base_txt[:30] + "Q" + _rand_text(4, 89)),  # 30/120 -> keep
+        ],
+        "doc_id long, text string",
+    )
+    rep = {
+        r.doc_id: r
+        for r in incremental_substring_report(spark, path, batch).collect()
+    }
+    assert set(rep) == {10, 11, 12}
+    assert rep[10].dup_chars == 80 and rep[10].decision == "strip"
+    assert rep[11].dup_chars == 0 and rep[11].decision == "keep"
+    assert rep[11].dup_ratio == 0.0
+    assert rep[12].dup_chars == 30 and rep[12].decision == "keep"

@@ -638,6 +638,98 @@ def test_neardup_stream_sink_daily_loop(spark, tmp_path):
     assert idx_ids == {1, 2, 11, 12}
 
 
+def test_substring_stream_sink_daily_loop(spark, tmp_path):
+    """The exact-substring crawler loop end-to-end over 2 micro-batches
+    (VERDICT r15 item 2's streaming leg): batch-1 docs seed the index
+    (all kept), a batch-2 doc mostly made of a batch-1 doc's text is
+    flagged STRIP against the GROWN index and NOT appended, a doc with
+    a sub-threshold shared chunk keeps with its coverage recorded, and
+    novel docs keep with zero coverage."""
+    import json
+    import os
+    import random
+
+    from data_platform_spark.ops.substring_index import (
+        build_substring_index,
+    )
+    from data_platform_spark.pipeline import Warehouse
+    from data_platform_spark.streaming.dedup import substring_stream_sink
+
+    def _txt(seed, n):
+        rng = random.Random(seed)
+        return "".join(
+            rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(n)
+        )
+
+    base = _txt(1, 120)
+    src = str(tmp_path / "docs_stream")
+    os.makedirs(src)
+    batch1 = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": _txt(2, 120)},
+    ]
+    batch2 = [
+        # 80/120 of doc 1's text verbatim -> strip, not appended
+        {"doc_id": 10, "text": base[:80] + "Q" + _txt(3, 39)},
+        # novel -> keep, zero coverage
+        {"doc_id": 11, "text": _txt(4, 120)},
+        # 30/120 shared -> keep, coverage recorded
+        {"doc_id": 12, "text": base[:30] + "Q" + _txt(5, 89)},
+    ]
+    for i, rows in enumerate([batch1, batch2]):
+        with open(f"{src}/b{i}.json", "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        os.utime(f"{src}/b{i}.json", (1_000_000 + i, 1_000_000 + i))
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    index_path = str(tmp_path / "substr_idx")
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    build_substring_index(empty, index_path)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = substring_stream_sink(
+        stream, wh, index_path, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(180)
+
+    dec = {
+        r.doc_id: r
+        for r in wh.read(spark, "dwh", "substring_decisions").collect()
+    }
+    assert set(dec) == {1, 2, 10, 11, 12}
+    assert dec[1].decision == "keep" and dec[2].decision == "keep"
+    assert dec[10].decision == "strip" and dec[10].dup_chars == 80
+    assert dec[11].decision == "keep" and dec[11].dup_chars == 0
+    assert dec[12].decision == "keep" and dec[12].dup_chars == 30
+    # the index grew by exactly the survivors: 1, 2, 11, 12
+    idx_ids = {
+        r.doc_id
+        for r in spark.read.parquet(f"{index_path}/postings").collect()
+    }
+    assert idx_ids == {1, 2, 11, 12}
+    # replay with a FRESH checkpoint: completed batch markers short-
+    # circuit both batches — decisions and index unchanged
+    stream2 = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q2 = substring_stream_sink(
+        stream2, wh, index_path, checkpoint_dir=str(tmp_path / "ckpt2")
+    )
+    q2.awaitTermination(180)
+    assert {
+        r.doc_id
+        for r in spark.read.parquet(f"{index_path}/postings").collect()
+    } == {1, 2, 11, 12}
+    assert wh.read(spark, "dwh", "substring_decisions").count() == 5
+
+
 def test_daily_quality_monitor_absorbs_late_day_update(spark, tmp_path):
     """Late-data contract (VERDICT r7 item 7), pinned: a NEW event
     arriving after its day was already published must UPDATE that day's
@@ -1719,6 +1811,96 @@ def test_semantic_dedup_stream_sink_matches_batch_ops(spark, tmp_path):
     }
     assert got2 == ref_decisions
     shutil.rmtree(str(tmp_path / "ckpt2"), ignore_errors=True)
+
+
+def test_manifest_join_view_stream_sink_equals_per_table(spark, tmp_path):
+    """The manifest-committed join-view sink (one manifest rename per
+    epoch covers BOTH ledgers) produces exactly the per-table sink's
+    view and orphans over the same micro-batches, every epoch advanced
+    the manifest id by one, and a fresh-checkpoint replay is a no-op
+    via the atomically-committed transaction marks."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_platform_spark.ops.join_view import incremental_join_view
+    from data_platform_spark.ops.manifest import ManifestCatalog
+    from data_platform_spark.pipeline import Warehouse
+    from data_platform_spark.sources.tables import load_table
+    from data_platform_spark.streaming.sink import (
+        manifest_join_view_stream_sink,
+    )
+    from tests.conftest import SF_SMOKE
+
+    orders = load_table(spark, SF_SMOKE, "orders").withColumn(
+        "o_month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    cust = load_table(spark, SF_SMOKE, "customer")
+    dim0 = cust.filter(F.pmod("c_custkey", F.lit(5)) != 0)
+    kw = dict(
+        fact_on="o_custkey",
+        dim_on="c_custkey",
+        fact_key="o_orderkey",
+        dim_payload=["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+        partition_col="o_month",
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    batches = [
+        orders.filter(F.pmod("o_orderkey", F.lit(3)) == i) for i in range(2)
+    ]
+    fact_schema = (
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, "
+        "o_orderpriority string, o_month string"
+    )
+    for i, b in enumerate(batches):
+        b.coalesce(1).write.mode("overwrite").json(f"{src}/b{i}")
+        os.utime(f"{src}/b{i}", (1_000_000 + i, 1_000_000 + i))
+        for e in os.listdir(f"{src}/b{i}"):
+            os.utime(
+                os.path.join(f"{src}/b{i}", e), (1_000_000 + i, 1_000_000 + i)
+            )
+
+    cat = ManifestCatalog(Warehouse(str(tmp_path / "wh_m")))
+    stream = (
+        spark.readStream.schema(fact_schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(f"{src}/b*")
+    )
+    q = manifest_join_view_stream_sink(
+        stream, cat, "dwh", "oc", dim0,
+        checkpoint_dir=str(tmp_path / "ckpt1"), **kw,
+    )
+    q.awaitTermination(180)
+    m = cat.load()
+    assert m["id"] == 2 and cat.mark("jv--dwh/oc", m) == 1
+
+    wh_b = Warehouse(str(tmp_path / "wh_b"))
+    for i, b in enumerate(batches):
+        incremental_join_view(
+            spark, wh_b, "dwh", "oc", b, dim0, batch_id=f"b{i}", **kw
+        )
+    for t in ("oc", "oc__orphans"):
+        a = wh_b.read(spark, "dwh", t)
+        b = cat.read(spark, "dwh", t, m)
+        cols = sorted(a.columns)
+        assert sorted(b.columns) == cols
+        assert a.select(*cols).exceptAll(b.select(*cols)).count() == 0
+        assert b.select(*cols).exceptAll(a.select(*cols)).count() == 0
+
+    # fresh-checkpoint replay: marks short-circuit both epochs
+    stream2 = (
+        spark.readStream.schema(fact_schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(f"{src}/b*")
+    )
+    q2 = manifest_join_view_stream_sink(
+        stream2, cat, "dwh", "oc", dim0,
+        checkpoint_dir=str(tmp_path / "ckpt2"), **kw,
+    )
+    q2.awaitTermination(180)
+    assert cat.load() == m
 
 
 def test_join_view_stream_equals_batch(spark, tmp_path):
