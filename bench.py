@@ -108,13 +108,21 @@ HEADLINE = [
     # the true greedy survivor fixpoint; its x4 ratio carries BOTH scale
     # claims (linear pair term, chain-depth-bounded fixpoint rounds)
     "semantic_dedup_cells_survivors",
-    # round 13: incremental semantic dedup — the daily-curation operator
-    # (batch assigned to FIXED standing centroids, bipartite pairs vs
-    # the standing survivor set, within-batch keep-first fixpoint);
-    # strict-budget convergence verified on the x4 corpus before
-    # inclusion (the gate shape retrains the standing side per call —
-    # production serves from ops/semantic_dedup.py's persisted index)
-    "incremental_semantic_dedup_new_batch",
+    # round 13-15: incremental_semantic_dedup_new_batch rode here; round
+    # 16 retires it from the headline (VERDICT r15 item 5 — its ~14 s is
+    # oracle-shaped: the gate query retrains the standing k-means +
+    # survivor fixpoint per call so DuckDB can verify the derivation,
+    # while production serves O(batch) from ops/semantic_dedup.py's
+    # persisted index). Both replacement candidates were MEASURED and
+    # rejected (NOTES_r16): semantic_index_roundtrip medians 39 s at
+    # sf0.1 (the on-disk build dominates — 2x worse), and a smaller-
+    # unroll variant cannot help because the query's cost is Spark-job-
+    # count-bound, not data-bound (15.2 s at sf0.01 vs 13.9-19.7 s at
+    # sf0.1 — flat across 10x data). The standing build + fixpoint
+    # regression signal stays in the headline via
+    # semantic_dedup_cells_survivors; the O(batch) serve claim is
+    # measured by scripts/measure_semantic_incremental.py; correctness
+    # evidence continues through the window (registry row unchanged).
     # round 13 (cont.): the component-aware train/val/test split (the
     # leakage audit composes the full LSH pair stack + components with
     # the md5-bucket split — its x4 ratio rides the pair stack's), and

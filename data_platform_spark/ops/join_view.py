@@ -446,6 +446,95 @@ def manifest_join_view_epoch(
     return tx.commit()
 
 
+def manifest_join_view_dim_epoch(
+    spark,
+    cat,
+    schema: str,
+    table: str,
+    dim_upserts: DataFrame,
+    *,
+    fact_on: str,
+    dim_on: str,
+    fact_key: str,
+    dim_payload: list[str],
+    partition_col: str,
+    epoch_id: int,
+    scope: str | None = None,
+    crash_between_ledgers: bool = False,
+) -> int | None:
+    """The dim-upsert leg as one ATOMIC manifest epoch — the companion
+    of ``manifest_join_view_epoch`` (a dim batch is the OTHER epoch
+    that touches both ledgers: refreshed view rows upsert the view
+    while promoted orphans leave the ledger). Same delta algebra as
+    ``join_view_dim_upsert_persisted``; both ledgers stage through
+    ``write_merged`` and ONE manifest rename commits them, so a pinned
+    reader can never see promoted rows in the view while their orphan
+    twins still sit in the ledger (or vice versa). Replay protection is
+    the atomically-committed transaction mark (``jvdim--`` scope, so a
+    dim epoch id can never collide with a fact epoch's).
+
+    ``dim_upserts`` carries the full new image of each changed key,
+    unique per ``dim_on`` (the shared contract). Returns the committed
+    manifest id, or None for a skipped replay."""
+    scope = scope or f"jvdim--{schema}/{table}"
+    last = cat.mark(scope)
+    if last is not None and last >= epoch_id:
+        return None
+    tx = cat.transaction()
+    orph_table = table + _ORPHANS_SUFFIX
+    changed = dim_upserts.select(dim_on).distinct()
+    _, view = tx._current_source(spark, schema, table)
+    _, orphans = tx._current_source(spark, schema, orph_table)
+    parts: list[DataFrame] = []
+    if view is not None:
+        parts.append(
+            view.join(
+                F.broadcast(changed), view[fact_on] == changed[dim_on],
+                "left_semi",
+            ).drop(*dim_payload)
+        )
+    touched_orphans = None
+    if orphans is not None:
+        touched_orphans = orphans.join(
+            F.broadcast(changed),
+            orphans[fact_on] == changed[dim_on],
+            "left_semi",
+        ).localCheckpoint()
+        parts.append(
+            touched_orphans.select(*parts[0].columns)
+            if parts
+            else touched_orphans
+        )
+    if not parts:
+        tx.set_mark(scope, epoch_id)
+        return tx.commit()
+    to_rejoin = parts[0]
+    for p in parts[1:]:
+        to_rejoin = to_rejoin.unionByName(p)
+    upsr = _dim_keyed(dim_upserts, dim_on)
+    refreshed = (
+        to_rejoin.join(
+            F.broadcast(upsr), to_rejoin[fact_on] == F.col(_DIM_KEY), "inner"
+        )
+        .drop(_DIM_KEY)
+        .dropDuplicates([fact_key])
+        .localCheckpoint()
+    )
+    tx.write_merged(
+        spark, refreshed, schema, table, [fact_key], partition_col
+    )
+    if crash_between_ledgers:
+        raise RuntimeError("injected crash between ledger stages")
+    if touched_orphans is not None:
+        dels = touched_orphans.withColumn(_DEL, F.lit(True))
+        tx.write_merged(
+            spark, dels, schema, orph_table, [fact_key], partition_col,
+            delete_col=_DEL,
+        )
+    tx.set_mark(scope, epoch_id)
+    return tx.commit()
+
+
 def join_view_dim_upsert_persisted(
     spark,
     wh,

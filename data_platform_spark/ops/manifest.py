@@ -445,6 +445,10 @@ class ManifestTransaction:
         part_vals = [
             r[0] for r in updates.select(partition_col).distinct().collect()
         ]
+        if not part_vals:
+            # empty batch against an existing image: stage nothing — the
+            # commit carries the current version forward untouched
+            return
         existing = cur.filter(F.col(partition_col).isin(part_vals))
         part_type = existing.schema[partition_col].dataType
         aligned = live.withColumn(
@@ -490,6 +494,15 @@ class ManifestTransaction:
                     os.path.join(src_dir, entry),
                     os.path.join(tmp_final, entry),
                 )
+        if not any(
+            e.startswith(f"{partition_col}=") for e in os.listdir(tmp_final)
+        ):
+            # deletes emptied EVERY partition: a bare dir is unreadable
+            # (no schema to infer), so stage a schema-bearing empty
+            # relation instead — readers see zero rows, later merges
+            # still resolve column types
+            shutil.rmtree(tmp_final, ignore_errors=True)
+            existing.limit(0).write.mode("overwrite").parquet(tmp_final)
         if os.path.isdir(final):  # re-run of a crashed publish: replace
             shutil.rmtree(final, ignore_errors=True)
         os.rename(tmp_final, final)

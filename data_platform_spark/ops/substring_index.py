@@ -226,8 +226,20 @@ def substring_search_index(
         df_scan = df_scan.filter(F.lit(False))
         post_scan = post_scan.filter(F.lit(False))
 
+    # The batch's gram set (and the df-capped eligible subset of it) is
+    # batch-bounded — the dimension-sized side of every standing-side
+    # join, so it BROADCASTS: the persisted df partials and postings are
+    # scanned (bucket-pruned) and probe the broadcast in place, never
+    # shuffling a corpus-proportional relation on the gram key. Without
+    # the hint Spark's stats for these aggregate-derived sets can
+    # overestimate past the auto-broadcast threshold and fall back to a
+    # sort-merge join that shuffles the standing postings — the O(corpus)
+    # movement this index exists to avoid. For a batch too large to
+    # broadcast, split the batch (the incremental family's convention).
     standing_df = (
-        df_scan.join(batch_df.select("gram"), "gram", "left_semi")
+        df_scan.join(
+            F.broadcast(batch_df.select("gram")), "gram", "left_semi"
+        )
         .groupBy("gram")
         .agg(F.sum("df").alias("df_s"))
     )
@@ -242,9 +254,11 @@ def substring_search_index(
         .select("gram")
     )
     g_batch = scoped_persist(
-        batch_grams.join(eligible, "gram", "left_semi")
+        batch_grams.join(F.broadcast(eligible), "gram", "left_semi")
     )
-    g_standing = post_scan.drop("gbk").join(eligible, "gram", "left_semi")
+    g_standing = post_scan.drop("gbk").join(
+        F.broadcast(eligible), "gram", "left_semi"
+    )
 
     def _sides(df, side):
         return df.select(

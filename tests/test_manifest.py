@@ -390,6 +390,82 @@ def test_manifest_join_view_matches_per_table_ledgers(spark, tmp_path):
     assert shared > 0
 
 
+def test_manifest_join_view_dim_epoch_promotes_atomically(spark, tmp_path):
+    """The dim-upsert epoch: a late dimension batch promotes its
+    orphans into the view and evicts them from the ledger in ONE
+    manifest commit — crash between the two ledger stages leaves a
+    pinned reader on the consistent pre-epoch pair; the replayed epoch
+    completes; results equal the per-table dim leg; a committed
+    epoch's replay is a mark no-op."""
+    from data_platform_spark.ops.join_view import (
+        incremental_join_view,
+        join_view_dim_upsert_persisted,
+        manifest_join_view_dim_epoch,
+        manifest_join_view_epoch,
+    )
+    from data_platform_spark.sources.tables import load_table
+
+    orders = _orders_months(spark)
+    cust = load_table(spark, SF_SMOKE, "customer")
+    dim0 = cust.filter(F.pmod("c_custkey", F.lit(5)) != 0)
+    late = cust.filter(F.pmod("c_custkey", F.lit(5)) == 0)
+    kw = _jv_kw()
+    b0 = orders.filter(F.pmod("o_orderkey", F.lit(2)) == 0)
+
+    # per-table reference
+    wh_a = Warehouse(str(tmp_path / "a"))
+    incremental_join_view(
+        spark, wh_a, "dwh", "oc", b0, dim0, batch_id="b0", **kw
+    )
+    join_view_dim_upsert_persisted(
+        spark, wh_a, "dwh", "oc", late, batch_id="d0", **kw
+    )
+
+    cat = ManifestCatalog(Warehouse(str(tmp_path / "b")))
+    manifest_join_view_epoch(
+        spark, cat, "dwh", "oc", b0, dim0, epoch_id=0, **kw
+    )
+    m_pre = cat.load()
+    n_view_pre = cat.read(spark, "dwh", "oc", m_pre).count()
+    n_orph_pre = cat.read(spark, "dwh", "oc__orphans", m_pre).count()
+    assert n_orph_pre > 0
+
+    # crash between the view stage and the orphans stage: pinned reader
+    # keeps the consistent pre-epoch pair (never promoted-into-view
+    # rows still sitting in the orphan ledger)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        manifest_join_view_dim_epoch(
+            spark, cat, "dwh", "oc", late, epoch_id=0,
+            crash_between_ledgers=True, **kw,
+        )
+    assert cat.load() == m_pre
+    cat.recover()
+    mid = manifest_join_view_dim_epoch(
+        spark, cat, "dwh", "oc", late, epoch_id=0, **kw
+    )
+    m = cat.load()
+    assert m["id"] == mid and cat.mark("jvdim--dwh/oc", m) == 0
+    # every orphan promoted (full dim now) — ledger emptied, view grew
+    assert cat.read(spark, "dwh", "oc", m).count() == n_view_pre + n_orph_pre
+    orph_after = cat.read(spark, "dwh", "oc__orphans", m)
+    assert orph_after is None or orph_after.count() == 0
+    # equality with the per-table dim leg
+    a = wh_a.read(spark, "dwh", "oc")
+    b = cat.read(spark, "dwh", "oc", m)
+    cols = sorted(a.columns)
+    assert sorted(b.columns) == cols
+    assert a.select(*cols).exceptAll(b.select(*cols)).count() == 0
+    assert b.select(*cols).exceptAll(a.select(*cols)).count() == 0
+    # committed-epoch replay: mark no-op
+    assert (
+        manifest_join_view_dim_epoch(
+            spark, cat, "dwh", "oc", late, epoch_id=0, **kw
+        )
+        is None
+    )
+    assert cat.load() == m
+
+
 def _publish_worker(root: str, n_publishes: int, out_q):
     """Cross-process contender: stage version dirs with pyarrow (no Spark
     in the subprocess — the contended machinery is txid allocation and
