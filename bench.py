@@ -108,21 +108,13 @@ HEADLINE = [
     # the true greedy survivor fixpoint; its x4 ratio carries BOTH scale
     # claims (linear pair term, chain-depth-bounded fixpoint rounds)
     "semantic_dedup_cells_survivors",
-    # round 13-15: incremental_semantic_dedup_new_batch rode here; round
-    # 16 retires it from the headline (VERDICT r15 item 5 — its ~14 s is
-    # oracle-shaped: the gate query retrains the standing k-means +
-    # survivor fixpoint per call so DuckDB can verify the derivation,
-    # while production serves O(batch) from ops/semantic_dedup.py's
-    # persisted index). Both replacement candidates were MEASURED and
-    # rejected (NOTES_r16): semantic_index_roundtrip medians 39 s at
-    # sf0.1 (the on-disk build dominates — 2x worse), and a smaller-
-    # unroll variant cannot help because the query's cost is Spark-job-
-    # count-bound, not data-bound (15.2 s at sf0.01 vs 13.9-19.7 s at
-    # sf0.1 — flat across 10x data). The standing build + fixpoint
-    # regression signal stays in the headline via
-    # semantic_dedup_cells_survivors; the O(batch) serve claim is
-    # measured by scripts/measure_semantic_incremental.py; correctness
-    # evidence continues through the window (registry row unchanged).
+    # round 13-15: incremental_semantic_dedup_new_batch; briefly removed
+    # post-r15 ("bench diet"), RESTORED in r16 — BENCH_r15.json carries
+    # the entry and the bench contract forbids removing queries. The
+    # optimization round instead attacks what made it expensive: the
+    # survivor fixpoint's per-round driver loop is now a single
+    # grouped applyInPandas pass (functions/dedup._grouped_survivors).
+    "incremental_semantic_dedup_new_batch",
     # round 13 (cont.): the component-aware train/val/test split (the
     # leakage audit composes the full LSH pair stack + components with
     # the md5-bucket split — its x4 ratio rides the pair stack's), and
@@ -324,6 +316,14 @@ def main() -> None:
             _materialize(queries, name, spark, sf_dir) for _ in range(runs)
         ]
         timings[name] = round(statistics.median(samples), 3)
+        if os.environ.get("SPARK_GRAFT_BENCH_DEBUG"):
+            # per-run samples to stderr (diagnostics only — the artifact
+            # of record on stdout is unchanged)
+            print(
+                f"[bench-debug] {name}: "
+                + " ".join(f"{s:.2f}" for s in samples),
+                file=sys.stderr,
+            )
 
     sections: dict[str, dict | None] = {}
     mult = int(os.environ.get("SPARK_GRAFT_SCALE_MULT", "4"))

@@ -515,11 +515,103 @@ def connected_components(
     return labels.select("doc_id", F.col("label").alias("component"))
 
 
+def _grouped_survivors(
+    pairs: DataFrame,
+    group_col: str,
+    max_iterations: int,
+    strict: bool,
+    id_col: str,
+) -> DataFrame:
+    """Single-pass exact form of :func:`greedy_keep_first_survivors` for
+    pair graphs whose connected components are CONFINED to one group
+    (the SemDeDup family's within-cell pairs — both endpoints of every
+    pair share the cell, so no component spans groups).
+
+    The survivor set is a pure property of the pair graph (the
+    lexicographically-first maximal independent set), so any algorithm
+    computing it returns bit-identical results; here each group's graph
+    is decided in ONE sequential sweep inside an ``applyInPandas`` task
+    (guide §4.2 — Spark distributes, vectorized/native code decides),
+    replacing the synchronized driver loop's per-round join + aggregate
+    + convergence count + localCheckpoint. One shuffle on the group key
+    total, zero driver-side rounds; at 100 TB the groups (dedup cells,
+    population-bounded) are embarrassingly parallel.
+
+    ``max_iterations`` keeps its exact iterative meaning: the sweep also
+    computes each node's DECISION ROUND under the synchronized update
+    (survivor: 1 + max over lower neighbors' rounds, or 1 with none —
+    all lower neighbors decided removed; removed: 1 + min over lower
+    SURVIVING neighbors' rounds), so strict mode raises on exactly the
+    graphs the round-based loop would fail to converge on, and
+    non-strict mode NULLs exactly the nodes that loop would have left
+    undecided — gate queries pinned to an oracle's unroll depth keep
+    their loud-divergence contract unchanged."""
+    import pandas as pd  # noqa: F811 — worker-side import
+
+    from data_platform_spark.cache import scoped_persist
+
+    out_schema = f"{id_col} long, survivor boolean, __rounds int"
+
+    def _decide(pdf: pd.DataFrame) -> pd.DataFrame:
+        lower: dict[int, list[int]] = {}
+        nodes: set[int] = set()
+        for s, d in zip(pdf["src"].to_numpy(), pdf["dst"].to_numpy()):
+            s, d = int(s), int(d)
+            nodes.add(s)
+            nodes.add(d)
+            lower.setdefault(d, []).append(s)
+        surv: dict[int, bool] = {}
+        rnd: dict[int, int] = {}
+        for v in sorted(nodes):
+            lows = lower.get(v, ())
+            lsurv_rounds = [rnd[u] for u in lows if surv[u]]
+            if lsurv_rounds:
+                surv[v] = False
+                rnd[v] = 1 + min(lsurv_rounds)
+            else:
+                surv[v] = True
+                rnd[v] = 1 + max((rnd[u] for u in lows), default=0)
+        ordered = sorted(nodes)
+        return pd.DataFrame(
+            {
+                id_col: ordered,
+                "survivor": [surv[v] for v in ordered],
+                "__rounds": [rnd[v] for v in ordered],
+            }
+        )
+
+    decided = scoped_persist(
+        pairs.select(group_col, "src", "dst")
+        .groupBy(group_col)
+        .applyInPandas(_decide, out_schema)
+    )
+    row = decided.agg(F.max("__rounds").alias("mx")).collect()
+    mx = row[0]["mx"] or 0
+    if mx > max_iterations:
+        if strict:
+            raise RuntimeError(
+                f"greedy_keep_first_survivors did not converge in "
+                f"{max_iterations} iterations — the duplicate graph has a "
+                "longer lower-survivor dependency chain; raise "
+                "max_iterations"
+            )
+        # mirror the round loop exactly: nodes it would have left
+        # undecided after max_iterations rounds stay NULL
+        return decided.select(
+            id_col,
+            F.when(
+                F.col("__rounds") <= max_iterations, F.col("survivor")
+            ).alias("survivor"),
+        )
+    return decided.select(id_col, "survivor")
+
+
 def greedy_keep_first_survivors(
     pairs: DataFrame,
     max_iterations: int = 50,
     strict: bool = True,
     id_col: str = "vec_id",
+    group_col: str | None = None,
 ) -> DataFrame:
     """TRUE greedy keep-first dedup over duplicate PAIRS — the survivor
     set SemDeDup actually retains (ADVICE r10 on semantic_dedup_labels:
@@ -546,7 +638,20 @@ def greedy_keep_first_survivors(
     candidate-pair shape; bucketing keys may be dropped — survival is a
     property of the global pair graph). Returns (``id_col``, survivor
     BOOLEAN) for every id appearing in at least one pair; ids in no
-    pair are trivially survivors and are the caller's to union in."""
+    pair are trivially survivors and are the caller's to union in.
+
+    ``group_col`` (optimization, r16): when the caller GUARANTEES that
+    both endpoints of every pair share the named column's value — the
+    within-cell pair shape every SemDeDup consumer produces — the
+    fixpoint is computed group-at-a-time in one ``applyInPandas`` pass
+    (:func:`_grouped_survivors`): identical survivor set, identical
+    strict/round semantics, one shuffle instead of per-round join +
+    aggregate + count + checkpoint. Callers whose pairs may cross
+    groups must leave it None (the round loop handles any graph)."""
+    if group_col is not None:
+        return _grouped_survivors(
+            pairs, group_col, max_iterations, strict, id_col
+        )
     edges = (
         pairs.select(F.col("src"), F.col("dst")).distinct().persist()
     )
@@ -806,7 +911,7 @@ def semantic_dedup_decide(
         threshold,
         id_col,
         vec_col,
-    ).select("src", "dst")
+    )
     if max_iterations is None:
         mx = (
             alive.groupBy("cell")
@@ -815,8 +920,10 @@ def semantic_dedup_decide(
             .collect()[0]["mx"]
         )
         max_iterations = survivor_round_budget(int(mx or 1))
+    # group_col="cell": within_cell_dup_pairs pairs never cross cells —
+    # single-pass grouped fixpoint (same survivor set, no driver rounds)
     surv = greedy_keep_first_survivors(
-        bb, max_iterations=max_iterations, id_col="b_id"
+        bb, max_iterations=max_iterations, id_col="b_id", group_col="cell"
     )
     base = batch_cells.select(F.col(id_col).alias("b_id"), "cell")
     return (

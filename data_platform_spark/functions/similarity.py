@@ -245,6 +245,27 @@ def srp_signature(vec: Column, n_planes: int = 16, dim: int = 64) -> Column:
 # ---------------------------------------------------------------------------
 
 
+def _argmin_label(
+    dist: DataFrame, id_col: str, dist_col: str = "dist2"
+) -> DataFrame:
+    """Per-id argmin over a (id, label, dist) relation with the family's
+    deterministic (dist asc, label asc) tie-break — as ONE map-side-
+    combined struct-min aggregate instead of a window: struct comparison
+    is field-lexicographic, so ``min(struct(dist, label))`` equals row 1
+    of ``row_number() over (partition by id order by dist, label)``
+    bit-for-bit, while the plan drops the window's per-id sort and ships
+    one partial row per (map task, id) instead of every (id, label) row
+    (guide §2.3/§2.4 — aggregate before the exchange, no second sort)."""
+    best = dist.groupBy(id_col).agg(
+        F.min(F.struct(F.col(dist_col), F.col("label"))).alias("__best")
+    )
+    return best.select(
+        id_col,
+        F.col("__best.label").alias("assigned_label"),
+        F.col(f"__best.{dist_col}").alias(dist_col),
+    )
+
+
 def ivf_assign(
     emb: DataFrame,
     cents: DataFrame,
@@ -254,8 +275,8 @@ def ivf_assign(
     """IVF coarse quantization: nearest-centroid (L2) assignment per
     vector. Centroids are the tiny (label, pos, centroid_val) long layout
     from ``label_centroids`` — broadcast into the posexploded join; argmin
-    via a per-vector window with deterministic tie-break."""
-    from pyspark.sql.window import Window
+    via one struct-min aggregate with the deterministic (dist2, label)
+    tie-break (``_argmin_label``)."""
 
     vec_long = emb.select(
         id_col, F.posexplode(as_double(F.col(vec_col))).alias("pos", "x")
@@ -273,12 +294,7 @@ def ivf_assign(
             ).alias("dist2")
         )
     )
-    w = Window.partitionBy(id_col).orderBy(F.asc("dist2"), F.asc("label"))
-    return (
-        dist.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select(id_col, F.col("label").alias("assigned_label"), "dist2")
-    )
+    return _argmin_label(dist, id_col)
 
 
 # flat nearest-centroid assignment broadcasts ALL k centroids into the
@@ -408,12 +424,7 @@ def ivf_assign_two_level(
             ).alias("dist2")
         )
     )
-    w = Window.partitionBy(id_col).orderBy(F.asc("dist2"), F.asc("label"))
-    return (
-        dist.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select(id_col, F.col("label").alias("assigned_label"), "dist2")
-    )
+    return _argmin_label(dist, id_col)
 
 
 def assign_to_centroids(
@@ -879,15 +890,19 @@ def pq_train_codebook(
         .select("code", "pos", pround(F.col("x"), 4).alias("cb_val"))
         .localCheckpoint()
     )
-    w = Window.partitionBy(id_col, "m").orderBy(
-        F.asc("dist2_micro"), F.asc("code")
-    )
     for _ in range(n_iter):
+        # per-(id, m) argmin with the (dist2_micro, code) tie-break as a
+        # struct-min aggregate — same result as the former row_number
+        # window, minus the per-key sort (see _argmin_label)
         assign = (
             _pq_dist_against(vec_long, cents, id_col)
-            .withColumn("__rk", F.row_number().over(w))
-            .filter(F.col("__rk") == 1)
-            .select(id_col, "m", "code")
+            .groupBy(id_col, "m")
+            .agg(
+                F.min(F.struct(F.col("dist2_micro"), F.col("code"))).alias(
+                    "__best"
+                )
+            )
+            .select(id_col, "m", F.col("__best.code").alias("code"))
         )
         cents = (
             vec_long.join(assign, [id_col, "m"])

@@ -133,9 +133,11 @@ def build_semantic_dedup_index(
             .collect()[0]["mx"]
         )
         max_iterations = survivor_round_budget(int(mx or 1))
+    # group_col="cell": within_cell_dup_pairs pairs never cross cells —
+    # single-pass grouped fixpoint (same survivor set, no driver rounds)
     surv = greedy_keep_first_survivors(
-        dups.select("src", "dst"), max_iterations=max_iterations,
-        id_col=id_col,
+        dups, max_iterations=max_iterations,
+        id_col=id_col, group_col="cell",
     )
     decisions = (
         vectors.select(id_col)

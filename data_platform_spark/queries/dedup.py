@@ -2783,9 +2783,12 @@ def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a corpus whose dependency chain exceeds what the SQL dual models
     # now raises a self-describing error instead of hash-failing with a
     # converged-but-deeper Spark result
+    # group_col="label": pair endpoints share the label by construction
+    # (equi-join on label) — single-pass grouped fixpoint, same result
     survivors = greedy_keep_first_survivors(
-        dups.select("src", "dst"),
+        dups,
         max_iterations=SEMANTIC_SURVIVOR_ROUNDS,
+        group_col="label",
     )
     true_removed = (
         survivors.filter(~F.col("survivor"))
@@ -3000,9 +3003,13 @@ def semantic_dedup_cells_survivors(
     bound = dups.groupBy("cell").agg(
         F.count_distinct(F.col("dst")).cast("long").alias("n_removed_bound")
     )
+    # group_col="cell": both endpoints of every pair share the cell by
+    # construction (the equi-join above), so the fixpoint runs as one
+    # per-cell applyInPandas pass — same survivor set, no driver rounds
     survivors = greedy_keep_first_survivors(
-        dups.select("src", "dst"),
+        dups,
         max_iterations=SEMANTIC_SURVIVOR_ROUNDS,
+        group_col="cell",
     )
     true_removed = (
         survivors.filter(~F.col("survivor"))
@@ -3179,9 +3186,12 @@ def incremental_semantic_dedup_new_batch(
     s_dups = within_cell_dup_pairs(
         s_cells, SEMANTIC_DUP_THRESHOLD
     ).transform(scoped_persist)
+    # group_col="cell": within_cell_dup_pairs guarantees both endpoints
+    # share the cell — single-pass grouped fixpoint, same survivor set
     s_surv = greedy_keep_first_survivors(
-        s_dups.select("src", "dst"),
+        s_dups,
         max_iterations=SEMANTIC_SURVIVOR_ROUNDS,
+        group_col="cell",
     )
     standing_surv = s_cells.join(
         s_surv.filter(~F.col("survivor")).select("vec_id"),

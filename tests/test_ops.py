@@ -394,6 +394,81 @@ def test_greedy_keep_first_survivors_matches_sequential_reference(spark):
     assert any(got.values()) and not all(got.values())
 
 
+def test_greedy_grouped_matches_loop(spark):
+    """r16 optimization guard: the single-pass grouped fixpoint
+    (``group_col``) must be bit-identical to the round loop — survivor
+    set, strict raise, AND the non-strict undecided-NULL frontier at a
+    truncated ``max_iterations`` (gate queries pin oracle unroll depth
+    through that frontier)."""
+    import pytest as _pytest
+
+    from data_platform_spark.functions import similarity as S
+    from data_platform_spark.functions.dedup import (
+        greedy_keep_first_survivors,
+    )
+    from data_platform_spark.queries._util import pround
+    from data_platform_spark.queries.dedup import SEMANTIC_DUP_THRESHOLD
+    from data_platform_spark.sources.tables import load_table
+
+    # real within-label pair graph (both endpoints share label)
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    a = emb.select("label", F.col("vec_id").alias("src"),
+                   F.col("embedding").alias("e_src"))
+    b = emb.select("label", F.col("vec_id").alias("dst"),
+                   F.col("embedding").alias("e_dst"))
+    pairs = (
+        a.join(b, "label")
+        .filter(F.col("src") < F.col("dst"))
+        .select(
+            "label",
+            "src",
+            "dst",
+            pround(
+                S.cosine(
+                    S.as_double(F.col("e_src")), S.as_double(F.col("e_dst"))
+                ),
+                4,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= SEMANTIC_DUP_THRESHOLD)
+        .select("label", "src", "dst")
+    )
+    loop = {
+        r.vec_id: r.survivor
+        for r in greedy_keep_first_survivors(pairs).collect()
+    }
+    grouped = {
+        r.vec_id: r.survivor
+        for r in greedy_keep_first_survivors(
+            pairs, group_col="label"
+        ).collect()
+    }
+    assert grouped == loop and len(grouped) > 0
+
+    # strict raise parity on a chain longer than the budget
+    path = spark.createDataFrame(
+        [(1, i, i + 1) for i in range(5)], "g long, src long, dst long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        greedy_keep_first_survivors(path, max_iterations=2, group_col="g")
+
+    # non-strict: identical undecided-NULL frontier at the truncation
+    loop_nulls = {
+        r.vec_id: r.survivor
+        for r in greedy_keep_first_survivors(
+            path, max_iterations=2, strict=False
+        ).collect()
+    }
+    grouped_nulls = {
+        r.vec_id: r.survivor
+        for r in greedy_keep_first_survivors(
+            path, max_iterations=2, strict=False, group_col="g"
+        ).collect()
+    }
+    assert grouped_nulls == loop_nulls
+    assert None in grouped_nulls.values()  # the truncation actually bites
+
+
 def test_multiprobe_probe_set_contains_base_bucket(spark):
     """srp_probe_buckets: 4 distinct signatures, the first being the plain
     SRP signature (flip-none probe)."""
