@@ -759,6 +759,34 @@ def survivor_round_budget(max_cell_population: int) -> int:
     return max(1, int(max_cell_population))
 
 
+def _np_cosine_4dp(V: "object", i_idx: "object", j_idx: "object"):
+    """4-dp cosine between vector rows ``V[i_idx]`` and ``V[j_idx]``
+    with the EXACT arithmetic of the JVM expression
+    ``pround(cosine(as_double(a), as_double(b)), 4)``: elementwise
+    float64 products (exact), a LEFT-TO-RIGHT sequential sum
+    (``np.cumsum`` along the axis — the same fold order as
+    ``F.aggregate(zip_with(...), 0.0, acc + x)``), ``sqrt`` / ``*`` /
+    ``/`` as single IEEE ops, and ``floor(x * 10000 + 0.5) / 10000``
+    (pround) — where Spark's ``floor`` is LONG-typed, so
+    ``pround(NaN) = 0.0`` (measured: ``floor(double NaN)`` → 0L): NaN
+    vector components collapse to a 0.0 cosine exactly as the JVM
+    expression's did. A zero-norm vector's 0/0 — which the JVM form
+    cannot even evaluate under Spark 4's default ANSI mode
+    (DIVIDE_BY_ZERO) — also lands at 0.0 here and drops below any
+    positive threshold: strictly more defined, never a different
+    kept-pair set. Bit-identical by construction, pinned by
+    test_within_cell_pairs_grouped_matches_join."""
+    import numpy as np
+
+    sq = np.cumsum(V * V, axis=1)[:, -1]
+    nrm = np.sqrt(sq)
+    dots = np.cumsum(V[i_idx] * V[j_idx], axis=1)[:, -1]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        cos = dots / (nrm[i_idx] * nrm[j_idx])
+        r = np.floor(cos * 10000.0 + 0.5) / 10000.0
+    return np.where(np.isnan(r), 0.0, r)
+
+
 def within_cell_dup_pairs(
     cells: DataFrame,
     threshold: float,
@@ -766,57 +794,120 @@ def within_cell_dup_pairs(
     vec_col: str = "embedding",
     cell_col: str = "cell",
 ) -> DataFrame:
-    """Verified semantic-duplicate pairs WITHIN each cell — the narrow
-    SemDeDup pair stage as one reusable op: the self-join ships only
-    (cell, id); vectors re-join the candidate pairs on id for the 4-dp
-    cosine verify, so pair fan-out is bounded by cell population and
-    the wide embedding column never rides the pair shuffle. Returns
-    (cell, src, dst) with src < dst and cosine ≥ ``threshold`` — the
-    same pair algebra the oracle-gated semantic_dedup_cells family
+    """Verified semantic-duplicate pairs WITHIN each cell. Returns
+    (cell, src, dst) with src < dst and 4-dp cosine ≥ ``threshold`` —
+    the same pair algebra the oracle-gated semantic_dedup_cells family
     pins. Shared by the persisted-index build, the incremental decision
-    core, and the incremental gate query (VERDICT r12 item 1). The
-    three pre-r13 gate queries (semantic_dedup_cells / _survivors /
-    _cells_survivors) deliberately KEEP their inline pair stages: their
-    bodies are frozen driver-gated shapes, and every copy — theirs and
-    this one — is pinned to an independent hand-written DuckDB dual, so
-    an algebra drift in any copy hash-fails its own oracle rather than
-    diverging silently."""
-    from data_platform_spark.functions.similarity import as_double, cosine
+    core, and the incremental gate query (VERDICT r12 item 1).
 
-    ids = cells.select(cell_col, id_col)
-    a = ids.select(cell_col, F.col(id_col).alias("src"))
-    b = ids.select(cell_col, F.col(id_col).alias("dst"))
-    pairs = (
-        a.join(b, cell_col)
-        .filter(F.col("src") < F.col("dst"))
-        .select(cell_col, "src", "dst")
-    )
-    vecs = cells.select(id_col, vec_col)
+    r16 (guide §2.4/§4.2): ONE grouped Arrow pass replaces the former
+    ids-self-join + two vector re-joins + verify (≈6 exchanges → 1).
+    Each cell's (id, vector) rows land in one ``applyInPandas`` task —
+    population-bounded by construction, the same bound the pair
+    fan-out always had — and numpy computes the pairwise 4-dp cosines
+    with the exact JVM float semantics (:func:`_np_cosine_4dp`), so the
+    emitted pair SET is bit-identical to the join form (pinned by
+    test_within_cell_pairs_grouped_matches_join; every consumer is
+    additionally hash-pinned to its own DuckDB dual). The wide
+    embedding column crosses the cell exchange once per VECTOR instead
+    of the narrow pair relation re-joining it per PAIR — strictly fewer
+    bytes whenever a cell has ≥ 1 pair, and no pair rows exist JVM-side
+    at all."""
+    import numpy as np
+
+    cell_t = cells.schema[cell_col].dataType.simpleString()
+    id_t = cells.schema[id_col].dataType.simpleString()
+    out_schema = f"{cell_col} {cell_t}, src {id_t}, dst {id_t}"
+
+    def _pairs(pdf):
+        import pandas as pd
+
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {cell_col: [], "src": [], "dst": []}
+            ).astype({cell_col: pdf[cell_col].dtype, "src": pdf[id_col].dtype,
+                      "dst": pdf[id_col].dtype})
+        order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
+        ids = pdf[id_col].to_numpy()[order]
+        V = np.array(
+            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]],
+            dtype=np.float64,
+        )[order]
+        i_idx, j_idx = np.triu_indices(n, k=1)
+        cosr = _np_cosine_4dp(V, i_idx, j_idx)
+        keep = cosr >= threshold
+        return pd.DataFrame(
+            {
+                cell_col: pdf[cell_col].iloc[0],
+                "src": ids[i_idx[keep]],
+                "dst": ids[j_idx[keep]],
+            }
+        )
+
     return (
-        pairs.join(
-            vecs.select(
-                F.col(id_col).alias("src"), F.col(vec_col).alias("e_src")
-            ),
-            "src",
-        )
-        .join(
-            vecs.select(
-                F.col(id_col).alias("dst"), F.col(vec_col).alias("e_dst")
-            ),
-            "dst",
-        )
-        .select(
-            cell_col,
-            "src",
-            "dst",
-            pround(
-                cosine(as_double(F.col("e_src")), as_double(F.col("e_dst"))),
-                4,
-            ).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
-        .select(cell_col, "src", "dst")
+        cells.select(cell_col, id_col, vec_col)
+        .groupBy(cell_col)
+        .applyInPandas(_pairs, out_schema)
     )
+
+
+def _bipartite_dup_matches(
+    batch_cells: DataFrame,
+    standing_cells: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Verified batch×standing matches WITHIN each cell: (b_id, s_id,
+    cosine) for every batch/standing pair sharing a cell with 4-dp
+    cosine ≥ ``threshold`` (b_id ≠ s_id — a replayed batch id must not
+    self-kill). The bipartite analog of :func:`within_cell_dup_pairs`,
+    same r16 single-exchange shape: both sides union into one
+    groupBy(cell) Arrow pass (side-tagged), numpy computes the
+    bipartite 4-dp cosines with the exact JVM float semantics
+    (:func:`_np_cosine_4dp`), replacing the former cell-join + two
+    vector re-joins (≈6 exchanges → 1)."""
+    import numpy as np
+
+    tagged = batch_cells.select(
+        "cell", F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"),
+        F.lit(True).alias("__is_batch"),
+    ).unionByName(
+        standing_cells.select(
+            "cell", F.col(id_col).alias("__id"),
+            F.col(vec_col).alias("__v"), F.lit(False).alias("__is_batch"),
+        )
+    )
+    out_schema = "b_id long, s_id long, cosine double"
+
+    def _matches(pdf):
+        import pandas as pd
+
+        is_b = pdf["__is_batch"].to_numpy()
+        nb, ns = int(is_b.sum()), int((~is_b).sum())
+        if nb == 0 or ns == 0:
+            return pd.DataFrame({"b_id": [], "s_id": [], "cosine": []})
+        V = np.array(
+            [np.asarray(v, dtype=np.float64) for v in pdf["__v"]],
+            dtype=np.float64,
+        )
+        ids = pdf["__id"].to_numpy()
+        b_rows = np.flatnonzero(is_b)
+        s_rows = np.flatnonzero(~is_b)
+        i_idx = np.repeat(b_rows, ns)
+        j_idx = np.tile(s_rows, nb)
+        cosr = _np_cosine_4dp(V, i_idx, j_idx)
+        keep = (cosr >= threshold) & (ids[i_idx] != ids[j_idx])
+        return pd.DataFrame(
+            {
+                "b_id": ids[i_idx[keep]],
+                "s_id": ids[j_idx[keep]],
+                "cosine": cosr[keep],
+            }
+        )
+
+    return tagged.groupBy("cell").applyInPandas(_matches, out_schema)
 
 
 def semantic_dedup_decide(
@@ -865,34 +956,12 @@ def semantic_dedup_decide(
     from pyspark.sql.window import Window
 
     b_ids = batch_cells.select("cell", F.col(id_col).alias("b_id"))
-    s_ids = standing_cells.select("cell", F.col(id_col).alias("s_id"))
-    bvec = batch_cells.select(
-        F.col(id_col).alias("b_id"), F.col(vec_col).alias("e_b")
-    )
-    svec = standing_cells.select(
-        F.col(id_col).alias("s_id"), F.col(vec_col).alias("e_s")
-    )
-    bs = (
-        b_ids.join(s_ids, "cell")
-        # a vector never duplicates ITSELF: an overlapping or replayed
-        # batch whose ids already sit in the standing set must not
-        # self-kill (disjoint under the gate split, so the oracle's
-        # mirror of this filter is a no-op there)
-        .filter(F.col("b_id") != F.col("s_id"))
-        .select("b_id", "s_id")
-        .join(bvec, "b_id")
-        .join(svec, "s_id")
-        .select(
-            "b_id",
-            "s_id",
-            pround(
-                cosine(as_double(F.col("e_b")), as_double(F.col("e_s"))), 4
-            ).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
-        .select("b_id", "s_id", "cosine")
-        .transform(scoped_persist)
-    )
+    # r16: the bipartite verify runs as ONE grouped Arrow pass (see
+    # _bipartite_dup_matches) — the b_id ≠ s_id replay guard and the
+    # ≥-threshold filter live inside it, bit-identically
+    bs = _bipartite_dup_matches(
+        batch_cells, standing_cells, threshold, id_col, vec_col
+    ).transform(scoped_persist)
     w_best = Window.partitionBy("b_id").orderBy(
         F.desc("cosine"), F.asc("s_id")
     )

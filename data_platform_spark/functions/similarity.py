@@ -266,6 +266,96 @@ def _argmin_label(
     )
 
 
+def _cents_row(cents: DataFrame) -> DataFrame:
+    """Pivot the (label, pos, centroid_val) long centroid layout into ONE
+    row holding every centroid as a label-sorted array of (label, cvec)
+    structs — the broadcastable scalar the narrow-map assignment
+    (:func:`_flat_best`) folds over. Label keeps its source type; cvec is
+    the pos-ascending value array (array_sort over (pos, val) structs)."""
+    return (
+        cents.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "centroid_val"))),
+                lambda s: s.centroid_val,
+            ).alias("cvec")
+        )
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("label", "cvec"))
+            ).alias("__cents"),
+            # constant-valued but NON-FOLDABLE join key (an aggregate
+            # result): lets the attach be a real equi-join — a
+            # constant-key BroadcastHashJoin over this one row — instead
+            # of a crossJoin the planner lowers to a nested loop, so the
+            # family's no-BNLJ plan guards keep holding
+            F.min(F.lit(1)).alias("__one"),
+        )
+    )
+
+
+def _dist_structs(vec: Column, dist_dp: int = 6) -> Column:
+    """Per-centroid (dist2, label) structs for one vector against the
+    broadcast ``__cents`` array, as a pure projection: per centroid a
+    left-to-right fold of the squared diffs (zip_with + aggregate — the
+    SAME sequential pos-order summation the posexploded groupBy performed,
+    since all pos rows of one (id, label) group sat in one hash-agg
+    partial), rounded to ``dist_dp``. Struct comparison is
+    field-lexicographic, so ``array_min`` over these equals the former
+    struct-min aggregate's (dist asc, label asc) tie-break bit-for-bit,
+    and ``array_sort`` equals the (dist asc, label asc) row_number
+    ranking."""
+    return F.transform(
+        F.col("__cents"),
+        lambda c: F.struct(
+            pround(
+                F.aggregate(
+                    F.zip_with(
+                        vec, c["cvec"], lambda x, cv: (x - cv) * (x - cv)
+                    ),
+                    F.lit(0.0).cast("double"),
+                    lambda acc, y: acc + y,
+                ),
+                dist_dp,
+            ).alias("dist2"),
+            c["label"].alias("label"),
+        ),
+    )
+
+
+def _best_label_expr(vec: Column, dist_dp: int = 6) -> Column:
+    """The winning (dist2, label) struct — ``array_min`` over
+    :func:`_dist_structs` (see there for the bit-identity argument)."""
+    return F.array_min(_dist_structs(vec, dist_dp))
+
+
+def _flat_best(
+    emb: DataFrame,
+    cents: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All ``emb`` columns plus ``__best`` = struct(dist2, label) of the
+    nearest centroid — ZERO exchanges (guide §2.4): the centroid set
+    crosses as a 1-row broadcast and the argmin is an ``array_min``
+    projection, so assignment adds no shuffle, no posexplode row
+    blow-up and no aggregation to the plan. Same O(n·k·d) distance
+    arithmetic, now inside one codegen stage. The attach is an
+    equi-join on a constant-valued key (BroadcastHashJoin over one row)
+    rather than a crossJoin, so the family's no-nested-loop plan guards
+    keep holding; both keys are non-foldable on purpose — Catalyst
+    folds literal keys back into a nested loop. The left key is
+    ``size(vec)*0 + 1``: NULL for a null vector, which drops the row
+    exactly as the former posexplode did."""
+    return (
+        emb.withColumn(
+            "__one", F.size(F.col(vec_col)) * F.lit(0) + F.lit(1)
+        )
+        .join(F.broadcast(_cents_row(cents)), "__one")
+        .drop("__one")
+        .withColumn("__best", _best_label_expr(as_double(F.col(vec_col))))
+    )
+
+
 def ivf_assign(
     emb: DataFrame,
     cents: DataFrame,
@@ -274,27 +364,16 @@ def ivf_assign(
 ) -> DataFrame:
     """IVF coarse quantization: nearest-centroid (L2) assignment per
     vector. Centroids are the tiny (label, pos, centroid_val) long layout
-    from ``label_centroids`` — broadcast into the posexploded join; argmin
-    via one struct-min aggregate with the deterministic (dist2, label)
-    tie-break (``_argmin_label``)."""
-
-    vec_long = emb.select(
-        id_col, F.posexplode(as_double(F.col(vec_col))).alias("pos", "x")
+    from ``label_centroids`` — broadcast as ONE array row into a narrow
+    projection (:func:`_flat_best`): per-centroid distances fold
+    sequentially in pos order and ``array_min`` picks the (dist2, label)
+    minimum — bit-identical results to the former posexplode ⋈ broadcast
+    ⋈ double-groupBy plan, with zero exchanges (r16, guide §2.4)."""
+    return _flat_best(emb, cents, vec_col).select(
+        id_col,
+        F.col("__best.label").alias("assigned_label"),
+        F.col("__best.dist2").alias("dist2"),
     )
-    dist = (
-        vec_long.join(F.broadcast(cents), "pos")
-        .groupBy(id_col, "label")
-        .agg(
-            pround(
-                F.sum(
-                    (F.col("x") - F.col("centroid_val"))
-                    * (F.col("x") - F.col("centroid_val"))
-                ),
-                6,
-            ).alias("dist2")
-        )
-    )
-    return _argmin_label(dist, id_col)
 
 
 # flat nearest-centroid assignment broadcasts ALL k centroids into the
@@ -364,8 +443,6 @@ def ivf_assign_two_level(
     (tests/test_ann_recall.py). Deterministic by the same quantization
     contract either way, so a SQL oracle unrolls it exactly
     (queries/similarity.py kmeans_two_level_assign_profile)."""
-    from pyspark.sql.window import Window
-
     if coarse_k is None:
         k = cents.select("label").distinct().count()
         coarse_k = max(1, int(-(-(k**0.5) // 1)))  # ceil(sqrt(k))
@@ -383,31 +460,40 @@ def ivf_assign_two_level(
     coarse_live = coarse_cents.join(
         F.broadcast(live), "label", "left_semi"
     )
-    vec_long0 = emb.select(
-        id_col, F.posexplode(as_double(F.col(vec_col))).alias("pos", "x")
-    )
-    cdist = (
-        vec_long0.join(F.broadcast(coarse_live), "pos")
-        .groupBy(id_col, "label")
-        .agg(
-            pround(
-                F.sum(
-                    (F.col("x") - F.col("centroid_val"))
-                    * (F.col("x") - F.col("centroid_val"))
-                ),
-                6,
-            ).alias("cdist2")
+    # coarse routing as a narrow projection (r16, guide §2.4): the
+    # bounded sqrt(k)·d coarse set crosses as a 1-row broadcast;
+    # array_sort over (cdist2, label) structs reproduces the former
+    # row_number ranking (field-lexicographic = dist asc, label asc)
+    # and slice takes the nprobe nearest — no posexplode join, no
+    # groupBy, no per-id window; the probes explode WITH the vector
+    # attached, so the former vec_long0 ⋈ vec_coarse id-join is gone too
+    routed = (
+        emb.withColumn(
+            "__one", F.size(F.col(vec_col)) * F.lit(0) + F.lit(1)
+        )
+        .join(F.broadcast(_cents_row(coarse_live)), "__one")
+        .select(
+            id_col,
+            vec_col,
+            F.explode(
+                F.transform(
+                    F.slice(
+                        F.array_sort(
+                            _dist_structs(as_double(F.col(vec_col)))
+                        ),
+                        1,
+                        coarse_nprobe,
+                    ),
+                    lambda s: s["label"],
+                )
+            ).alias("__coarse"),
         )
     )
-    wc = Window.partitionBy(id_col).orderBy(
-        F.asc("cdist2"), F.asc("label")
+    vec_long = routed.select(
+        id_col,
+        "__coarse",
+        F.posexplode(as_double(F.col(vec_col))).alias("pos", "x"),
     )
-    vec_coarse = (
-        cdist.withColumn("crk", F.row_number().over(wc))
-        .filter(F.col("crk") <= coarse_nprobe)
-        .select(id_col, F.col("label").alias("__coarse"))
-    )
-    vec_long = vec_long0.join(vec_coarse, id_col)
     cents_c = cents.join(
         cent_map, cents.label == cent_map.__cent_label
     ).select("__coarse", "label", "pos", "centroid_val")
@@ -461,6 +547,43 @@ def assign_to_centroids(
             emb, cents, id_col, vec_col, coarse_k=coarse_k, n_iter=n_iter
         )
     return ivf_assign(emb, cents, id_col, vec_col)
+
+
+def assign_cells_with_vectors(
+    emb: DataFrame,
+    cents: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iter: int = 2,
+    k: int | None = None,
+    two_level: bool | None = None,
+    cell_col: str = "cell",
+) -> DataFrame:
+    """(id, vector, cell) under the production routing rule — the
+    SemDeDup consumers' input shape, WITHOUT the emb ⋈ assignment
+    id-join the callers used to pay (r16, guide §2.4): on the flat leg
+    the cell attaches inside the same narrow projection that scans the
+    vectors (:func:`_flat_best` — zero exchanges); past
+    IVF_ASSIGN_FLAT_MAX the two-level assignment is a real multi-stage
+    relation, so the id-join remains (and is the right plan there).
+    Assignment labels are bit-identical to ``assign_to_centroids`` on
+    both legs."""
+    if k is None:
+        k = cents.select("label").distinct().count()
+    if two_level is None:
+        two_level = k > IVF_ASSIGN_FLAT_MAX
+    if not two_level:
+        return _flat_best(emb, cents, vec_col).select(
+            id_col, vec_col, F.col("__best.label").alias(cell_col)
+        )
+    coarse_k = max(1, int(-(-(k**0.5) // 1)))
+    assign = ivf_assign_two_level(
+        emb, cents, id_col, vec_col, coarse_k=coarse_k, n_iter=n_iter
+    )
+    return emb.select(id_col, vec_col).join(
+        assign.select(id_col, F.col("assigned_label").alias(cell_col)),
+        id_col,
+    )
 
 
 def ivf_topk(
@@ -764,6 +887,9 @@ def kmeans_fit(
                 (F.col("__km_rn") - 1).cast("int").alias("__km_cell"),
             )
         )
+    # no localCheckpoint on the seed centroids (r16): they are one
+    # deterministic broadcast-join projection — round 1's centroid
+    # broadcast build recomputes them for less than a dedicated job costs
     cents = (
         train.join(seed_map, id_col)
         .select(
@@ -775,22 +901,33 @@ def kmeans_fit(
             "pos",
             pround(F.col("x"), 4).alias("centroid_val"),
         )
-        .localCheckpoint()
     )
     for _ in range(n_iter):
-        assign = _assign(train, cents)
-        # private name: the input frame may carry its own `label` column
-        # (the embeddings table does)
-        joined = train.join(
-            assign.select(id_col, F.col("assigned_label").alias("__km_cell")),
-            id_col,
-        )
-        cents = (
-            joined.select(
+        if two_level_assign:
+            assign = _assign(train, cents)
+            # private name: the input frame may carry its own `label`
+            # column (the embeddings table does)
+            labeled = train.join(
+                assign.select(
+                    id_col, F.col("assigned_label").alias("__km_cell")
+                ),
+                id_col,
+            ).select(
                 "__km_cell",
                 F.posexplode(as_double(F.col(vec_col))).alias("pos", "x"),
             )
-            .groupBy("__km_cell", "pos")
+        else:
+            # flat path (r16): label attaches in the SAME narrow
+            # projection that scans the vectors (_flat_best — zero
+            # exchanges), so a Lloyd round is scan → project →
+            # posexplode → ONE groupBy exchange, with no assignment
+            # shuffle and no train ⋈ assign id-join
+            labeled = _flat_best(train, cents, vec_col).select(
+                F.col("__best.label").alias("__km_cell"),
+                F.posexplode(as_double(F.col(vec_col))).alias("pos", "x"),
+            )
+        cents = (
+            labeled.groupBy("__km_cell", "pos")
             .agg(pround(F.avg("x"), 4).alias("centroid_val"))
             .select(
                 F.col("__km_cell").alias("label"), "pos", "centroid_val"

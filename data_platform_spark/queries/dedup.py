@@ -2580,51 +2580,24 @@ def semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_platform_spark.queries.similarity import KMEANS_ITER
 
     emb = fan_out(load_table(spark, sf_dir, "embeddings"), spark)
-    n = emb.count()
+    n = load_table(spark, sf_dir, "embeddings").count()
     k = max(1, -(-n // SEMANTIC_CELL_POP))  # ceil(n / pop)
-    _cents, assign = S.kmeans_fit(emb, k=k, n_iter=KMEANS_ITER)
-    ids = assign.select(
-        F.col("assigned_label").alias("cell"), "vec_id"
+    cents, _assign = S.kmeans_fit(emb, k=k, n_iter=KMEANS_ITER)
+    # r16 (guide §2.4): the final assignment attaches the cell to each
+    # vector in-row (flat leg: zero exchanges; two-level past
+    # IVF_ASSIGN_FLAT_MAX keeps its shuffle shape), and the pair stage
+    # runs as ONE grouped Arrow pass (within_cell_dup_pairs) instead of
+    # the ids self-join + two vector re-joins — bit-identical pair set,
+    # pinned by this query's own DuckDB oracle
+    cells_df = S.assign_cells_with_vectors(
+        emb, cents, n_iter=KMEANS_ITER, k=k
     ).transform(scoped_persist)
-    a = ids.select("cell", F.col("vec_id").alias("src"))
-    b = ids.select("cell", F.col("vec_id").alias("dst"))
-    pairs = (
-        a.join(b, "cell")
-        .filter(F.col("src") < F.col("dst"))
-        .select("cell", "src", "dst")
-    )
-    vecs = emb.select("vec_id", "embedding")
-    scored = (
-        pairs.join(
-            vecs.select(
-                F.col("vec_id").alias("src"), F.col("embedding").alias("e_src")
-            ),
-            "src",
-        )
-        .join(
-            vecs.select(
-                F.col("vec_id").alias("dst"), F.col("embedding").alias("e_dst")
-            ),
-            "dst",
-        )
-        .select(
-            "cell",
-            "src",
-            "dst",
-            pround(
-                S.cosine(
-                    S.as_double(F.col("e_src")), S.as_double(F.col("e_dst"))
-                ),
-                4,
-            ).alias("cosine"),
-        )
-    )
-    dups = scored.filter(F.col("cosine") >= SEMANTIC_DUP_THRESHOLD)
+    dups = D.within_cell_dup_pairs(cells_df, SEMANTIC_DUP_THRESHOLD)
     per_cell = dups.groupBy("cell").agg(
         F.count(F.lit(1)).cast("long").alias("n_dup_pairs"),
         F.count_distinct(F.col("dst")).cast("long").alias("n_removed"),
     )
-    totals = ids.groupBy("cell").agg(
+    totals = cells_df.groupBy("cell").agg(
         F.count(F.lit(1)).cast("long").alias("n_vectors")
     )
     return totals.join(per_cell, "cell", "left").select(
@@ -2958,48 +2931,19 @@ def semantic_dedup_cells_survivors(
     from data_platform_spark.queries.similarity import KMEANS_ITER
 
     emb = fan_out(load_table(spark, sf_dir, "embeddings"), spark)
-    n = emb.count()
+    n = load_table(spark, sf_dir, "embeddings").count()
     k = max(1, -(-n // SEMANTIC_CELL_POP))  # ceil(n / pop)
-    _cents, assign = S.kmeans_fit(emb, k=k, n_iter=KMEANS_ITER)
-    ids = assign.select(
-        F.col("assigned_label").alias("cell"), "vec_id"
+    cents, _assign = S.kmeans_fit(emb, k=k, n_iter=KMEANS_ITER)
+    # r16 (guide §2.4): in-row cell attach + ONE grouped Arrow pass for
+    # the verified pair stage — see semantic_dedup_cells; bit-identical
+    # pair set, pinned by this query's own DuckDB oracle
+    cells_df = S.assign_cells_with_vectors(
+        emb, cents, n_iter=KMEANS_ITER, k=k
     ).transform(scoped_persist)
-    a = ids.select("cell", F.col("vec_id").alias("src"))
-    b = ids.select("cell", F.col("vec_id").alias("dst"))
-    pairs = (
-        a.join(b, "cell")
-        .filter(F.col("src") < F.col("dst"))
-        .select("cell", "src", "dst")
-    )
-    vecs = emb.select("vec_id", "embedding")
-    dups = (
-        pairs.join(
-            vecs.select(
-                F.col("vec_id").alias("src"), F.col("embedding").alias("e_src")
-            ),
-            "src",
-        )
-        .join(
-            vecs.select(
-                F.col("vec_id").alias("dst"), F.col("embedding").alias("e_dst")
-            ),
-            "dst",
-        )
-        .select(
-            "cell",
-            "src",
-            "dst",
-            pround(
-                S.cosine(
-                    S.as_double(F.col("e_src")), S.as_double(F.col("e_dst"))
-                ),
-                4,
-            ).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= SEMANTIC_DUP_THRESHOLD)
-        .select("cell", "src", "dst")
-        .transform(scoped_persist)
-    )
+    ids = cells_df.select("cell", "vec_id")
+    dups = D.within_cell_dup_pairs(
+        cells_df, SEMANTIC_DUP_THRESHOLD
+    ).transform(scoped_persist)
     bound = dups.groupBy("cell").agg(
         F.count_distinct(F.col("dst")).cast("long").alias("n_removed_bound")
     )
@@ -3170,19 +3114,20 @@ def incremental_semantic_dedup_new_batch(
     emb = fan_out(load_table(spark, sf_dir, "embeddings"), spark)
     standing = emb.filter(F.col("vec_id") % INCR_NEW_MOD != 0)
     batch = emb.filter(F.col("vec_id") % INCR_NEW_MOD == 0)
-    n = standing.count()
-    k = max(1, -(-n // SEMANTIC_CELL_POP))  # ceil(n / pop)
-    cents, s_assign = S.kmeans_fit(standing, k=k, n_iter=KMEANS_ITER)
-    s_cells = (
-        standing.select("vec_id", "embedding")
-        .join(
-            s_assign.select(
-                "vec_id", F.col("assigned_label").alias("cell")
-            ),
-            "vec_id",
-        )
-        .transform(scoped_persist)
+    n = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % INCR_NEW_MOD != 0)
+        .count()
     )
+    k = max(1, -(-n // SEMANTIC_CELL_POP))  # ceil(n / pop)
+    cents, _s_assign = S.kmeans_fit(standing, k=k, n_iter=KMEANS_ITER)
+    # r16 (guide §2.4): both sides attach their cell in-row (flat leg:
+    # zero exchanges; two-level keeps its shuffle shape) — the former
+    # standing ⋈ s_assign and batch ⋈ b_assign id-joins are gone; the
+    # pair/verify stages below run as grouped Arrow passes
+    s_cells = S.assign_cells_with_vectors(
+        standing, cents, n_iter=KMEANS_ITER, k=k
+    ).transform(scoped_persist)
     s_dups = within_cell_dup_pairs(
         s_cells, SEMANTIC_DUP_THRESHOLD
     ).transform(scoped_persist)
@@ -3198,10 +3143,8 @@ def incremental_semantic_dedup_new_batch(
         "vec_id",
         "left_anti",
     )
-    b_assign = S.assign_to_centroids(batch, cents, n_iter=KMEANS_ITER, k=k)
-    batch_cells = batch.select("vec_id", "embedding").join(
-        b_assign.select("vec_id", F.col("assigned_label").alias("cell")),
-        "vec_id",
+    batch_cells = S.assign_cells_with_vectors(
+        batch, cents, n_iter=KMEANS_ITER, k=k
     )
     return semantic_dedup_decide(
         batch_cells,

@@ -2932,6 +2932,177 @@ def test_semantic_cells_survivors_bound_invariant(spark):
     assert sum(r.n_chain_kept for r in rows) > 0
 
 
+def _semantic_pair_fixture(spark, include_zero: bool = False):
+    """Real sf0.001 embeddings bucketed into multi-member cells, PLUS the
+    adversarial rows the grouped-Arrow pair stage must not miss: an
+    exact duplicate of a real vector in the same cell, a singleton
+    cell, and (grouped-path-only: the JVM reference form raises
+    DIVIDE_BY_ZERO under Spark 4's default ANSI mode) a zero-norm
+    vector whose pair must silently DROP."""
+    from data_platform_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    base = emb.select(
+        (F.col("vec_id") % 7).cast("int").alias("cell"),
+        "vec_id",
+        "embedding",
+    )
+    dup_vec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 3).collect()[0].embedding
+    ]
+    dim = len(dup_vec)
+    rows = [
+        (3, 9002, dup_vec),  # exact dup of vec 3 (cell 3 = 3 % 7)
+        (99, 9003, dup_vec),  # singleton cell: no pairs
+    ]
+    if include_zero:
+        rows.append((3, 9001, [0.0] * dim))
+    extra = spark.createDataFrame(
+        rows, "cell int, vec_id long, embedding array<float>"
+    )
+    return base.unionByName(extra)
+
+
+def test_within_cell_pairs_grouped_matches_join(spark):
+    """r16 (guide §2.4/§4.2): within_cell_dup_pairs runs as ONE grouped
+    Arrow pass; its pair SET must be bit-identical to the former
+    ids-self-join + two vector re-joins + JVM 4-dp cosine verify it
+    replaced, at both a permissive and the production threshold; and on
+    a zero-norm vector — where the JVM form RAISES under Spark 4's
+    default ANSI mode — the grouped pass must silently drop the pair
+    (numpy 0/0 → NaN, pround(NaN) = 0.0 < threshold), strictly more
+    defined, never a different kept-pair set."""
+    from data_platform_spark.functions.dedup import within_cell_dup_pairs
+    from data_platform_spark.functions.similarity import as_double, cosine
+    from data_platform_spark.queries._util import pround
+    from data_platform_spark.queries.dedup import SEMANTIC_DUP_THRESHOLD
+
+    cells = _semantic_pair_fixture(spark)
+    ids = cells.select("cell", "vec_id")
+    a = ids.select("cell", F.col("vec_id").alias("src"))
+    b = ids.select("cell", F.col("vec_id").alias("dst"))
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("src") < F.col("dst"))
+        .select("cell", "src", "dst")
+    )
+    vecs = cells.select("vec_id", "embedding")
+    for thr in (0.2, SEMANTIC_DUP_THRESHOLD):
+        want = sorted(
+            (r.cell, r.src, r.dst)
+            for r in (
+                pairs.join(
+                    vecs.select(
+                        F.col("vec_id").alias("src"),
+                        F.col("embedding").alias("e_src"),
+                    ),
+                    "src",
+                )
+                .join(
+                    vecs.select(
+                        F.col("vec_id").alias("dst"),
+                        F.col("embedding").alias("e_dst"),
+                    ),
+                    "dst",
+                )
+                .select(
+                    "cell",
+                    "src",
+                    "dst",
+                    pround(
+                        cosine(
+                            as_double(F.col("e_src")),
+                            as_double(F.col("e_dst")),
+                        ),
+                        4,
+                    ).alias("cosine"),
+                )
+                .filter(F.col("cosine") >= thr)
+            ).collect()
+        )
+        got = sorted(
+            (r.cell, r.src, r.dst)
+            for r in within_cell_dup_pairs(cells, thr).collect()
+        )
+        assert got == want and len(got) > 0
+        # the exact dup (3, 9002) really kept — the edge row bit
+        assert (3, 3, 9002) in got
+    # zero-norm: grouped pass drops the pair without error (the JVM
+    # form can't even run this under ANSI); non-zero pairs unchanged
+    with_zero = sorted(
+        (r.cell, r.src, r.dst)
+        for r in within_cell_dup_pairs(
+            _semantic_pair_fixture(spark, include_zero=True),
+            SEMANTIC_DUP_THRESHOLD,
+        ).collect()
+    )
+    assert with_zero == got
+    assert not any(9001 in (s, d) for (_, s, d) in with_zero)
+
+
+def test_bipartite_dup_matches_grouped_matches_join(spark):
+    """r16: semantic_dedup_decide's batch×standing verify runs through
+    _bipartite_dup_matches (one grouped Arrow pass). Its (b_id, s_id,
+    cosine) rows — cosine DOUBLES included, they order the best-match
+    window — must be bit-identical to the former cell-join + two vector
+    re-joins, with the b_id != s_id replay guard intact."""
+    from data_platform_spark.functions.dedup import _bipartite_dup_matches
+    from data_platform_spark.functions.similarity import as_double, cosine
+    from data_platform_spark.queries._util import pround
+    from data_platform_spark.queries.dedup import SEMANTIC_DUP_THRESHOLD
+
+    cells = _semantic_pair_fixture(spark)
+    # batch = every 3rd id plus a REPLAYED standing id (9002 appears on
+    # both sides: the guard must drop its self-pair, keep cross pairs)
+    batch = cells.filter(
+        (F.col("vec_id") % 3 == 0) | (F.col("vec_id") == 9002)
+    )
+    standing = cells.filter(F.col("vec_id") % 3 != 0)
+    want = sorted(
+        (r.b_id, r.s_id, r.cosine)
+        for r in (
+            batch.select("cell", F.col("vec_id").alias("b_id"))
+            .join(
+                standing.select("cell", F.col("vec_id").alias("s_id")),
+                "cell",
+            )
+            .filter(F.col("b_id") != F.col("s_id"))
+            .join(
+                batch.select(
+                    F.col("vec_id").alias("b_id"),
+                    F.col("embedding").alias("e_b"),
+                ),
+                "b_id",
+            )
+            .join(
+                standing.select(
+                    F.col("vec_id").alias("s_id"),
+                    F.col("embedding").alias("e_s"),
+                ),
+                "s_id",
+            )
+            .select(
+                "b_id",
+                "s_id",
+                pround(
+                    cosine(as_double(F.col("e_b")), as_double(F.col("e_s"))),
+                    4,
+                ).alias("cosine"),
+            )
+            .filter(F.col("cosine") >= SEMANTIC_DUP_THRESHOLD)
+        ).collect()
+    )
+    got = sorted(
+        (r.b_id, r.s_id, r.cosine)
+        for r in _bipartite_dup_matches(
+            batch, standing, SEMANTIC_DUP_THRESHOLD
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+    assert all(b != s for (b, s, _) in got)
+
+
 # ---------------------------------------------------------------------------
 # round 13: persisted semantic-dedup index (ops/semantic_dedup.py)
 # ---------------------------------------------------------------------------

@@ -165,16 +165,17 @@ def test_no_exact_percentile_over_unbounded_group(spark, name):
 
 def test_two_level_assign_no_full_centroid_broadcast(spark):
     """The scale contract of ivf_assign_two_level (VERDICT r11 item 1):
-    flat ivf_assign HINT-broadcasts the full centroid relation — with
-    autoBroadcastJoinThreshold disabled its plan still builds a
-    BroadcastHashJoin, which is exactly why it dies at k ∝ corpus (a
-    15M-centroid broadcast at 1e9 vectors). The two-level path must
-    carry its heavy n·(k/sqrt(k))·d distance work over a SHUFFLE join
-    keyed on the coarse cell: with the broadcast threshold off, its
-    final-distance stage plans a SortMergeJoin and the only
-    BroadcastHashJoins left are the bounded ones (sqrt(k)·d coarse
-    centroids, the live-cell id list, the k-seed map) — no broadcast
-    that grows with the centroid count."""
+    flat ivf_assign HINT-broadcasts the full centroid relation — since
+    r16 as ONE array row feeding a narrow-map projection (a
+    constant-key BroadcastHashJoin over exactly one row), which is
+    exactly why it dies at k ∝ corpus (a 15M-centroid array at 1e9
+    vectors). The
+    two-level path must carry its heavy n·(k/sqrt(k))·d distance work
+    over a SHUFFLE join keyed on the coarse cell: with the broadcast
+    threshold off, its final-distance stage plans a SortMergeJoin and
+    the only broadcasts left are the bounded ones (the sqrt(k)·d coarse
+    centroid array row, the k-seed map) — no broadcast that grows with
+    the centroid count."""
     from data_platform_spark.functions.similarity import (
         ivf_assign,
         ivf_assign_two_level,
@@ -197,7 +198,9 @@ def test_two_level_assign_no_full_centroid_broadcast(spark):
             .toString()
         )
         # the hazard, demonstrated: the full-centroid broadcast is
-        # hint-forced — no size threshold can save it
+        # hint-forced — no size threshold can save it (r16: the
+        # centroid set crosses as a 1-row array through a constant-key
+        # BroadcastHashJoin)
         assert "BroadcastHashJoin" in flat_plan
         assert "SortMergeJoin" not in flat_plan
         two_plan = (
