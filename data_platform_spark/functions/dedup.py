@@ -551,12 +551,26 @@ def _grouped_survivors(
     graphs the round-based loop would fail to converge on, and
     non-strict mode NULLs exactly the nodes that loop would have left
     undecided — gate queries pinned to an oracle's unroll depth keep
-    their loud-divergence contract unchanged."""
+    their loud-divergence contract unchanged.
+
+    r16 (guide §1.2/§5): the round-budget check runs INSIDE the per-group
+    sweep, not as a compose-time ``collect()`` — each group knows every
+    node's decision round, so strict mode raises from the worker (the
+    error surfaces at the first action over the result, wrapped in
+    PySpark's PythonException with the same self-describing message) and
+    non-strict mode NULLs the over-budget nodes in place. The former
+    eager max(__rounds) collect forced the ENTIRE upstream pair
+    derivation to materialize synchronously while composing the query —
+    measured as 11 of incremental_semantic_dedup_new_batch's 52 build
+    jobs (and 21 more via semantic_dedup_decide's inner call); deferring
+    it folds those stages into the consumer's one materialize DAG. A
+    half-decided set still can never be observed — that contract is
+    enforcement-site-independent."""
     import pandas as pd  # noqa: F811 — worker-side import
 
     from data_platform_spark.cache import scoped_persist
 
-    out_schema = f"{id_col} long, survivor boolean, __rounds int"
+    out_schema = f"{id_col} long, survivor boolean"
 
     def _decide(pdf: pd.DataFrame) -> pd.DataFrame:
         lower: dict[int, list[int]] = {}
@@ -577,39 +591,31 @@ def _grouped_survivors(
             else:
                 surv[v] = True
                 rnd[v] = 1 + max((rnd[u] for u in lows), default=0)
-        ordered = sorted(nodes)
-        return pd.DataFrame(
-            {
-                id_col: ordered,
-                "survivor": [surv[v] for v in ordered],
-                "__rounds": [rnd[v] for v in ordered],
-            }
-        )
-
-    decided = scoped_persist(
-        pairs.select(group_col, "src", "dst")
-        .groupBy(group_col)
-        .applyInPandas(_decide, out_schema)
-    )
-    row = decided.agg(F.max("__rounds").alias("mx")).collect()
-    mx = row[0]["mx"] or 0
-    if mx > max_iterations:
-        if strict:
+        if strict and rnd and max(rnd.values()) > max_iterations:
             raise RuntimeError(
                 f"greedy_keep_first_survivors did not converge in "
                 f"{max_iterations} iterations — the duplicate graph has a "
                 "longer lower-survivor dependency chain; raise "
                 "max_iterations"
             )
-        # mirror the round loop exactly: nodes it would have left
-        # undecided after max_iterations rounds stay NULL
-        return decided.select(
-            id_col,
-            F.when(
-                F.col("__rounds") <= max_iterations, F.col("survivor")
-            ).alias("survivor"),
+        ordered = sorted(nodes)
+        return pd.DataFrame(
+            {
+                id_col: ordered,
+                # non-strict: nodes the synchronized loop would have
+                # left undecided after max_iterations rounds stay NULL
+                "survivor": [
+                    surv[v] if rnd[v] <= max_iterations else None
+                    for v in ordered
+                ],
+            }
         )
-    return decided.select(id_col, "survivor")
+
+    return scoped_persist(
+        pairs.select(group_col, "src", "dst")
+        .groupBy(group_col)
+        .applyInPandas(_decide, out_schema)
+    )
 
 
 def greedy_keep_first_survivors(

@@ -932,8 +932,23 @@ def kmeans_fit(
             .select(
                 F.col("__km_cell").alias("label"), "pos", "centroid_val"
             )
-            .localCheckpoint()
         )
+        if two_level_assign:
+            # the two-level round is a real multi-shuffle relation —
+            # eager truncation per round keeps its plan depth constant
+            cents = cents.localCheckpoint()
+    if not two_level_assign:
+        # flat path (r16, guide §1.2): no per-round eager localCheckpoint
+        # job — each round is one narrow projection + one groupBy, so the
+        # n_iter-deep lineage (a fixed small build constant, not a
+        # convergence chase) plans fine; a lazy persist on the FINAL
+        # centroids makes every consumer action (probe collects, the
+        # final assignment, multiple assign_cells_with_vectors calls)
+        # compute the Lloyd chain exactly once. Measured: kmeans_fit's
+        # eager build jobs drop from 16 to the seed collect alone.
+        from data_platform_spark.cache import scoped_persist
+
+        cents = scoped_persist(cents)
     return cents, _assign(emb, cents)
 
 

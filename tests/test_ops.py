@@ -445,12 +445,18 @@ def test_greedy_grouped_matches_loop(spark):
     }
     assert grouped == loop and len(grouped) > 0
 
-    # strict raise parity on a chain longer than the budget
+    # strict raise parity on a chain longer than the budget. r16: the
+    # grouped budget check runs inside the per-group sweep (no
+    # compose-time collect), so the error surfaces at the ACTION as a
+    # PythonException carrying the same message — the contract (a
+    # half-decided set can never be observed) is unchanged.
     path = spark.createDataFrame(
         [(1, i, i + 1) for i in range(5)], "g long, src long, dst long"
     )
-    with _pytest.raises(RuntimeError, match="did not converge"):
-        greedy_keep_first_survivors(path, max_iterations=2, group_col="g")
+    with _pytest.raises(Exception, match="did not converge"):
+        greedy_keep_first_survivors(
+            path, max_iterations=2, group_col="g"
+        ).collect()
 
     # non-strict: identical undecided-NULL frontier at the truncation
     loop_nulls = {
@@ -3153,8 +3159,13 @@ def test_semantic_decide_chain_through_production_budget(spark):
     # keep-first along a path: odd ids keep (each even id duplicates a
     # KEPT lower odd id; each odd id's only lower duplicate was removed)
     assert got == {i: (i % 2 == 1) for i in range(1, 13)}
-    # the 12-deep chain needs 12 update rounds; the gate unroll is 8
-    with _pytest.raises(RuntimeError, match="did not converge"):
+    # the 12-deep chain needs 12 update rounds; the gate unroll is 8.
+    # r16: the grouped fixpoint enforces the budget INSIDE the per-group
+    # sweep (no compose-time collect), so the strict error surfaces at
+    # the action, wrapped in PySpark's PythonException — same
+    # self-describing message, and a half-decided set still can never
+    # be observed.
+    with _pytest.raises(Exception, match="did not converge"):
         semantic_dedup_decide(
             batch, empty_standing, 0.3, max_iterations=8
         ).collect()
