@@ -521,6 +521,254 @@ def connected_components(
     return labels.select("doc_id", F.col("label").alias("component"))
 
 
+def _sweep_pairs(srcs, dsts, max_iterations: int, strict: bool):
+    """The sequential keep-first sweep over ONE group's duplicate pairs
+    — the shared core of :func:`_grouped_survivors` and the fused
+    per-cell operators (cell_survivors / cell_survivor_stats /
+    semantic_dedup_decide). Given parallel src/dst arrays (src < dst per
+    pair), returns ``(sorted_node_ids, survivor_flags)`` where a flag is
+    True/False, or None for nodes the synchronized round loop would have
+    left undecided after ``max_iterations`` rounds (non-strict mode);
+    strict mode raises the family's self-describing convergence error
+    from the worker instead. The decision-round bookkeeping mirrors the
+    synchronized update exactly: a node decides REMOVED one round after
+    its earliest-deciding surviving lower neighbor, SURVIVOR one round
+    after its last lower neighbor decided removed."""
+    lower: dict[int, list[int]] = {}
+    nodes: set[int] = set()
+    for s, d in zip(srcs, dsts):
+        s, d = int(s), int(d)
+        nodes.add(s)
+        nodes.add(d)
+        lower.setdefault(d, []).append(s)
+    surv: dict[int, bool] = {}
+    rnd: dict[int, int] = {}
+    for v in sorted(nodes):
+        lows = lower.get(v, ())
+        lsurv_rounds = [rnd[u] for u in lows if surv[u]]
+        if lsurv_rounds:
+            surv[v] = False
+            rnd[v] = 1 + min(lsurv_rounds)
+        else:
+            surv[v] = True
+            rnd[v] = 1 + max((rnd[u] for u in lows), default=0)
+    if strict and rnd and max(rnd.values()) > max_iterations:
+        raise RuntimeError(
+            f"greedy_keep_first_survivors did not converge in "
+            f"{max_iterations} iterations — the duplicate graph has a "
+            "longer lower-survivor dependency chain; raise "
+            "max_iterations"
+        )
+    ordered = sorted(nodes)
+    return ordered, [
+        surv[v] if rnd[v] <= max_iterations else None for v in ordered
+    ]
+
+
+def _np_cell_pairs(ids, V, threshold: float):
+    """Kept within-group duplicate pairs as index arrays: given the
+    group's UNIQUE ids and vector matrix (row-aligned), returns
+    ``(ids_sorted, i_idx, j_idx)`` where (i_idx, j_idx) index
+    ``ids_sorted`` with i < j and 4-dp cosine ≥ ``threshold`` — the
+    exact pair algebra of :func:`within_cell_dup_pairs`, factored so the
+    fused per-cell operators share it."""
+    import numpy as np
+
+    order = np.argsort(ids, kind="stable")
+    ids_s = ids[order]
+    V_s = V[order]
+    i_idx, j_idx = np.triu_indices(len(ids_s), k=1)
+    cosr = _np_cosine_4dp(V_s, i_idx, j_idx)
+    keep = cosr >= threshold
+    return ids_s, i_idx[keep], j_idx[keep]
+
+
+def cell_survivors(
+    cells: DataFrame,
+    threshold: float,
+    max_iterations: int,
+    strict: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """FUSED pair-verify + keep-first fixpoint per cell (r16, guide
+    §2.4): one grouped Arrow pass computes each cell's 4-dp cosine pairs
+    (the :func:`within_cell_dup_pairs` algebra via the same
+    :func:`_np_cosine_4dp` arithmetic) AND sweeps the keep-first
+    decision (:func:`_sweep_pairs`) — bit-identical to
+    ``greedy_keep_first_survivors(within_cell_dup_pairs(cells, t), ...,
+    group_col=cell_col)`` (pinned by test_cell_survivors_matches_
+    composition) with ONE exchange instead of two grouped passes plus
+    the intermediate pair persist. Returns (``id_col``, survivor) for
+    every id in ≥ 1 pair; ids in no pair are trivially survivors and
+    are the caller's to union in — the greedy_keep_first_survivors
+    contract."""
+    import numpy as np
+
+    from data_platform_spark.cache import scoped_persist
+
+    out_schema = f"{id_col} long, survivor boolean"
+
+    def _decide(pdf):
+        import pandas as pd
+
+        if len(pdf) < 2:
+            return pd.DataFrame({id_col: [], "survivor": []}).astype(
+                {id_col: "int64", "survivor": "object"}
+            )
+        V = np.array(
+            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]],
+            dtype=np.float64,
+        )
+        ids_s, i_idx, j_idx = _np_cell_pairs(
+            pdf[id_col].to_numpy(), V, threshold
+        )
+        if len(i_idx) == 0:
+            return pd.DataFrame({id_col: [], "survivor": []}).astype(
+                {id_col: "int64", "survivor": "object"}
+            )
+        ordered, survs = _sweep_pairs(
+            ids_s[i_idx], ids_s[j_idx], max_iterations, strict
+        )
+        return pd.DataFrame({id_col: ordered, "survivor": survs})
+
+    return scoped_persist(
+        cells.select(cell_col, id_col, vec_col)
+        .groupBy(cell_col)
+        .applyInPandas(_decide, out_schema)
+    )
+
+
+def cell_pair_stats(
+    cells: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """FUSED per-cell duplicate-pair report (r16, guide §2.3/§2.4): one
+    grouped Arrow pass computes each cell's verified pairs and emits the
+    per-cell aggregate directly — (cell, n_dup_pairs, n_removed) where
+    ``n_removed`` counts distinct dst nodes (the every-lower-duplicate
+    upper bound), exactly
+    ``within_cell_dup_pairs(...).groupBy(cell).agg(count, count_distinct
+    (dst))`` with the pair relation, its exchange, and the downstream
+    aggregate's exchange all gone (the pass emits ONE row per cell).
+    Cells with zero pairs emit nothing — the callers' left join from the
+    totals side supplies the zeros, as before."""
+    import numpy as np
+
+    cell_t = cells.schema[cell_col].dataType.simpleString()
+    out_schema = (
+        f"{cell_col} {cell_t}, n_dup_pairs long, n_removed long"
+    )
+
+    def _stats(pdf):
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {cell_col: [], "n_dup_pairs": [], "n_removed": []}
+        ).astype(
+            {
+                cell_col: pdf[cell_col].dtype,
+                "n_dup_pairs": "int64",
+                "n_removed": "int64",
+            }
+        )
+        if len(pdf) < 2:
+            return empty
+        V = np.array(
+            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]],
+            dtype=np.float64,
+        )
+        ids_s, i_idx, j_idx = _np_cell_pairs(
+            pdf[id_col].to_numpy(), V, threshold
+        )
+        if len(i_idx) == 0:
+            return empty
+        return pd.DataFrame(
+            {
+                cell_col: [pdf[cell_col].iloc[0]],
+                "n_dup_pairs": [len(i_idx)],
+                "n_removed": [len(np.unique(j_idx))],
+            }
+        )
+
+    return (
+        cells.select(cell_col, id_col, vec_col)
+        .groupBy(cell_col)
+        .applyInPandas(_stats, out_schema)
+    )
+
+
+def cell_survivor_stats(
+    cells: DataFrame,
+    threshold: float,
+    max_iterations: int,
+    strict: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """FUSED per-cell survivor report (r16): one grouped Arrow pass per
+    cell computes the verified pairs, the distinct-dst removal bound AND
+    the keep-first sweep, emitting (cell, n_removed_bound,
+    n_removed_true) — the semantic_dedup_cells_survivors derivation
+    (pair persist + bound aggregate + grouped fixpoint + true_removed
+    join + aggregate) collapsed to ONE exchange and one row per cell.
+    ``n_removed_true`` counts nodes decided False — undecided (NULL)
+    nodes are not counted, matching the composed form's
+    ``filter(~survivor)``. Cells with zero pairs emit nothing (the
+    totals left join supplies zeros)."""
+    import numpy as np
+
+    cell_t = cells.schema[cell_col].dataType.simpleString()
+    out_schema = (
+        f"{cell_col} {cell_t}, n_removed_bound long, n_removed_true long"
+    )
+
+    def _stats(pdf):
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {cell_col: [], "n_removed_bound": [], "n_removed_true": []}
+        ).astype(
+            {
+                cell_col: pdf[cell_col].dtype,
+                "n_removed_bound": "int64",
+                "n_removed_true": "int64",
+            }
+        )
+        if len(pdf) < 2:
+            return empty
+        V = np.array(
+            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]],
+            dtype=np.float64,
+        )
+        ids_s, i_idx, j_idx = _np_cell_pairs(
+            pdf[id_col].to_numpy(), V, threshold
+        )
+        if len(i_idx) == 0:
+            return empty
+        _, survs = _sweep_pairs(
+            ids_s[i_idx], ids_s[j_idx], max_iterations, strict
+        )
+        return pd.DataFrame(
+            {
+                cell_col: [pdf[cell_col].iloc[0]],
+                "n_removed_bound": [len(np.unique(j_idx))],
+                "n_removed_true": [sum(1 for s in survs if s is False)],
+            }
+        )
+
+    return (
+        cells.select(cell_col, id_col, vec_col)
+        .groupBy(cell_col)
+        .applyInPandas(_stats, out_schema)
+    )
+
+
 def _grouped_survivors(
     pairs: DataFrame,
     group_col: str,
@@ -573,43 +821,13 @@ def _grouped_survivors(
     out_schema = f"{id_col} long, survivor boolean"
 
     def _decide(pdf: pd.DataFrame) -> pd.DataFrame:
-        lower: dict[int, list[int]] = {}
-        nodes: set[int] = set()
-        for s, d in zip(pdf["src"].to_numpy(), pdf["dst"].to_numpy()):
-            s, d = int(s), int(d)
-            nodes.add(s)
-            nodes.add(d)
-            lower.setdefault(d, []).append(s)
-        surv: dict[int, bool] = {}
-        rnd: dict[int, int] = {}
-        for v in sorted(nodes):
-            lows = lower.get(v, ())
-            lsurv_rounds = [rnd[u] for u in lows if surv[u]]
-            if lsurv_rounds:
-                surv[v] = False
-                rnd[v] = 1 + min(lsurv_rounds)
-            else:
-                surv[v] = True
-                rnd[v] = 1 + max((rnd[u] for u in lows), default=0)
-        if strict and rnd and max(rnd.values()) > max_iterations:
-            raise RuntimeError(
-                f"greedy_keep_first_survivors did not converge in "
-                f"{max_iterations} iterations — the duplicate graph has a "
-                "longer lower-survivor dependency chain; raise "
-                "max_iterations"
-            )
-        ordered = sorted(nodes)
-        return pd.DataFrame(
-            {
-                id_col: ordered,
-                # non-strict: nodes the synchronized loop would have
-                # left undecided after max_iterations rounds stay NULL
-                "survivor": [
-                    surv[v] if rnd[v] <= max_iterations else None
-                    for v in ordered
-                ],
-            }
+        ordered, survs = _sweep_pairs(
+            pdf["src"].to_numpy(),
+            pdf["dst"].to_numpy(),
+            max_iterations,
+            strict,
         )
+        return pd.DataFrame({id_col: ordered, "survivor": survs})
 
     return scoped_persist(
         pairs.select(group_col, "src", "dst")
@@ -950,78 +1168,150 @@ def semantic_dedup_decide(
     no match), the MinHash incremental report's shape
     (queries/dedup.py incremental_neardup_new_batch).
 
-    Scale shape: both pair stages are the family's narrow layout
-    (cell-equi joins over (cell, id), vectors re-joined only for the
-    verify — BIPARTITE batch×standing, never a corpus self-join); the
-    fixpoint runs over batch-only pairs. ``max_iterations=None``
-    derives the production budget from the observed per-cell batch
-    population (survivor_round_budget — one scalar aggregate); the
-    oracle-gated consumers pin their SQL unroll depth instead."""
-    from data_platform_spark.cache import scoped_persist
-    from data_platform_spark.functions.similarity import as_double, cosine
-    from pyspark.sql.window import Window
+    Scale shape (r16): ONE union-tagged grouped Arrow pass — each cell's
+    batch + standing-survivor rows land in one task (population-bounded
+    by the cell contract, the same bound the bipartite fan-out always
+    had), numpy computes the bipartite verify, the match stats, the
+    within-batch pair graph over standing-alive nodes and the keep-first
+    sweep, and the final report row leaves the worker directly. Never a
+    corpus self-join; one exchange on the cell key total.
+    ``max_iterations=None`` derives the production budget per cell from
+    that cell's standing-alive batch population (survivor_round_budget —
+    decision-equivalent to the former global max, see the inline note,
+    and with no compose-time action); the oracle-gated consumers pin
+    their SQL unroll depth instead."""
+    import numpy as np
 
-    b_ids = batch_cells.select("cell", F.col(id_col).alias("b_id"))
-    # r16: the bipartite verify runs as ONE grouped Arrow pass (see
-    # _bipartite_dup_matches) — the b_id ≠ s_id replay guard and the
-    # ≥-threshold filter live inside it, bit-identically
-    bs = _bipartite_dup_matches(
-        batch_cells, standing_cells, threshold, id_col, vec_col
-    ).transform(scoped_persist)
-    w_best = Window.partitionBy("b_id").orderBy(
-        F.desc("cosine"), F.asc("s_id")
-    )
-    w_cnt = Window.partitionBy("b_id")
-    per_b = (
-        bs.withColumn("rk", F.row_number().over(w_best))
-        .withColumn("cnt", F.count(F.lit(1)).over(w_cnt))
-        .filter(F.col("rk") == 1)
-        .select(
-            "b_id",
-            F.col("cnt").cast("long").alias("n_matches_standing"),
-            F.col("cosine").alias("best_cosine"),
-            F.col("s_id").cast("long").alias("best_match_id"),
-        )
-    )
-    killed = bs.select("b_id").distinct()
-    alive = b_ids.join(killed, "b_id", "left_anti")
-    bb = within_cell_dup_pairs(
-        batch_cells.join(
-            alive.select(F.col("b_id").alias(id_col)), id_col, "left_semi"
-        ),
-        threshold,
-        id_col,
-        vec_col,
-    )
-    if max_iterations is None:
-        mx = (
-            alive.groupBy("cell")
-            .count()
-            .agg(F.max("count").alias("mx"))
-            .collect()[0]["mx"]
-        )
-        max_iterations = survivor_round_budget(int(mx or 1))
-    # group_col="cell": within_cell_dup_pairs pairs never cross cells —
-    # single-pass grouped fixpoint (same survivor set, no driver rounds)
-    surv = greedy_keep_first_survivors(
-        bb, max_iterations=max_iterations, id_col="b_id", group_col="cell"
-    )
-    base = batch_cells.select(F.col(id_col).alias("b_id"), "cell")
-    return (
-        base.join(per_b, "b_id", "left")
-        .join(killed.withColumn("_killed", F.lit(True)), "b_id", "left")
-        .join(surv, "b_id", "left")
-        .select(
-            F.col("b_id").alias(id_col),
+    # r16 (guide §2.3/§2.4): ONE union-tagged grouped Arrow pass decides
+    # everything — per cell it computes the bipartite batch×standing
+    # verify (the _bipartite_dup_matches algebra: b_id ≠ s_id replay
+    # guard, 4-dp cosine ≥ threshold), the per-batch-vector match stats
+    # (count; best = highest cosine, lowest s_id tie-break), the
+    # within-batch pair graph over standing-alive nodes
+    # (within_cell_dup_pairs' algebra) and the keep-first sweep
+    # (_sweep_pairs) — and emits the FINAL report row for every batch
+    # vector of the cell. The former derivation (bipartite pass +
+    # per-b_id window + killed distinct + anti-join + second pair pass +
+    # grouped fixpoint + three broadcast joins back onto the batch) is
+    # one exchange and one Python round-trip now; every decision is
+    # cell-local by construction (each batch vector lives in exactly one
+    # cell), so fusing changes no result — pinned by
+    # test_semantic_decide_matches_composition against the primitive
+    # composition, plus the family's DuckDB oracles.
+    #
+    # max_iterations=None derives the fixpoint budget PER CELL from that
+    # cell's standing-alive batch population (survivor_round_budget)
+    # instead of one global max-over-cells collect: decisions are
+    # budget-invariant once the sweep's decision rounds fit (rounds ≤
+    # component size ≤ the cell's alive count = the per-cell budget ≤
+    # the old global budget), so neither budget can raise or NULL where
+    # the other wouldn't — and the compose-time collect() action is gone
+    # from the production serve path.
+    cell_t = batch_cells.schema["cell"].dataType.simpleString()
+    tagged = batch_cells.select(
+        "cell",
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        F.lit(True).alias("__is_batch"),
+    ).unionByName(
+        standing_cells.select(
             "cell",
-            F.coalesce(F.col("n_matches_standing"), F.lit(0))
-            .cast("long")
-            .alias("n_matches_standing"),
-            "best_cosine",
-            "best_match_id",
-            (
-                ~F.coalesce(F.col("_killed"), F.lit(False))
-                & F.coalesce(F.col("survivor"), F.lit(True))
-            ).alias("keep"),
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).alias("__v"),
+            F.lit(False).alias("__is_batch"),
         )
     )
+    out_schema = (
+        f"{id_col} long, cell {cell_t}, n_matches_standing long, "
+        "best_cosine double, best_match_id long, keep boolean"
+    )
+
+    def _report(pdf):
+        import pandas as pd
+
+        is_b = pdf["__is_batch"].to_numpy()
+        b_rows = np.flatnonzero(is_b)
+        nb = len(b_rows)
+        if nb == 0:
+            return pd.DataFrame(
+                {
+                    id_col: pd.array([], dtype="Int64"),
+                    "cell": pd.Series([], dtype=pdf["cell"].dtype),
+                    "n_matches_standing": pd.array([], dtype="Int64"),
+                    "best_cosine": pd.array([], dtype="Float64"),
+                    "best_match_id": pd.array([], dtype="Int64"),
+                    "keep": pd.array([], dtype="boolean"),
+                }
+            )
+        ids = pdf["__id"].to_numpy()
+        V = np.array(
+            [np.asarray(v, dtype=np.float64) for v in pdf["__v"]],
+            dtype=np.float64,
+        )
+        s_rows = np.flatnonzero(~is_b)
+        ns = len(s_rows)
+        n_match = np.zeros(nb, dtype=np.int64)
+        best_cos = np.full(nb, np.nan)
+        best_id = np.zeros(nb, dtype=np.int64)
+        if ns:
+            i_idx = np.repeat(b_rows, ns)
+            j_idx = np.tile(s_rows, nb)
+            cosr = _np_cosine_4dp(V, i_idx, j_idx).reshape(nb, ns)
+            valid = (cosr >= threshold) & (
+                ids[b_rows][:, None] != ids[s_rows][None, :]
+            )
+            n_match = valid.sum(axis=1).astype(np.int64)
+            cos_masked = np.where(valid, cosr, -np.inf)
+            best_cos = cos_masked.max(axis=1)
+            tie = (cos_masked == best_cos[:, None]) & valid
+            sid = np.where(
+                tie, ids[s_rows][None, :], np.iinfo(np.int64).max
+            )
+            best_id = sid.min(axis=1)
+        killed = n_match > 0
+        # within-batch keep-first over standing-alive nodes only
+        surv_map: dict[int, bool | None] = {}
+        alive_rows = b_rows[~killed]
+        if len(alive_rows) >= 2:
+            ids_s, pi, pj = _np_cell_pairs(
+                ids[alive_rows], V[alive_rows], threshold
+            )
+            if len(pi):
+                budget = (
+                    survivor_round_budget(len(alive_rows))
+                    if max_iterations is None
+                    else max_iterations
+                )
+                nodes, survs = _sweep_pairs(
+                    ids_s[pi], ids_s[pj], budget, strict=True
+                )
+                surv_map = dict(zip(nodes, survs))
+        b_ids = ids[b_rows]
+        keep = [
+            (not k) and (surv_map.get(int(i), True) is not False)
+            for k, i in zip(killed, b_ids)
+        ]
+        return pd.DataFrame(
+            {
+                id_col: pd.array(b_ids, dtype="Int64"),
+                "cell": pdf["cell"].to_numpy()[b_rows],
+                "n_matches_standing": pd.array(n_match, dtype="Int64"),
+                "best_cosine": pd.array(
+                    [
+                        float(c) if m else None
+                        for c, m in zip(best_cos, killed)
+                    ],
+                    dtype="Float64",
+                ),
+                "best_match_id": pd.array(
+                    [
+                        int(s) if m else None
+                        for s, m in zip(best_id, killed)
+                    ],
+                    dtype="Int64",
+                ),
+                "keep": pd.array(keep, dtype="boolean"),
+            }
+        )
+
+    return tagged.groupBy("cell").applyInPandas(_report, out_schema)

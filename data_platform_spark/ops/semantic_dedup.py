@@ -104,9 +104,8 @@ def build_semantic_dedup_index(
     reproduce a gate query exactly. ``sample_mod``/``seed_by_hash``
     are kmeans_fit's 100 TB training knobs, passed through."""
     from data_platform_spark.functions.dedup import (
-        greedy_keep_first_survivors,
+        cell_survivors,
         survivor_round_budget,
-        within_cell_dup_pairs,
     )
 
     spark = emb.sparkSession
@@ -122,10 +121,11 @@ def build_semantic_dedup_index(
     vectors = scoped_persist(
         spark.read.parquet(f"{path}/vectors").select(id_col, "cell", vec_col)
     )
-    dups = scoped_persist(
-        within_cell_dup_pairs(vectors, threshold, id_col, vec_col)
-    )
     if max_iterations is None:
+        # build-once path: the one scalar collect deriving the global
+        # budget is fine here (index builds are rare); the SERVE path's
+        # equivalent collect is gone (semantic_dedup_decide derives its
+        # budget per cell inside the worker)
         mx = (
             vectors.groupBy("cell")
             .count()
@@ -133,11 +133,13 @@ def build_semantic_dedup_index(
             .collect()[0]["mx"]
         )
         max_iterations = survivor_round_budget(int(mx or 1))
-    # group_col="cell": within_cell_dup_pairs pairs never cross cells —
-    # single-pass grouped fixpoint (same survivor set, no driver rounds)
-    surv = greedy_keep_first_survivors(
-        dups, max_iterations=max_iterations,
-        id_col=id_col, group_col="cell",
+    # r16 phase 2 (guide §2.4): the pair verify and the keep-first
+    # fixpoint fuse into ONE grouped Arrow pass — same survivor set
+    # (test_cell_survivors_matches_composition), one exchange, no pair
+    # persist
+    surv = cell_survivors(
+        vectors, threshold, max_iterations=max_iterations,
+        id_col=id_col, vec_col=vec_col,
     )
     decisions = (
         vectors.select(id_col)

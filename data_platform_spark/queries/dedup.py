@@ -2592,11 +2592,11 @@ def semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells_df = S.assign_cells_with_vectors(
         emb, cents, n_iter=KMEANS_ITER, k=k
     ).transform(scoped_persist)
-    dups = D.within_cell_dup_pairs(cells_df, SEMANTIC_DUP_THRESHOLD)
-    per_cell = dups.groupBy("cell").agg(
-        F.count(F.lit(1)).cast("long").alias("n_dup_pairs"),
-        F.count_distinct(F.col("dst")).cast("long").alias("n_removed"),
-    )
+    # r16 phase 2 (guide §2.3): the pair pass emits the per-cell
+    # aggregate directly (cell_pair_stats) — the pair relation, its
+    # exchange and the downstream groupBy(cell) exchange are gone;
+    # bit-identical counts, pinned by this query's own DuckDB oracle
+    per_cell = D.cell_pair_stats(cells_df, SEMANTIC_DUP_THRESHOLD)
     totals = cells_df.groupBy("cell").agg(
         F.count(F.lit(1)).cast("long").alias("n_vectors")
     )
@@ -2925,9 +2925,6 @@ def semantic_dedup_cells_survivors(
     n_removed_true ≤ n_removed_bound per cell by construction
     (asserted in tests/test_ops.py). Counts exact LONGs."""
     from data_platform_spark.functions import similarity as S
-    from data_platform_spark.functions.dedup import (
-        greedy_keep_first_survivors,
-    )
     from data_platform_spark.queries.similarity import KMEANS_ITER
 
     emb = fan_out(load_table(spark, sf_dir, "embeddings"), spark)
@@ -2941,32 +2938,25 @@ def semantic_dedup_cells_survivors(
         emb, cents, n_iter=KMEANS_ITER, k=k
     ).transform(scoped_persist)
     ids = cells_df.select("cell", "vec_id")
-    dups = D.within_cell_dup_pairs(
-        cells_df, SEMANTIC_DUP_THRESHOLD
-    ).transform(scoped_persist)
-    bound = dups.groupBy("cell").agg(
-        F.count_distinct(F.col("dst")).cast("long").alias("n_removed_bound")
-    )
-    # group_col="cell": both endpoints of every pair share the cell by
-    # construction (the equi-join above), so the fixpoint runs as one
-    # per-cell applyInPandas pass — same survivor set, no driver rounds
-    survivors = greedy_keep_first_survivors(
-        dups,
+    # r16 phase 2 (guide §2.3/§2.4): ONE grouped Arrow pass per cell
+    # computes the verified pairs, the distinct-dst bound AND the
+    # keep-first sweep, emitting one stats row per cell — the former
+    # pair persist + bound aggregate + grouped fixpoint + true_removed
+    # id-join + aggregate (3 exchanges, 2 Python passes) collapse to one
+    # exchange; bit-identical counts (test_cell_survivor_stats_matches_
+    # composition + this query's own DuckDB oracle). max_iterations
+    # stays pinned to the oracle's unroll depth — a deeper chain still
+    # raises the self-describing error from the worker.
+    stats = D.cell_survivor_stats(
+        cells_df,
+        SEMANTIC_DUP_THRESHOLD,
         max_iterations=SEMANTIC_SURVIVOR_ROUNDS,
-        group_col="cell",
-    )
-    true_removed = (
-        survivors.filter(~F.col("survivor"))
-        .join(ids, "vec_id")
-        .groupBy("cell")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_removed_true"))
     )
     totals = ids.groupBy("cell").agg(
         F.count(F.lit(1)).cast("long").alias("n_vectors")
     )
     return (
-        totals.join(bound, "cell", "left")
-        .join(true_removed, "cell", "left")
+        totals.join(stats, "cell", "left")
         .select(
             "cell",
             "n_vectors",
@@ -3105,9 +3095,8 @@ def incremental_semantic_dedup_new_batch(
     _survivor_round_ctes instances in one WITH block."""
     from data_platform_spark.functions import similarity as S
     from data_platform_spark.functions.dedup import (
-        greedy_keep_first_survivors,
+        cell_survivors,
         semantic_dedup_decide,
-        within_cell_dup_pairs,
     )
     from data_platform_spark.queries.similarity import KMEANS_ITER
 
@@ -3128,15 +3117,15 @@ def incremental_semantic_dedup_new_batch(
     s_cells = S.assign_cells_with_vectors(
         standing, cents, n_iter=KMEANS_ITER, k=k
     ).transform(scoped_persist)
-    s_dups = within_cell_dup_pairs(
-        s_cells, SEMANTIC_DUP_THRESHOLD
-    ).transform(scoped_persist)
-    # group_col="cell": within_cell_dup_pairs guarantees both endpoints
-    # share the cell — single-pass grouped fixpoint, same survivor set
-    s_surv = greedy_keep_first_survivors(
-        s_dups,
+    # r16 phase 2 (guide §2.4): the standing pair verify and the
+    # keep-first fixpoint fuse into ONE grouped Arrow pass
+    # (cell_survivors — the pair relation, its persist and the second
+    # grouped pass are gone); identical survivor set, pinned by
+    # test_cell_survivors_matches_composition and this query's oracle
+    s_surv = cell_survivors(
+        s_cells,
+        SEMANTIC_DUP_THRESHOLD,
         max_iterations=SEMANTIC_SURVIVOR_ROUNDS,
-        group_col="cell",
     )
     standing_surv = s_cells.join(
         s_surv.filter(~F.col("survivor")).select("vec_id"),

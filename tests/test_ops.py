@@ -3109,6 +3109,236 @@ def test_bipartite_dup_matches_grouped_matches_join(spark):
     assert all(b != s for (b, s, _) in got)
 
 
+def test_cell_survivors_matches_composition(spark):
+    """r16 phase 2: cell_survivors (fused pair verify + keep-first sweep
+    in ONE grouped pass) must return the identical (id, survivor) set —
+    NULL frontier included — as the composition it replaces
+    (within_cell_dup_pairs → greedy_keep_first_survivors with
+    group_col), and raise the same strict convergence error."""
+    import pytest as _pytest
+
+    from data_platform_spark.functions.dedup import (
+        cell_survivors,
+        greedy_keep_first_survivors,
+        within_cell_dup_pairs,
+    )
+    from data_platform_spark.queries.dedup import SEMANTIC_DUP_THRESHOLD
+
+    cells = _semantic_pair_fixture(spark)
+    for thr in (0.2, SEMANTIC_DUP_THRESHOLD):
+        want = {
+            r.vec_id: r.survivor
+            for r in greedy_keep_first_survivors(
+                within_cell_dup_pairs(cells, thr),
+                max_iterations=50,
+                group_col="cell",
+            ).collect()
+        }
+        got = {
+            r.vec_id: r.survivor
+            for r in cell_survivors(
+                cells, thr, max_iterations=50
+            ).collect()
+        }
+        assert got == want and len(got) > 0
+    # non-strict truncation parity on a 12-deep chain with budget 4:
+    # identical undecided-NULL frontier
+    chain = _staircase_batch(spark, 12)
+    want = {
+        r.vec_id: r.survivor
+        for r in greedy_keep_first_survivors(
+            within_cell_dup_pairs(chain, 0.3),
+            max_iterations=4,
+            strict=False,
+            group_col="cell",
+        ).collect()
+    }
+    got = {
+        r.vec_id: r.survivor
+        for r in cell_survivors(
+            chain, 0.3, max_iterations=4, strict=False
+        ).collect()
+    }
+    assert got == want
+    assert any(v is None for v in got.values())
+    # strict raise parity (surfaces at the action as PythonException)
+    with _pytest.raises(Exception, match="did not converge"):
+        cell_survivors(chain, 0.3, max_iterations=4).collect()
+
+
+def test_cell_stats_match_composition(spark):
+    """r16 phase 2: cell_pair_stats / cell_survivor_stats (per-cell
+    aggregates emitted directly from the fused pass) must match the
+    composed derivations they replace bit-for-bit."""
+    from data_platform_spark.functions.dedup import (
+        cell_pair_stats,
+        cell_survivor_stats,
+        greedy_keep_first_survivors,
+        within_cell_dup_pairs,
+    )
+    from data_platform_spark.queries.dedup import SEMANTIC_DUP_THRESHOLD
+
+    cells = _semantic_pair_fixture(spark)
+    for thr in (0.2, SEMANTIC_DUP_THRESHOLD):
+        dups = within_cell_dup_pairs(cells, thr)
+        want_pairs = {
+            r.cell: (r.n_dup_pairs, r.n_removed)
+            for r in dups.groupBy("cell")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_dup_pairs"),
+                F.count_distinct(F.col("dst"))
+                .cast("long")
+                .alias("n_removed"),
+            )
+            .collect()
+        }
+        got_pairs = {
+            r.cell: (r.n_dup_pairs, r.n_removed)
+            for r in cell_pair_stats(cells, thr).collect()
+        }
+        assert got_pairs == want_pairs and len(got_pairs) > 0
+
+        surv = greedy_keep_first_survivors(
+            dups, max_iterations=50, group_col="cell"
+        )
+        ids = cells.select("cell", "vec_id")
+        want_surv = {
+            r.cell: (r.n_removed_bound, r.n_removed_true)
+            for r in dups.groupBy("cell")
+            .agg(
+                F.count_distinct(F.col("dst"))
+                .cast("long")
+                .alias("n_removed_bound")
+            )
+            .join(
+                surv.filter(~F.col("survivor"))
+                .join(ids, "vec_id")
+                .groupBy("cell")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_removed_true")
+                ),
+                "cell",
+                "left",
+            )
+            .select(
+                "cell",
+                "n_removed_bound",
+                F.coalesce(F.col("n_removed_true"), F.lit(0))
+                .cast("long")
+                .alias("n_removed_true"),
+            )
+            .collect()
+        }
+        got_surv = {
+            r.cell: (r.n_removed_bound, r.n_removed_true)
+            for r in cell_survivor_stats(
+                cells, thr, max_iterations=50
+            ).collect()
+        }
+        assert got_surv == want_surv and len(got_surv) > 0
+
+
+def test_semantic_decide_matches_composition(spark):
+    """r16 phase 2: the FUSED semantic_dedup_decide (one union-tagged
+    grouped pass) must reproduce the primitive composition it replaced —
+    bipartite verify + per-b_id best-match window + killed anti-join +
+    within-batch pair pass + grouped fixpoint + report joins — row for
+    row, cosine doubles included, on a fixture with standing kills,
+    batch chains, a replayed id and clean vectors."""
+    from pyspark.sql.window import Window
+
+    from data_platform_spark.functions.dedup import (
+        _bipartite_dup_matches,
+        greedy_keep_first_survivors,
+        semantic_dedup_decide,
+        within_cell_dup_pairs,
+    )
+    from data_platform_spark.queries.dedup import SEMANTIC_DUP_THRESHOLD
+
+    cells = _semantic_pair_fixture(spark)
+    batch = cells.filter(
+        (F.col("vec_id") % 3 == 0) | (F.col("vec_id") == 9002)
+    )
+    standing = cells.filter(F.col("vec_id") % 3 != 0)
+    thr = SEMANTIC_DUP_THRESHOLD
+
+    # the pre-fusion composition, inline
+    b_ids = batch.select("cell", F.col("vec_id").alias("b_id"))
+    bs = _bipartite_dup_matches(batch, standing, thr)
+    w_best = Window.partitionBy("b_id").orderBy(
+        F.desc("cosine"), F.asc("s_id")
+    )
+    w_cnt = Window.partitionBy("b_id")
+    per_b = (
+        bs.withColumn("rk", F.row_number().over(w_best))
+        .withColumn("cnt", F.count(F.lit(1)).over(w_cnt))
+        .filter(F.col("rk") == 1)
+        .select(
+            "b_id",
+            F.col("cnt").cast("long").alias("n_matches_standing"),
+            F.col("cosine").alias("best_cosine"),
+            F.col("s_id").cast("long").alias("best_match_id"),
+        )
+    )
+    killed = bs.select("b_id").distinct()
+    alive = b_ids.join(killed, "b_id", "left_anti")
+    bb = within_cell_dup_pairs(
+        batch.join(
+            alive.select(F.col("b_id").alias("vec_id")),
+            "vec_id",
+            "left_semi",
+        ),
+        thr,
+    )
+    surv = greedy_keep_first_survivors(
+        bb, max_iterations=50, id_col="b_id", group_col="cell"
+    )
+    base = batch.select(F.col("vec_id").alias("b_id"), "cell")
+    want = {
+        r.vec_id: (
+            r.cell,
+            r.n_matches_standing,
+            r.best_cosine,
+            r.best_match_id,
+            r.keep,
+        )
+        for r in base.join(per_b, "b_id", "left")
+        .join(killed.withColumn("_killed", F.lit(True)), "b_id", "left")
+        .join(surv, "b_id", "left")
+        .select(
+            F.col("b_id").alias("vec_id"),
+            "cell",
+            F.coalesce(F.col("n_matches_standing"), F.lit(0))
+            .cast("long")
+            .alias("n_matches_standing"),
+            "best_cosine",
+            "best_match_id",
+            (
+                ~F.coalesce(F.col("_killed"), F.lit(False))
+                & F.coalesce(F.col("survivor"), F.lit(True))
+            ).alias("keep"),
+        )
+        .collect()
+    }
+    got = {
+        r.vec_id: (
+            r.cell,
+            r.n_matches_standing,
+            r.best_cosine,
+            r.best_match_id,
+            r.keep,
+        )
+        for r in semantic_dedup_decide(
+            batch, standing, thr, max_iterations=50
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+    # the fixture exercises all three outcomes
+    keeps = [v[4] for v in got.values()]
+    kills = [v[1] for v in got.values()]
+    assert any(keeps) and not all(keeps) and any(n > 0 for n in kills)
+
+
 # ---------------------------------------------------------------------------
 # round 13: persisted semantic-dedup index (ops/semantic_dedup.py)
 # ---------------------------------------------------------------------------
