@@ -76,6 +76,32 @@ def matched_postings(
     )
 
 
+def stats_tf_df(
+    base: DataFrame, terms: list[str], id_cols: list[str]
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The (stats, tf, df) triple for a BM25 scoring composition with
+    the df leg DERIVED FROM the tf leg (r16, guide §2.3/§2.4).
+
+    The query-side compositions used to build ``df_table(matched)`` and
+    ``tf_table(matched)`` as two independent derivations of the matched
+    postings — two full tokenize passes over the corpus, because Spark
+    shares no common subexpressions across a plan. ``df_table_from_tf``
+    counts the tf relation's rows per term instead (tf rows are unique
+    per (doc, term), so the count IS the document frequency — the same
+    identity the persisted lexical index relies on); both consumers then
+    contain the IDENTICAL tf Exchange subtree, which Spark's
+    ReuseExchange rule evaluates once — the corpus is tokenized once for
+    tf+df with no persist, no cache barrier, and no unpersist cost in
+    the timed path (a persisted-narrow-projection variant measured
+    ~0.5 s SLOWER at sf0.1 than this form: the cache round-trip cost
+    more than the saved scan). ``stats`` keeps its own corpus pass —
+    it aggregates every document, not just term matches."""
+    stats = corpus_stats(base)
+    matched = matched_postings(base, terms, id_cols)
+    tf = tf_table(matched, id_cols)
+    return stats, tf, df_table_from_tf(tf)
+
+
 def tf_table(matched: DataFrame, id_cols: list[str]) -> DataFrame:
     """(id_cols…, dl, term, tf double): one row per distinct (doc,
     term) with its term frequency — the relation a persisted postings

@@ -76,8 +76,20 @@ class JoinViewState:
 
 def _upsert(standing: DataFrame, delta: DataFrame, key: str) -> DataFrame:
     """Pure upsert by key: delta rows replace standing rows with the same
-    key, unmatched keys insert (the in-memory analog of Warehouse.merge)."""
-    return standing.join(delta, [key], "left_anti").unionByName(delta)
+    key, unmatched keys insert (the in-memory analog of Warehouse.merge).
+
+    The anti probe broadcasts the delta's KEY projection (r16, guide
+    §3.1): ``delta`` is batch-sized by the module's O(batch) maintenance
+    contract while ``standing`` is the ledger — without the hint the
+    planner sees a join product with an inflated size estimate on the
+    delta side and falls back to SortMergeJoin, shuffling the STANDING
+    ledger on every probe (measured: 20 SMJ LeftAnti in the scd2 gate
+    query's plan; at 100 TB each is a full view shuffle). The persisted
+    twins (join_view_dim_upsert_persisted etc.) already broadcast their
+    probe sides explicitly — this aligns the in-memory form."""
+    return standing.join(
+        F.broadcast(delta.select(key)), [key], "left_anti"
+    ).unionByName(delta)
 
 
 def init_join_view(
@@ -115,16 +127,21 @@ def apply_fact_batch(
     # matched batch rows evict their key from orphans, unmatched ones from
     # the view (cross-ledger moves on fact re-delivery — the in-memory
     # twin of the persisted _DEL legs)
+    # cross-ledger eviction probes broadcast the batch-derived key sets
+    # (r16, guide §3.1): both are O(batch) by contract; the standing
+    # ledgers must never shuffle on a probe
     return JoinViewState(
         view=_upsert(
             state.view.join(
-                unmatched.select(fact_key), [fact_key], "left_anti"
+                F.broadcast(unmatched.select(fact_key)), [fact_key], "left_anti"
             ),
             matched,
             fact_key,
         ),
         orphans=_upsert(
-            state.orphans.join(matched.select(fact_key), [fact_key], "left_anti"),
+            state.orphans.join(
+                F.broadcast(matched.select(fact_key)), [fact_key], "left_anti"
+            ),
             unmatched,
             fact_key,
         ),
@@ -155,7 +172,13 @@ def apply_dim_upsert(
     batch (duplicate images would fan the re-join out and insert
     duplicate fact keys into the view; resolution is upstream).
     """
-    changed = dim_upserts.select(dim_on).distinct()
+    # ``dim_upserts`` is unique per ``dim_on`` (the contract above), so
+    # the former ``.distinct()`` was a relational no-op costing a full
+    # exchange + aggregate per dim batch — dropped (r16, guide §2.4).
+    # The probe key set and the upsert batch are both dimension-batch-
+    # sized by contract, hence broadcast (guide §3.1): only the touched
+    # fact rows ever move, the standing ledgers never shuffle.
+    changed = F.broadcast(dim_upserts.select(dim_on))
 
     touched_view_facts = state.view.join(
         changed, state.view[fact_on] == changed[dim_on], "left_semi"
@@ -164,7 +187,7 @@ def apply_dim_upsert(
         changed, state.orphans[fact_on] == changed[dim_on], "left_semi"
     )
     to_rejoin = touched_view_facts.unionByName(touched_orphans)
-    upsr = _dim_keyed(dim_upserts, dim_on)
+    upsr = F.broadcast(_dim_keyed(dim_upserts, dim_on))
     refreshed = to_rejoin.join(
         upsr, to_rejoin[fact_on] == F.col(_DIM_KEY), "inner"
     ).drop(_DIM_KEY)
@@ -654,7 +677,10 @@ def apply_dim_delete(
     making delete → re-insert a lossless round trip. ``deleted_keys``
     carries just the key column; orphans already referencing a deleted
     key are unaffected (they were never joined)."""
-    keys = deleted_keys.select(dim_on).distinct()
+    # broadcast the batch-sized key set (r16, guide §3.1) — same probe
+    # discipline as apply_dim_upsert; distinct stays (no uniqueness
+    # contract on deleted_keys) and bounds the broadcast
+    keys = F.broadcast(deleted_keys.select(dim_on).distinct())
     demoted = state.view.join(
         keys, state.view[fact_on] == keys[dim_on], "left_semi"
     ).drop(*dim_payload)

@@ -130,17 +130,25 @@ def apply_fact_batch_scd2(
     matched, unmatched = _asof_split(
         batch, dim_versions, fact_on, dim_on, event_col
     )
+    # cross-ledger eviction probes broadcast the batch-derived key sets
+    # (r16, guide §3.1): O(batch) by contract — the standing ledgers
+    # never shuffle on a probe (the planner otherwise SortMergeJoins
+    # them: join-product size estimates are inflated)
     return JoinViewState(
         view=_upsert(
             state.view.join(
-                unmatched.select(fact_key), [fact_key], "left_anti"
+                F.broadcast(unmatched.select(fact_key)),
+                [fact_key],
+                "left_anti",
             ),
             matched,
             fact_key,
         ),
         orphans=_upsert(
             state.orphans.join(
-                matched.select(fact_key), [fact_key], "left_anti"
+                F.broadcast(matched.select(fact_key)),
+                [fact_key],
+                "left_anti",
             ),
             unmatched,
             fact_key,
@@ -179,7 +187,12 @@ def apply_scd2_dim_batch(
     change cheaper than its SCD1 counterpart: O(future-dated facts of
     touched keys), not O(all facts of touched keys).
     """
-    keys = touched_keys.select(dim_on).distinct()
+    # the touched-key set is staging-batch-sized (its docstring
+    # contract) — broadcast every probe against it, exactly as the
+    # persisted twin (scd2_join_view_dim_persisted) already does; the
+    # ``distinct`` stays because ``touched_keys`` may legitimately carry
+    # duplicates ("a superset ... is safe") and it bounds the broadcast
+    keys = F.broadcast(touched_keys.select(dim_on).distinct())
     ts = F.lit(batch_ts)
 
     touched_view = (
@@ -191,21 +204,27 @@ def apply_scd2_dim_batch(
         keys, state.orphans[fact_on] == keys[dim_on], "left_semi"
     )
     to_probe = touched_view.unionByName(touched_orphans)
-    versions_of_keys = dim_versions.join(keys, [dim_on], "left_semi")
+    versions_of_keys = F.broadcast(
+        dim_versions.join(keys, [dim_on], "left_semi")
+    )
     matched, unmatched = _asof_split(
         to_probe, versions_of_keys, fact_on, dim_on, event_col
     )
     return JoinViewState(
         view=_upsert(
             state.view.join(
-                unmatched.select(fact_key), [fact_key], "left_anti"
+                F.broadcast(unmatched.select(fact_key)),
+                [fact_key],
+                "left_anti",
             ),
             matched,
             fact_key,
         ),
         orphans=_upsert(
             state.orphans.join(
-                matched.select(fact_key), [fact_key], "left_anti"
+                F.broadcast(matched.select(fact_key)),
+                [fact_key],
+                "left_anti",
             ),
             unmatched,
             fact_key,

@@ -943,10 +943,10 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
     base = R.token_base(docs, ["doc_id"])
-    stats = R.corpus_stats(base)
-    matched = R.matched_postings(base, BM25_QUERY_TERMS, ["doc_id"])
-    tf = R.tf_table(matched, ["doc_id"])
-    df_tab = R.df_table(matched, ["doc_id"])
+    # df derives from tf so both legs share ONE tokenize pass via
+    # ReuseExchange (r16, guide §2.3/§2.4) — was two independent
+    # matched-postings derivations; bit-identical df counts
+    stats, tf, df_tab = R.stats_tf_df(base, BM25_QUERY_TERMS, ["doc_id"])
     scored = R.score_tf(tf, df_tab, stats, ["doc_id"])
     return scored.orderBy(
         F.desc("score_micro"), F.asc("doc_id")
@@ -1173,11 +1173,12 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # functions/retrieval.py math — same expressions as bm25_topk)
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
     base = R.token_base(docs, ["doc_id"])
-    stats = R.corpus_stats(base)
-    matched = R.matched_postings(base, BM25_QUERY_TERMS, ["doc_id"])
+    # df derives from tf — one shared tokenize pass via ReuseExchange
+    # (r16, guide §2.3/§2.4)
+    stats, tf, df_tab = R.stats_tf_df(base, BM25_QUERY_TERMS, ["doc_id"])
     lex_scored = R.score_tf(
-        R.tf_table(matched, ["doc_id"]),
-        R.df_table(matched, ["doc_id"]),
+        tf,
+        df_tab,
         stats,
         ["doc_id"],
         with_match_count=False,
@@ -1441,11 +1442,12 @@ def _chunk_bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("chunk").cast("double").alias("dl"),
     )
     ids = ["doc_id", "chunk_idx"]
-    stats = R.corpus_stats(base)
-    matched = R.matched_postings(base, BM25_QUERY_TERMS, ids)
+    # df derives from tf — the chunk generator otherwise re-ran for the
+    # tf and df legs separately (r16, guide §2.3/§2.4)
+    stats, tf, df_tab = R.stats_tf_df(base, BM25_QUERY_TERMS, ids)
     return R.score_tf(
-        R.tf_table(matched, ids),
-        R.df_table(matched, ids),
+        tf,
+        df_tab,
         stats,
         ids,
         with_match_count=False,
@@ -2566,11 +2568,12 @@ def hybrid_leg_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
     base = R.token_base(docs, ["doc_id"])
-    stats = R.corpus_stats(base)
-    matched = R.matched_postings(base, BM25_QUERY_TERMS, ["doc_id"])
+    # df derives from tf — one shared tokenize pass via ReuseExchange
+    # (r16, guide §2.3/§2.4)
+    stats, tf, df_tab = R.stats_tf_df(base, BM25_QUERY_TERMS, ["doc_id"])
     lex_scored = R.score_tf(
-        R.tf_table(matched, ["doc_id"]),
-        R.df_table(matched, ["doc_id"]),
+        tf,
+        df_tab,
         stats,
         ["doc_id"],
         with_match_count=False,
