@@ -1022,7 +1022,14 @@ def pq_train_codebook(
 
     sub = dim // n_sub
     train = training_sample(emb, sample_mod, id_col)
-    vec_long = _pq_vec_long(train, sub, id_col, vec_col)
+    # persist the posexplode'd training relation (r16, guide §5): the
+    # seeds join and BOTH halves of every Lloyd round (the distance
+    # probe and the re-centroid join) consume it — unpersisted, the
+    # d-way explode over the training sample re-ran 1 + 2·n_iter times
+    # per codebook build
+    from data_platform_spark.cache import scoped_persist
+
+    vec_long = scoped_persist(_pq_vec_long(train, sub, id_col, vec_col))
     seed_order = (
         [F.asc(F.xxhash64(F.col(id_col))), F.asc(id_col)]
         if seed_by_hash
