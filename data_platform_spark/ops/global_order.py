@@ -19,6 +19,16 @@ computation:
 Cost: two narrow shuffles of the key/value projection (range + pid hash)
 and a 1-row broadcast. No stage sees more than one partition's rows.
 
+NOTE (r16 negative result — do not "fix" again): dropping the explicit
+partition count so the range exchange becomes AQE-coalescible
+(``repartitionByRange(*cols)`` instead of ``(N, *cols)``) was measured
+~2x SLOWER end-to-end on every consumer tried (hybrid_rrf_topk
+4.35→6.87 s, corpus_pack_sequences 1.03→1.79, events_user_gini
+0.96→2.11; median-of-5, back-to-back A/B legs) — the AQE replanning
+and coalesce decisions cost more than the fixed-count stages save.
+The explicit count already scales: it derives from
+``spark.sql.shuffle.partitions``, the conf a cluster deployment sizes.
+
 Semantics match the single-partition form exactly whenever the order is
 total (callers pass a unique tie-break column, as every registered query
 here does).
