@@ -192,8 +192,25 @@ def apply_dim_upsert(
         upsr, to_rejoin[fact_on] == F.col(_DIM_KEY), "inner"
     ).drop(_DIM_KEY)
 
+    # The view upsert evicts by the CHANGED DIM KEYS, not by broadcasting
+    # ``refreshed``'s fact keys (ADVICE r16 #1): ``refreshed`` is O(fact
+    # rows of touched keys) — unbounded by the dim batch, so a hot key
+    # could push a forced broadcast past Spark's 8 GB / 512M-row cap.
+    # The removal sets are provably equal: every touched view fact joins
+    # exactly one new image (``dim_upserts`` is unique per ``dim_on`` and
+    # covers every changed key by construction), and promoted-orphan keys
+    # are never in the view (``view ∪ orphans`` partitions the facts) —
+    # so the view rows replaced by ``refreshed`` are EXACTLY the view
+    # rows whose ``fact_on`` is a changed key. Probing on ``changed``
+    # keeps the broadcast genuinely dim-batch-bounded and, at scale, the
+    # anti probe prunes on the join key the view is laid out by.
+    # (Correctness of semi/anti probes never depended on key-set
+    # uniqueness — they are duplicate-insensitive; only broadcast size
+    # does.)
     return JoinViewState(
-        view=_upsert(state.view, refreshed, fact_key),
+        view=state.view.join(
+            changed, state.view[fact_on] == changed[dim_on], "left_anti"
+        ).unionByName(refreshed),
         # promoted orphans leave the ledger; an UPDATE never creates one
         orphans=state.orphans.join(
             changed, state.orphans[fact_on] == changed[dim_on], "left_anti"

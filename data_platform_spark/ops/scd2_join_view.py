@@ -210,25 +210,30 @@ def apply_scd2_dim_batch(
     matched, unmatched = _asof_split(
         to_probe, versions_of_keys, fact_on, dim_on, event_col
     )
+    # Evictions probe on the BATCH-SIZED key set, not on broadcast
+    # matched/unmatched fact-key sets (ADVICE r16 #2: those are O(fact
+    # rows of touched keys) — unbounded by the dim batch, so a hot key
+    # could push the forced broadcast past the 8 GB / 512M-row cap).
+    # The removal sets are provably equal: ``_asof_split`` partitions
+    # ``to_probe`` (matched ∪ unmatched keys = to_probe keys, every key
+    # in exactly one half), the view's intersection with to_probe is
+    # exactly its rows with ``event >= ts`` and ``fact_on ∈ keys`` (the
+    # touched_view probe), and the orphans' intersection is exactly its
+    # rows with ``fact_on ∈ keys`` — promoted/demoted keys can't sit in
+    # the other ledger (``view ∪ orphans`` partitions the facts). So the
+    # anti probes below remove the same rows the two fact-key upsert
+    # probes did, with the broadcast bounded by the staging batch and,
+    # at scale, prunable on the join key the ledgers are laid out by.
     return JoinViewState(
-        view=_upsert(
-            state.view.join(
-                F.broadcast(unmatched.select(fact_key)),
-                [fact_key],
-                "left_anti",
-            ),
-            matched,
-            fact_key,
-        ),
-        orphans=_upsert(
-            state.orphans.join(
-                F.broadcast(matched.select(fact_key)),
-                [fact_key],
-                "left_anti",
-            ),
-            unmatched,
-            fact_key,
-        ),
+        view=state.view.join(
+            keys,
+            (state.view[fact_on] == keys[dim_on])
+            & (state.view[event_col] >= ts),
+            "left_anti",
+        ).unionByName(matched),
+        orphans=state.orphans.join(
+            keys, state.orphans[fact_on] == keys[dim_on], "left_anti"
+        ).unionByName(unmatched),
     )
 
 
