@@ -454,7 +454,10 @@ def connected_components(
 
     ``strict=True`` raises if the loop exits while labels were still
     changing — silently returning unconverged (wrong) components is worse
-    than failing.
+    than failing. (r17: a materialized round is now a DOUBLE hop, so the
+    convergence budget only ever widens — every graph the single-hop
+    loop converged for still converges, and an unconverged result is
+    still never returned.)
     """
     bidir = (
         edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -468,22 +471,25 @@ def connected_components(
         .withColumn("label", F.col("doc_id"))
         .localCheckpoint()
     )
-    converged = False
-    for _ in range(max_iterations):
+
+    def _hop(lbl: DataFrame) -> DataFrame:
+        """One min-label propagation + pointer-jump step, carrying any
+        extra columns (the round-start ``_old``) through unchanged."""
+        extra = [c for c in lbl.columns if c not in ("doc_id", "label")]
         neighbor_min = (
-            bidir.join(labels, bidir.dst == labels.doc_id)
+            bidir.join(lbl, bidir.dst == lbl.doc_id)
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
         updated = (
-            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            lbl.join(neighbor_min, lbl.doc_id == neighbor_min.src, "left")
             .select(
                 "doc_id",
                 F.least(
                     F.col("label"),
                     F.coalesce(F.col("nbr_label"), F.col("label")),
                 ).alias("label"),
-                F.col("label").alias("_old"),
+                *extra,
             )
         )
         # pointer jumping: follow my label's label (labels are doc_ids, so
@@ -491,24 +497,38 @@ def connected_components(
         parent = updated.select(
             F.col("doc_id").alias("p_id"), F.col("label").alias("p_label")
         )
-        jumped = (
+        return (
             updated.join(parent, updated.label == parent.p_id, "left")
             .select(
                 "doc_id",
                 F.least(
                     F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))
                 ).alias("label"),
-                "_old",
+                *extra,
             )
         )
-        # NOTE (r16): count-then-checkpoint looks like a double compute,
-        # but checkpoint-FIRST was measured 4-6x SLOWER end-to-end
-        # (leakage_safe_split 5.2s -> 33s): both actions run on the same
-        # Dataset plan, and the second benefits from the first's shuffle
-        # files, while an un-warmed localCheckpoint of the wide join pays
-        # the full DAG cold. Keep this order.
-        changed = jumped.filter(F.col("label") != F.col("_old")).count()
-        labels = jumped.select("doc_id", "label").localCheckpoint()
+
+    converged = False
+    for _ in range(max_iterations):
+        # r17 (guide §2/§1.2, VERDICT r16 item 1): the loop was one hop +
+        # TWO full-DAG driver-synchronized actions per round (convergence
+        # count, then localCheckpoint re-running the same plan). Now each
+        # materialized round folds TWO hops into ONE action — the
+        # localCheckpoint materializes the round WITH its changed flag,
+        # and the convergence count scans the checkpointed blocks instead
+        # of re-executing the round's DAG (this differs from the r16
+        # negative result, which checkpointed first but still ran the
+        # count against the un-checkpointed plan: that re-ran the round's
+        # join DAG cold). Label reach quadruples per materialized round
+        # (two pointer-jumped hops), so cluster barriers HALVE at any
+        # scale while results at fixpoint are identical — an extra hop on
+        # converged labels is the identity.
+        two = _hop(_hop(labels.withColumn("_old", F.col("label"))))
+        ck = two.select(
+            "doc_id", "label", (F.col("label") != F.col("_old")).alias("_chg")
+        ).localCheckpoint()
+        changed = ck.filter(F.col("_chg")).count()
+        labels = ck.select("doc_id", "label")
         if changed == 0:
             converged = True
             break
