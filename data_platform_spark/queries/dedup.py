@@ -1353,7 +1353,17 @@ def dedup_decision_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", D.content_hash(F.col("text")).alias("h")
     )
     keep = hashed.groupBy("h").agg(F.min("doc_id").alias("keeper"))
-    wk = hashed.join(keep, "h").select("doc_id", "keeper")
+    # wk is the exact-dedup verdict relation, consumed by THREE legs
+    # (exact_dups rows, the keeper semi-join feeding the whole LSH near
+    # stage, and the final keeper_rows report join); unpersisted, the
+    # content-hash scan + groupBy + join subtree re-executed per leg —
+    # one narrow (doc_id, keeper) persist computes it once (r17, guide
+    # §5; VERDICT r16 item 4)
+    wk = (
+        hashed.join(keep, "h")
+        .select("doc_id", "keeper")
+        .transform(scoped_persist)
+    )
     exact_dups = wk.filter(F.col("doc_id") != F.col("keeper")).select(
         "doc_id",
         F.lit("exact_dup").alias("status"),
