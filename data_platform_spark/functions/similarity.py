@@ -988,6 +988,73 @@ def _pq_dist_against(
     )
 
 
+def _pq_cents_row(cents: DataFrame, sub: int) -> DataFrame:
+    """Pivot the (code, pos, cb_val) codebook into ONE row holding every
+    per-subspace codeword as a (m, code, cvec) struct array — the
+    broadcastable scalar the in-row PQ assignment folds over (the PQ
+    analog of :func:`_cents_row`). ``cvec`` is the pos-ascending value
+    slice of subspace ``m``; a (code, m) pair with no codebook rows is
+    simply absent, exactly as it produced no rows in the former
+    posexplode ⋈ codebook join. ``__one`` is the same constant-valued
+    but non-foldable equi-join key (a BroadcastHashJoin over one row,
+    never a nested loop)."""
+    return (
+        cents.withColumn("m", (F.col("pos") / sub).cast("int"))
+        .groupBy("m", "code")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cb_val"))),
+                lambda s: s.cb_val,
+            ).alias("cvec")
+        )
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("m", "code", "cvec"))
+            ).alias("__pqc"),
+            F.min(F.lit(1)).alias("__one"),
+        )
+    )
+
+
+def _pq_best_codes(vec: Column, sub: int, n_sub: int) -> Column:
+    """Per-subspace argmin codes for one vector, folded in-row over the
+    broadcast ``__pqc`` codebook row: element ``m`` of the result is the
+    (dist2_micro, code) struct-min over subspace ``m``'s codewords.
+    Bit-identical to the former posexplode ⋈ codebook ⋈ double-groupBy
+    (``_pq_dist_against`` + struct-min): the squared diffs use the same
+    ``pow(x - cb, 2)`` expression, fold sequentially in pos order (the
+    order the exploded groupBy's single map-side partial accumulated),
+    quantize with the same ``floor(sum·1e6 + 0.5)`` LONG cast, and
+    ``array_min`` over (dist2_micro, code) structs is the same
+    field-lexicographic (dist asc, code asc) tie-break."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_sub - 1)),
+        lambda m: F.array_min(
+            F.transform(
+                F.filter(F.col("__pqc"), lambda s: s["m"] == m),
+                lambda s: F.struct(
+                    F.floor(
+                        F.aggregate(
+                            F.zip_with(
+                                F.slice(vec, m * F.lit(sub) + 1, F.lit(sub)),
+                                s["cvec"],
+                                lambda x, cv: F.pow(x - cv, F.lit(2)),
+                            ),
+                            F.lit(0.0).cast("double"),
+                            lambda acc, y: acc + y,
+                        )
+                        * 1_000_000
+                        + F.lit(0.5)
+                    )
+                    .cast("long")
+                    .alias("dist2_micro"),
+                    s["code"].alias("code"),
+                ),
+            )
+        ),
+    )
+
+
 def pq_train_codebook(
     emb: DataFrame,
     n_sub: int = 4,
@@ -998,6 +1065,7 @@ def pq_train_codebook(
     vec_col: str = "embedding",
     sample_mod: int | None = None,
     seed_by_hash: bool = False,
+    flat: bool | None = None,
 ) -> DataFrame:
     """Train the PQ codebook: per-subspace Lloyd rounds (fixed n_iter,
     the kmeans_fit convention) from deterministic smallest-id seeds.
@@ -1017,19 +1085,32 @@ def pq_train_codebook(
     sample instead of the full corpus, and seeds draw by hash order
     instead of smallest id. Encoding (pq_dist_table/pq_encode over the
     returned codebook) still covers every vector.
+
+    ``flat`` (r17, guide §2.3/§2.4 — the kmeans_fit flat-path twin):
+    below IVF_ASSIGN_FLAT_MAX codewords per subspace (auto; force with
+    True/False) each Lloyd round folds the per-subspace argmin IN-ROW
+    against a one-row broadcast codebook (:func:`_pq_best_codes`) and
+    re-centroids in the SAME narrow pass — scan → project → posexplode
+    → one bounded groupBy exchange. The former shape posexploded the
+    training sample d-ways into a persisted relation, fanned it ×n_codes
+    through a broadcast join, and paid two id-keyed shuffles per round
+    (the (id, m, code) distance aggregate and the re-centroid join) plus
+    an eager localCheckpoint job per round; the flat build runs ZERO
+    compose-time actions and one metadata-scale exchange per round.
+    Results are bit-identical (see _pq_best_codes; pinned by
+    test_pq_train_flat_matches_join_path and the six pq oracles). Past
+    the bound — a corpus-proportional codeword budget — the join path
+    stands: an n_codes·dim broadcast row and O(n·n_codes·d/n_sub)
+    in-row work per vector stop being "metadata-scale" exactly like
+    flat ivf_assign, and the exploded relation's two-level shuffles are
+    the scale posture.
     """
     from pyspark.sql.window import Window
 
     sub = dim // n_sub
+    if flat is None:
+        flat = n_codes <= IVF_ASSIGN_FLAT_MAX
     train = training_sample(emb, sample_mod, id_col)
-    # persist the posexplode'd training relation (r16, guide §5): the
-    # seeds join and BOTH halves of every Lloyd round (the distance
-    # probe and the re-centroid join) consume it — unpersisted, the
-    # d-way explode over the training sample re-ran 1 + 2·n_iter times
-    # per codebook build
-    from data_platform_spark.cache import scoped_persist
-
-    vec_long = scoped_persist(_pq_vec_long(train, sub, id_col, vec_col))
     seed_order = (
         [F.asc(F.xxhash64(F.col(id_col))), F.asc(id_col)]
         if seed_by_hash
@@ -1044,6 +1125,65 @@ def pq_train_codebook(
             ),
         )
     )
+    if flat:
+        # seed codebook: explode ONLY the n_codes seed rows (the join
+        # path exploded the whole training sample and filtered by join)
+        cents = (
+            train.join(F.broadcast(seeds), id_col)
+            .select(
+                "code",
+                F.posexplode(as_double(F.col(vec_col))).alias("pos", "x"),
+            )
+            .select("code", "pos", pround(F.col("x"), 4).alias("cb_val"))
+        )
+        for _ in range(n_iter):
+            # one narrow pass: per-subspace argmin codes fold in-row
+            # (zero exchanges), each exploded (pos, x) picks its
+            # subspace's winning code, and the re-centroid is one
+            # map-side-combined groupBy on the bounded
+            # (n_sub·n_codes·sub) domain. The __one join key is NULL for
+            # a null vector, dropping the row exactly as posexplode did.
+            labeled = (
+                train.withColumn(
+                    "__one", F.size(F.col(vec_col)) * F.lit(0) + F.lit(1)
+                )
+                .join(F.broadcast(_pq_cents_row(cents, sub)), "__one")
+                .drop("__one")
+                .select(
+                    _pq_best_codes(
+                        as_double(F.col(vec_col)), sub, n_sub
+                    ).alias("__codes"),
+                    F.posexplode(as_double(F.col(vec_col))).alias(
+                        "pos", "x"
+                    ),
+                )
+                .select(
+                    F.element_at(
+                        F.col("__codes"),
+                        (F.col("pos") / sub).cast("int") + 1,
+                    )["code"].alias("code"),
+                    "pos",
+                    "x",
+                )
+            )
+            cents = labeled.groupBy("code", "pos").agg(
+                pround(F.avg("x"), 4).alias("cb_val")
+            )
+        # no per-round eager checkpoint (the n_iter-deep lineage is a
+        # fixed small build constant); a lazy persist on the FINAL
+        # codebook makes every consumer (pq_dist_table's broadcast per
+        # derived relation, repeated index builds) compute the Lloyd
+        # chain exactly once
+        from data_platform_spark.cache import scoped_persist
+
+        return scoped_persist(cents)
+
+    # join path (n_codes past the broadcast bound): persist the
+    # posexplode'd training relation (r16, guide §5) — the seeds join
+    # and BOTH halves of every Lloyd round (the distance probe and the
+    # re-centroid join) consume it; unpersisted, the d-way explode over
+    # the training sample re-ran 1 + 2·n_iter times per codebook build
+    vec_long = _pq_vec_long(train, sub, id_col, vec_col).persist()
     cents = (
         vec_long.join(F.broadcast(seeds), id_col)
         .select("code", "pos", pround(F.col("x"), 4).alias("cb_val"))
@@ -1069,6 +1209,13 @@ def pq_train_codebook(
             .agg(pround(F.avg("x"), 4).alias("cb_val"))
             .localCheckpoint()
         )
+    # every consumer of vec_long is materialized by the per-round eager
+    # localCheckpoints above; the returned cents is checkpointed and no
+    # longer references the cached relation, so release it here instead
+    # of leaning on the caller's thread ever draining a scoped registry
+    # (ADVICE r16 #3: repeated index builds on a non-releasing thread
+    # accumulated dead cache blocks)
+    vec_long.unpersist()
     return cents
 
 

@@ -428,3 +428,36 @@ def test_two_level_multiprobe_operating_point(spark):
 
     sig = inspect.signature(ivf_assign_two_level)
     assert sig.parameters["coarse_nprobe"].default == 2
+
+
+def test_pq_train_flat_matches_join_path(spark):
+    """The r17 flat PQ training path (in-row per-subspace argmin against
+    a one-row broadcast codebook + same-pass re-centroid) must reproduce
+    the join path's codebook BIT-FOR-BIT: the in-row fold sums squared
+    diffs sequentially in pos order — exactly the order the posexploded
+    (id, m, code) hash-agg partial accumulated — with the same
+    pow(x-cb, 2) expression, the same floor(sum*1e6 + 0.5) LONG
+    quantization, and array_min's field-lexicographic (dist asc, code
+    asc) tie-break equal to the former struct-min. Both seed flavors
+    and a sampled training run are pinned."""
+    from data_platform_spark.functions.similarity import pq_train_codebook
+
+    df = _planted(spark, sigma=0.10).persist()
+    try:
+        df.count()
+        for kw in (
+            {},
+            {"seed_by_hash": True},
+            {"sample_mod": 2, "seed_by_hash": True},
+            {"n_sub": 8, "n_codes": 16},
+        ):
+            flat = sorted(
+                pq_train_codebook(df, flat=True, **kw).collect()
+            )
+            joined = sorted(
+                pq_train_codebook(df, flat=False, **kw).collect()
+            )
+            assert flat == joined, f"codebooks diverge for {kw}"
+            assert len(flat) > 0
+    finally:
+        df.unpersist()
