@@ -139,6 +139,17 @@ WARMUP_SF_DIR = "/root/testdata/sf0.001"
 _REPO = os.path.dirname(os.path.abspath(__file__))
 
 
+def _loadavg1() -> float:
+    """1-minute system load average — the cheapest host-contention
+    tell this sandbox exposes (no /proc/stat steal on a shared VM's
+    guest view; loadavg INCLUDES this process's own runnable tasks, so
+    readings are interpreted relative to the bench's own core count)."""
+    try:
+        return round(os.getloadavg()[0], 1)
+    except OSError:  # pragma: no cover - platform without getloadavg
+        return -1.0
+
+
 def _calibration_anchor(spark, runs: int = 3) -> dict:
     """Fixed, data-independent CPU-bound probe (VERDICT r13 "What's
     wrong" #1): the same 2B-row range plan every round — an iterated
@@ -305,6 +316,15 @@ def main() -> None:
             pass  # warmup is best-effort; the timed run surfaces real errors
 
     timings: dict[str, float] = {}
+    # self-adjudication block (r17, VERDICT r16 item 2): the raw per-run
+    # samples and a host-load reading per query ride the FULL blob
+    # (additions only — the timing method, query set and compact lines
+    # are unchanged), so an out-of-band median is flagged by the
+    # artifact itself: a contention burst shows as a wild sample spread
+    # and a loadavg well above this process's own core count, without
+    # forensic reconstruction from companion runs.
+    query_samples: dict[str, list[float]] = {}
+    query_load1: dict[str, float] = {}
     for name in HEADLINE:
         # median-of-N (default 3): the shared bench host shows ~1.6× run-to-
         # run spread on identical plans (PLANS.md round-5 adjudication of
@@ -316,6 +336,8 @@ def main() -> None:
             _materialize(queries, name, spark, sf_dir) for _ in range(runs)
         ]
         timings[name] = round(statistics.median(samples), 3)
+        query_samples[name] = [round(s, 3) for s in samples]
+        query_load1[name] = _loadavg1()
         if os.environ.get("SPARK_GRAFT_BENCH_DEBUG"):
             # per-run samples to stderr (diagnostics only — the artifact
             # of record on stdout is unchanged)
@@ -359,6 +381,10 @@ def main() -> None:
     }
     out.update(anchor)
     out["calibration_anchor_post_s"] = anchor_post["calibration_anchor_s"]
+    # raw per-run samples + per-query 1-min loadavg (additions only;
+    # full blob only — the compact tail lines keep their size budget)
+    out["query_samples"] = query_samples
+    out["query_loadavg1"] = query_load1
     out.update(sections)
     # Full blob first, compact summary LAST: the driver's tail capture
     # keeps the END of stdout, so the line that must survive goes last.
