@@ -1086,30 +1086,30 @@ def pq_train_codebook(
     instead of smallest id. Encoding (pq_dist_table/pq_encode over the
     returned codebook) still covers every vector.
 
-    ``flat`` (r17, guide §2.3/§2.4 — the kmeans_fit flat-path twin):
-    below IVF_ASSIGN_FLAT_MAX codewords per subspace (auto; force with
-    True/False) each Lloyd round folds the per-subspace argmin IN-ROW
-    against a one-row broadcast codebook (:func:`_pq_best_codes`) and
-    re-centroids in the SAME narrow pass — scan → project → posexplode
-    → one bounded groupBy exchange. The former shape posexploded the
-    training sample d-ways into a persisted relation, fanned it ×n_codes
-    through a broadcast join, and paid two id-keyed shuffles per round
-    (the (id, m, code) distance aggregate and the re-centroid join) plus
-    an eager localCheckpoint job per round; the flat build runs ZERO
-    compose-time actions and one metadata-scale exchange per round.
-    Results are bit-identical (see _pq_best_codes; pinned by
-    test_pq_train_flat_matches_join_path and the six pq oracles). Past
-    the bound — a corpus-proportional codeword budget — the join path
-    stands: an n_codes·dim broadcast row and O(n·n_codes·d/n_sub)
-    in-row work per vector stop being "metadata-scale" exactly like
-    flat ivf_assign, and the exploded relation's two-level shuffles are
-    the scale posture.
+    ``flat`` (r17, guide §2.3/§2.4 — the kmeans_fit flat-path twin,
+    OFF by default): each Lloyd round folds the per-subspace argmin
+    IN-ROW against a one-row broadcast codebook (:func:`_pq_best_codes`)
+    and re-centroids in the SAME narrow pass — no corpus-keyed shuffle
+    per round, vs the default's n_codes-way broadcast fan-out plus two
+    id-keyed shuffles per round over the d-way-exploded training
+    relation. Results are bit-identical (pinned by
+    test_pq_train_flat_matches_join_path across four geometries and the
+    six pq oracles), so the knob is purely a cost choice: on a CLUSTER
+    where Lloyd-round shuffles cross a network, the flat path's
+    shuffle-free rounds are the right shape; measured LOCALLY it is
+    parity-to-~1.3×-slower (64k/512k synthetic: parity; the sf0.1
+    oracle demonstration: slower in every alternating A/B window —
+    full negative-result trail in OPTIMIZATION_r17.md), so the
+    oracle-gated demonstration keeps the join path. Flat also requires
+    a broadcastable codebook (n_codes·dim rows) — past
+    IVF_ASSIGN_FLAT_MAX codewords per subspace the join path is the
+    only correct posture, exactly like flat ivf_assign.
     """
     from pyspark.sql.window import Window
 
     sub = dim // n_sub
     if flat is None:
-        flat = n_codes <= IVF_ASSIGN_FLAT_MAX
+        flat = False
     train = training_sample(emb, sample_mod, id_col)
     seed_order = (
         [F.asc(F.xxhash64(F.col(id_col))), F.asc(id_col)]
@@ -1127,7 +1127,22 @@ def pq_train_codebook(
     )
     if flat:
         # seed codebook: explode ONLY the n_codes seed rows (the join
-        # path exploded the whole training sample and filtered by join)
+        # path exploded the whole training sample and filtered by join).
+        # Each round eagerly checkpoints its (≤ n_sub·n_codes·sub)-row
+        # codebook — metadata-scale actions at ANY corpus size, exactly
+        # the join path's discipline. A lazy chain instead (measured,
+        # recorded in OPTIMIZATION_r17.md) nests each round's broadcast
+        # build inside the next round's plan: Catalyst re-plans the
+        # whole nested HOF chain per consuming run, ~4-5 s of pure
+        # driver work at any data size.
+        #
+        # Persist the NARROW training relation across the seeds scan and
+        # the n_iter round scans (the join path persisted its d-way
+        # EXPLODED twin — this holds strictly fewer bytes for the same
+        # amortization); every consumer materializes inside the loop
+        # (each round's cents checkpoint), so it releases before return
+        # instead of leaning on the caller's cache scope (ADVICE r16 #3).
+        train = train.persist()
         cents = (
             train.join(F.broadcast(seeds), id_col)
             .select(
@@ -1135,6 +1150,7 @@ def pq_train_codebook(
                 F.posexplode(as_double(F.col(vec_col))).alias("pos", "x"),
             )
             .select("code", "pos", pround(F.col("x"), 4).alias("cb_val"))
+            .localCheckpoint()
         )
         for _ in range(n_iter):
             # one narrow pass: per-subspace argmin codes fold in-row
@@ -1143,40 +1159,46 @@ def pq_train_codebook(
             # map-side-combined groupBy on the bounded
             # (n_sub·n_codes·sub) domain. The __one join key is NULL for
             # a null vector, dropping the row exactly as posexplode did.
+            # The winning codes ride INSIDE the generator's input (the
+            # vector zipped with its pos-expanded code array), so the
+            # argmin expression is evaluated once per VECTOR by the
+            # Generate's child — extracting it per-pos above the explode
+            # lets CollapseProject inline the whole argmin into the
+            # post-Generate projection, re-evaluating it per exploded
+            # row (measured 8× slower at 64k vectors).
+            v = as_double(F.col(vec_col))
+            zipped = F.zip_with(
+                v,
+                F.flatten(
+                    F.transform(
+                        _pq_best_codes(v, sub, n_sub),
+                        lambda s: F.array_repeat(s["code"], sub),
+                    )
+                ),
+                lambda x, c: F.struct(x.alias("x"), c.alias("code")),
+            )
             labeled = (
                 train.withColumn(
                     "__one", F.size(F.col(vec_col)) * F.lit(0) + F.lit(1)
                 )
                 .join(F.broadcast(_pq_cents_row(cents, sub)), "__one")
                 .drop("__one")
+                .select(F.posexplode(zipped).alias("pos", "pc"))
                 .select(
-                    _pq_best_codes(
-                        as_double(F.col(vec_col)), sub, n_sub
-                    ).alias("__codes"),
-                    F.posexplode(as_double(F.col(vec_col))).alias(
-                        "pos", "x"
-                    ),
-                )
-                .select(
-                    F.element_at(
-                        F.col("__codes"),
-                        (F.col("pos") / sub).cast("int") + 1,
-                    )["code"].alias("code"),
+                    F.col("pc.code").alias("code"),
                     "pos",
-                    "x",
+                    F.col("pc.x").alias("x"),
                 )
             )
             cents = labeled.groupBy("code", "pos").agg(
                 pround(F.avg("x"), 4).alias("cb_val")
-            )
-        # no per-round eager checkpoint (the n_iter-deep lineage is a
-        # fixed small build constant); a lazy persist on the FINAL
-        # codebook makes every consumer (pq_dist_table's broadcast per
-        # derived relation, repeated index builds) compute the Lloyd
-        # chain exactly once
-        from data_platform_spark.cache import scoped_persist
-
-        return scoped_persist(cents)
+            ).localCheckpoint()
+        # the returned cents is already materialized + plan-truncated by
+        # its round's checkpoint; every consumer (pq_dist_table's
+        # broadcast per derived relation, repeated index builds) reads
+        # the checkpointed blocks — no cache-scope registration to leak
+        train.unpersist()
+        return cents
 
     # join path (n_codes past the broadcast bound): persist the
     # posexplode'd training relation (r16, guide §5) — the seeds join
