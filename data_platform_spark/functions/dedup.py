@@ -510,21 +510,27 @@ def connected_components(
 
     converged = False
     for _ in range(max_iterations):
-        # r17 (guide §2/§1.2, VERDICT r16 item 1): the loop was one hop +
-        # TWO full-DAG driver-synchronized actions per round (convergence
-        # count, then localCheckpoint re-running the same plan). Now each
-        # materialized round folds TWO hops into ONE action — the
-        # localCheckpoint materializes the round WITH its changed flag,
-        # and the convergence count scans the checkpointed blocks instead
-        # of re-executing the round's DAG (this differs from the r16
-        # negative result, which checkpointed first but still ran the
-        # count against the un-checkpointed plan: that re-ran the round's
-        # join DAG cold). Label reach quadruples per materialized round
-        # (two pointer-jumped hops), so cluster barriers HALVE at any
-        # scale while results at fixpoint are identical — an extra hop on
-        # converged labels is the identity.
-        two = _hop(_hop(labels.withColumn("_old", F.col("label"))))
-        ck = two.select(
+        # r17 (guide §2/§1.2, VERDICT r16 item 1): the loop ran TWO
+        # full-DAG executions per round — the convergence count executed
+        # the round's join DAG, then localCheckpoint re-ran the same plan
+        # (cheap only because the count's shuffle files were reused; the
+        # round's RESULT stage still executed twice). Now the round
+        # materializes ONCE, carrying its changed flag into the
+        # checkpoint, and the convergence count scans the CHECKPOINTED
+        # blocks — a metadata-cheap job, never the round's DAG. This
+        # differs from both r16/r17 negative results: checkpoint-first
+        # with the count against the un-checkpointed plan re-ran the
+        # join DAG cold (r16, 4-6× slower), and folding TWO hops into
+        # one materialized round re-executed the first hop's subtree per
+        # reference in the second hop's plan — a 1.7× stage blow-up that
+        # cost more than the halved round count saved at any tested
+        # scale, with or without a lazy checkpoint at the hop boundary
+        # (r17 A/B, recorded in OPTIMIZATION_r17.md). Full-DAG
+        # driver-synchronized executions per hop: 2 → 1; results are
+        # identical — the checkpoint pins the same round image the count
+        # previously read.
+        jumped = _hop(labels.withColumn("_old", F.col("label")))
+        ck = jumped.select(
             "doc_id", "label", (F.col("label") != F.col("_old")).alias("_chg")
         ).localCheckpoint()
         changed = ck.filter(F.col("_chg")).count()
