@@ -5130,12 +5130,16 @@ def order_customer_view_incremental(spark: SparkSession, sf_dir: str) -> DataFra
         # full logical lineage, so Catalyst re-analyzed the ENTIRE
         # maintenance history at every subsequent step (~40% of this
         # query's wall clock was compose-time plan work, zero jobs);
-        # the lazy checkpoint truncates the logical plan at each step
-        # (per-step analysis cost stays O(step), nothing executes at
-        # compose time) and the first action materializes the steps
-        # bottom-up exactly once. Blocks release when the run's
-        # DataFrames are GC'd — nothing outlives the run that a later
-        # identical run could be served from.
+        # the lazy checkpoint truncates the logical plan at each step,
+        # so per-step analysis cost stays O(step). Under AQE the
+        # checkpoint's toRdd does run each step's intermediate shuffle
+        # stages at compose time — the step's real work, executed
+        # exactly once instead of once per consuming branch; only the
+        # final result stage waits for the first action (measured:
+        # build+materialize 3.2 s → 2.4 s, materialize-phase jobs
+        # 27 → 7). Blocks release when the run's DataFrames are GC'd —
+        # nothing outlives the run that a later identical run could be
+        # served from.
         return JoinViewState(
             view=state.view.localCheckpoint(eager=False),
             orphans=state.orphans.localCheckpoint(eager=False),
@@ -5376,7 +5380,10 @@ def order_customer_scd2_view_incremental(
         # logical plan per maintenance step so Catalyst stops re-analyzing
         # the whole 4-step history at every subsequent step (r17, guide
         # §1.2/§5; this query's profile was ~2–3 s of pure driver-side
-        # analysis, zero jobs). See order_customer_view_incremental.
+        # analysis, zero jobs; measured build+materialize 4.5 s → 3.8 s,
+        # materialize-phase jobs 42 → 9 — under AQE each step's shuffle
+        # stages run at compose, once, and only the final stage waits
+        # for the first action). See order_customer_view_incremental.
         from data_platform_spark.ops.join_view import JoinViewState
 
         return JoinViewState(
