@@ -88,12 +88,18 @@ def stats_tf_df(
     shares no common subexpressions across a plan. ``df_table_from_tf``
     counts the tf relation's rows per term instead (tf rows are unique
     per (doc, term), so the count IS the document frequency — the same
-    identity the persisted lexical index relies on); both consumers then
-    contain the IDENTICAL tf Exchange subtree, which Spark's
-    ReuseExchange rule evaluates once — the corpus is tokenized once for
-    tf+df with no persist, no cache barrier, and no unpersist cost in
-    the timed path (a persisted-narrow-projection variant measured
-    ~0.5 s SLOWER at sf0.1 than this form: the cache round-trip cost
+    identity the persisted lexical index relies on). The structural win
+    this keeps vs the independent ``df_table(matched)`` derivation: the
+    df leg drops its ``distinct()`` (an extra exchange + aggregate).
+    The r16 hope that the two legs' now-identical tf subtrees would
+    additionally share ONE execution through ReuseExchange is REFUTED
+    by the executed plan (r17, plans/r17/bm25_topk_final_executed.txt,
+    VERDICT r16 item 5): column pruning gives the df leg's partial
+    aggregate a narrower output than the tf leg's, the canonicalized
+    exchanges differ, and no ReusedExchange node appears — the corpus
+    is still tokenized once per leg. Forcing the subtrees equal would
+    need a persist, and a persisted-narrow-projection variant measured
+    ~0.5 s SLOWER at sf0.1 than this form (the cache round-trip cost
     more than the saved scan). ``stats`` keeps its own corpus pass —
     it aggregates every document, not just term matches."""
     stats = corpus_stats(base)

@@ -943,9 +943,11 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
     base = R.token_base(docs, ["doc_id"])
-    # df derives from tf so both legs share ONE tokenize pass via
-    # ReuseExchange (r16, guide §2.3/§2.4) — was two independent
-    # matched-postings derivations; bit-identical df counts
+    # df derives from tf (r16, guide §2.3/§2.4) — drops the df leg's
+    # distinct() vs the independent derivation; bit-identical df counts.
+    # (The r16 ReuseExchange hope is refuted by the executed plan —
+    # column pruning keeps the legs canonically unequal; see
+    # stats_tf_df's docstring and plans/r17/bm25_topk_final_executed.txt)
     stats, tf, df_tab = R.stats_tf_df(base, BM25_QUERY_TERMS, ["doc_id"])
     scored = R.score_tf(tf, df_tab, stats, ["doc_id"])
     return scored.orderBy(
@@ -1173,8 +1175,8 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # functions/retrieval.py math — same expressions as bm25_topk)
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
     base = R.token_base(docs, ["doc_id"])
-    # df derives from tf — one shared tokenize pass via ReuseExchange
-    # (r16, guide §2.3/§2.4)
+    # df derives from tf (r16, guide §2.3/§2.4; no exchange reuse —
+    # see stats_tf_df's docstring)
     stats, tf, df_tab = R.stats_tf_df(base, BM25_QUERY_TERMS, ["doc_id"])
     lex_scored = R.score_tf(
         tf,
@@ -2568,8 +2570,8 @@ def hybrid_leg_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
     base = R.token_base(docs, ["doc_id"])
-    # df derives from tf — one shared tokenize pass via ReuseExchange
-    # (r16, guide §2.3/§2.4)
+    # df derives from tf (r16, guide §2.3/§2.4; no exchange reuse —
+    # see stats_tf_df's docstring)
     stats, tf, df_tab = R.stats_tf_df(base, BM25_QUERY_TERMS, ["doc_id"])
     lex_scored = R.score_tf(
         tf,
