@@ -454,10 +454,7 @@ def connected_components(
 
     ``strict=True`` raises if the loop exits while labels were still
     changing — silently returning unconverged (wrong) components is worse
-    than failing. (r17: a materialized round is now a DOUBLE hop, so the
-    convergence budget only ever widens — every graph the single-hop
-    loop converged for still converges, and an unconverged result is
-    still never returned.)
+    than failing.
     """
     bidir = (
         edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
